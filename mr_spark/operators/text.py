@@ -1,0 +1,229 @@
+"""Text-analysis operators over ``documents`` — training-data pipeline
+extensions: token counting, quality scoring, language ID (n-gram/marker
+heuristic), document fingerprinting.
+
+All pure built-in column expressions (codegen'd); every query here is
+oracle-checked. Ratios are single divisions of exact integer counts —
+deterministic across engines without rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import normalized_text, tokens
+from ..sources import load_table
+from . import query
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')"
+
+
+@query(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_TOKS_SQL})) AS BIGINT) AS n_distinct,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(list_sum(list_transform({_TOKS_SQL}, x -> length(x))) AS DOUBLE)
+             / len({_TOKS_SQL}) AS avg_token_len
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting (whitespace/letter-run tokenizer — the
+    wc tokenizer, SURVEY.md §2b). A BPE-ish subword count is in
+    bpe_token_count below."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens("text")
+    tok_lens = F.aggregate(
+        F.transform(ws, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("bigint").alias("n_distinct"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        (tok_lens.cast("double") / F.size(ws)).alias("avg_token_len"),
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS DOUBLE)
+             / length(text) AS alpha_ratio,
+           CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+             / length(text) AS space_ratio,
+           CAST(len(list_filter({_TOKS_SQL}, x -> x IN {_SW_SQL})) AS DOUBLE)
+             / len({_TOKS_SQL}) AS stopword_ratio,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: alphabetic ratio, whitespace ratio, stopword ratio.
+    The standard cheap pre-filters for corpus curation."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens("text")
+    n_alpha = F.length(F.regexp_replace("text", r"[^\p{L}]", ""))
+    n_space = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_stop = F.size(F.filter(ws, lambda x: x.isin(*_STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        (n_alpha.cast("double") / F.length("text")).alias("alpha_ratio"),
+        (n_space.cast("double") / F.length("text")).alias("space_ratio"),
+        (n_stop.cast("double") / F.size(ws)).alias("stopword_ratio"),
+        F.size(ws).cast("bigint").alias("n_tokens"),
+    )
+
+
+# marker-token sets per language (drawn from the corpus vocabulary; on real
+# text these would be per-language stopword lists — the operator shape is
+# identical). Deterministic argmax: explode scores, row_number over
+# (score desc, lang asc).
+_MARKERS = {
+    "de": ("merge", "part", "window"),
+    "en": ("the", "fast", "key"),
+    "es": ("order", "sort", "table"),
+    "fr": ("small", "hash", "scan"),
+    "zh": ("join", "batch", "stream"),
+}
+
+
+def _marker_sql(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"CAST(len(list_filter({_TOKS_SQL}, x -> x IN ({lst}))) AS BIGINT)"
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang AS actual_lang, s.*
+      FROM documents,
+      LATERAL (VALUES {", ".join(f"('{lg}', {_marker_sql(ws)})" for lg, ws in _MARKERS.items())})
+        AS s(cand_lang, score)
+    )
+    SELECT doc_id, actual_lang, cand_lang AS predicted_lang, score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, cand_lang) AS rn
+      FROM scores
+    ) WHERE rn = 1
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by marker-token voting: score each candidate language by
+    marker hits, argmax with (score desc, lang asc) tie-break. One narrow
+    shuffle on doc_id for the argmax window."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lg).alias("cand_lang"),
+                        F.size(F.filter(ws, lambda x: x.isin(*marks)))
+                        .cast("bigint")
+                        .alias("score"),
+                    )
+                    for lg, marks in _MARKERS.items()
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "actual_lang", "s.cand_lang", "s.score")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand_lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "actual_lang", F.col("cand_lang").alias("predicted_lang"), "score")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g'))) AS fp,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined document fingerprint (md5 of normalized text) — the
+    join key for cross-corpus exact dedup at 100 TB (16-byte digests shuffle
+    instead of documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(normalized_text("text")).alias("fp"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+# BPE-ish subword regex: letter-runs split into ≤4-char chunks + digit runs
+# + single punctuation — a cheap deterministic proxy for a BPE vocab tokenizer.
+_BPE_RE = r"\p{L}{1,4}|\p{N}+|[^\p{L}\p{N}\s]"
+
+
+@query(
+    "bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_word_tokens
+    FROM documents
+    """,
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword ("BPE-ish") token counting via a greedy chunking regex —
+    the operator a token-budgeted pipeline runs over every document."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.size(ws).cast("bigint").alias("n_word_tokens"),
+    )
+
+
+@query(
+    "term_frequency",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.word, tf.tf,
+           ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tf_idf
+    FROM tf JOIN df USING (word) CROSS JOIN n
+    """,
+)
+def term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: classic two-agg + broadcast-join plan (df table is
+    vocabulary-sized → broadcast; corpus count is a scalar cross join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = docs.count()  # scalar; at scale: countApprox or a broadcast agg
+    return tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tf_idf"),
+    )

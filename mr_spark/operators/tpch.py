@@ -1,0 +1,274 @@
+"""TPC-H-style analytics queries (Tier B extensions — SURVEY.md §2c notes
+the reference has no joins/sorts/top-k; these are the scale-ready operators
+the star schema begs for).
+
+Determinism contract with the DuckDB oracle: money aggregates are computed
+in DECIMAL(18,4) on BOTH sides — decimal addition is associative, so the
+result is independent of partition/accumulation order (a double sum is not),
+then cast to DOUBLE for a stable schema. Helper: :func:`dsum`.
+
+Scale notes (100 TB design):
+* dims (region/nation/supplier/part) are broadcast — no shuffle for them.
+* fact-fact joins (orders⋈lineitem) shuffle on the join key once; AQE
+  handles skew.
+* aggregations are partial (map-side combine) by construction of groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import query
+
+DEC = "decimal(18,4)"
+# factor type for decimal PRODUCTS: small enough that a 3-factor product
+# ((12,4)·(12,4)·(12,4) → scale 12) stays under precision 38 in BOTH
+# engines — at the 38 cap Spark and DuckDB reduce scale differently and
+# results diverge in the 7th decimal.
+DECM = "decimal(12,4)"
+
+
+def dec(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(DEC)
+
+
+def decm(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(DECM)
+
+
+def dsum(expr: Column, alias: str) -> Column:
+    """Order-independent money sum: decimal accumulate, round to cents,
+    double result. The round keeps the scaled integer under 2^53 so the
+    decimal→double cast is exact in BOTH engines (DuckDB converts
+    scaled_int/10^s in float arithmetic — a scale-12 sum differs from
+    Spark's correctly-rounded BigDecimal cast by 1 ulp).
+    SQL twin: CAST(ROUND(SUM(<decimal expr>), 2) AS DOUBLE) AS alias"""
+    return F.round(F.sum(expr), 2).cast("double").alias(alias)
+
+
+# decimal product expressions shared by several queries
+def _disc_price() -> Column:
+    return decm("l_extendedprice") * (F.lit(1).cast(DECM) - decm("l_discount"))
+
+
+def _charge() -> Column:
+    return _disc_price() * (F.lit(1).cast(DECM) + decm("l_tax"))
+
+
+_SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,4))"
+    " * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))"
+)
+_SQL_CHARGE = (
+    f"{_SQL_DISC_PRICE} * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))"
+)
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM({_SQL_CHARGE}), 2) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1. Single scan (pruned to 7 columns, shipdate filter pushed to
+    parquet), one shuffle on the 2-col group key, partial aggs map-side."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    cnt = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(dec("l_quantity"), "sum_qty"),
+        dsum(dec("l_extendedprice"), "sum_base_price"),
+        dsum(_disc_price(), "sum_disc_price"),
+        dsum(_charge(), "sum_charge"),
+        (F.round(F.sum(dec("l_quantity")), 2).cast("double") / cnt).alias("avg_qty"),
+        (F.round(F.sum(dec("l_extendedprice")), 2).cast("double") / cnt).alias("avg_price"),
+        (F.round(F.sum(dec("l_discount")), 2).cast("double") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l.l_orderkey AS orderkey,
+             CAST(ROUND(SUM({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
+             o.o_orderdate AS orderdate
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        AND l.l_shipdate > TIMESTAMP '1997-01-01'
+      GROUP BY l.l_orderkey, o.o_orderdate
+    )
+    SELECT orderkey, revenue, orderdate
+    FROM rev
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-10. customer is small per
+    segment → broadcast; orders⋈lineitem shuffles once on orderkey. Top-k is
+    a TakeOrderedAndProject (no global sort materialization)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return (
+        joined.groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
+        .agg(dsum(_disc_price(), "revenue"))
+        .select("orderkey", "revenue", "orderdate")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(ROUND(SUM({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join. All dims broadcast (supplier,
+    nation, region are tiny at every SF); the only shuffle is
+    orders⋈lineitem + the final agg."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        dsum(_disc_price(), "revenue")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * CAST(l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-agg; every predicate pushes to parquet."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(decm("l_extendedprice") * decm("l_discount"), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_SQL_DISC_PRICE}
+                         ELSE CAST(0 AS DECIMAL(12,4)) END), 2) AS DOUBLE) AS promo_revenue,
+           CAST(ROUND(SUM({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-07-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast join to part + conditional agg."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    zero = F.lit(0).cast(DECM)
+    return joined.agg(
+        dsum(F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(zero), "promo_revenue"),
+        dsum(_disc_price(), "total_revenue"),
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join (no row multiplication),
+    then count by priority."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )

@@ -1,0 +1,79 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is a single JVM with N executor threads; on a real cluster the
+same configs hold (AQE, shuffle partitions sized to cores, Arrow enabled).
+The settings mirror what we would ship for a 1000-executor deployment:
+AQE for runtime re-planning + skew-join handling, partition coalescing,
+UTC session timezone (so results compare bit-for-bit against the DuckDB
+oracle, whose timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+# Runtime-settable SQL confs every query needs regardless of who built the
+# session (the driver harness hands us ITS SparkSession — a vanilla one
+# can't read the NANOS timestamps in events.parquet and would compare
+# timestamps in local time). Applied idempotently by tune_session().
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally-created session.
+    Also right-sizes shuffle partitions if left at the 200 default."""
+    for k, v in RUNTIME_CONFS.items():
+        spark.conf.set(k, v)
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    return spark
+
+
+def get_spark(app_name: str = "mr_spark", *, cpus: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Create (or get) the tuned SparkSession.
+
+    Shuffle partitions are sized to the core count — the 200 default is
+    wrong for local mode and is re-planned by AQE on a cluster anyway.
+    """
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS) which Spark has no
+        # native type for: read as long, converted in sources.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        # straggler / fault-tolerance parity with the reference's 5 s
+        # timeout-requeue (coordinator.rs:112-131): Spark's own retry +
+        # speculation machinery (SURVEY.md §2a R1-R6).
+        .config("spark.task.maxFailures", "4")
+        .config("spark.speculation", "false")  # pointless in local mode; on for clusters
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
