@@ -1,0 +1,108 @@
+"""The Spark executor for Tier A MapReduce jobs.
+
+Pipeline (one expression — SURVEY.md §3's restatement):
+
+    input (k1, v1) pairs
+      → flatMap(app.map)                      # E2
+      → repartitionAndSortWithinPartitions    # E3 shuffle + E5 sort
+          (hash(k2) % n_reduce, sort by (k2, v2))
+      → consecutive-run grouping              # E6
+      → app.reduce per group                  # E7
+      → (k2, v3) pairs / "k2 v3" text files   # E8
+
+The load-bearing semantic (SURVEY.md §1): reduce receives values in
+ascending lexicographic order, because the engine sorts the full (k2, v2)
+pair — reproduced here with secondary sort inside each shuffle partition,
+NOT with groupByKey (which has no order guarantee).
+
+Spark supplies the reference's entire control plane (coordinator.rs,
+worker.rs): scheduling R1, the stage barrier R2, straggler re-execution R3
+(spark.task.maxFailures / speculation), commit dedup R4-R5
+(OutputCommitCoordinator + FileOutputCommitter), shutdown R6.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable, Iterator
+
+from pyspark.rdd import RDD, portable_hash
+from pyspark.sql import SparkSession
+
+from .api import App
+
+DEFAULT_N_REDUCE = 10  # reference default: coordinator.rs:31-32, Makefile:17
+
+
+def _group_and_reduce(app: App):
+    """Consecutive-run grouping over a (k,v)-sorted partition iterator —
+    the itertools-group_by step (sequential/src/main.rs:33-37) done
+    streamingly: one group in memory at a time, not the whole partition."""
+
+    def fn(part: Iterator[tuple[str, str]]) -> Iterator[tuple[str, str]]:
+        cur_key: str | None = None
+        cur_vals: list[str] = []
+        for k, v in part:
+            if k != cur_key:
+                if cur_key is not None:
+                    yield cur_key, app.reduce(cur_key, cur_vals)
+                cur_key, cur_vals = k, [v]
+            else:
+                cur_vals.append(v)
+        if cur_key is not None:
+            yield cur_key, app.reduce(cur_key, cur_vals)
+
+    return fn
+
+
+def run_mapreduce(
+    spark: SparkSession,
+    inputs: RDD | Iterable[tuple[str, str]],
+    app: App,
+    n_reduce: int = DEFAULT_N_REDUCE,
+) -> RDD:
+    """Run a MapReduce job; returns an RDD of (k2, v3) with ``n_reduce``
+    hash partitions (partition j holds exactly the keys the reference's
+    reducer j would hold, modulo the hash function)."""
+    sc = spark.sparkContext
+    rdd = inputs if isinstance(inputs, RDD) else sc.parallelize(list(inputs))
+    intermediate = rdd.flatMap(lambda kv: app.map(kv[0], kv[1]))
+    # key by the full (k2, v2) pair so the within-partition sort gives the
+    # sorted-values guarantee; partition on k2 only.
+    paired = intermediate.map(lambda kv: ((kv[0], kv[1]), None))
+    sorted_parts = paired.repartitionAndSortWithinPartitions(
+        numPartitions=n_reduce,
+        partitionFunc=lambda key: portable_hash(key[0]),
+    )
+    return sorted_parts.map(lambda kvn: kvn[0]).mapPartitions(
+        _group_and_reduce(app), preservesPartitioning=True
+    )
+
+
+def save_text_output(result: RDD, out_dir: str) -> list[str]:
+    """E8/E9 sink: one text file of ``"k v"`` lines per reduce partition
+    (Spark's FileOutputCommitter supplies the temp-write + atomic-rename
+    protocol the worker hand-rolls, worker.rs:178-188). Returns the merged,
+    globally sorted lines as well — the ``sort out/mr-out* | grep .``
+    convention (Makefile:33-35)."""
+    result.map(lambda kv: f"{kv[0]} {kv[1]}").saveAsTextFile(out_dir)
+    lines: list[str] = []
+    for name in os.listdir(out_dir):
+        if name.startswith("part-"):
+            with open(os.path.join(out_dir, name), encoding="utf-8") as f:
+                lines.extend(line.rstrip("\n") for line in f if line.strip())
+    return sorted(lines)
+
+
+def run_on_documents(
+    spark: SparkSession, sf_dir: str, app: App, n_reduce: int = DEFAULT_N_REDUCE
+) -> RDD:
+    """Convenience: run an app over the documents table, with
+    (k1, v1) = ("doc_<id>", text) standing in for (path, contents)."""
+    from ..sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    inputs = docs.select("doc_id", "text").rdd.map(
+        lambda r: (f"doc_{r[0]}", r[1])
+    )
+    return run_mapreduce(spark, inputs, app, n_reduce)

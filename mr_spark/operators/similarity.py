@@ -1,51 +1,113 @@
 """Similarity search over the ``embeddings`` table (array<float> column).
 
-* brute-force cosine top-k  — the exact baseline (oracle-checked)
+* brute-force cosine top-k  — exact baseline, numpy-blocked (oracle-checked)
 * sign-LSH bucketed top-k   — the scale path: candidates restricted to the
-                              query's sign bucket (oracle-checked: the
-                              bucketing is deterministic arithmetic)
-* embedding near-dup pairs  — all pairs above a cosine threshold
+                              query's sign bucket, pure DataFrame built-ins
+                              (oracle-checked)
+* embedding near-dup pairs  — all pairs above a threshold, numpy-blocked
                               (oracle-checked)
 
-All vector math is JVM-side (zip_with + aggregate higher-order functions) —
-no Python in the hot path. Cosines are rounded to 6dp on both sides: the
-fold order is fixed (left-to-right over the array) but cross-engine SIMD
-reassociation is the one nondeterminism risk.
+Determinism design (the interesting bit): floating-point dot products are
+summation-order-dependent, so Spark (SIMD/BLAS) and DuckDB (sequential
+fold) disagree in the last ulp. We L2-normalize each vector once, then
+QUANTIZE components to integer-valued doubles (round(x·10^6)). Integer
+products are ≤ 10^12 and 64-element sums ≤ 6.4·10^13 < 2^53 — EXACT in
+float64 under ANY summation order. Associativity restored → numpy matmul
+(Arrow-batched mapInPandas) gives bit-identical results to DuckDB's
+list_dot_product. Similarity = quantized dot / 10^12 (cosine at 1e-6
+component precision — far below any near-dup threshold's noise floor).
 
-100 TB design notes: brute force is O(Q·N) — fine for small query sets via
-broadcast; the sign-LSH variant cuts N to a bucket; a real deployment would
-add IVF (k-means centroids) with nprobe>1, same join shape.
+100 TB notes: the numpy kernels broadcast the smaller side (query set /
+corpus block) and stream the big side through Arrow batches — the same
+block-matmul shape a GPU ANN pipeline uses. The LSH variant is the
+million-query path (equi-join on bucket, no broadcast of the corpus).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import cosine
 from ..sources import load_table
 from . import query
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 5
+SCALE = 1_000_000.0
+SCALE_SQ = SCALE * SCALE
+NEARDUP_THRESHOLD = 0.35
 
-# DuckDB twin of the cosine expression (explicit double math, fixed fold)
-_COS_SQL = (
-    "list_dot_product(a.v, b.v) / "
-    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
-)
-_EMB_D = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+# DuckDB twin of the quantized-normalized relation: (vec_id, q)
+_EMB_Q = f"""
+    SELECT vec_id,
+           list_transform(
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))),
+             x -> round(x * {SCALE})) AS q
+    FROM embeddings
+"""
+_SIM_SQL = f"list_dot_product(a.q, b.q) / {SCALE_SQ}"
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q): L2-normalized, quantized to integer-valued doubles.
+    Same op order as the SQL twin: fold-sum of squares → sqrt → divide →
+    scale → round."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return emb.select(
+        "vec_id",
+        F.transform(v, lambda x: F.round(x / norm * SCALE)).alias("q"),
+    )
+
+
+def _matmul_kernel(b_ids: np.ndarray, b_mat: np.ndarray, mode: str):
+    """Arrow-batch kernel: rows × broadcast-matrix exact integer matmul.
+    mode='neardup' emits pairs (a<b) above threshold; mode='topk' emits all
+    scored rows (window top-k happens afterwards, distributed)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            m = np.stack(pdf["q"].to_numpy())  # integer-valued float64
+            sims = (m @ b_mat.T) / SCALE_SQ  # exact: see module docstring
+            if mode == "neardup":
+                ai, bi = np.nonzero(
+                    (ids[:, None] < b_ids[None, :]) & (sims >= NEARDUP_THRESHOLD)
+                )
+                yield pd.DataFrame(
+                    {"vec_a": ids[ai], "vec_b": b_ids[bi], "sim": sims[ai, bi]}
+                )
+            else:
+                ai, bi = np.nonzero(ids[:, None] != b_ids[None, :])
+                yield pd.DataFrame(
+                    {
+                        "neighbor_id": ids[ai],
+                        "query_id": b_ids[bi],
+                        "sim": sims[ai, bi],
+                    }
+                )
+
+    return fn
 
 
 @query(
     "ann_cosine_topk",
     oracle=f"""
-    WITH e AS ({_EMB_D}),
+    WITH e AS ({_EMB_Q}),
     scored AS (
-      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             ROUND({_COS_SQL}, 6) AS sim
-      FROM e a JOIN e b ON b.vec_id <> a.vec_id
-      WHERE a.vec_id < {N_QUERIES}
+      SELECT a.vec_id AS neighbor_id, b.vec_id AS query_id, {_SIM_SQL} AS sim
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      WHERE b.vec_id < {N_QUERIES}
     )
     SELECT query_id, neighbor_id, sim FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -55,23 +117,17 @@ _EMB_D = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: broadcast the query set against the corpus,
-    score JVM-side, per-query top-k via window (deterministic tie-break on
-    neighbor_id)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    scored = (
-        emb.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
-        )
+    """Brute-force cosine top-k: the query set (tiny) is collected and
+    closed over as a numpy matrix; the corpus streams through the matmul
+    kernel in Arrow batches; per-query top-k via window (deterministic
+    tie-break on neighbor_id)."""
+    emb = _quantized(spark, sf_dir)
+    qrows = emb.where(F.col("vec_id") < N_QUERIES).collect()
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_mat = np.stack([np.asarray(r["q"]) for r in qrows])
+    scored = emb.mapInPandas(
+        _matmul_kernel(q_ids, q_mat, "topk"),
+        schema="neighbor_id bigint, query_id bigint, sim double",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -83,17 +139,22 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sign_bucket_expr():
     """8-bit sign bucket over the first 8 dims — deterministic coarse
-    quantizer usable identically in Spark and DuckDB."""
+    quantizer usable identically in Spark and DuckDB (normalization and
+    quantization keep signs for any |x| ≥ 5e-7; the twin buckets the
+    quantized vector too, so even the sub-quantum edge case agrees)."""
     bits = [
-        F.when(F.element_at(F.col("v"), i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        F.when(F.element_at(F.col("q"), i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(8)
     ]
-    return sum(bits, F.lit(0)).cast("int")
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
 
 
 _BUCKET_SQL = (
     "CAST(" + " + ".join(
-        f"CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END" for i in range(8)
+        f"CASE WHEN q[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END" for i in range(8)
     ) + " AS INT)"
 )
 
@@ -101,13 +162,12 @@ _BUCKET_SQL = (
 @query(
     "ann_lsh_topk",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    eb AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e),
+    WITH e AS ({_EMB_Q}),
+    eb AS (SELECT vec_id, q, {_BUCKET_SQL} AS bucket FROM e),
     scored AS (
-      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             ROUND({_COS_SQL}, 6) AS sim
-      FROM eb a JOIN eb b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
-      WHERE a.vec_id < {N_QUERIES}
+      SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, {_SIM_SQL} AS sim
+      FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      WHERE b.vec_id < {N_QUERIES}
     )
     SELECT query_id, neighbor_id, sim FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -117,25 +177,30 @@ _BUCKET_SQL = (
     """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: candidates share the query's 8-bit sign bucket →
-    the scoring join is an equi-join on bucket (hash join, shuffles only the
-    bucket key), then per-query top-k. ~256× less scoring than brute force
-    at uniform bucket occupancy; recall traded accordingly."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    eb = emb.withColumn("bucket", _sign_bucket_expr())
+    """LSH-bucketed ANN, pure DataFrame built-ins: candidates share the
+    query's 8-bit sign bucket → equi-join on bucket (hash join), score with
+    a zip_with/aggregate dot (candidate set is ~N/256 per query — the HOF
+    overhead is immaterial here), per-query top-k. This is the shape that
+    scales to millions of queries: no corpus broadcast, one shuffle on
+    bucket."""
+    eb = _quantized(spark, sf_dir).withColumn("bucket", _sign_bucket_expr())
     q = eb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
+        F.col("q").alias("qq"),
         F.col("bucket").alias("qbucket"),
     )
+    dot = F.aggregate(
+        F.zip_with("q", "qq", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
     scored = (
-        eb.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")))
+        eb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
+            (dot / F.lit(SCALE_SQ)).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -149,29 +214,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_neardup",
     oracle=f"""
-    WITH e AS ({_EMB_D})
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND({_COS_SQL}, 6) AS sim
+    WITH e AS ({_EMB_Q})
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_SIM_SQL} AS sim
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE ROUND({_COS_SQL}, 6) >= 0.35
+    WHERE {_SIM_SQL} >= {NEARDUP_THRESHOLD}
     """,
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (sim ≥ 0.35). Exact all-pairs at test
-    scale; the threshold comparison happens on the ROUNDED value on both
-    sides so the pair set is engine-independent. At 100 TB this becomes
-    LSH-bucketed (ann_lsh_topk's join shape) — never a raw cross join."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-    return (
-        pairs.select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
-        )
-        .where(F.col("sim") >= 0.35)
+    """Embedding-cosine near-dup pairs (sim ≥ 0.35): corpus collected once
+    as the broadcast matrix (bounded by design of the exact variant — at
+    100 TB use the sign-bucket join shape instead), streamed side matmuls
+    against it block-wise. Exact + deterministic per the module-level
+    quantization argument."""
+    emb = _quantized(spark, sf_dir)
+    rows = emb.collect()
+    b_ids = np.array([r["vec_id"] for r in rows])
+    b_mat = np.stack([np.asarray(r["q"]) for r in rows])
+    return emb.mapInPandas(
+        _matmul_kernel(b_ids, b_mat, "neardup"),
+        schema="vec_a bigint, vec_b bigint, sim double",
     )
