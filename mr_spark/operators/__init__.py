@@ -69,6 +69,7 @@ def _load_all() -> None:
     from . import mapreduce_queries  # noqa: F401
     from . import tpch  # noqa: F401
     from . import analytics  # noqa: F401
+    from . import analytics_ext  # noqa: F401
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
     from . import text  # noqa: F401

@@ -1,0 +1,333 @@
+"""Second wave of analytics operators: subquery shapes (scalar, IN,
+correlated-min via window), HAVING, count-distribution (Q13), global sort
+with LIMIT/OFFSET, array & map functions, unpivot/stack, date arithmetic,
+CASE bucketing, and an approx-distinct sketch entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import query
+from .tpch import dec, dsum
+
+
+@query(
+    "min_cost_supplier",
+    oracle="""
+    SELECT l_partkey, s_suppkey, s_acctbal FROM (
+      SELECT l.l_partkey, s.s_suppkey, s.s_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY l.l_partkey
+                                ORDER BY s.s_acctbal, s.s_suppkey) AS rn
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ) WHERE rn = 1
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated-min shape: per part, the cheapest supplier
+    that ships it — distinct part-supplier pairs, broadcast supplier join,
+    per-part argmin via window (total order: acctbal, suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_partkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select("l_partkey", "s_suppkey", "s_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: two-level aggregation over a LEFT join (customers with
+    zero orders count at n_orders=0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,4))) > 120
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: agg + HAVING on the aggregate (post-agg filter).
+    The HAVING compares the DECIMAL sum (exact) — the rounded double is
+    only the output column."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(
+            dsum(dec("l_quantity"), "total_qty"),
+            F.sum(dec("l_quantity")).alias("_exact_qty"),
+        )
+        .where(F.col("_exact_qty") > 120)
+        .drop("_exact_qty")
+    )
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_above_avg
+    FROM lineitem
+    WHERE l_extendedprice >
+          (SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                  / COUNT(*)
+           FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: rows above the global average price. The average is
+    computed deterministically (decimal sum / count) and broadcast as a
+    one-row cross join — exactly what Catalyst rewrites a scalar subquery
+    into."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_df = li.agg(
+        (F.round(F.sum(dec("l_extendedprice")), 2).cast("double") / F.count("*")).alias(
+            "avg_price"
+        )
+    )
+    return (
+        li.crossJoin(F.broadcast(avg_df))
+        .where(F.col("l_extendedprice") > F.col("avg_price"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_above_avg"))
+    )
+
+
+@query(
+    "in_subquery",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    GROUP BY o_orderpriority
+    """,
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → left-semi join against the filtered build side."""
+    o = load_table(spark, sf_dir, "orders")
+    rich = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
+    return (
+        o.join(F.broadcast(rich), o.o_custkey == rich.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "sort_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15 OFFSET 5
+    """,
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + LIMIT/OFFSET pagination (total order → deterministic
+    page). Catalyst plans limit+offset as TakeOrdered — no full sort
+    materialization."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(5)
+        .limit(15)
+    )
+
+
+@query(
+    "array_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           CAST(len(list(DISTINCT l_linestatus)) AS INT) AS n_statuses,
+           list_contains(list(DISTINCT l_linestatus), 'O') AS has_open,
+           list_sort(list(DISTINCT l_linestatus))[1] AS first_status
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function battery: collect_set → sort_array, size,
+    array_contains, element access."""
+    li = load_table(spark, sf_dir, "lineitem")
+    statuses = F.sort_array(F.collect_set("l_linestatus"))
+    return li.groupBy("l_returnflag").agg(
+        statuses.alias("statuses"),
+        F.size(F.collect_set("l_linestatus")).cast("int").alias("n_statuses"),
+        F.array_contains(statuses, "O").alias("has_open"),
+        F.element_at(statuses, 1).alias("first_status"),
+    )
+
+
+@query(
+    "map_funcs",
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(cardinality(map_from_entries(
+                  list({'key': event_type, 'value': n} ORDER BY event_type))) AS INT)
+             AS n_types,
+           map_extract(map_from_entries(
+                  list({'key': event_type, 'value': n} ORDER BY event_type)),
+                       'click')[1] AS clicks
+    FROM per_type GROUP BY user_id
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + lookup: per-user event_type→count map
+    (map_from_entries over a sorted entry list), size + key access."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    entries = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("event_type", "n")))
+    )
+    return per_type.groupBy("user_id").agg(
+        F.size(entries).cast("int").alias("n_types"),
+        F.element_at(entries, "click").alias("clicks"),
+    )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    )
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack() — the inverse of pivot."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE))"
+        ).alias("metric", "val"),
+    )
+
+
+@query(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+           CAST(EXTRACT(DOW FROM o_orderdate) AS INT) AS dow_sun0,
+           o_orderdate + INTERVAL 30 DAY AS due_ts,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT)
+             AS days_to_y2k
+    FROM orders
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function battery. Cross-engine parity notes: Spark
+    dayofweek is 1=Sunday vs DuckDB dow 0=Sunday (offset by 1);
+    datediff(end, start) ↔ date_diff('day', start, end)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow_sun0"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("days_to_y2k"),
+    )
+
+
+@query(
+    "case_bucketing",
+    oracle="""
+    SELECT CASE WHEN value < 50 THEN 'low'
+                WHEN value < 150 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + two-column group."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 150, "mid")
+        .otherwise("high")
+    )
+    return ev.groupBy(bucket.alias("bucket"), F.col("event_type")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@query("approx_distinct_sketch", oracle=None)  # HLL sketches are
+# engine-specific (Spark HLL++ vs DuckDB HLL) → rows-only; exact twin is
+# covered by distinct_agg.
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB cardinality path —
+    constant memory vs countDistinct's expand+shuffle. Output includes the
+    exact count so the error is visible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("stream_sessionize_stateful", oracle=None)  # custom stateful
+# streaming operator: only gap-closed sessions are emitted (open sessions
+# stay in the state store) → no batch-SQL twin; rows-only.
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-sessionization as a CUSTOM STATEFUL STREAMING OPERATOR
+    (applyInPandasWithState, event-time timeout) run over the events file
+    stream and drained synchronously — the applyInPandasWithState
+    counterpart of the `sessionization` batch query."""
+    import os as _os
+
+    from ..streaming import events_file_stream, run_to_completion, sessionize_stateful
+
+    stream = events_file_stream(
+        spark, _os.path.join(sf_dir, "events.parquet"), max_files_per_trigger=1
+    )
+    return run_to_completion(
+        sessionize_stateful(stream, watermark="1 minute"),
+        name="mrspark_stream_sessions",
+        output_mode="append",
+    )

@@ -45,6 +45,24 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """CSV source with an EXPLICIT schema — inferSchema is a full extra
+    pass over the data (2× read at 100 TB); never in production paths."""
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines source with explicit schema (same no-inference rule)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_partitioned(df: DataFrame, path: str, *cols: str) -> None:
+    """Hive-style partitioned parquet sink: later reads with a filter on
+    the partition column prune directories (PartitionFilters in the scan),
+    the cheapest pushdown there is."""
+    df.write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
 def whole_text_files(spark: SparkSession, path_glob: str) -> DataFrame:
     """Whole-file text source: one row per file, (path, contents).
 

@@ -1,0 +1,169 @@
+"""Streaming pipeline builders + a synchronous drain helper for tests.
+
+Design notes for the 100 TB deployment:
+* every pipeline keys its state by user/window — state store partitions
+  shuffle on that key, so state size per task stays bounded;
+* watermarks bound state retention: `withWatermark(ts, delay)` lets the
+  store evict windows/sessions older than max(event time) - delay;
+* the file source here stands in for Kafka — swap `readStream.parquet`
+  for `format("kafka")` and nothing downstream changes.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_S = 1800
+
+
+def events_file_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream with the events schema; handles the testdata's
+    TIMESTAMP(NANOS) parquet (read as long + truncated to µs)."""
+    schema = spark.read.parquet(path).schema
+    glob = None
+    if path.endswith(".parquet") and not os.path.isdir(path):
+        glob, path = os.path.basename(path), os.path.dirname(path)
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    stream = reader.parquet(path)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def windowed_counts(
+    stream: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts with a watermark: in append mode a window is
+    emitted once, when the watermark passes its end; events later than the
+    watermark are dropped (the late-data contract)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def stream_dedup(stream: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id: dropDuplicates keeps per-key
+    state; the watermark bounds it (ids older than the watermark are
+    evictable — the standard at-least-once → effectively-once repair)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+_SESSION_SCHEMA = "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+_STATE_SCHEMA = "start long, last long, n long"
+
+
+def _session_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: gap-based sessionization. State = the open
+    session (start, last, count) in epoch-µs; a batch extends it or closes
+    it and opens a new one. Closed sessions are emitted; the open session
+    is emitted on event-time timeout (watermark passed last+gap)."""
+    (user_id,) = key
+    gap_us = SESSION_GAP_S * 1_000_000
+    out: list[tuple[int, int, int, int]] = []
+
+    if state.hasTimedOut:
+        if state.exists:
+            start, last, n = state.get
+            out.append((user_id, start, last, n))
+        state.remove()
+    else:
+        ts_list: list[int] = []
+        for pdf in batches:
+            ts_list.extend(
+                int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+            )
+        ts_list.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = ts_list[0]
+            n = 0
+        for t in ts_list:
+            if t > last + gap_us:
+                out.append((user_id, start, last, n))
+                start, last, n = t, t, 1
+            elif t < start - gap_us:
+                # late stray older than the open session: its own
+                # already-closed single-event session (can't reopen emitted
+                # history — the standard bounded-state compromise)
+                out.append((user_id, t, t, 1))
+            else:
+                # extends (or back-fills into) the open session
+                start, last, n = min(start, t), max(last, t), n + 1
+        state.update((start, last, n))
+        # a batch of already-late events can put last+gap behind the
+        # watermark — clamp, or Spark rejects the timeout timestamp
+        desired_ms = last // 1000 + SESSION_GAP_S * 1000
+        state.setTimeoutTimestamp(max(desired_ms, state.getCurrentWatermarkMs() + 1000))
+
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([r[0] for r in out], dtype="int64"),
+            "session_start": pd.to_datetime([r[1] for r in out], unit="us"),
+            "session_end": pd.to_datetime([r[2] for r in out], unit="us"),
+            "n_events": pd.Series([r[3] for r in out], dtype="int64"),
+        }
+    )
+
+
+def sessionize_stateful(stream: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessionization as a CUSTOM STATEFUL OPERATOR
+    (applyInPandasWithState) — the operator Spark's built-in
+    session_window can't express once per-session logic grows arbitrary
+    (e.g. emit features per closed session). State shuffles on user_id;
+    event-time timeout closes idle sessions when the watermark passes."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_completion(
+    agg: DataFrame, *, name: str, output_mode: str
+) -> DataFrame:
+    """Drain a bounded stream synchronously through a memory sink and
+    return the result table (test/driver harness helper)."""
+    spark = agg.sparkSession
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

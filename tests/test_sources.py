@@ -1,0 +1,86 @@
+"""Source/sink coverage: whole-file text scan (the reference's only
+source, E1), CSV/JSON round-trips with explicit schemas, partitioned
+parquet with partition pruning, and the Tier A ``"k v"`` text sink (E8/E9)
+checked against the sequential oracle."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mr_spark import plans
+from mr_spark.engine import get_app, run_mapreduce, run_sequential, save_text_output
+from mr_spark.engine.sequential import to_text_lines
+from mr_spark.sources import (
+    load_table,
+    read_csv,
+    read_json,
+    whole_text_files,
+    write_partitioned,
+)
+
+from conftest import SF_DIR
+
+
+def test_whole_text_files(spark, tmp_path):
+    for name, body in [("a.txt", "hello world"), ("b.txt", "spark graft")]:
+        (tmp_path / name).write_text(body)
+    df = whole_text_files(spark, str(tmp_path) + "/*.txt")
+    rows = {os.path.basename(r["path"]): r["contents"] for r in df.collect()}
+    assert rows == {"a.txt": "hello world", "b.txt": "spark graft"}
+
+
+def test_csv_round_trip(spark, tmp_path):
+    orig = load_table(spark, SF_DIR, "nation")
+    out = str(tmp_path / "nation_csv")
+    orig.write.mode("overwrite").option("header", "true").csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back = read_csv(spark, out, schema)
+    assert sorted(back.collect()) == sorted(orig.collect())
+
+
+def test_json_round_trip(spark, tmp_path):
+    orig = load_table(spark, SF_DIR, "region")
+    out = str(tmp_path / "region_json")
+    orig.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    back = read_json(spark, out, schema)
+    assert sorted(back.collect()) == sorted(orig.collect())
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    out = str(tmp_path / "orders_part")
+    write_partitioned(
+        load_table(spark, SF_DIR, "orders"), out, "o_orderstatus"
+    )
+    df = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
+    plan = plans.formatted(df)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1].split("]")[0]
+    golden = (
+        load_table(spark, SF_DIR, "orders").where(F.col("o_orderstatus") == "F").count()
+    )
+    assert df.count() == golden
+
+
+def test_text_sink_matches_sequential(spark, tmp_path):
+    corpus = [("doc_a", "x y x"), ("doc_b", "y z")]
+    app = get_app("wc")
+    out = str(tmp_path / "mr_out")
+    lines = save_text_output(run_mapreduce(spark, corpus, app, n_reduce=4), out)
+    assert lines == to_text_lines(run_sequential(corpus, app))
+    # n_reduce output partitions on disk, mirroring mr-out-{0..R-1}
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 4

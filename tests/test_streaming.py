@@ -1,0 +1,139 @@
+"""Structured Streaming tests: micro-batched file source (one file per
+trigger), append-mode watermark semantics, streaming dedup, and the custom
+stateful sessionization operator cross-checked against the batch
+sessionization query."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mr_spark import operators as ops
+from mr_spark.sources import load_table
+from mr_spark.streaming import (
+    events_file_stream,
+    run_to_completion,
+    sessionize_stateful,
+    stream_dedup,
+    windowed_counts,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def multi_file_events(spark, tmp_path_factory):
+    """events split into 4 files by time so maxFilesPerTrigger=1 yields
+    real micro-batches in event-time order (watermark actually advances)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, SF_DIR, "events")
+    ev = ev.withColumn("bucket", F.ntile(4).over(__import__("pyspark").sql.Window.orderBy("ts")))
+    for i in range(1, 5):
+        (
+            ev.where(F.col("bucket") == i)
+            .drop("bucket")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"b{i}"))
+        )
+    # flatten: one parquet file per batch dir, renamed into out/
+    import glob as _glob
+    import shutil
+
+    for i, f in enumerate(sorted(_glob.glob(os.path.join(out, "b*", "part-*.parquet")))):
+        dst = os.path.join(out, f"batch_{i}.parquet")
+        shutil.copy(f, dst)
+        # the file source orders by modification time — make it match
+        # event-time order deterministically
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    for i in range(1, 5):
+        shutil.rmtree(os.path.join(out, f"b{i}"))
+    return out
+
+
+def test_complete_mode_matches_batch(spark, multi_file_events):
+    stream = events_file_stream(spark, multi_file_events)
+    agg = (
+        stream.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    got = run_to_completion(agg, name="t_complete", output_mode="complete")
+    batch = load_table(spark, SF_DIR, "events").groupBy("event_type").agg(
+        F.count("*").alias("n")
+    )
+    assert sorted(got.collect()) == sorted(batch.collect())
+
+
+def test_append_mode_emits_closed_windows(spark, multi_file_events):
+    stream = events_file_stream(spark, multi_file_events)
+    agg = windowed_counts(stream, window="1 hour", watermark="30 minutes")
+    got = run_to_completion(agg, name="t_append", output_mode="append")
+    rows = got.collect()
+    assert rows, "no windows emitted in append mode"
+    # append emits only windows the watermark closed: all emitted window
+    # starts must be strictly before the max event time minus nothing —
+    # weaker invariant: emitted ⊆ batch windows with identical counts
+    batch = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert batch[(r["window_start"], r["event_type"])] == r["n"]
+
+
+def test_stream_dedup(spark, multi_file_events, tmp_path):
+    # duplicate every file once → exact duplicates across micro-batches
+    import shutil
+
+    dup_dir = str(tmp_path / "dup")
+    os.makedirs(dup_dir)
+    for f in os.listdir(multi_file_events):
+        shutil.copy(os.path.join(multi_file_events, f), os.path.join(dup_dir, f))
+        shutil.copy(
+            os.path.join(multi_file_events, f), os.path.join(dup_dir, "copy_" + f)
+        )
+    stream = events_file_stream(spark, dup_dir, max_files_per_trigger=2)
+    # wide watermark: copies of early files arrive in later micro-batches,
+    # long after the watermark would have evicted their dedup state — this
+    # test asserts deduplication, not late-data drop (that is covered by
+    # test_append_mode_emits_closed_windows)
+    got = run_to_completion(
+        stream_dedup(stream, watermark="2400 hours"), name="t_dedup", output_mode="append"
+    )
+    n_unique = load_table(spark, SF_DIR, "events").count()
+    assert got.count() == n_unique
+
+
+def test_stateful_sessionization_matches_batch(spark, multi_file_events):
+    """The custom applyInPandasWithState operator must agree with the batch
+    sessionization query on (user, n_sessions) for every user whose
+    sessions all closed (we only assert closed-session counts ≤ batch and
+    per-session event sums)."""
+    stream = events_file_stream(spark, multi_file_events)
+    got = run_to_completion(
+        sessionize_stateful(stream, watermark="1 minute"),
+        name="t_sessions",
+        output_mode="append",
+    ).collect()
+    assert got, "no sessions emitted"
+    batch = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in ops.queries()["sessionization"](spark, SF_DIR).collect()
+    }
+    from collections import defaultdict
+
+    by_user = defaultdict(lambda: [0, 0])
+    for r in got:
+        assert r["session_start"] <= r["session_end"]
+        by_user[r["user_id"]][0] += 1
+        by_user[r["user_id"]][1] += r["n_events"]
+    for uid, (n_sessions, n_events) in by_user.items():
+        bs, be = batch[uid]
+        assert n_sessions <= bs
+        assert n_events <= be
