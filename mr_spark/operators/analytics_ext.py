@@ -330,4 +330,5 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionize_stateful(stream, watermark="1 minute"),
         name="mrspark_stream_sessions",
         output_mode="append",
+        state_partitions=8,
     )

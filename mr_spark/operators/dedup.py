@@ -47,9 +47,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _trigrams(col: str = "text") -> F.Column:
-    """array<string> of distinct word 3-grams (the shingle unit for both
-    the exact-Jaccard and MinHash paths).
+def _trigrams(col: str = "text", *, distinct: bool = True) -> F.Column:
+    """array<string> of word 3-grams (the shingle unit for the
+    exact-Jaccard, MinHash, and winnowing paths). ``distinct=False``
+    preserves the positional sequence (needed for rolling windows).
 
     Built with slice + zip_with rather than transform-with-element_at:
     a lambda that closes over the token array re-inlines the tokenizer
@@ -65,9 +66,9 @@ def _trigrams(col: str = "text") -> F.Column:
         a3,
         lambda xy, z: F.concat(xy, F.lit(" "), z),
     )
-    return F.when(n >= 3, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(n >= 3, grams).otherwise(F.array().cast("array<string>"))
 
 
 # DuckDB twin of _trigrams as a FROM-able fragment: (doc_id, g) distinct

@@ -55,16 +55,11 @@ def stream_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(_SINK)
-        .start()
+    from ..streaming import run_to_completion
+
+    result = run_to_completion(
+        agg, name=_SINK, output_mode="complete", state_partitions=8
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(_SINK).select(
+    return result.select(
         F.col("window.start").alias("hour_start"), "event_type", "n", "total_value"
     )

@@ -227,3 +227,75 @@ def term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
         ).alias("tf_idf"),
     )
+
+
+# ---- winnowing fingerprints -------------------------------------------------
+
+# Cross-engine 64-bit shingle hash: DuckDB's md5_number_lower(s) is the
+# little-endian read of the LAST 8 bytes of md5(s); Spark reproduces it by
+# byte-swapping the last 16 hex chars and conv()-ing base 16. Both sides
+# then mod 2^63 into a signed bigint (applied BEFORE any min, identically).
+_POW63 = 9223372036854775808
+
+
+def _md5_lower64(col):
+    """Spark twin of DuckDB md5_number_lower(col) % 2^63 as bigint."""
+    hx = F.md5(col)
+    swapped = F.concat(
+        *[F.substring(hx, 31 - 2 * i, 2) for i in range(8)]  # 31,29,...,17
+    )
+    p63 = F.lit(str(_POW63)).cast("decimal(20,0)")  # 2^63 overflows a long literal
+    return F.pmod(F.conv(swapped, 16, 10).cast("decimal(20,0)"), p63).cast("bigint")
+
+
+_WINNOW_W = 4  # window of 4 consecutive shingle hashes
+
+_WINNOW_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), x -> x <> '') AS ws
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_transform(range(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS gs
+      FROM toks WHERE len(ws) >= 3
+    ), hashes AS (
+      SELECT doc_id,
+             list_transform(gs, g -> CAST(md5_number_lower(g) % {_POW63} AS BIGINT)) AS hs
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, fp FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(hs) - {_WINNOW_W} + 2),
+                                   i -> list_aggregate(hs[i:i+{_WINNOW_W}-1], 'min'))) AS fp
+      FROM hashes WHERE len(hs) >= {_WINNOW_W}
+    )
+"""
+
+
+@query("winnow_fingerprint", oracle=_WINNOW_SQL)
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    positional shingle hashes → sliding-window (w=4) minima → distinct.
+    The standard rolling-hash fingerprint for plagiarism/overlap detection;
+    at 100 TB the (fp → doc) inverted index is the join key for
+    cross-corpus containment search.
+
+    Window minima via w shifted slices + zip_with(least) — no per-element
+    lambda closures (see _trigrams for why)."""
+    from .dedup import _trigrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _trigrams("text", distinct=False)
+    hs = F.transform(grams, _md5_lower64)
+    n = F.size(hs)
+    m = n - F.lit(_WINNOW_W - 1)  # number of windows
+    shifted = [F.slice(hs, j + 1, F.greatest(m, F.lit(0))) for j in range(_WINNOW_W)]
+    mins = shifted[0]
+    for s in shifted[1:]:
+        mins = F.zip_with(mins, s, lambda x, y: F.least(x, y))
+    fps = F.when(n >= _WINNOW_W, F.array_distinct(mins)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return docs.select("doc_id", F.explode(fps).alias("fp")).distinct()

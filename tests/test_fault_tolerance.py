@@ -1,0 +1,62 @@
+"""Fault-tolerance parity (SURVEY.md §2a R3-R5, M5): the reference's
+5 s timeout-requeue + commit dedup maps to Spark's task-retry machinery.
+The chaos test injects a first-attempt failure into every task of a Tier A
+job and asserts the output still equals the sequential golden — the
+test-mr.sh crash test's property, config not code.
+
+Needs master local[8,4] (retries are disabled in plain local[8]), so it
+runs in a subprocess with its own JVM.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+CHAOS_JOB = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+from pyspark import TaskContext
+
+spark = (
+    SparkSession.builder.master("local[8,4]")  # 4 attempts per task
+    .appName("chaos").config("spark.ui.enabled", "false").getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from mr_spark.engine import get_app, run_mapreduce, run_sequential
+from mr_spark.engine.sequential import to_text_lines
+
+corpus = [(f"doc_{i}", f"alpha beta doc{i} gamma alpha") for i in range(20)]
+app = get_app("wc")
+
+
+class ChaosApp:
+    # wc wrapped with crash-app-style fault injection: every task's first
+    # attempt dies mid-map (app-crash/src/lib.rs:11-24 analog)
+    def map(self, k, v):
+        ctx = TaskContext.get()
+        if ctx is not None and ctx.attemptNumber() == 0:
+            raise RuntimeError("injected first-attempt crash")
+        return app.map(k, v)
+
+    def reduce(self, k, vs):
+        return app.reduce(k, vs)
+
+
+got = sorted(f"{k} {v}" for k, v in run_mapreduce(spark, corpus, ChaosApp(), n_reduce=5).collect())
+golden = to_text_lines(run_sequential(corpus, app))
+assert got == golden, f"chaos output diverged: {got[:3]} vs {golden[:3]}"
+print("CHAOS_OK", len(got))
+"""
+
+
+def test_output_survives_task_crashes():
+    res = subprocess.run(
+        [sys.executable, "-c", CHAOS_JOB],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "CHAOS_OK" in res.stdout, res.stderr[-3000:]
