@@ -272,3 +272,74 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
+
+
+@query(
+    "q17_small_quantity",
+    oracle=f"""
+    WITH part_avg AS (
+      SELECT l_partkey,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part_avg pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.5 * pa.avg_qty
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group average (small-quantity
+    orders below half their part's mean). The correlated scalar subquery
+    becomes an agg + self-join — the avg side is part-cardinality (small)
+    → broadcast; the fact side never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.round(F.sum(dec("l_quantity")), 2).cast("double") / F.count("*")).alias(
+            "avg_qty"
+        )
+    )
+    pa = F.broadcast(part_avg.withColumnRenamed("l_partkey", "pa_partkey"))
+    return (
+        li.join(pa, li.l_partkey == pa.pa_partkey)
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            dsum(dec("l_extendedprice"), "total_price"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_join",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10 AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size <= 20 AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_type = 'PROMO' AND l.l_quantity >= 25)
+    """,
+)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: equi-join with a disjunction of cross-table
+    predicate branches (the OR can't push below the join; the equi-key
+    still drives a hash join — broadcast, since part is a dim)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size") <= 10)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size") <= 20)
+        & F.col("l_quantity").between(10, 30)
+    ) | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 25))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(dsum(_disc_price(), "revenue"), F.count("*").alias("n_items"))
+    )

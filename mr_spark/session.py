@@ -71,6 +71,9 @@ def get_spark(app_name: str = "mr_spark", *, cpus: int | None = None,
         # speculation machinery (SURVEY.md §2a R1-R6).
         .config("spark.task.maxFailures", "4")
         .config("spark.speculation", "false")  # pointless in local mode; on for clusters
+        # long benchmark sessions accumulate broadcast/shuffle refs; GC them
+        # aggressively so late queries don't pay for early ones
+        .config("spark.cleaner.periodicGC.interval", "30s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
