@@ -41,37 +41,17 @@ def normalized_text(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), TOKEN_SPLIT_RE, " "))
 
 
-def char_shingles(text: Column | str, k: int = 5) -> Column:
-    """array<string> of overlapping character k-grams of the normalized
-    text (standard MinHash shingling). Built-ins only: sequence + transform.
-
-    SQL twin (DuckDB): list_transform(range(1, len(t)-k+2), i -> t[i:i+k-1])
-    """
-    t = normalized_text(text)
-    n = F.length(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.substring(t, i, F.lit(k)))
-
-
 def dot(a: Column, b: Column) -> Column:
-    """Dot product of two array<float|double> columns, JVM-side.
+    """Dot product of two array<float|double> columns, JVM-side
+    (zip_with + aggregate — fine for SMALL candidate sets; for bulk scoring
+    use the quantized numpy path in operators.similarity, and beware that
+    lambdas closing over computed arrays re-inline the upstream expression
+    per element after projection collapse).
 
-    SQL twin: list_dot_product(a, b) — or an explicit unnest-join-sum.
+    SQL twin: list_dot_product(a, b).
     """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-
-
-def l2_norm(a: Column) -> Column:
-    """sqrt(sum(x^2)). SQL twin: sqrt(list_sum(list_transform(a, x -> x*x)))"""
-    return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
-
-
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity. SQL twin: list_cosine_similarity(a, b) or explicit."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -332,3 +332,75 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         state_partitions=8,
     )
+
+
+@query(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS abs_dev,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           SQRT(l_quantity) AS qty_sqrt,
+           l_quantity * l_quantity AS qty_sq,
+           CAST(SIGN(l_discount - 0.05) AS INT) AS disc_sign,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+           ROUND(LN(l_extendedprice), 6) AS ln_price,
+           GREATEST(l_discount, l_tax) AS max_rate,
+           LEAST(l_discount, l_tax) AS min_rate
+    FROM lineitem
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math battery (abs/ceil/floor/sqrt/sign/mod/ln/greatest/least).
+    sqrt is IEEE-correctly-rounded (identical everywhere); ln is the one
+    libm-dependent op — rounded to 6dp on both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_dev"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@query(
+    "rolling_range_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)
+             AS DOUBLE) AS spend_30d,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_orders_30d
+    FROM orders
+    """,
+)
+def rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per-customer
+    trailing-30-day spend. Spark expresses the interval frame as
+    rangeBetween over epoch seconds — peer rows (equal timestamps) are
+    included either way, so ties don't need a break column."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum(dec("o_totalprice")).over(w), 2).cast("double").alias("spend_30d"),
+        F.count("*").over(w).cast("bigint").alias("n_orders_30d"),
+    )

@@ -189,9 +189,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("qq"),
         F.col("bucket").alias("qbucket"),
     )
-    dot = F.aggregate(
-        F.zip_with("q", "qq", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+    from ..functions import dot as dot_fn
+
+    dot = dot_fn(F.col("q"), F.col("qq"))
     scored = (
         eb.join(
             F.broadcast(q),
@@ -233,4 +233,104 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(
         _matmul_kernel(b_ids, b_mat, "neardup"),
         schema="vec_a bigint, vec_b bigint, sim double",
+    )
+
+
+NPROBE = 2
+
+_EMB_QL = _EMB_Q.replace("SELECT vec_id,", "SELECT vec_id, label,")
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH e AS ({_EMB_QL}),
+    dims AS (SELECT label, generate_subscripts(q, 1) AS dim, unnest(q) AS v FROM e),
+    cent AS (
+      SELECT label, list(h ORDER BY dim) AS c FROM (
+        SELECT label, dim, round(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS h
+        FROM dims GROUP BY label, dim
+      ) GROUP BY label
+    ),
+    qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id < {N_QUERIES}),
+    cells AS (
+      SELECT query_id, qq, label FROM (
+        SELECT qs.query_id, qs.qq, cent.label,
+               ROW_NUMBER() OVER (PARTITION BY qs.query_id
+                                  ORDER BY list_dot_product(qs.qq, cent.c) DESC,
+                                           cent.label) AS rn
+        FROM qs, cent
+      ) WHERE rn <= {NPROBE}
+    ),
+    cand AS (
+      SELECT cells.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(cells.qq, e.q) / {SCALE_SQ} AS sim
+      FROM cells JOIN e ON e.label = cells.label AND e.vec_id <> cells.query_id
+    )
+    SELECT query_id, neighbor_id, sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM cand
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the `label` column plays the coarse quantizer's cell
+    assignment (in production: k-means over a sample); per-cell centroids
+    are the mean of the QUANTIZED vectors, re-quantized — so centroids, cell
+    ranking, and candidate scoring are all exact integer-valued-double math
+    (order-independent, engine-independent; see module docstring).
+
+    Plan shape at 100 TB: centroid build is one narrow shuffle on
+    (cell, dim); queries rank the (tiny, broadcast) centroid table,
+    probe NPROBE cells, and score only those cells' members via an
+    equi-join on cell id — corpus never broadcast, never cross-joined."""
+    from ..functions import dot as dot_fn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    e = emb.select(
+        "vec_id", "label", F.transform(v, lambda x: F.round(x / norm * SCALE)).alias("q")
+    )
+    dims = e.select("label", F.posexplode("q").alias("dim", "v"))
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.round(F.sum("v") / F.count("*")).alias("h"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "h"))), lambda s: s["h"]
+            ).alias("c")
+        )
+    )
+    qs = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.desc("cell_score"), F.asc("label")
+    )
+    cells = (
+        qs.crossJoin(F.broadcast(cent))
+        .withColumn("cell_score", dot_fn(F.col("qq"), F.col("c")))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .where(F.col("rn") <= NPROBE)
+        .select("query_id", "qq", F.col("label").alias("cell_label"))
+    )
+    cand = (
+        e.join(
+            F.broadcast(cells),
+            (e.label == cells.cell_label) & (e.vec_id != cells.query_id),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot_fn(F.col("qq"), F.col("q")) / F.lit(SCALE_SQ)).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim")
     )
