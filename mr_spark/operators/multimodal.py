@@ -85,6 +85,78 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
+FRAME_SIZE = 256  # bytes per fake "frame"
+FRAME_STRIDE = 1024
+
+
+def decode_video_frames(payload: bytes) -> "object":
+    """Decode video → frame array. STUB: no av/opencv in this container; a
+    real deployment replaces the body with PyAV/ffmpeg frame iteration."""
+    raise NotImplementedError("video decode requires av/opencv — not in this container")
+
+
+def _sample_frames(payload: bytes) -> list[bytes]:
+    """Deterministic fake frame sampler standing in for decode →
+    every-Nth-frame extraction: fixed-size byte windows at a fixed stride.
+    Batch shape and schema identical to a real sampler's output."""
+    return [
+        payload[off : off + FRAME_SIZE]
+        for off in range(0, max(len(payload) - FRAME_SIZE, 0) + 1, FRAME_STRIDE)
+    ]
+
+
+_FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, frame_bytes bigint"
+
+
+def _extract_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one payload row → 0..n frame rows (the UDTF
+    shape — output cardinality differs from input, which is why this is
+    mapInPandas and not a scalar pandas_udf)."""
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "frame": [], "frame_bytes": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for i, frame in enumerate(_sample_frames(payload)):
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame"].append(frame)
+                out["frame_bytes"].append(len(frame))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "frame": pd.Series(out["frame"], dtype="object"),
+                "frame_bytes": pd.Series(out["frame_bytes"], dtype="int64"),
+            }
+        )
+
+
+@query(
+    "frame_sample_stub",
+    oracle=f"""
+    WITH offs AS (
+      SELECT doc_id, strlen(text) AS n,
+             unnest(range(0, greatest(strlen(text) - {FRAME_SIZE}, 0) + 1,
+                          {FRAME_STRIDE})) AS off
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(off / {FRAME_STRIDE} AS INT) AS frame_idx,
+           CAST(least({FRAME_SIZE}, n - off) AS BIGINT) AS frame_bytes
+    FROM offs
+    """,
+)
+def frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-like binary payloads via mapInPandas
+    (1 row → n frame rows). The decode is stubbed (decode_video_frames);
+    the frame-window arithmetic is real and oracle-checked on
+    (doc_id, frame_idx, frame_bytes) — the binary frame column itself is
+    dropped for the comparison (DuckDB twin mirrors offsets, not bytes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    frames = payloads.mapInPandas(_extract_frames, schema=_FRAME_SCHEMA)
+    return frames.select("doc_id", "frame_idx", "frame_bytes")
+
+
 @query("image_features_stub", oracle=None)  # Pandas-UDF pipeline → rows-only
 def image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas (Arrow

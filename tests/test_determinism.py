@@ -1,0 +1,46 @@
+"""Determinism: query results must be independent of parallelism and of
+replay — the Tier B analog of the reference's 'output independent of worker
+count/timing' property (SURVEY.md §5). Exercises the queries whose naive
+implementations would be order-sensitive (float aggs, windows, top-k,
+pair generation)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mr_spark import operators as ops
+
+from conftest import SF_DIR
+
+SENSITIVE = [
+    "q1_pricing_summary",
+    "embedding_neardup",
+    "winnow_fingerprint",
+    "sessionization",
+    "top_k_per_group",
+    "ngram_jaccard_pairs",
+]
+
+
+def _rows(spark, name):
+    df = ops.queries()[name](spark, SF_DIR)
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_partition_count_invariance(spark, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = _rows(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = _rows(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
+
+
+def test_replay_stability(spark):
+    a = _rows(spark, "q1_pricing_summary")
+    b = _rows(spark, "q1_pricing_summary")
+    assert a == b
