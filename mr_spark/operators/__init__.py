@@ -75,4 +75,6 @@ def _load_all() -> None:
     from . import text  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import streaming_queries  # noqa: F401
+    from . import tier_a  # noqa: F401
+    from . import graph  # noqa: F401
     _LOADED = True

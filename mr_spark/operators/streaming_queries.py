@@ -63,3 +63,59 @@ def stream_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select(
         F.col("window.start").alias("hour_start"), "event_type", "n", "total_value"
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM ev
+          WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts AS c_ts FROM ev
+          WHERE event_type = 'click')
+    SELECT p.purchase_id, c.click_id, p.user_id
+    FROM p JOIN c ON p.user_id = c.user_id
+       AND c.c_ts BETWEEN p.p_ts - INTERVAL 1 HOUR AND p.p_ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time range condition:
+    purchases joined to same-user clicks from the preceding hour, both
+    sides read as streams. Watermarks bound each side's join state; the
+    time-range condition lets Spark evict rows that can no longer match.
+    With the watermark wider than the data span, append-mode emits exactly
+    the batch join — which is the oracle."""
+    from ..streaming import events_file_stream, run_to_completion
+
+    path = os.path.join(sf_dir, "events.parquet")
+    purchases = (
+        events_file_stream(spark, path)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "720 hours")
+    )
+    clicks = (
+        events_file_stream(spark, path)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "720 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id")
+    return run_to_completion(
+        joined, name="mrspark_stream_join", output_mode="append", state_partitions=8
+    )
