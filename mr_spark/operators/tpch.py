@@ -343,3 +343,94 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cond)
         .agg(dsum(_disc_price(), "revenue"), F.count("*").alias("n_items"))
     )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT custkey, c_name, nation, revenue FROM (
+      SELECT c.c_custkey AS custkey, c.c_name, n.n_name AS nation,
+             CAST(ROUND(SUM({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
+             ROW_NUMBER() OVER (ORDER BY CAST(ROUND(SUM({_SQL_DISC_PRICE}), 2) AS DOUBLE) DESC,
+                                c.c_custkey) AS rn
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    ) WHERE rn <= 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns, top-20 customers.
+    Join order: lineitem filtered on returnflag (pushed to scan) drives;
+    customer/nation broadcast; top-k via window with custkey tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(dsum(_disc_price(), "revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("custkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("custkey", "c_name", "nation", "revenue")
+    )
+
+
+@query(
+    "market_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS yr,
+             n.n_name AS nation,
+             CAST(ROUND(SUM({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT yr, nation, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY yr), 9) AS share
+    FROM rev
+    """,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: per-year national revenue share — aggregation then a
+    window over the aggregate (share of yearly total). The window input is
+    the already-rounded double revenue; the yearly total's float sum can
+    differ in the last ulp across engines, so the share is rounded to 9dp
+    on both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(dsum(_disc_price(), "revenue"))
+    )
+    w = Window.partitionBy("yr")
+    return rev.select(
+        "yr",
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 9).alias("share"),
+    )
