@@ -88,11 +88,16 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an early-exit convergence check per round (an AGGREGATE per
     iteration, not a driver-side loop over rows)."""
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("u", "v")
-        .distinct()
-    )
+    # both directions in ONE pass over the (expensive) pair pipeline —
+    # pairs.union(pairs.swapped) would run the Jaccard join twice
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
+                F.struct(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v").distinct()
     edges.cache()
     # Size-based strategy, like any real graph engine: a near-dup edge set
     # that fits on the driver is solved with union-find in microseconds —
