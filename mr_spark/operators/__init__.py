@@ -77,4 +77,6 @@ def _load_all() -> None:
     from . import streaming_queries  # noqa: F401
     from . import tier_a  # noqa: F401
     from . import graph  # noqa: F401
+    from . import sampling  # noqa: F401
+    from . import cdc  # noqa: F401
     _LOADED = True

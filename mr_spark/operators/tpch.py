@@ -434,3 +434,79 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") / F.sum("revenue").over(w), 9).alias("share"),
     )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+               / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey AS nationkey, COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global positive-balance average)
+    + NOT EXISTS anti join + aggregate — three subquery flavors composed.
+    (The anti-join predicate is 'no jumbo order' rather than 'no orders' —
+    at these SFs every customer has orders and the classic form is empty.)"""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        (F.round(F.sum(dec("c_acctbal")), 2).cast("double") / F.count("*")).alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum(dec("c_acctbal"), "total_bal"),
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH srev AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(ROUND(SUM({_SQL_DISC_PRICE}), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN srev r ON s.s_suppkey = r.suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM srev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: revenue view + scalar MAX subquery + equality join back
+    (returns ALL suppliers tied at the max — deliberately not top-1-by-
+    row_number; the tie semantics are part of the operator)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    srev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        dsum(_disc_price(), "total_revenue")
+    )
+    mx = srev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(srev, s.s_suppkey == srev.suppkey)
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
