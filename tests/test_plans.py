@@ -50,3 +50,33 @@ def test_projection_pruning_reaches_scan(spark):
 def test_filter_pushdown_reaches_scan(spark):
     df = load_table(spark, SF_DIR, "part").where(F.col("p_size") > 10)
     assert any("p_size" in f for f in plans.pushed_filters(df))
+
+
+# queries that legitimately use the Python/Arrow path (documented in each)
+_PANDAS_QUERIES = {
+    "ann_cosine_topk",      # numpy block-matmul kernel
+    "embedding_neardup",    # numpy block-matmul kernel
+    "image_features_stub",  # mapInPandas feature extraction
+    "frame_sample_stub",    # mapInPandas 1->n frame rows
+    "stream_sessionize_stateful",  # applyInPandasWithState
+    "tier_a_wc",            # Tier A Python App (by design)
+    "tier_a_indexer",       # Tier A Python App (by design)
+    "neardup_components",   # driver union-find fast path below threshold
+    "stream_hourly_agg",    # streaming (plan not comparable)
+    "stream_stream_join",   # streaming
+}
+
+
+def test_jvm_queries_have_no_python_in_plan(spark):
+    """Discipline guard: every query not explicitly on the Arrow/Python
+    path must compile to a pure-JVM plan (no BatchEvalPython /
+    ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas node)."""
+    markers = ("EvalPython", "InPandas", "PythonMapInArrow")
+    offenders = []
+    for name, fn in ops.queries().items():
+        if name in _PANDAS_QUERIES:
+            continue
+        plan = plans.formatted(fn(spark, SF_DIR))
+        if any(m in plan for m in markers):
+            offenders.append(name)
+    assert not offenders, f"unexpected Python in plans: {offenders}"
