@@ -119,3 +119,52 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         joined, name="mrspark_stream_join", output_mode="append", state_partitions=8
     )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session_window (dynamic gap windows) as a streaming
+    query, complete mode — the declarative counterpart of the custom
+    applyInPandasWithState operator (stream_sessionize_stateful). Oracle:
+    batch gaps-and-islands; session_window's end = last event + gap."""
+    from ..streaming import events_file_stream, run_to_completion
+
+    stream = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = (
+        stream.withWatermark("ts", "720 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    result = run_to_completion(
+        agg, name="mrspark_session_window", output_mode="complete", state_partitions=8
+    )
+    return result.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
