@@ -94,6 +94,22 @@ def save_text_output(result: RDD, out_dir: str) -> list[str]:
     return sorted(lines)
 
 
+def run_files(
+    spark: SparkSession,
+    input_glob: str,
+    app: App,
+    out_dir: str,
+    n_reduce: int = DEFAULT_N_REDUCE,
+) -> list[str]:
+    """The reference's full CLI flow in one call (Makefile:6-7,16-21):
+    whole-file scan of ``input_glob`` → MapReduce → ``n_reduce`` text files
+    under ``out_dir`` → merged, globally sorted lines returned (the
+    ``sort out/mr-out* | grep .`` convention)."""
+    rdd = spark.sparkContext.wholeTextFiles(input_glob)
+    result = run_mapreduce(spark, rdd, app, n_reduce)
+    return save_text_output(result, out_dir)
+
+
 def run_on_documents(
     spark: SparkSession, sf_dir: str, app: App, n_reduce: int = DEFAULT_N_REDUCE
 ) -> RDD:

@@ -404,3 +404,53 @@ def rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(dec("o_totalprice")).over(w), 2).cast("double").alias("spend_30d"),
         F.count("*").over(w).cast("bigint").alias("n_orders_30d"),
     )
+
+
+@query(
+    "json_typed_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json with an explicit schema (struct
+    column, not string re-extraction per field) — the 100 TB way to read a
+    JSON payload column once instead of get_json_object per field."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k INT").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 10).alias("k_bucket"),
+    )
+
+
+@query(
+    "regex_funcs",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '(fast|slow) (\\p{L}+)', 2) AS after_speed,
+           regexp_matches(text, 'stream.*batch') AS has_stream_then_batch,
+           CAST(len(regexp_extract_all(text, 'join')) AS BIGINT) AS n_join,
+           regexp_replace(text, '\\p{L}+tion', 'X', 'g') AS replaced
+    FROM documents
+    """,
+)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex battery: capture-group extraction, pattern test, match count,
+    global replace (Java regex ∩ RE2 syntax only, so both engines agree)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"(fast|slow) (\p{L}+)", 2).alias("after_speed"),
+        F.col("text").rlike("stream.*batch").alias("has_stream_then_batch"),
+        F.size(F.regexp_extract_all("text", F.lit("join"), 0))
+        .cast("bigint")
+        .alias("n_join"),
+        F.regexp_replace("text", r"\p{L}+tion", "X").alias("replaced"),
+    )

@@ -84,3 +84,22 @@ def test_text_sink_matches_sequential(spark, tmp_path):
     # n_reduce output partitions on disk, mirroring mr-out-{0..R-1}
     parts = [f for f in os.listdir(out) if f.startswith("part-")]
     assert len(parts) == 4
+
+
+def test_run_files_end_to_end(spark, tmp_path):
+    """The reference's whole CLI flow: files on disk → engine → merged
+    sorted "k v" lines, against the sequential oracle on the same files."""
+    from mr_spark.engine.mapreduce import run_files
+
+    inputs = tmp_path / "inputs"
+    inputs.mkdir()
+    (inputs / "pg-1.txt").write_text("It was the best of times")
+    (inputs / "pg-2.txt").write_text("it was the worst of times")
+    app = get_app("wc")
+    got = run_files(spark, str(inputs) + "/*.txt", app, str(tmp_path / "out"), n_reduce=3)
+    corpus = [
+        (str(inputs / "pg-1.txt"), "It was the best of times"),
+        (str(inputs / "pg-2.txt"), "it was the worst of times"),
+    ]
+    assert got == to_text_lines(run_sequential(corpus, app))
+    assert "times 2" in got
