@@ -252,19 +252,68 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_buckets", oracle=None)  # depends on xxhash64 → rows-only
+@query(
+    "simhash_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, word AS tok, COUNT(*) AS w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY doc_id, word
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(md5_number_lower(tok) % 9223372036854775808 AS BIGINT) AS mh, w
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id,
+             SUM(CASE WHEN (mh >> 0) & 1 = 1 THEN w ELSE -w END) AS v0,
+             SUM(CASE WHEN (mh >> 1) & 1 = 1 THEN w ELSE -w END) AS v1,
+             SUM(CASE WHEN (mh >> 2) & 1 = 1 THEN w ELSE -w END) AS v2,
+             SUM(CASE WHEN (mh >> 3) & 1 = 1 THEN w ELSE -w END) AS v3,
+             SUM(CASE WHEN (mh >> 4) & 1 = 1 THEN w ELSE -w END) AS v4,
+             SUM(CASE WHEN (mh >> 5) & 1 = 1 THEN w ELSE -w END) AS v5,
+             SUM(CASE WHEN (mh >> 6) & 1 = 1 THEN w ELSE -w END) AS v6,
+             SUM(CASE WHEN (mh >> 7) & 1 = 1 THEN w ELSE -w END) AS v7,
+             SUM(CASE WHEN (mh >> 8) & 1 = 1 THEN w ELSE -w END) AS v8,
+             SUM(CASE WHEN (mh >> 9) & 1 = 1 THEN w ELSE -w END) AS v9,
+             SUM(CASE WHEN (mh >> 10) & 1 = 1 THEN w ELSE -w END) AS v10,
+             SUM(CASE WHEN (mh >> 11) & 1 = 1 THEN w ELSE -w END) AS v11,
+             SUM(CASE WHEN (mh >> 12) & 1 = 1 THEN w ELSE -w END) AS v12,
+             SUM(CASE WHEN (mh >> 13) & 1 = 1 THEN w ELSE -w END) AS v13,
+             SUM(CASE WHEN (mh >> 14) & 1 = 1 THEN w ELSE -w END) AS v14,
+             SUM(CASE WHEN (mh >> 15) & 1 = 1 THEN w ELSE -w END) AS v15
+      FROM h GROUP BY doc_id
+    ),
+    sim AS (SELECT doc_id, CAST(CASE WHEN v0 > 0 THEN 1 ELSE 0 END + CASE WHEN v1 > 0 THEN 2 ELSE 0 END + CASE WHEN v2 > 0 THEN 4 ELSE 0 END + CASE WHEN v3 > 0 THEN 8 ELSE 0 END + CASE WHEN v4 > 0 THEN 16 ELSE 0 END + CASE WHEN v5 > 0 THEN 32 ELSE 0 END + CASE WHEN v6 > 0 THEN 64 ELSE 0 END + CASE WHEN v7 > 0 THEN 128 ELSE 0 END + CASE WHEN v8 > 0 THEN 256 ELSE 0 END + CASE WHEN v9 > 0 THEN 512 ELSE 0 END + CASE WHEN v10 > 0 THEN 1024 ELSE 0 END + CASE WHEN v11 > 0 THEN 2048 ELSE 0 END + CASE WHEN v12 > 0 THEN 4096 ELSE 0 END + CASE WHEN v13 > 0 THEN 8192 ELSE 0 END + CASE WHEN v14 > 0 THEN 16384 ELSE 0 END + CASE WHEN v15 > 0 THEN 32768 ELSE 0 END AS INT) AS simhash FROM votes),
+    halves AS (
+      SELECT doc_id, simhash, 0 AS half, simhash % 256 AS key FROM sim
+      UNION ALL
+      SELECT doc_id, simhash, 1, simhash // 256 FROM sim
+    )
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+    FROM halves l JOIN halves r
+      ON l.half = r.half AND l.key = r.key AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 2
+    """,
+)
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document + hamming-≤2 near-dup pairs found via the
     two 8-bit half buckets (a pair within hamming 2 of a 16-bit code shares
     at least one exact half — standard pigeonhole banding).
 
-    Weighted bit votes from token frequencies, all JVM built-ins
-    (xxhash64, shiftright, bit_count)."""
+    Weighted bit votes from token frequencies; the token hash is the
+    cross-engine md5-tail (see text._md5_lower64), so the fingerprints —
+    and therefore the pair set — are oracle-checked exactly."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(tokens("text")).alias("tok")
     ).groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
-    h = F.xxhash64("tok")
+    from .text import _md5_lower64
+
+    h = _md5_lower64(F.col("tok"))
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
