@@ -172,7 +172,8 @@ def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_funcs",
     oracle="""
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           list_aggregate(list_sort(list(DISTINCT l_linestatus)), 'string_agg', ',')
+             AS statuses,
            CAST(len(list(DISTINCT l_linestatus)) AS INT) AS n_statuses,
            list_contains(list(DISTINCT l_linestatus), 'O') AS has_open,
            list_sort(list(DISTINCT l_linestatus))[1] AS first_status
@@ -181,11 +182,12 @@ def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function battery: collect_set → sort_array, size,
-    array_contains, element access."""
+    array_contains, element access. The array itself is emitted joined to a
+    string — comparator-friendly output, array ops still exercised."""
     li = load_table(spark, sf_dir, "lineitem")
     statuses = F.sort_array(F.collect_set("l_linestatus"))
     return li.groupBy("l_returnflag").agg(
-        statuses.alias("statuses"),
+        F.array_join(statuses, ",").alias("statuses"),
         F.size(F.collect_set("l_linestatus")).cast("int").alias("n_statuses"),
         F.array_contains(statuses, "O").alias("has_open"),
         F.element_at(statuses, 1).alias("first_status"),

@@ -24,6 +24,7 @@ from ..sources import load_table
 from . import query
 
 JACCARD_THRESHOLD = 0.5
+_PPJOIN_DOC_THRESHOLD = 100_000  # docs; below this the naive join is faster
 
 
 @query(
@@ -104,19 +105,58 @@ _TRIGRAMS_SQL = """
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT near-dup pairs: word-trigram Jaccard ≥ 0.5, PPJoin-style.
+    """EXACT near-dup pairs: word-trigram Jaccard ≥ 0.5.
 
-    Prefix filtering (Chaudhuri/Xiao et al.): order each doc's shingles by
-    global rarity (df, then hash); a pair with jac ≥ t MUST share a shingle
-    within each side's first |d| − ⌈t·|d|⌉ + 1 shingles, so only prefixes
-    enter the self-join (measured 2.8× fewer candidates at t=0.5, and the
-    gap widens with scale — common shingles, the quadratic ones, sort last
-    and drop out). Candidates are then verified exactly with
-    array_intersect, so the result set is IDENTICAL to the naive
-    full-index join — the DuckDB oracle (naive formulation) proves it.
+    Size-based strategy (both produce IDENTICAL results — pinned by test
+    and by the oracle): below _PPJOIN_DOC_THRESHOLD docs the naive
+    inverted-index join wins (one codegen'd join + count, no window pass);
+    above it, PPJoin prefix filtering — only each doc's
+    |d| − ⌈t·|d|⌉ + 1 globally-rarest shingles enter the self-join, which
+    removes the df² blow-up on hot shingles that makes the naive join
+    quadratic at corpus scale (measured 2.8× fewer candidates even on this
+    small-vocabulary synthetic corpus).
 
     Shingles are 64-bit hashes before any shuffle (collision odds ~n²/2^64)."""
     docs = load_table(spark, sf_dir, "documents")
+    if docs.count() <= _PPJOIN_DOC_THRESHOLD:
+        return _jaccard_naive(docs)
+    return _jaccard_ppjoin(docs)
+
+
+def _jaccard_naive(docs: DataFrame) -> DataFrame:
+    """Inverted shingle index → self-join → count/union. Optimal while the
+    per-shingle df² pair-instance count stays small."""
+    tri = docs.select("doc_id", F.explode(_trigrams("text")).alias("g0")).select(
+        "doc_id", F.xxhash64("g0").alias("g")
+    )
+    sizes = tri.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = tri.alias("a")
+    b = tri.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _jaccard_ppjoin(docs: DataFrame) -> DataFrame:
+    """PPJoin (Chaudhuri/Xiao et al.): prefix-filtered candidates +
+    array_intersect verification — the corpus-scale path."""
     tri_arr = docs.select(
         "doc_id",
         F.transform(_trigrams("text"), lambda g: F.xxhash64(g)).alias("tset"),
