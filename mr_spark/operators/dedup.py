@@ -216,28 +216,94 @@ def _perm_params() -> list[tuple[int, int]]:
     return params
 
 
-@query("minhash_lsh_pairs", oracle=None)  # approximate candidate generation →
-# rows-only check; the exact twin above IS the oracle-checked variant.
+def _build_minhash_oracle() -> str:
+    """DuckDB twin of the FULL MinHash+LSH pipeline, generated: identical
+    integer arithmetic end to end (cross-engine md5-tail shingle hash →
+    affine permutations mod Mersenne → per-band signature tuples →
+    candidate join → exact-Jaccard verification). Even the approximate
+    operator is therefore oracle-checked exactly — candidates and verified
+    pairs match, not just row counts."""
+    p = _MERSENNE
+    rows_per_band = N_HASHES // N_BANDS
+    sig_cols = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {p}) AS s{i}"
+        for i, (a, b) in enumerate(_perm_params())
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, {ks} FROM sig".format(
+            bi=bi,
+            ks=", ".join(
+                f"s{bi * rows_per_band + j} AS k{j}" for j in range(rows_per_band)
+            ),
+        )
+        for bi in range(N_BANDS)
+    )
+    band_eq = " AND ".join(f"l.k{j} = r.k{j}" for j in range(rows_per_band))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), x -> x <> '') AS ws
+      FROM documents
+    ), tri AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      FROM toks, unnest(range(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 3
+    ), hm AS (
+      SELECT doc_id,
+             CAST(md5_number_lower(g) % 9223372036854775808 AS BIGINT) % {p} AS h
+      FROM tri
+    ), sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM hm GROUP BY doc_id
+    ), bands AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND {band_eq} AND l.doc_id < r.doc_id
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS nc
+      FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(nc AS DOUBLE) / (sa.sz + sb.sz - nc) AS jaccard
+    FROM cand c
+    JOIN inter ON inter.ia = c.doc_a AND inter.ib = c.doc_b
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+    WHERE CAST(nc AS DOUBLE) / (sa.sz + sb.sz - nc) >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("minhash_lsh_pairs", oracle=_build_minhash_oracle())
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands × 4) near-dup candidates, verified with
     exact trigram Jaccard ≥ 0.5. This is the 100 TB path: signature build is
     one agg per doc; banding shuffles 16 small keys per doc; only same-bucket
     pairs are ever verified (no quadratic step).
 
-    shingle → xxhash64 → h_i = (a_i·x + b_i) mod M (Mersenne 2^31-1) →
-    sig = min per i → band key = hash of 4 consecutive sig entries.
+    shingle → cross-engine md5-tail hash (text._md5_lower64) →
+    h_i = (a_i·x + b_i) mod M (Mersenne 2^31-1) → sig = min per i →
+    band = TUPLE of 4 consecutive sig entries (not an engine hash of them),
+    so the entire approximate pipeline is integer arithmetic both engines
+    replay identically — see _build_minhash_oracle.
     Verification computes Jaccard ONLY for candidate pairs via
     array_intersect of the per-doc shingle-hash sets — never the full
     pairwise join.
     """
+    from .text import _md5_lower64
+
     docs = load_table(spark, sf_dir, "documents")
     # per-doc array of hashed shingles (kept for candidate verification)
     tri_arr = docs.select(
         "doc_id",
-        F.transform(_trigrams("text"), lambda g: F.xxhash64(g)).alias("tset"),
+        F.transform(_trigrams("text"), lambda g: _md5_lower64(g)).alias("tset"),
     )
     tri = tri_arr.select("doc_id", F.explode("tset").alias("hg"))
-    hashed = tri.select("doc_id", F.pmod(F.col("hg"), F.lit(_MERSENNE)).alias("h"))
+    hashed = tri.select("doc_id", (F.col("hg") % _MERSENNE).alias("h"))
     sig = hashed.groupBy("doc_id").agg(
         *[
             F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"s{i}")
@@ -252,24 +318,25 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"s{bi * rows_per_band + j}") for j in range(rows_per_band)]
-                        ).alias("sig"),
+                        *[
+                            F.col(f"s{bi * rows_per_band + j}").alias(f"k{j}")
+                            for j in range(rows_per_band)
+                        ],
                     )
                     for bi in range(N_BANDS)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.sig")
+    ).select("doc_id", "bk.*")
     l = bands.alias("l")
     r = bands.alias("r")
+    band_cond = (F.col("l.band") == F.col("r.band")) & (
+        F.col("l.doc_id") < F.col("r.doc_id")
+    )
+    for j in range(rows_per_band):
+        band_cond = band_cond & (F.col(f"l.k{j}") == F.col(f"r.k{j}"))
     candidates = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
+        l.join(r, band_cond)
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
