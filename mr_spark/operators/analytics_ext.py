@@ -456,3 +456,86 @@ def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_join"),
         F.regexp_replace("text", r"\p{L}+tion", "X").alias("replaced"),
     )
+
+
+@query(
+    "stat_aggregates",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sx,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                            * CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sxx,
+             CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sy,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                            * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+           ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+           ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_disc
+    FROM s
+    """,
+)
+def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / covariance via EXPLICIT moment sums in decimal
+    (var_samp/covar_samp builtins accumulate floats order-dependently and
+    can't match across engines; the two-pass-free moment formula from
+    associative decimal sums can). Rounded to 6dp — the final float algebra
+    is a handful of ops on identical inputs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = dec("l_quantity")
+    d = dec("l_discount")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(q), 2).cast("double").alias("sx"),
+        F.round(F.sum(q * q), 2).cast("double").alias("sxx"),
+        F.round(F.sum(d), 2).cast("double").alias("sy"),
+        F.round(F.sum(q * d), 2).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    covar = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(var, 6).alias("var_qty"),
+        F.round(F.sqrt(var), 6).alias("stddev_qty"),
+        F.round(covar, 6).alias("covar_qty_disc"),
+    )
+
+
+@query(
+    "window_rank_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 9) AS prnk,
+           ROUND(CUME_DIST() OVER w, 9) AS cdist,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / cume_dist / first_value /
+    nth_value over a totally-ordered window (ratios rounded to 9dp — the
+    (r-1)/(n-1) division is the only float op)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 9).alias("prnk"),
+        F.round(F.cume_dist().over(w), 9).alias("cdist"),
+        F.first("o_orderkey").over(wf).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+    )
