@@ -168,3 +168,32 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.end").alias("session_end"),
         "n_events",
     )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type, COUNT(*) AS n
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the streaming side enriched against a static
+    dimension (the broadcast-dimension pattern for streams — no state, the
+    static side is re-read per micro-batch). Complete-mode agg equals the
+    batch join = oracle."""
+    from ..sources import load_table
+    from ..streaming import events_file_stream, run_to_completion
+
+    stream = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    customers = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(customers, stream.user_id == customers.c_custkey)
+    agg = joined.groupBy(
+        F.col("c_mktsegment").alias("segment"), F.col("event_type")
+    ).agg(F.count("*").alias("n"))
+    return run_to_completion(
+        agg, name="mrspark_stream_static", output_mode="complete", state_partitions=8
+    )

@@ -309,3 +309,35 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+@query(
+    "top_terms_per_doc",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tf_idf
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tf_idf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tf_idf DESC, word) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 TF-IDF terms per document (window over the
+    term_frequency computation, deterministic word tie-break) — the
+    per-document metadata a curation pipeline attaches."""
+    scored = term_frequency(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf_idf"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "word", "tf_idf")
+    )
