@@ -313,27 +313,83 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_sessionize_stateful", oracle=None)  # custom stateful
-# streaming operator: only gap-closed sessions are emitted (open sessions
-# stay in the state store) → no batch-SQL twin; rows-only.
+@query(
+    "stream_sessionize_stateful",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, sid
+    """,
+)
 def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-sessionization as a CUSTOM STATEFUL STREAMING OPERATOR
     (applyInPandasWithState, event-time timeout) run over the events file
     stream and drained synchronously — the applyInPandasWithState
-    counterpart of the `sessionization` batch query."""
+    counterpart of the `sessionization` batch query.
+
+    A sentinel event far past the data (user_id −1, fed as the LAST
+    micro-batch from a temp copy of the stream) advances the global
+    watermark so every open session times out and emits — making the
+    COMPLETE session set comparable to the batch gaps-and-islands oracle,
+    timeout path included."""
     import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
 
     from ..streaming import events_file_stream, run_to_completion, sessionize_stateful
 
-    stream = events_file_stream(
-        spark, _os.path.join(sf_dir, "events.parquet"), max_files_per_trigger=1
+    src = _os.path.join(sf_dir, "events.parquet")
+    stream_dir = _tempfile.mkdtemp(prefix="mrspark_sessionize_")
+    _shutil.copy(src, _os.path.join(stream_dir, "batch_0.parquet"))
+    max_ts = spark.read.parquet(src).agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(int(-1), int(max_ts) + 90 * 24 * 3600 * 1_000_000_000, int(-1), "sentinel", 0.0, "{}")],
+        schema=spark.read.parquet(src).schema,
     )
-    return run_to_completion(
-        sessionize_stateful(stream, watermark="1 minute"),
-        name="mrspark_stream_sessions",
-        output_mode="append",
-        state_partitions=8,
+    sentinel.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(stream_dir, "z_sentinel")
     )
+    for f in _os.listdir(_os.path.join(stream_dir, "z_sentinel")):
+        if f.endswith(".parquet"):
+            _os.rename(
+                _os.path.join(stream_dir, "z_sentinel", f),
+                _os.path.join(stream_dir, "z_sentinel.parquet"),
+            )
+    _shutil.rmtree(_os.path.join(stream_dir, "z_sentinel"))
+    # file source orders by mtime: data first, sentinel last
+    _os.utime(_os.path.join(stream_dir, "batch_0.parquet"), (1_700_000_000, 1_700_000_000))
+    _os.utime(_os.path.join(stream_dir, "z_sentinel.parquet"), (1_700_000_001, 1_700_000_001))
+
+    stream = events_file_stream(spark, stream_dir, max_files_per_trigger=1)
+    try:
+        out = run_to_completion(
+            sessionize_stateful(stream, watermark="1 minute"),
+            name="mrspark_stream_sessions",
+            output_mode="append",
+            state_partitions=8,
+        )
+    finally:
+        # the memory sink is fully materialized after the drain — the temp
+        # source files are no longer referenced
+        _shutil.rmtree(stream_dir, ignore_errors=True)
+    return out.where(F.col("user_id") >= 0)
 
 
 @query(

@@ -103,3 +103,11 @@ def test_run_files_end_to_end(spark, tmp_path):
     ]
     assert got == to_text_lines(run_sequential(corpus, app))
     assert "times 2" in got
+
+
+def test_orc_round_trip(spark, tmp_path):
+    orig = load_table(spark, SF_DIR, "supplier")
+    out = str(tmp_path / "supplier_orc")
+    orig.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert sorted(back.collect()) == sorted(orig.collect())
