@@ -79,22 +79,28 @@ def _byte_histogram(payload: bytes) -> list[float]:
     return [c / total for c in counts]
 
 
-_FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes bigint, feature array<double>"
-)
+_FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, bucket int, fraction double"
 
 
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: one Arrow batch in, one out. At scale each batch
-    is ~10k rows × payload bytes; the per-batch loop is where a vectorized
-    decoder (numpy/torch) slots in."""
+    """mapInPandas kernel: one Arrow batch in, 16 histogram rows per input
+    row out (long form — comparator-friendly, the shape a feature store
+    ingests). At scale each batch is ~10k rows × payload bytes; the
+    per-batch loop is where a vectorized decoder (numpy/torch) slots in."""
     for pdf in batches:
-        payloads = pdf["payload"]
+        out: dict[str, list] = {"doc_id": [], "n_bytes": [], "bucket": [], "fraction": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for b, frac in enumerate(_byte_histogram(payload)):
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(payload))
+                out["bucket"].append(b)
+                out["fraction"].append(frac)
         yield pd.DataFrame(
             {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": payloads.str.len().astype("int64"),
-                "feature": [_byte_histogram(p) for p in payloads],
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "n_bytes": pd.Series(out["n_bytes"], dtype="int64"),
+                "bucket": pd.Series(out["bucket"], dtype="int32"),
+                "fraction": pd.Series(out["fraction"], dtype="float64"),
             }
         )
 
@@ -171,13 +177,37 @@ def frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("doc_id", "frame_idx", "frame_bytes")
 
 
-@query("image_features_stub", oracle=None)  # Pandas-UDF pipeline → rows-only
+@query(
+    "image_features_stub",
+    oracle=f"""
+    WITH buckets AS (SELECT unnest(range(0, {FEATURE_DIM})) AS bucket),
+    chars AS (
+      SELECT doc_id, strlen(text) AS n_bytes,
+             unicode(text[i:i]) % {FEATURE_DIM} AS bucket
+      FROM documents, unnest(range(1, strlen(text) + 1)) AS t(i)
+    ),
+    counts AS (
+      SELECT doc_id, n_bytes, bucket, COUNT(*) AS c
+      FROM chars GROUP BY 1, 2, 3
+    )
+    SELECT d.doc_id, d.n_bytes, CAST(b.bucket AS INT) AS bucket,
+           CAST(COALESCE(c.c, 0) AS DOUBLE) / d.n_bytes AS fraction
+    FROM (SELECT DISTINCT doc_id, n_bytes FROM counts) d
+    CROSS JOIN buckets b
+    LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bucket = b.bucket
+    """,
+)
 def image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas (Arrow
     batches). The decode step is stubbed (see decode_image) with a
     deterministic byte-histogram; partitioning: payload-bearing rows are
     repartitioned so batches are balanced regardless of upstream file
-    layout — at 100 TB this is the step that sizes GPU/decoder batches."""
+    layout — at 100 TB this is the step that sizes GPU/decoder batches.
+
+    Oracle note: the testdata payloads are ASCII, so byte == char ordinal
+    and the fake-decode histogram is SQL-expressible — even the Pandas-UDF
+    path gets an exact cross-engine check (count/total division is a
+    single deterministic float op)."""
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     balanced = payloads.repartition("doc_id")
