@@ -237,54 +237,122 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NPROBE = 2
+KMEANS_ITERS = 2
 
 _EMB_QL = _EMB_Q.replace("SELECT vec_id,", "SELECT vec_id, label,")
 
+# one rounded-mean-per-dim centroid table from an assignment relation
+# (src must expose (cell, q)); integer-valued doubles throughout
+_CENT_SQL = """
+    {name} AS (
+      SELECT cell, list(h ORDER BY dim) AS c FROM (
+        SELECT cell, dim, round(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS h
+        FROM (SELECT cell, generate_subscripts(q, 1) AS dim, unnest(q) AS v
+              FROM {src})
+        GROUP BY cell, dim
+      ) GROUP BY cell
+    )"""
 
-@query(
-    "ann_ivf_topk",
-    oracle=f"""
-    WITH e AS ({_EMB_QL}),
-    dims AS (SELECT label, generate_subscripts(q, 1) AS dim, unnest(q) AS v FROM e),
-    cent AS (
-      SELECT label, list(h ORDER BY dim) AS c FROM (
-        SELECT label, dim, round(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS h
-        FROM dims GROUP BY label, dim
-      ) GROUP BY label
-    ),
+
+def _ivf_kmeans_sql(iters: int) -> str:
+    """DuckDB twin of the whole IVF pipeline: label-means init, then
+    `iters` unrolled Lloyd steps (argmax-dot assignment with tie-break on
+    smallest cell id, rounded-mean centroid update) — every comparison is
+    exact integer-valued-double math, so the replay is engine-independent."""
+    parts = [
+        f"WITH e AS ({_EMB_QL})",
+        _CENT_SQL.format(name="cent0", src="(SELECT label AS cell, q FROM e)"),
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    assign{i} AS (
+      SELECT vec_id, q, cell FROM (
+        SELECT e.vec_id, e.q, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_dot_product(e.q, c.c) DESC,
+                                           c.cell) AS rn
+        FROM e, cent{i - 1} c
+      ) WHERE rn = 1
+    )""")
+        parts.append(_CENT_SQL.format(name=f"cent{i}", src=f"assign{i}"))
+    last = iters
+    parts.append(f"""
     qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id < {N_QUERIES}),
     cells AS (
-      SELECT query_id, qq, label FROM (
-        SELECT qs.query_id, qs.qq, cent.label,
+      SELECT query_id, qq, cell FROM (
+        SELECT qs.query_id, qs.qq, c.cell,
                ROW_NUMBER() OVER (PARTITION BY qs.query_id
-                                  ORDER BY list_dot_product(qs.qq, cent.c) DESC,
-                                           cent.label) AS rn
-        FROM qs, cent
+                                  ORDER BY list_dot_product(qs.qq, c.c) DESC,
+                                           c.cell) AS rn
+        FROM qs, cent{last} c
       ) WHERE rn <= {NPROBE}
     ),
     cand AS (
-      SELECT cells.query_id, e.vec_id AS neighbor_id,
-             list_dot_product(cells.qq, e.q) / {SCALE_SQ} AS sim
-      FROM cells JOIN e ON e.label = cells.label AND e.vec_id <> cells.query_id
-    )
+      SELECT cells.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(cells.qq, a.q) / {SCALE_SQ} AS sim
+      FROM cells JOIN assign{last} a
+        ON a.cell = cells.cell AND a.vec_id <> cells.query_id
+    )""")
+    return ",".join(parts) + f"""
     SELECT query_id, neighbor_id, sim FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY sim DESC, neighbor_id) AS rn
       FROM cand
     ) WHERE rn <= {TOP_K}
-    """,
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: the `label` column plays the coarse quantizer's cell
-    assignment (in production: k-means over a sample); per-cell centroids
-    are the mean of the QUANTIZED vectors, re-quantized — so centroids, cell
-    ranking, and candidate scoring are all exact integer-valued-double math
-    (order-independent, engine-independent; see module docstring).
+    """
 
-    Plan shape at 100 TB: centroid build is one narrow shuffle on
-    (cell, dim); queries rank the (tiny, broadcast) centroid table,
-    probe NPROBE cells, and score only those cells' members via an
-    equi-join on cell id — corpus never broadcast, never cross-joined."""
+
+def _assign_kernel(cell_ids: np.ndarray, cent_mat: np.ndarray):
+    """Arrow-batch Lloyd assignment: nearest centroid by max dot product
+    (normalized vectors ⇒ same ranking as min Euclidean). `cent_mat` rows
+    are sorted by cell id ascending, so numpy argmax's first-max rule
+    reproduces the SQL tie-break (dot DESC, cell ASC). Exact: integer
+    products ≤ 1e12, 64-dim sums < 2^53."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["q"].to_numpy())
+            best = np.argmax(m @ cent_mat.T, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "q": pdf["q"], "cell": cell_ids[best]}
+            )
+
+    return fn
+
+
+def _rounded_mean_cent(assign: DataFrame) -> DataFrame:
+    """(cell, c): per-cell per-dim rounded mean of the quantized vectors —
+    one narrow shuffle on (cell, dim), partial aggregation map-side."""
+    return (
+        assign.select("cell", F.posexplode("q").alias("dim", "v"))
+        .groupBy("cell", "dim")
+        .agg(F.round(F.sum("v") / F.count("*")).alias("h"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "h"))), lambda s: s["h"]
+            ).alias("c")
+        )
+    )
+
+
+@query("ann_ivf_topk", oracle=_ivf_kmeans_sql(KMEANS_ITERS))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a real k-means coarse quantizer: centroids initialized
+    from the `label` column's per-cell means, then KMEANS_ITERS Lloyd
+    iterations (assign to nearest centroid, recompute rounded means). All
+    math is exact integer-valued doubles (module docstring), so the DuckDB
+    oracle replays the identical iterations and hash-matches.
+
+    Plan shape at 100 TB: per iteration, one mapInPandas pass over the
+    corpus with the k×d centroid matrix closed over (no shuffle — the
+    classic broadcast-Lloyd step MLlib uses) plus one narrow (cell, dim)
+    shuffle for the update; k centroids round-trip through the driver
+    (k·d doubles — tiny). Queries rank the broadcast centroid table, probe
+    NPROBE cells, and score only those cells' members via an equi-join on
+    cell id — corpus never broadcast, never cross-joined."""
     from ..functions import dot as dot_fn
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -293,34 +361,34 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id", "label", F.transform(v, lambda x: F.round(x / norm * SCALE)).alias("q")
     )
-    dims = e.select("label", F.posexplode("q").alias("dim", "v"))
-    cent = (
-        dims.groupBy("label", "dim")
-        .agg(F.round(F.sum("v") / F.count("*")).alias("h"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "h"))), lambda s: s["h"]
-            ).alias("c")
+
+    cent_df = _rounded_mean_cent(e.select(F.col("label").alias("cell"), "q"))
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        rows = sorted(cent_df.collect(), key=lambda r: r["cell"])
+        cell_ids = np.array([r["cell"] for r in rows])
+        cent_mat = np.stack([np.asarray(r["c"]) for r in rows])
+        assign = e.mapInPandas(
+            _assign_kernel(cell_ids, cent_mat),
+            schema="vec_id bigint, q array<double>, cell bigint",
         )
-    )
+        cent_df = _rounded_mean_cent(assign)
+
     qs = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
     )
-    w_cell = Window.partitionBy("query_id").orderBy(
-        F.desc("cell_score"), F.asc("label")
-    )
+    w_cell = Window.partitionBy("query_id").orderBy(F.desc("cell_score"), F.asc("cell"))
     cells = (
-        qs.crossJoin(F.broadcast(cent))
+        qs.crossJoin(F.broadcast(cent_df))
         .withColumn("cell_score", dot_fn(F.col("qq"), F.col("c")))
         .withColumn("rn", F.row_number().over(w_cell))
         .where(F.col("rn") <= NPROBE)
-        .select("query_id", "qq", F.col("label").alias("cell_label"))
+        .select("query_id", "qq", F.col("cell").alias("cell_label"))
     )
     cand = (
-        e.join(
+        assign.join(
             F.broadcast(cells),
-            (e.label == cells.cell_label) & (e.vec_id != cells.query_id),
+            (assign.cell == cells.cell_label) & (assign.vec_id != cells.query_id),
         )
         .select(
             "query_id",
