@@ -56,6 +56,7 @@ def test_filter_pushdown_reaches_scan(spark):
 _PANDAS_QUERIES = {
     "ann_cosine_topk",      # numpy block-matmul kernel
     "embedding_neardup",    # numpy block-matmul kernel
+    "ann_ivf_topk",         # numpy Lloyd-assignment kernel (broadcast k-means)
     "image_features_stub",  # mapInPandas feature extraction
     "frame_sample_stub",    # mapInPandas 1->n frame rows
     "stream_sessionize_stateful",  # applyInPandasWithState
