@@ -297,12 +297,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import _md5_lower64
 
     docs = load_table(spark, sf_dir, "documents")
-    # per-doc array of hashed shingles (kept for candidate verification)
-    tri_arr = docs.select(
-        "doc_id",
-        F.transform(_trigrams("text"), lambda g: _md5_lower64(g)).alias("tset"),
+    # explode FIRST, hash as a scalar expression: the shingle hash stays in
+    # whole-stage codegen (an array-lambda hash runs interpreted per element
+    # and measured ~5× slower on this stage); the per-doc hash arrays needed
+    # for candidate verification are rebuilt with one small collect_list agg
+    tri = docs.select("doc_id", F.explode(_trigrams("text")).alias("g")).select(
+        "doc_id", _md5_lower64(F.col("g")).alias("hg")
     )
-    tri = tri_arr.select("doc_id", F.explode("tset").alias("hg"))
+    tri_arr = tri.groupBy("doc_id").agg(F.collect_list("hg").alias("tset"))
     hashed = tri.select("doc_id", (F.col("hg") % _MERSENNE).alias("h"))
     sig = hashed.groupBy("doc_id").agg(
         *[
@@ -415,18 +417,21 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine md5-tail (see text._md5_lower64), so the fingerprints —
     and therefore the pair set — are oracle-checked exactly."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(tokens("text")).alias("tok")
-    ).groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
     from .text import _md5_lower64
 
-    h = _md5_lower64(F.col("tok"))
-    votes = toks.groupBy("doc_id").agg(
+    # one scalar md5 per token OCCURRENCE in a codegen projection (the
+    # oracle's per-distinct-token count× weighting sums to the same integer
+    # votes), then a single partial-aggregated shuffle on doc_id — the
+    # previous shape hashed the token inside each of the 16 aggregates
+    occ = docs.select("doc_id", F.explode(tokens("text")).alias("tok")).select(
+        "doc_id", _md5_lower64(F.col("tok")).alias("mh")
+    )
+    votes = occ.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
-                    -F.col("w")
-                )
+                F.when(
+                    F.shiftright(F.col("mh"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
             ).alias(f"v{i}")
             for i in range(16)
         ]

@@ -239,13 +239,18 @@ _POW63 = 9223372036854775808
 
 
 def _md5_lower64(col):
-    """Spark twin of DuckDB md5_number_lower(col) % 2^63 as bigint."""
+    """Spark twin of DuckDB md5_number_lower(col) % 2^63 as bigint.
+
+    Pure-bigint decomposition (no decimal(20,0) arithmetic, which ran
+    ~1.5× slower and fell off the codegen fast path): the top LE byte
+    (hex chars 31-32) is masked to 7 bits (the % 2^63), the remaining
+    7 bytes parse as a 56-bit bigint, and the two recombine in int64."""
     hx = F.md5(col)
-    swapped = F.concat(
-        *[F.substring(hx, 31 - 2 * i, 2) for i in range(8)]  # 31,29,...,17
-    )
-    p63 = F.lit(str(_POW63)).cast("decimal(20,0)")  # 2^63 overflows a long literal
-    return F.pmod(F.conv(swapped, 16, 10).cast("decimal(20,0)"), p63).cast("bigint")
+    msb = F.conv(F.substring(hx, 31, 2), 16, 10).cast("bigint") % 128
+    low56 = F.conv(
+        F.concat(*[F.substring(hx, 29 - 2 * i, 2) for i in range(7)]), 16, 10
+    ).cast("bigint")
+    return msb * F.lit(1 << 56) + low56
 
 
 _WINNOW_W = 4  # window of 4 consecutive shingle hashes
