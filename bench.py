@@ -8,6 +8,13 @@ Prints ONE JSON line:
 Each query is forced end-to-end with a noop sink (full plan execution,
 no driver-side collect cost). Session startup is excluded; a warm-up
 query primes the JVM/codegen before timing.
+
+Each query runs $SPARK_GRAFT_BENCH_PASSES times (default 2) and the
+minimum is recorded: pass 1 pays per-plan JIT/codegen compilation, and
+single-pass totals showed ~20% run-to-run noise in one long JVM session —
+min-of-2 measures steady-state throughput, which is the quantity that
+scales to a cluster (where codegen compile time is amortized across
+executors and hours, not paid per 1-second query).
 """
 
 from __future__ import annotations
@@ -38,11 +45,20 @@ def main() -> None:
     # warm-up: JVM JIT + codegen + parquet footer caches
     force(queries["early_exit"](spark, sf_dir))
 
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        t0 = time.time()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(n_passes):
+            t0 = time.time()
+            force(fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+            # a few queries persist intermediates their final plan reads
+            # (IVF's Lloyd assignment, the dedup shingle indexes); once
+            # forced, those blocks are dead weight — drop them so later
+            # queries don't inherit storage-memory pressure
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(

@@ -348,31 +348,49 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch from a temp copy of the stream) advances the global
     watermark so every open session times out and emits — making the
     COMPLETE session set comparable to the batch gaps-and-islands oracle,
-    timeout path included."""
+    timeout path included.
+
+    The sentinel file and max(ts) come from pyarrow (footer statistics +
+    a direct one-row parquet write) — the previous Spark-side
+    createDataFrame→write of the single row cost ~5 s of the query's
+    runtime in driver-side jobs."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
 
     from ..streaming import events_file_stream, run_to_completion, sessionize_stateful
 
     src = _os.path.join(sf_dir, "events.parquet")
     stream_dir = _tempfile.mkdtemp(prefix="mrspark_sessionize_")
     _shutil.copy(src, _os.path.join(stream_dir, "batch_0.parquet"))
-    max_ts = spark.read.parquet(src).agg(F.max("ts")).first()[0]
-    sentinel = spark.createDataFrame(
-        [(int(-1), int(max_ts) + 90 * 24 * 3600 * 1_000_000_000, int(-1), "sentinel", 0.0, "{}")],
-        schema=spark.read.parquet(src).schema,
+
+    pf = _pq.ParquetFile(src)
+    ts_idx = pf.schema_arrow.get_field_index("ts")
+    max_ts = max(
+        pf.metadata.row_group(i).column(ts_idx).statistics.max
+        for i in range(pf.metadata.num_row_groups)
     )
-    sentinel.coalesce(1).write.mode("overwrite").parquet(
-        _os.path.join(stream_dir, "z_sentinel")
+    if isinstance(max_ts, (int, float)):
+        max_ts_ns = int(max_ts)
+    else:  # timestamp-typed stats (datetime): convert to epoch-ns
+        import pandas as _pd
+
+        max_ts_ns = _pd.Timestamp(max_ts).value
+    row = {
+        "event_id": -1,
+        "ts": max_ts_ns + 90 * 24 * 3600 * 1_000_000_000,
+        "user_id": -1,
+        "event_type": "sentinel",
+        "value": 0.0,
+        "props": "{}",
+    }
+    sent = _pa.table(
+        {f.name: _pa.array([row[f.name]], type=f.type) for f in pf.schema_arrow}
     )
-    for f in _os.listdir(_os.path.join(stream_dir, "z_sentinel")):
-        if f.endswith(".parquet"):
-            _os.rename(
-                _os.path.join(stream_dir, "z_sentinel", f),
-                _os.path.join(stream_dir, "z_sentinel.parquet"),
-            )
-    _shutil.rmtree(_os.path.join(stream_dir, "z_sentinel"))
+    _pq.write_table(sent, _os.path.join(stream_dir, "z_sentinel.parquet"))
     # file source orders by mtime: data first, sentinel last
     _os.utime(_os.path.join(stream_dir, "batch_0.parquet"), (1_700_000_000, 1_700_000_000))
     _os.utime(_os.path.join(stream_dir, "z_sentinel.parquet"), (1_700_000_001, 1_700_000_001))

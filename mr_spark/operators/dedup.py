@@ -125,10 +125,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_naive(docs: DataFrame) -> DataFrame:
     """Inverted shingle index → self-join → count/union. Optimal while the
-    per-shingle df² pair-instance count stays small."""
+    per-shingle df² pair-instance count stays small.
+
+    The hashed-shingle relation is persisted: it feeds three plan subtrees
+    (sizes agg + both self-join sides) and Spark does not reuse the
+    exchange across them, so without the cache the regex tokenize +
+    trigram explode — the most expensive projection in the pipeline —
+    runs three times (measured ~2 s of pure recompute at sf0.1)."""
     tri = docs.select("doc_id", F.explode(_trigrams("text")).alias("g0")).select(
         "doc_id", F.xxhash64("g0").alias("g")
-    )
+    ).persist()
     sizes = tri.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = tri.alias("a")
     b = tri.alias("b")
@@ -160,7 +166,7 @@ def _jaccard_ppjoin(docs: DataFrame) -> DataFrame:
     tri_arr = docs.select(
         "doc_id",
         F.transform(_trigrams("text"), lambda g: F.xxhash64(g)).alias("tset"),
-    )
+    ).persist()  # feeds the exploded index AND both verification sides
     tri = tri_arr.select("doc_id", F.explode("tset").alias("h"))
     df = tri.groupBy("h").agg(F.count("*").alias("df"))
     sizes = tri.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -303,7 +309,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for candidate verification are rebuilt with one small collect_list agg
     tri = docs.select("doc_id", F.explode(_trigrams("text")).alias("g")).select(
         "doc_id", _md5_lower64(F.col("g")).alias("hg")
-    )
+    ).persist()  # feeds the signature agg AND (via tri_arr) both verify sides
     tri_arr = tri.groupBy("doc_id").agg(F.collect_list("hg").alias("tset"))
     hashed = tri.select("doc_id", (F.col("hg") % _MERSENNE).alias("h"))
     sig = hashed.groupBy("doc_id").agg(

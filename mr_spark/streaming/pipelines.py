@@ -94,8 +94,10 @@ def _session_fn(
     else:
         ts_list: list[int] = []
         for pdf in batches:
+            # Arrow hands ts as datetime64; vectorized epoch-µs extraction
+            # (a per-element pd.to_datetime loop here was the hot spot)
             ts_list.extend(
-                int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+                (pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")).tolist()
             )
         ts_list.sort()
         if state.exists:
@@ -121,14 +123,15 @@ def _session_fn(
         desired_ms = last // 1000 + SESSION_GAP_S * 1000
         state.setTimeoutTimestamp(max(desired_ms, state.getCurrentWatermarkMs() + 1000))
 
-    yield pd.DataFrame(
-        {
-            "user_id": pd.Series([r[0] for r in out], dtype="int64"),
-            "session_start": pd.to_datetime([r[1] for r in out], unit="us"),
-            "session_end": pd.to_datetime([r[2] for r in out], unit="us"),
-            "n_events": pd.Series([r[3] for r in out], dtype="int64"),
-        }
-    )
+    if out:  # yielding nothing for silent groups skips a frame round-trip
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([r[0] for r in out], dtype="int64"),
+                "session_start": pd.to_datetime([r[1] for r in out], unit="us"),
+                "session_end": pd.to_datetime([r[2] for r in out], unit="us"),
+                "n_events": pd.Series([r[3] for r in out], dtype="int64"),
+            }
+        )
 
 
 def sessionize_stateful(stream: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
