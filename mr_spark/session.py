@@ -71,9 +71,13 @@ def get_spark(app_name: str = "mr_spark", *, cpus: int | None = None,
         # speculation machinery (SURVEY.md §2a R1-R6).
         .config("spark.task.maxFailures", "4")
         .config("spark.speculation", "false")  # pointless in local mode; on for clusters
-        # long benchmark sessions accumulate broadcast/shuffle refs; GC them
-        # aggressively so late queries don't pay for early ones
-        .config("spark.cleaner.periodicGC.interval", "30s")
+        # Leave the context cleaner's forced full-GC at a long interval: a
+        # 30s interval (tried first for broadcast/shuffle-ref cleanup) made
+        # every System.gc() pause land inside some query — measured +5s on
+        # otherwise-sub-second queries and ~8% on whole-suite totals.
+        # Per-query cache cleanup (bench clears explicitly) + the cleaner's
+        # normal weak-ref path keep refs bounded without stop-the-world GC.
+        .config("spark.cleaner.periodicGC.interval", "30min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
