@@ -48,28 +48,35 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _trigrams(col: str = "text", *, distinct: bool = True) -> F.Column:
-    """array<string> of word 3-grams (the shingle unit for the
+def word_ngrams(col: str = "text", k: int = 3, *, distinct: bool = True) -> F.Column:
+    """array<string> of word k-grams (the shingle unit for the
     exact-Jaccard, MinHash, and winnowing paths). ``distinct=False``
     preserves the positional sequence (needed for rolling windows).
 
-    Built with slice + zip_with rather than transform-with-element_at:
-    a lambda that closes over the token array re-inlines the tokenizer
-    PER ELEMENT after projection collapse (measured 10× slower on the
-    shingle build at sf0.1)."""
+    Built with k aligned slices + zip_with rather than
+    transform-with-element_at: a lambda that closes over the token array
+    re-inlines the tokenizer PER ELEMENT after projection collapse
+    (measured 10× slower on the shingle build at sf0.1)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
     ws = tokens(col)
     n = F.size(ws)
-    a1 = F.slice(ws, 1, F.greatest(n - 2, F.lit(0)))
-    a2 = F.slice(ws, 2, F.greatest(n - 2, F.lit(0)))
-    a3 = F.slice(ws, 3, F.greatest(n - 2, F.lit(0)))
-    grams = F.zip_with(
-        F.zip_with(a1, a2, lambda x, y: F.concat(x, F.lit(" "), y)),
-        a3,
-        lambda xy, z: F.concat(xy, F.lit(" "), z),
-    )
+    length = F.greatest(n - (k - 1), F.lit(0))
+    grams = F.slice(ws, 1, length)
+    for i in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice(ws, i + 1, length),
+            lambda acc, nxt: F.concat(acc, F.lit(" "), nxt),
+        )
     if distinct:
         grams = F.array_distinct(grams)
-    return F.when(n >= 3, grams).otherwise(F.array().cast("array<string>"))
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _trigrams(col: str = "text", *, distinct: bool = True) -> F.Column:
+    """Word 3-grams — the default shingle for the dedup family."""
+    return word_ngrams(col, 3, distinct=distinct)
 
 
 # DuckDB twin of _trigrams as a FROM-able fragment: (doc_id, g) distinct

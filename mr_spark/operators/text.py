@@ -279,40 +279,107 @@ _WINNOW_SQL = f"""
 """
 
 
-@query("winnow_fingerprint", oracle=_WINNOW_SQL)
-def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
-    positional shingle hashes → sliding-window (w=4) minima → distinct.
-    The standard rolling-hash fingerprint for plagiarism/overlap detection;
-    at 100 TB the (fp → doc) inverted index is the join key for
-    cross-corpus containment search.
+def winnow_fingerprints(docs: DataFrame, *, w: int = _WINNOW_W, k: int = 3) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprint relation, parameterized by window
+    size ``w`` (consecutive shingle hashes per minimum) and shingle width
+    ``k`` (words per shingle). Larger w ⇒ sparser fingerprints (fewer,
+    coarser); larger k ⇒ more specific shingles.
 
     Implementation: posexplode the positional shingles, hash each with a
     SCALAR expression (whole-stage codegen — an array-lambda hash re-inlines
     upstream work per element and ran 10× slower), then the window minimum
     min(h) OVER (PARTITION BY doc ORDER BY pos ROWS 0..w-1 FOLLOWING) —
     one shuffle on doc_id, the same plan shape at any scale."""
-    from .dedup import _trigrams
+    from .dedup import word_ngrams
 
-    docs = load_table(spark, sf_dir, "documents")
     tri_pos = docs.select(
-        "doc_id", F.posexplode(_trigrams("text", distinct=False)).alias("pos", "g")
+        "doc_id", F.posexplode(word_ngrams("text", k, distinct=False)).alias("pos", "g")
     ).select("doc_id", "pos", _md5_lower64(F.col("g")).alias("h"))
-    w = (
+    win = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
-        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+        .rowsBetween(Window.currentRow, w - 1)
     )
     wall = Window.partitionBy("doc_id")
     return (
         tri_pos.select(
             "doc_id",
-            F.min("h").over(w).alias("fp"),
-            (F.col("pos") <= F.max("pos").over(wall) - (_WINNOW_W - 1)).alias("full"),
+            F.min("h").over(win).alias("fp"),
+            (F.col("pos") <= F.max("pos").over(wall) - (w - 1)).alias("full"),
         )
         .where(F.col("full"))
         .select("doc_id", "fp")
         .distinct()
+    )
+
+
+@query("winnow_fingerprint", oracle=_WINNOW_SQL)
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    positional shingle hashes → sliding-window (w=4) minima → distinct.
+    The standard rolling-hash fingerprint for plagiarism/overlap detection;
+    at 100 TB the (fp → doc) inverted index is the join key for
+    cross-corpus containment search (see winnow_containment)."""
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+_CONTAINMENT_THRESHOLD = 0.5
+
+
+@query(
+    "winnow_containment",
+    oracle=f"""
+    WITH fps AS ({_WINNOW_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM fps GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared AS DOUBLE) / LEAST(sa.sz, sb.sz) AS containment
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / LEAST(sa.sz, sb.sz) >= {_CONTAINMENT_THRESHOLD}
+    """,
+)
+def winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment search over the winnowing fingerprint inverted index:
+    pairs whose shared-fingerprint count covers ≥ 50% of the SMALLER doc's
+    fingerprint set — the asymmetric measure that catches a document
+    embedded inside a larger one, which symmetric Jaccard dilutes away.
+
+    Plan: fingerprint relation → self-equi-join on fp (hash shuffle on the
+    fingerprint, never a cross join) → per-pair count → normalize by
+    min(|A|,|B|). The relation feeds three subtrees (sizes + both join
+    sides), so it is persisted once, same as the Jaccard index. The
+    division of two ≤2^53 ints is correctly rounded in IEEE — both engines
+    agree bit-for-bit, no rounding fudge needed."""
+    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents")).persist()
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = fps.alias("a")
+    b = fps.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least(F.col("sa.sz"), F.col("sb.sz"))
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= _CONTAINMENT_THRESHOLD)
     )
 
 

@@ -44,3 +44,28 @@ def test_replay_stability(spark):
     a = _rows(spark, "q1_pricing_summary")
     b = _rows(spark, "q1_pricing_summary")
     assert a == b
+
+
+def test_winnow_params_shape(spark):
+    """Parameterized winnowing: a larger window selects minima over more
+    shingles, so the distinct fingerprint set can only shrink; shingle
+    width changes the hash universe entirely."""
+    from mr_spark.operators.text import winnow_fingerprints
+    from mr_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    per_doc = {
+        w: dict(
+            winnow_fingerprints(docs, w=w)
+            .groupBy("doc_id")
+            .count()
+            .collect()
+        )
+        for w in (2, 4, 8)
+    }
+    for doc_id in per_doc[4]:
+        assert per_doc[8].get(doc_id, 0) <= per_doc[4][doc_id] <= per_doc[2][doc_id]
+
+    k2 = {tuple(r) for r in winnow_fingerprints(docs, k=2).collect()}
+    k3 = {tuple(r) for r in winnow_fingerprints(docs, k=3).collect()}
+    assert k2 and k3 and k2 != k3
