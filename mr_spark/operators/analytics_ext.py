@@ -613,3 +613,33 @@ def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(wf).alias("first_key"),
         F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
     )
+
+
+@query(
+    "bucketed_fact_join",
+    oracle="""
+    SELECT o_orderstatus, l_returnflag, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join routed through the bucketed-table catalog flow
+    (mr_spark.catalog.bucketed_table): the first run materializes
+    orders and lineitem bucketed+sorted on the order key; every later
+    run — the repeated-hourly-join scenario — reads the co-located
+    copies and joins shuffle-free (SortMergeJoin with no pre-join
+    exchange; plan pinned in tests/test_bucketing.py). At test scale
+    Catalyst may still pick a broadcast join — that is the right plan
+    for a dim-sized side and costs nothing; the bucketed route is the
+    big-big case insurance AQE cannot provide after the fact."""
+    from ..catalog import bucketed_table
+
+    o = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(F.count("*").alias("n"), dsum(dec("l_quantity"), "sum_qty"))
+    )

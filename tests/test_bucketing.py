@@ -62,3 +62,37 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed):
         .collect()
     )
     assert sorted(joined.collect()) == golden
+
+
+def test_bucketed_catalog_reuse_and_invalidation(spark, tmp_path):
+    """bucketed_table materializes once, catalog-resolves afterwards, and
+    re-materializes when the source file changes (content tag)."""
+    import shutil
+
+    from mr_spark.catalog import _BUCKET_DB, bucketed_table
+
+    sf_copy = tmp_path / "sf"
+    sf_copy.mkdir()
+    shutil.copy(f"{SF_DIR}/orders.parquet", sf_copy / "orders.parquet")
+    sf_dir = str(sf_copy)
+
+    n0 = {t.name for t in spark.catalog.listTables(_BUCKET_DB)} if any(
+        db.name == _BUCKET_DB for db in spark.catalog.listDatabases()
+    ) else set()
+    df1 = bucketed_table(spark, sf_dir, "orders", "o_orderkey", n_buckets=4)
+    assert df1.count() == load_table(spark, SF_DIR, "orders").count()
+    made = {t.name for t in spark.catalog.listTables(_BUCKET_DB)} - n0
+    assert len(made) == 1
+    # second call resolves to the SAME table (no new snapshot)
+    bucketed_table(spark, sf_dir, "orders", "o_orderkey", n_buckets=4)
+    assert {t.name for t in spark.catalog.listTables(_BUCKET_DB)} - n0 == made
+
+    # source regenerated -> old snapshot dropped, new one created
+    import os
+    os.utime(sf_copy / "orders.parquet", (1_800_000_000, 1_800_000_000))
+    bucketed_table(spark, sf_dir, "orders", "o_orderkey", n_buckets=4)
+    now = {t.name for t in spark.catalog.listTables(_BUCKET_DB)} - n0
+    assert len(now) == 1 and now != made
+
+    for t in now:
+        spark.sql(f"DROP TABLE IF EXISTS {_BUCKET_DB}.{t}")
