@@ -12,8 +12,10 @@ but the hot key's probe rows spread over R tasks instead of one.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import query
 
 
 def salted_join(
@@ -42,3 +44,33 @@ def salted_join(
         & (salted_probe["__salt"] == salted_build["__salt"]),
     )
     return out.drop("__salt")
+
+
+@query(
+    "salted_skew_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join utility surfaced as a query: events (probe, skewed
+    power-law user_id at scale) joined to customer (build) with 8-way
+    salting, then aggregated per market segment. Salting must be
+    result-invariant — the oracle is the PLAIN join — while the plan
+    spreads any hot key's probe rows over 8 tasks instead of one. AQE's
+    skew splitting covers most cases at runtime; explicit salting is the
+    insurance for a single key too hot even after splitting."""
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(ev, cust, "user_id", "c_custkey", salt=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )

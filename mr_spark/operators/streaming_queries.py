@@ -197,3 +197,54 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         agg, name="mrspark_stream_static", output_mode="complete", state_partitions=8
     )
+
+
+@query(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EXACT DEDUP under at-least-once delivery: the events file
+    is fed TWICE (two micro-batches of identical data — the classic
+    replayed-Kafka-offset failure), dropDuplicates state collapses the
+    replay, and the per-type counts must equal the SINGLE copy's counts —
+    which is exactly the oracle. A non-deduplicating pipeline would double
+    every count, so the pass is direct evidence the operator works.
+
+    State design at 100 TB: dedup state is keyed by (event_id, ts) and the
+    watermark bounds it — ids older than the delay are evicted, so memory
+    is O(events within the watermark window), not O(stream history)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..streaming import events_file_stream, run_to_completion, stream_dedup
+
+    src = _os.path.join(sf_dir, "events.parquet")
+    stream_dir = _tempfile.mkdtemp(prefix="mrspark_dedup_")
+    for i in range(2):
+        _shutil.copy(src, _os.path.join(stream_dir, f"batch_{i}.parquet"))
+        _os.utime(
+            _os.path.join(stream_dir, f"batch_{i}.parquet"),
+            (1_700_000_000 + i, 1_700_000_000 + i),
+        )
+    stream = events_file_stream(spark, stream_dir, max_files_per_trigger=1)
+    # the per-type agg runs INSIDE the streaming query (complete mode), so
+    # the memory sink holds 5 rows, not the whole deduped stream
+    agg = (
+        stream_dedup(stream, watermark="720 hours")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    try:
+        return run_to_completion(
+            agg,
+            name="mrspark_stream_dedup",
+            output_mode="complete",
+            state_partitions=8,
+        )
+    finally:
+        _shutil.rmtree(stream_dir, ignore_errors=True)

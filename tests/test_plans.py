@@ -65,6 +65,7 @@ _PANDAS_QUERIES = {
     "neardup_components",   # driver union-find fast path below threshold
     "stream_hourly_agg",    # streaming (plan not comparable)
     "stream_stream_join",   # streaming
+    "stream_dedup_events",  # streaming
 }
 
 
