@@ -12,17 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..engine import get_app
-from ..engine.mapreduce import run_on_documents
+from ..engine.mapreduce import run_on_documents_batched
 from . import query
 
 _TOKENS_SQL = (
     "SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc, "
     "unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS word FROM documents"
 )
-
-
-def _to_df(spark: SparkSession, rdd) -> DataFrame:
-    return spark.createDataFrame(rdd, schema="k string, v string")
 
 
 @query(
@@ -34,9 +30,12 @@ def _to_df(spark: SparkSession, rdd) -> DataFrame:
     """,
 )
 def tier_a_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word count through the Tier A engine (Python App, RDD pipeline,
-    n_reduce=10). Output is the engine's text model: both columns string."""
-    return _to_df(spark, run_on_documents(spark, sf_dir, get_app("wc")))
+    """Word count through the Tier A engine (Python App, Arrow-batched
+    executor, n_reduce=10). Output is the engine's text model: both columns
+    string. The batched executor is pinned record-for-record to the
+    faithful RDD engine by test_engine_differential, so the oracle here
+    transitively validates both."""
+    return run_on_documents_batched(spark, sf_dir, get_app("wc"))
 
 
 @query(
@@ -49,8 +48,9 @@ def tier_a_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tier_a_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted index through the Tier A engine. The oracle's
-    ORDER BY doc inside string_agg is matched by the ENGINE's
+    """Inverted index through the Tier A engine (Arrow-batched executor).
+    The oracle's ORDER BY doc inside string_agg is matched by the ENGINE's
     sorted-values-into-reduce guarantee — the app itself never sorts
-    (app-indexer/src/lib.rs:23-25), so a pass here proves the guarantee."""
-    return _to_df(spark, run_on_documents(spark, sf_dir, get_app("indexer")))
+    (app-indexer/src/lib.rs:23-25), so a pass here proves the guarantee
+    holds in the batched executor's sortWithinPartitions too."""
+    return run_on_documents_batched(spark, sf_dir, get_app("indexer"))

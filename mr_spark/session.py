@@ -30,6 +30,14 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Spark 4.1's ChecksumCheckpointFileManager leaks ~50 threads per
+    # streaming-query run (measured: 320 parked ChecksumCheckpointFileManager
+    # threads after the 6 stream_* queries; ~900 JVM threads by the second
+    # bench sweep). A long-lived driver that starts many short streaming jobs
+    # accumulates them without bound — disable checkpoint-file checksums (the
+    # local-FS durability they add is not worth a thread per file write here;
+    # on a cluster the object store's own integrity checks cover corruption).
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
 }
 
 
@@ -78,9 +86,13 @@ def get_spark(app_name: str = "mr_spark", *, cpus: int | None = None,
         # Per-query cache cleanup (bench clears explicitly) + the cleaner's
         # normal weak-ref path keep refs bounded without stop-the-world GC.
         .config("spark.cleaner.periodicGC.interval", "30min")
+        # ~450 distinct codegen units across the query library vs the
+        # 100-entry default: evictions force Janino recompiles + cold JIT on
+        # re-run (static conf — must be set at session build time).
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    return spark
+    return tune_session(spark)

@@ -43,6 +43,23 @@ def test_output_independent_of_partition_count(spark, corpus, app_name):
     assert five == ten
 
 
+@pytest.mark.parametrize("app_name", APP_NAMES)
+def test_batched_executor_matches_rdd_engine(spark, app_name):
+    """The Arrow-batched executor (mapInPandas plumbing) is semantically
+    the same engine: identical (k, v) multiset to the faithful RDD path,
+    including indexer's sorted-postings guarantee (covered by app output
+    equality — the posting string embeds the value order)."""
+    from mr_spark.engine.mapreduce import run_on_documents, run_on_documents_batched
+
+    app = get_app(app_name)
+    rdd_out = sorted(run_on_documents(spark, SF_DIR, app, n_reduce=10).collect())
+    batched = sorted(
+        (r["k"], r["v"])
+        for r in run_on_documents_batched(spark, SF_DIR, app, n_reduce=10).collect()
+    )
+    assert batched == rdd_out
+
+
 def test_indexer_postings_sorted(spark, corpus):
     """The sorted-values guarantee, observed at the output: every posting
     list ascends (app-indexer relies on engine order, not its own sort)."""
