@@ -739,3 +739,105 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("total_revenue") == F.col("mx"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH value AS (
+      SELECT l.l_partkey AS partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_1'
+      GROUP BY 1
+    )
+    SELECT partkey, CAST(ROUND(v, 2) AS DOUBLE) AS value
+    FROM value
+    WHERE v * 2000 > (SELECT SUM(v) FROM value)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value for one nation's
+    suppliers, kept only where it exceeds a fraction (1/2000) of the
+    nation-wide total — a HAVING against a scalar subquery over the SAME
+    aggregate. (Testdata has no partsupp; lineitem extendedprice is the
+    value proxy.) The threshold compare is v*2000 > total in exact
+    decimals, so both engines decide borderline parts identically.
+    Plan: supplier⋈nation broadcast onto lineitem, one shuffle on
+    partkey; the global total is a broadcast scalar, not a second pass
+    over lineitem at the driver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    value = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(dec("l_extendedprice")).alias("v"))
+    )
+    total = value.agg(F.sum("v").alias("total"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .where(F.col("v") * 2000 > F.col("total"))
+        .select("partkey", F.round("v", 2).cast("double").alias("value"))
+    )
+
+
+@query(
+    "q20_promotion_supplier",
+    oracle="""
+    SELECT s.s_name AS s_name, s.s_acctbal AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING 2 * SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01'
+                             AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+                            THEN CAST(l.l_quantity AS DECIMAL(18,4))
+                            ELSE CAST(0 AS DECIMAL(18,4)) END)
+             > SUM(CAST(l.l_quantity AS DECIMAL(18,4)))
+      )
+    """,
+)
+def q20_promotion_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries — suppliers (in one nation)
+    having some '%bolt%' part whose 1997 shipments exceed half that
+    (supplier, part) pair's all-time quantity. (Testdata has no
+    partsupp.ps_availqty; the classic availqty>½·year-demand correlated
+    subquery becomes a dual-aggregate HAVING over the same group.) The
+    compare is 2·q97 > total in exact decimals — borderline pairs decide
+    identically in both engines.
+    Plan: part filter broadcasts onto lineitem (one shuffle on the
+    (suppkey, partkey) group key, both sums in one partial agg), then the
+    qualifying-supplier set broadcasts as a left-semi onto the small
+    supplier⋈nation side — lineitem is scanned once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    in97 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    zero = F.lit(0).cast(DEC)
+    pairs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in97, dec("l_quantity")).otherwise(zero)).alias("q97"),
+            F.sum(dec("l_quantity")).alias("qtotal"),
+        )
+        .where(F.col("q97") * 2 > F.col("qtotal"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(pairs, s.s_suppkey == pairs.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
