@@ -79,5 +79,6 @@ def _load_all() -> None:
     from . import graph  # noqa: F401
     from . import sampling  # noqa: F401
     from . import skew  # noqa: F401
+    from . import udtf_queries  # noqa: F401
     from . import cdc  # noqa: F401
     _LOADED = True
