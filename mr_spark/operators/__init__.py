@@ -80,5 +80,6 @@ def _load_all() -> None:
     from . import sampling  # noqa: F401
     from . import skew  # noqa: F401
     from . import udtf_queries  # noqa: F401
+    from . import pipeline  # noqa: F401
     from . import cdc  # noqa: F401
     _LOADED = True

@@ -374,14 +374,16 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(pf.metadata.num_row_groups)
     )
     if isinstance(max_ts, (int, float)):
-        max_ts_ns = int(max_ts)
-    else:  # timestamp-typed stats (datetime): convert to epoch-ns
+        # int64 column (TIMESTAMP(NANOS) read as epoch-ns long)
+        sentinel_ts = int(max_ts) + 90 * 24 * 3600 * 1_000_000_000
+    else:  # timestamp-typed stats (datetime): keep the logical type so
+        # pyarrow converts to the column's own unit (us vs ns)
         import pandas as _pd
 
-        max_ts_ns = _pd.Timestamp(max_ts).value
+        sentinel_ts = _pd.Timestamp(max_ts) + _pd.Timedelta(days=90)
     row = {
         "event_id": -1,
-        "ts": max_ts_ns + 90 * 24 * 3600 * 1_000_000_000,
+        "ts": sentinel_ts,
         "user_id": -1,
         "event_type": "sentinel",
         "value": 0.0,

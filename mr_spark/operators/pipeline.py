@@ -1,0 +1,248 @@
+"""Training-data pipeline operators over ``documents`` — the corpus-prep
+stages between raw text and a tokenized training set: context-window
+chunking, concat-and-split sequence packing, benchmark decontamination,
+and tokenizer-vocabulary construction.
+
+All JVM-side column expressions (no Python UDFs); every query is
+oracle-checked. Ratios are single divisions of exact integer counts —
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+from ..sources import load_table
+from . import query
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')"
+
+_CHUNK_SIZE = 32  # tokens per chunk (a stand-in for a model context window)
+_CHUNK_STRIDE = 24  # overlap of CHUNK_SIZE - STRIDE = 8 tokens
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ws FROM documents)
+    SELECT doc_id,
+           CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(len(ws[s+1 : s+{_CHUNK_SIZE}]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(ws[s+1 : s+{_CHUNK_SIZE}], ' ') AS chunk_text
+    FROM toks, unnest(range(0, len(ws), {_CHUNK_STRIDE})) AS t(s)
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: each document's token stream is
+    cut into 32-token chunks every 24 tokens (8-token overlap) — the
+    standard prep for embedding/retrieval indexing and for long-doc
+    training. Pure per-row array ops (sequence → posexplode → slice):
+    embarrassingly parallel, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens("text")
+    n = F.size(ws)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_STRIDE))
+    ).otherwise(F.array().cast("array<int>"))
+    chunked = docs.select(
+        "doc_id", ws.alias("ws"), F.posexplode(starts).alias("chunk_id", "s")
+    )
+    chunk = F.slice(F.col("ws"), F.col("s") + 1, F.lit(_CHUNK_SIZE))
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("s").cast("bigint").alias("chunk_start"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+_CTX = 256  # tokens per packed context window
+_BLOCK = 1024  # docs per prefix-sum block
+
+
+@query(
+    "pack_context_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents
+    ), pre AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strm
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST(strm // {_CTX} AS BIGINT) AS first_window,
+           CAST((strm + n_tokens - 1) // {_CTX} AS BIGINT) AS last_window,
+           CAST((strm + n_tokens - 1) // {_CTX} - strm // {_CTX} + 1 AS BIGINT)
+             AS n_windows
+    FROM pre
+    """,
+)
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: documents are concatenated in
+    doc_id order into one token stream and split into fixed 256-token
+    context windows; each doc reports the window range it lands in — the
+    bookkeeping LLM-pretraining packing needs.
+
+    The global running sum is computed as a DISTRIBUTED two-level prefix
+    sum, not a single-partition window: per-block (1024 docs) totals are
+    tiny (corpus/1024 rows), their exclusive running sum broadcasts back,
+    and the intra-block window shuffles only on block id — the same plan
+    at 100 TB, where a global ORDER BY window would serialize on one
+    executor."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        F.floor(F.col("doc_id") / _BLOCK).cast("bigint").alias("block"),
+    )
+    block_w = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    block_pre = (
+        toks.groupBy("block")
+        .agg(F.sum("n_tokens").alias("block_total"))
+        .select(
+            "block",
+            F.coalesce(F.sum("block_total").over(block_w), F.lit(0)).alias(
+                "block_before"
+            ),
+        )
+    )
+    intra_w = (
+        Window.partitionBy("block")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = toks.join(F.broadcast(block_pre), "block").select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("block_before")
+            + F.coalesce(F.sum("n_tokens").over(intra_w), F.lit(0))
+        ).alias("strm"),
+    )
+    first = F.floor(F.col("strm") / _CTX).cast("bigint")
+    last = F.floor((F.col("strm") + F.col("n_tokens") - 1) / _CTX).cast("bigint")
+    return pre.select(
+        "doc_id",
+        "n_tokens",
+        first.alias("first_window"),
+        last.alias("last_window"),
+        (last - first + 1).alias("n_windows"),
+    )
+
+
+_BENCH_SOURCE = "src0"  # stands in for the held-out benchmark corpus
+_CONTAM_K = 5  # 5-gram collision — the usual decontamination unit
+
+
+@query(
+    "contamination_ngrams",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS ws FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                   || ' ' || ws[i+4] AS g
+      FROM toks, unnest(range(1, len(ws) - 3)) AS t(i)
+      WHERE len(ws) >= {_CONTAM_K}
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE source = '{_BENCH_SOURCE}')
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(COUNT(b.g) AS BIGINT) AS n_contaminated,
+           CAST(COUNT(b.g) AS DOUBLE) / COUNT(*) AS contamination
+    FROM grams LEFT JOIN bench b USING (g)
+    WHERE source <> '{_BENCH_SOURCE}'
+    GROUP BY doc_id
+    """,
+)
+def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction of
+    its distinct word 5-grams that collide with the benchmark corpus
+    (here: docs from source 'src0' stand in for the eval set).
+
+    Plan: the benchmark's distinct-gram set is eval-benchmark-sized —
+    small by construction even at 100 TB of training data — so it
+    BROADCASTS and the check is a map-side left join over the training
+    grams; no shuffle touches the big side until the per-doc count."""
+    from .dedup import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", "source", F.explode(word_ngrams("text", _CONTAM_K)).alias("g")
+    )
+    bench = (
+        grams.where(F.col("source") == _BENCH_SOURCE)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        grams.where(F.col("source") != _BENCH_SOURCE)
+        .join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").cast("bigint").alias("n_contaminated"),
+            (F.count("hit").cast("double") / F.count("*")).alias("contamination"),
+        )
+    )
+
+
+_VOCAB_TOP = 32
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS_SQL}) AS word FROM documents),
+    counts AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+    ranked AS (
+      SELECT word, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank,
+             SUM(cnt) OVER (ORDER BY cnt DESC, word
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER () AS total
+      FROM counts
+    )
+    SELECT word, cnt, CAST(rank AS BIGINT) AS rank,
+           CAST(cum AS DOUBLE) / total AS cum_share
+    FROM ranked WHERE rank <= {_VOCAB_TOP}
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary construction: top-32 tokens by global count
+    with the cumulative share of the corpus each prefix of the vocabulary
+    covers (the coverage curve that sizes a real vocab).
+
+    The global window runs AFTER the count aggregation, on vocabulary-sized
+    data (≪ corpus, bounded by distinct tokens) — a single-partition sort
+    of the vocab is the correct plan at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    order_w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    cum_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total_w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        counts.select(
+            "word",
+            "cnt",
+            F.row_number().over(order_w).cast("bigint").alias("rank"),
+            (
+                F.sum("cnt").over(cum_w).cast("double")
+                / F.sum("cnt").over(total_w)
+            ).alias("cum_share"),
+        )
+        .where(F.col("rank") <= _VOCAB_TOP)
+    )

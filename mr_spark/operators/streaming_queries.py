@@ -14,6 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources import normalize_event_ts
 from . import query
 
 _SINK = "mrspark_stream_hourly"
@@ -46,8 +47,7 @@ def stream_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) source
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_event_ts(stream)
     agg = (
         stream.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
@@ -183,7 +183,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension (the broadcast-dimension pattern for streams — no state, the
     static side is re-read per micro-batch). Complete-mode agg equals the
     batch join = oracle."""
-    from ..sources import load_table
+    from ..sources import load_table, normalize_event_ts
     from ..streaming import events_file_stream, run_to_completion
 
     stream = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))

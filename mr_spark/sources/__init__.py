@@ -22,16 +22,27 @@ TPCH_TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-UTC TIMESTAMP regardless of how
+    the parquet stored it. Generated testdata has shipped it two ways:
+    TIMESTAMP(NANOS) — read as long under nanosAsLong, truncated to µs —
+    and plain ``timestamp[us]`` with no timezone, which Spark reads as
+    TIMESTAMP_NTZ. Both become the same UTC instants (session tz is UTC),
+    matching DuckDB's naive-UTC timestamps bit-for-bit."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one parquet table. Columnar scan → Catalyst gets predicate
-    pushdown + column pruning for free.
-
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as long
-    (nanosAsLong) and we truncate to microseconds — exactly DuckDB's
-    TIMESTAMP_NS → TIMESTAMP cast, so oracles stay bit-identical."""
+    pushdown + column pruning for free."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

@@ -19,6 +19,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..sources import normalize_event_ts
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_S = 1800
@@ -39,8 +41,7 @@ def events_file_stream(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     stream = reader.parquet(path)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_event_ts(stream)
     return stream
 
 
