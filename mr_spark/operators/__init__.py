@@ -81,5 +81,6 @@ def _load_all() -> None:
     from . import skew  # noqa: F401
     from . import udtf_queries  # noqa: F401
     from . import pipeline  # noqa: F401
+    from . import layout  # noqa: F401
     from . import cdc  # noqa: F401
     _LOADED = True

@@ -194,6 +194,39 @@ def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_SALT = "mrspark"  # stand-in for a managed per-dataset salt
+
+
+@query(
+    "pii_pseudonymize",
+    oracle=f"""
+    SELECT event_id,
+           sha256('{_PII_SALT}:' || CAST(user_id AS VARCHAR)) AS user_pseudo,
+           event_type,
+           regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,
+           CAST(FLOOR(value / 10) * 10 AS BIGINT) AS value_bucket
+    FROM events
+    """,
+)
+def pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance pass a training pipeline runs before data leaves the
+    trust boundary: user ids are replaced by a salted SHA-256 pseudonym
+    (joinable, not reversible), free-text props have digit runs redacted,
+    and the numeric value is generalized to a coarse bucket (k-anonymity
+    style). Pure per-row codegen'd expressions — no shuffle, scales as a
+    map-only pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.sha2(
+            F.concat(F.lit(f"{_PII_SALT}:"), F.col("user_id").cast("string")), 256
+        ).alias("user_pseudo"),
+        "event_type",
+        F.regexp_replace("props", "[0-9]+", "#").alias("props_redacted"),
+        (F.floor(F.col("value") / 10) * 10).cast("bigint").alias("value_bucket"),
+    )
+
+
 _VOCAB_TOP = 32
 
 
