@@ -22,6 +22,9 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import udtf
 
@@ -81,4 +84,45 @@ def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
                s.sent_idx, s.sent, s.n_tokens
         FROM mrspark_udtf_docs, LATERAL mrspark_split_sentences(text) s
         """
+    )
+
+
+@query(
+    "pandas_udaf_median",
+    oracle="""
+    SELECT l_partkey,
+           median(l_quantity) AS median_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_partkey
+    """,
+)
+def pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed Pandas UDAF surface (grouped-agg @pandas_udf): the
+    Arrow-batched counterpart of the reference's string-typed ``reduce``
+    UDAF (common/src/lib.rs:7) — each group's values arrive as ONE pandas
+    Series, here folded to an exact median.
+
+    Determinism: np.median sorts internally, so the result is independent
+    of arrival order; quantities are integer-valued doubles, and the
+    midpoint of two integers is exact in IEEE — bit-identical to DuckDB's
+    continuous median. Scale: grouped-agg ships each whole group through
+    Arrow — right for holistic aggregates (median/mode) that built-ins
+    can't stream; everything decomposable stays JVM-side."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _median(v: pd.Series) -> float:
+        return float(np.median(v.values))
+
+    # Spark disallows mixing grouped-agg pandas UDFs with built-in
+    # aggregates in one agg — the count is a (trivial) pandas UDAF too
+    @pandas_udf("long")
+    def _count(v: pd.Series) -> int:
+        return len(v)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        _median("l_quantity").alias("median_qty"),
+        _count("l_quantity").alias("n"),
     )

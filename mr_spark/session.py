@@ -30,6 +30,8 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # let the whole_text Python data source prune files at planning time
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Spark 4.1's ChecksumCheckpointFileManager leaks ~50 threads per
     # streaming-query run (measured: 320 parked ChecksumCheckpointFileManager
     # threads after the 6 stream_* queries; ~900 JVM threads by the second

@@ -1,0 +1,117 @@
+"""Custom Python DataSource (Spark 4 API): whole-file text scan with the
+reference's task granularity.
+
+The reference schedules ONE map task per input file (coordinator.rs:54-64
+builds a MapTask per path; worker.rs:112-117 reads the whole file). This
+source reproduces that as a first-class Spark V2 source: one
+``InputPartition`` per file, record = (path, mtime, size, contents) —
+so `spark.read.format("whole_text").load(glob)` gives the same
+parallelism contract as the reference engine, but planned by Catalyst.
+
+Filter pushdown: equality filters on ``path`` and comparison filters on
+``size`` are evaluated against os.stat BEFORE any file is opened — the
+Python-source analog of partition pruning (files are the partitions).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    InputPartition,
+    LessThan,
+)
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("path", StringType(), nullable=False),
+        StructField("size", LongType(), nullable=False),
+        StructField("contents", StringType(), nullable=False),
+    ]
+)
+
+
+class WholeTextDataSource(DataSource):
+    """``spark.read.format("whole_text").load("<glob>")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "whole_text"
+
+    def schema(self) -> StructType:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> "WholeTextReader":
+        return WholeTextReader(self.options)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, size: int) -> None:
+        self.path = path
+        self.size = size
+
+
+class WholeTextReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        glob_pat = options.get("path") or options.get("glob")
+        if not glob_pat:
+            raise ValueError("whole_text source needs .load(<glob>) or option('glob')")
+        self._files = sorted(_glob.glob(glob_pat))
+        self._pushed: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Keep path-equality and size-comparison filters; they prune
+        whole files from the partition list (planning-time, no I/O)."""
+        for f in filters:
+            attr = f.attribute[0] if len(f.attribute) == 1 else None
+            if isinstance(f, EqualTo) and attr == "path":
+                self._pushed.append(f)
+            elif isinstance(f, (GreaterThan, LessThan)) and attr == "size":
+                self._pushed.append(f)
+            else:
+                yield f  # Spark evaluates the rest post-scan
+
+    def _keep(self, path: str, size: int) -> bool:
+        for f in self._pushed:
+            if isinstance(f, EqualTo) and path != f.value:
+                return False
+            if isinstance(f, GreaterThan) and not size > f.value:
+                return False
+            if isinstance(f, LessThan) and not size < f.value:
+                return False
+        return True
+
+    def partitions(self) -> Sequence[_FilePartition]:
+        """One partition per surviving file — the reference's MapTask
+        granularity (coordinator.rs:54-64)."""
+        parts = []
+        for p in self._files:
+            size = os.path.getsize(p)
+            if self._keep(p, size):
+                parts.append(_FilePartition(p, size))
+        # zero-partition sources are legal but Spark still wants ≥1 split
+        return parts or [_FilePartition("", 0)]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        if not partition.path:
+            return
+        with open(partition.path, encoding="utf-8") as fh:
+            yield (partition.path, partition.size, fh.read())
+
+
+def register(spark) -> None:
+    """Idempotent registration of the source with a session."""
+    spark.dataSource.register(WholeTextDataSource)

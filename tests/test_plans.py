@@ -64,6 +64,7 @@ _PANDAS_QUERIES = {
     "tier_a_indexer",       # Tier A Python App (by design)
     "neardup_components",   # driver union-find fast path below threshold
     "udtf_sentences",       # typed Python UDTF (by design)
+    "pandas_udaf_median",   # typed grouped-agg pandas UDAF (by design)
     "stream_hourly_agg",    # streaming (plan not comparable)
     "stream_stream_join",   # streaming
     "stream_dedup_events",  # streaming

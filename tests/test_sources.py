@@ -111,3 +111,44 @@ def test_orc_round_trip(spark, tmp_path):
     orig.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     assert sorted(back.collect()) == sorted(orig.collect())
+
+
+def test_whole_text_datasource(spark, tmp_path):
+    """Custom Python DataSource (Spark 4 V2 API): whole-file records with
+    ONE partition per file — the reference's MapTask granularity
+    (coordinator.rs:54-64) as a first-class Catalyst source."""
+    from mr_spark.sources.text_datasource import register
+
+    register(spark)
+    for i in range(4):
+        (tmp_path / f"f{i}.txt").write_text(f"doc {i} body\n" * (i + 1))
+    df = spark.read.format("whole_text").load(str(tmp_path) + "/*.txt")
+    assert df.rdd.getNumPartitions() == 4  # one per file
+    rows = {os.path.basename(r["path"]): r for r in df.collect()}
+    assert rows["f2.txt"]["contents"] == "doc 2 body\n" * 3
+    assert rows["f2.txt"]["size"] == len("doc 2 body\n") * 3
+
+    # agrees with the RDD-based source on (path, contents)
+    rdd_rows = {
+        os.path.basename(r["path"]): r["contents"]
+        for r in whole_text_files(spark, str(tmp_path) + "/*.txt").collect()
+    }
+    assert rdd_rows == {k: r["contents"] for k, r in rows.items()}
+
+
+def test_whole_text_datasource_filter_pushdown(spark, tmp_path):
+    """size/path filters prune files at planning time: the filter is
+    absorbed by the source (no post-scan Filter) and the partition count
+    drops to the surviving files."""
+    from mr_spark.sources.text_datasource import register
+
+    register(spark)
+    for i in range(4):
+        (tmp_path / f"f{i}.txt").write_text("x" * (10 * (i + 1)))
+    df = spark.read.format("whole_text").load(str(tmp_path) + "/*.txt")
+    flt = df.where(F.col("size") > 25)
+    assert [os.path.basename(r["path"]) for r in sorted(flt.collect())] == [
+        "f2.txt",
+        "f3.txt",
+    ]
+    assert flt.rdd.getNumPartitions() == 2  # pruned BEFORE reading
