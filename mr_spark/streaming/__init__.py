@@ -10,6 +10,7 @@ from .pipelines import (
     events_file_stream,
     run_to_completion,
     sessionize_stateful,
+    user_profile_tws,
     stream_dedup,
     windowed_counts,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "events_file_stream",
     "run_to_completion",
     "sessionize_stateful",
+    "user_profile_tws",
     "stream_dedup",
     "windowed_counts",
 ]

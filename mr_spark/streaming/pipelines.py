@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 
 from ..sources import normalize_event_ts
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 SESSION_GAP_S = 1800
 
@@ -183,3 +187,72 @@ def run_to_completion(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+# ---- transformWithState (Spark 4 successor of applyInPandasWithState) ------
+
+_PROFILE_SCHEMA = (
+    "user_id bigint, n_events bigint, first_ts timestamp, "
+    "last_ts timestamp, n_types bigint"
+)
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """Per-user running profile via the typed-state API: a ValueState
+    holds (count, first, last) in epoch-µs; a MapState holds the distinct
+    event-type set (each key one map entry — at scale this is the
+    RocksDB-backed layout, never a serialized-blob set). Emits the updated
+    profile for every user seen in the batch; counts increase
+    monotonically, so the final profile is the row with max n_events."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._agg = handle.getValueState("agg", "n bigint, first_us bigint, last_us bigint")
+        self._types = handle.getMapState("types", "t string", "seen smallint")
+
+    def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n_new, lo, hi = 0, None, None
+        for pdf in rows:
+            us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            if len(us):
+                n_new += len(us)
+                lo = int(us.min()) if lo is None else min(lo, int(us.min()))
+                hi = int(us.max()) if hi is None else max(hi, int(us.max()))
+            for t in pdf["event_type"].dropna().unique():
+                self._types.updateValue((str(t),), (1,))
+        if n_new:
+            if self._agg.exists():
+                n, first, last = self._agg.get()
+                n, first, last = n + n_new, min(first, lo), max(last, hi)
+            else:
+                n, first, last = n_new, lo, hi
+            self._agg.update((n, first, last))
+        elif self._agg.exists():
+            n, first, last = self._agg.get()
+        else:
+            return
+        n_types = sum(1 for _ in self._types.keys())
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id], dtype="int64"),
+                "n_events": pd.Series([n], dtype="int64"),
+                "first_ts": pd.to_datetime([first], unit="us"),
+                "last_ts": pd.to_datetime([last], unit="us"),
+                "n_types": pd.Series([n_types], dtype="int64"),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_profile_tws(stream: DataFrame) -> DataFrame:
+    """The transformWithStateInPandas surface (Spark 4's typed successor
+    of applyInPandasWithState): arbitrary per-key state with named,
+    individually-updatable state variables."""
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserProfileProcessor(),
+        outputStructType=_PROFILE_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

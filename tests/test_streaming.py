@@ -137,3 +137,31 @@ def test_stateful_sessionization_matches_batch(spark, multi_file_events):
         bs, be = batch[uid]
         assert n_sessions <= bs
         assert n_events <= be
+
+
+def test_transform_with_state_user_profile(spark):
+    """transformWithStateInPandas (Spark 4 typed arbitrary state:
+    named ValueState + MapState per key). Its state protocol needs
+    google.protobuf, which this image does not ship — the surface is
+    implemented and gated, and this test runs wherever protobuf exists."""
+    pytest.importorskip("google.protobuf")
+    from mr_spark.streaming import (
+        events_file_stream,
+        run_to_completion,
+        user_profile_tws,
+    )
+
+    stream = events_file_stream(spark, SF_DIR + "/events.parquet")
+    out = run_to_completion(
+        user_profile_tws(stream),
+        name="mrspark_tws_test",
+        output_mode="update",
+        state_partitions=4,
+    )
+    batch = load_table(spark, SF_DIR, "events").groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
