@@ -279,3 +279,80 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= _VOCAB_TOP)
     )
+
+
+_MIN_TOKENS = 20
+_MIN_ALPHA = 0.80
+
+
+@query(
+    "corpus_curation",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '[^\\p{{L}}]+', ' ', 'g'))) AS fp,
+             (len({_TOKS_SQL}) >= {_MIN_TOKENS}
+              AND CAST(length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS DOUBLE)
+                  / length(text) >= {_MIN_ALPHA}) AS ok
+      FROM documents
+    ), canon AS (
+      SELECT source, ok,
+             ok AND doc_id = MIN(CASE WHEN ok THEN doc_id END)
+                             OVER (PARTITION BY fp) AS keep
+      FROM q
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
+           CAST(SUM(CASE WHEN ok AND NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_drop_dup
+    FROM canon GROUP BY source
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation accounting — the composed pipeline a corpus
+    actually runs: cheap quality gates (token count, alphabetic ratio),
+    then exact dedup keeping the min-doc_id canonical copy per content
+    fingerprint, reported as per-source kept/dropped counts.
+
+    Plan: one scan computes tokens/ratio/fingerprint; canonicalization is
+    a window over fp (the 16-byte digest is the only thing shuffled — the
+    same trick doc_fingerprint documents); the final agg shuffles
+    source-sized rows. Two narrow shuffles total at any scale."""
+    from pyspark.sql import Window
+
+    from ..functions import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens("text")
+    alpha = (
+        F.length(F.regexp_replace("text", r"[^\p{L}]", "")).cast("double")
+        / F.length("text")
+    )
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.md5(normalized_text("text")).alias("fp"),
+        ((F.size(ws) >= _MIN_TOKENS) & (alpha >= _MIN_ALPHA)).alias("ok"),
+    )
+    w = Window.partitionBy("fp")
+    canon = q.select(
+        "source",
+        "ok",
+        (
+            F.col("ok")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("ok"), F.col("doc_id"))).over(w)
+            )
+        ).alias("keep"),
+    )
+    return canon.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).cast("bigint")
+        .alias("n_drop_quality"),
+        F.sum(F.when(F.col("ok") & ~F.col("keep"), 1).otherwise(0)).cast("bigint")
+        .alias("n_drop_dup"),
+    )
