@@ -413,3 +413,75 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "sim")
     )
+
+
+_CENT_SQL = f"""
+    WITH q AS ({_EMB_Q.replace("SELECT vec_id,", "SELECT vec_id, label,")}),
+    sizes AS (SELECT label, COUNT(*) AS n FROM q GROUP BY label),
+    cent AS (
+      SELECT label, d.i AS dim, SUM(q[d.i]) AS s
+      FROM q, unnest(range(1, len(q)+1)) AS d(i)
+      GROUP BY label, d.i
+    ),
+    svecs AS (SELECT label, array_agg(s ORDER BY dim) AS svec FROM cent GROUP BY label)
+    SELECT q.vec_id, q.label, n,
+           CAST(list_sum(list_transform(range(1, len(q.q)+1),
+                i -> (CAST(n AS HUGEINT)*CAST(q.q[i] AS HUGEINT)
+                      - CAST(svec[i] AS HUGEINT))
+                   * (CAST(n AS HUGEINT)*CAST(q.q[i] AS HUGEINT)
+                      - CAST(svec[i] AS HUGEINT))))
+                AS DOUBLE) / ((n*n) * {SCALE_SQ}) AS dist2
+    FROM q JOIN svecs USING (label) JOIN sizes USING (label)
+"""
+
+
+@query("label_outlier_scores", oracle=_CENT_SQL)
+def label_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection: each vector's squared distance to its
+    label's centroid — the score that surfaces mislabeled training
+    examples. The GROUPED-MAP applyInPandas surface: one Arrow batch per
+    label group, a numpy/int kernel per group (a centroid is holistic —
+    built-ins cannot stream it per row).
+
+    Exactness (the HUGEINT twin): with quantized integer vectors q and
+    per-dim group sums S, n²·dist2 = Σ_d (n·q_d − S_d)² is INTEGER
+    arithmetic — order-independent, overflow-proof in Python ints (the
+    oracle uses HUGEINT) — and the single final division matches DuckDB's
+    double op order exactly.
+
+    Scale: groups shuffle on label; a label's members must fit one task
+    (same contract as any grouped-map op). For degenerate single-label
+    corpora, pre-aggregate per-partition (S, n) instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.transform(v, lambda x: F.round(x / norm * SCALE)).alias("q"),
+    )
+
+    def _outliers(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = np.stack(pdf["q"].to_numpy())  # integer-valued float64
+        n = len(pdf)
+        s_ints = [int(s) for s in qs.sum(axis=0)]  # exact: |Σ| < 2^53
+        denom = (n * n) * SCALE_SQ
+        dist2 = []
+        for row in qs:
+            num = 0
+            for x, s in zip(row, s_ints):
+                d = n * int(x) - s
+                num += d * d
+            dist2.append(float(num) / denom)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "label": pdf["label"].astype("int64"),
+                "n": pd.Series([n] * n, dtype="int64"),
+                "dist2": pd.Series(dist2, dtype="float64"),
+            }
+        )
+
+    return q.groupBy("label").applyInPandas(
+        _outliers, schema="vec_id bigint, label bigint, n bigint, dist2 double"
+    )
