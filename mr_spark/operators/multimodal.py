@@ -212,3 +212,45 @@ def image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     balanced = payloads.repartition("doc_id")
     return balanced.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
+
+
+@query(
+    "payload_byte_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) - strlen(replace(text, ' ', '')) AS BIGINT)
+             AS n_spaces
+    FROM documents
+    """,
+)
+def payload_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level payload statistics through mapInArrow — the RecordBatch
+    API whose point is binary-heavy columns: bytes go Arrow→Arrow through
+    vectorized pyarrow.compute kernels with NO pandas materialization (a
+    pandas round-trip copies every payload into Python objects; at 100 TB
+    of media that copy is the pipeline's bottleneck)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def _stats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            payload = b.column("payload")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.binary_length(payload).cast(pa.int64()),
+                    pc.count_substring(
+                        payload.cast(pa.string()), pattern=" "
+                    ).cast(pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_spaces"],
+            )
+
+    return docs.mapInArrow(
+        _stats, schema="doc_id bigint, n_bytes bigint, n_spaces bigint"
+    )

@@ -66,6 +66,7 @@ _PANDAS_QUERIES = {
     "udtf_sentences",       # typed Python UDTF (by design)
     "pandas_udaf_median",   # typed grouped-agg pandas UDAF (by design)
     "label_outlier_scores", # grouped-map applyInPandas centroid kernel (by design)
+    "payload_byte_stats",   # mapInArrow RecordBatch kernel (by design)
     "stream_hourly_agg",    # streaming (plan not comparable)
     "stream_stream_join",   # streaming
     "stream_dedup_events",  # streaming
