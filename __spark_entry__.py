@@ -33,7 +33,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query; approximate /
-    engine-hash-dependent ops (minhash_lsh_pairs, simhash_buckets,
-    image_features_stub) are rows-only by design."""
+    """DuckDB twins for every SQL-expressible query; the only rows-only
+    entry is approx_distinct_sketch (HLL++ internals are engine-specific
+    by design — everything else, including the MinHash/SimHash/winnowing
+    pipelines, replays exactly in generated SQL)."""
     return _ops.oracle_sql()

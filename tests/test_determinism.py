@@ -19,6 +19,8 @@ SENSITIVE = [
     "sessionization",
     "top_k_per_group",
     "ngram_jaccard_pairs",
+    "pack_context_windows",
+    "label_outlier_scores",
 ]
 
 
