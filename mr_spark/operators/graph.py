@@ -111,7 +111,7 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    for _ in range(_MAX_ROUNDS):
+    for round_no in range(_MAX_ROUNDS):
         # neighbor's current label, take the min of (own, neighbors')
         neighbor = (
             edges.join(labels, edges.v == labels.node)
@@ -134,4 +134,10 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+        # every iteration appends a join+agg to the logical plan; by round
+        # ~10 analysis/planning time dominates tiny rounds and a lost
+        # executor would replay every round. Truncate lineage periodically
+        # (localCheckpoint materializes and cuts the plan at this node).
+        if round_no % 5 == 4:
+            labels = labels.localCheckpoint()
     return labels.select(F.col("node").alias("doc_id"), "component")
