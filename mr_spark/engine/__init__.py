@@ -12,13 +12,14 @@ SURVEY.md §2a R1-R6 for the mapping.
 """
 
 from .api import App, APPS, get_app
-from .mapreduce import run_mapreduce, save_text_output
+from .mapreduce import run_files, run_mapreduce, save_text_output
 from .sequential import run_sequential
 
 __all__ = [
     "App",
     "APPS",
     "get_app",
+    "run_files",
     "run_mapreduce",
     "run_sequential",
     "save_text_output",

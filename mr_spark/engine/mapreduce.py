@@ -105,7 +105,12 @@ def run_files(
     whole-file scan of ``input_glob`` → MapReduce → ``n_reduce`` text files
     under ``out_dir`` → merged, globally sorted lines returned (the
     ``sort out/mr-out* | grep .`` convention)."""
-    rdd = spark.sparkContext.wholeTextFiles(input_glob)
+    # wholeTextFiles yields file: URIs; the reference's k1 is the RAW path
+    # (sequential/src/main.rs:24, worker.rs:112) and the indexer app emits
+    # k1 into its posting lists — strip the scheme for byte parity
+    rdd = spark.sparkContext.wholeTextFiles(input_glob).map(
+        lambda kv: (kv[0].removeprefix("file:"), kv[1])
+    )
     result = run_mapreduce(spark, rdd, app, n_reduce)
     return save_text_output(result, out_dir)
 
