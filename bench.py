@@ -68,14 +68,40 @@ def main() -> None:
             spark.catalog.clearCache()
             timings[name] = round(min(timings.get(name, float("inf")), elapsed), 3)
 
+    # The driver's stdout capture truncated round 1's ~4 KB line (BENCH_r01
+    # "parsed": null — only the tail survived). Keep the one stdout line
+    # SHORT: headline queries only, full per-query map in BENCH_DETAIL.json
+    # next to this script.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "total_query_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "passes": n_passes,
+                "queries": timings,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    headline = [
+        "wc", "tier_a_wc", "indexer", "q1_pricing_summary", "q18_large_orders",
+        "minhash_lsh_pairs", "ngram_jaccard_pairs", "ann_ivf_topk",
+    ]
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "queries": {k: timings[k] for k in headline if k in timings},
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

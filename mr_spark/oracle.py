@@ -34,6 +34,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class that determines how the driver's hash renders a
+    value: a DuckDB HUGEINT surfacing as float64 prints '1791.0' where
+    Spark's bigint prints '1791' — same value, different hash. Any
+    int-vs-float (or other cross-kind) drift must fail locally too."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def diff(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     """Empty list = exact match."""
     problems: list[str] = []
@@ -49,6 +65,12 @@ def diff(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     a, b = canon(spark_pdf), canon(duck_pdf)
     for c in a.columns:
         sa, sb = a[c], b[c]
+        ka, kb = _dtype_kind(sa), _dtype_kind(sb)
+        if ka != kb:
+            problems.append(
+                f"col {c}: dtype drift spark={sa.dtype}({ka}) vs duckdb={sb.dtype}({kb})"
+                " — driver hash would mismatch even on equal values"
+            )
         if pd.api.types.is_float_dtype(sa) or pd.api.types.is_float_dtype(sb):
             eq = sa.astype(float).fillna(1e308) == sb.astype(float).fillna(1e308)
         else:

@@ -22,43 +22,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mr_spark.session import get_spark
 from mr_spark.sources import TPCH_TABLES
+from mr_spark.oracle import diff
 
 import __spark_entry__ as entry_mod
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = pd.to_datetime(s).dt.tz_localize(None) if s.dt.tz is None else pd.to_datetime(s).dt.tz_convert("UTC").dt.tz_localize(None)
-        elif s.dtype == object:
-            df[c] = s.astype(str)
-    return df.sort_values(by=list(df.columns), ignore_index=True)
-
-
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
-    problems = []
-    if len(spark_pdf) != len(duck_pdf):
-        problems.append(f"row count: spark={len(spark_pdf)} duckdb={len(duck_pdf)}")
-    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
-        problems.append(f"columns: spark={sorted(spark_pdf.columns)} duckdb={sorted(duck_pdf.columns)}")
-        return problems
-    a, b = canon(spark_pdf), canon(duck_pdf)
-    if len(a) == len(b):
-        for c in a.columns:
-            sa, sb = a[c], b[c]
-            if pd.api.types.is_float_dtype(sa) or pd.api.types.is_float_dtype(sb):
-                eq = (sa.astype(float).fillna(1e308) == sb.astype(float).fillna(1e308))
-                if not eq.all():
-                    i = (~eq).idxmax()
-                    problems.append(f"col {c}: {int((~eq).sum())} mismatches, e.g. row {i}: {sa[i]!r} vs {sb[i]!r}")
-            else:
-                eq = sa.fillna("\0NULL").astype(str) == sb.fillna("\0NULL").astype(str)
-                if not eq.all():
-                    i = (~eq).idxmax()
-                    problems.append(f"col {c}: {int((~eq).sum())} mismatches, e.g. row {i}: {sa[i]!r} vs {sb[i]!r}")
-    return problems
+    # Single source of truth: mr_spark.oracle.diff includes the dtype-parity
+    # check (int-vs-float drift fails locally, mirroring the driver's
+    # dtype-sensitive value hash).
+    return diff(spark_pdf, duck_pdf)
 
 
 def main() -> int:
