@@ -105,11 +105,15 @@ def run_files(
     whole-file scan of ``input_glob`` → MapReduce → ``n_reduce`` text files
     under ``out_dir`` → merged, globally sorted lines returned (the
     ``sort out/mr-out* | grep .`` convention)."""
-    # wholeTextFiles yields file: URIs; the reference's k1 is the RAW path
+    # wholeTextFiles yields URIs; the reference's k1 is the RAW path
     # (sequential/src/main.rs:24, worker.rs:112) and the indexer app emits
-    # k1 into its posting lists — strip the scheme for byte parity
+    # k1 into its posting lists — reduce to the plain path for byte
+    # parity. urlparse handles every scheme form ('file:/p', 'file:///p',
+    # 'hdfs://nn/p'); a bare 'file:' removeprefix only matched the first.
+    from urllib.parse import urlparse
+
     rdd = spark.sparkContext.wholeTextFiles(input_glob).map(
-        lambda kv: (kv[0].removeprefix("file:"), kv[1])
+        lambda kv: (urlparse(kv[0]).path or kv[0], kv[1])
     )
     result = run_mapreduce(spark, rdd, app, n_reduce)
     return save_text_output(result, out_dir)

@@ -135,9 +135,12 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
         # every iteration appends a join+agg to the logical plan; by round
-        # ~10 analysis/planning time dominates tiny rounds and a lost
-        # executor would replay every round. Truncate lineage periodically
-        # (localCheckpoint materializes and cuts the plan at this node).
+        # ~10 analysis/planning time dominates tiny rounds. Truncate
+        # lineage periodically (localCheckpoint materializes and cuts the
+        # plan at this node). Note localCheckpoint stores blocks on
+        # executors WITHOUT lineage to rebuild them — losing an executor
+        # afterwards fails the job; use reliable checkpoint() on a cluster
+        # where executor-loss recovery matters more than the local write.
         if round_no % 5 == 4:
             labels = labels.localCheckpoint()
     return labels.select(F.col("node").alias("doc_id"), "component")

@@ -211,6 +211,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Above this corpus size the collect-broadcast matrix would strain driver
+# memory; switch to the distributed block-pair matmul (identical results —
+# pinned by test_neardup_strategies and by the shared oracle).
+_NEARDUP_BROADCAST_LIMIT = 100_000
+_NEARDUP_BLOCKS = 16
+
+
 @query(
     "embedding_neardup",
     oracle=f"""
@@ -221,18 +228,95 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (sim ≥ 0.35): corpus collected once
-    as the broadcast matrix (bounded by design of the exact variant — at
-    100 TB use the sign-bucket join shape instead), streamed side matmuls
-    against it block-wise. Exact + deterministic per the module-level
+    """Embedding-cosine near-dup pairs (sim ≥ 0.35), EXACT all-pairs.
+
+    Size-based strategy (both paths produce IDENTICAL results — same
+    quantized-integer matmul, pinned by test and oracle): below
+    _NEARDUP_BROADCAST_LIMIT rows, collect the corpus once as the
+    broadcast matrix and stream the other side through the Arrow kernel
+    (one corpus pass, zero shuffle). Above it, the distributed block-pair
+    matmul — no driver collect anywhere, so a 100 TB embeddings table
+    cannot OOM the driver. Exact + deterministic per the module-level
     quantization argument."""
     emb = _quantized(spark, sf_dir)
+    if emb.count() <= _NEARDUP_BROADCAST_LIMIT:
+        return _neardup_broadcast(emb)
+    return _neardup_blocked(spark, emb)
+
+
+def _neardup_broadcast(emb: DataFrame) -> DataFrame:
+    """Small-corpus path: corpus collected once as the broadcast matrix,
+    streamed side matmuls against it block-wise."""
     rows = emb.collect()
     b_ids = np.array([r["vec_id"] for r in rows])
     b_mat = np.stack([np.asarray(r["q"]) for r in rows])
     return emb.mapInPandas(
         _matmul_kernel(b_ids, b_mat, "neardup"),
         schema="vec_a bigint, vec_b bigint, sim double",
+    )
+
+
+def _neardup_blocked(
+    spark: SparkSession, emb: DataFrame, n_blocks: int = _NEARDUP_BLOCKS
+) -> DataFrame:
+    """Scale path: exact all-pairs via block-pair matmul, fully distributed.
+
+    Rows hash into `n_blocks` blocks; a tiny block-pair index (bi ≤ bj,
+    n_blocks·(n_blocks+1)/2 rows) is broadcast and each row replicates to
+    every pair touching its block. groupBy (bi, bj) then evaluates each
+    UNORDERED vector pair in exactly one task (cross-block: A×B matmul;
+    diagonal: upper triangle), so no dedup pass is needed. Costs are the
+    inherent ones of exact all-pairs — n_blocks× replication shuffle and
+    O(n²/2) compute — with no driver-memory term; size n_blocks so two
+    blocks of vectors fit one task's memory at the target corpus size."""
+    bl = emb.withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    pair_idx = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    repl = bl.join(
+        F.broadcast(pair_idx),
+        (F.col("blk") == F.col("bi")) | (F.col("blk") == F.col("bj")),
+    )
+
+    def _block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []})
+        if bi == bj:
+            ids = pdf["vec_id"].to_numpy()
+            m = np.stack(pdf["q"].to_numpy())
+            sims = (m @ m.T) / SCALE_SQ
+            ai, bix = np.nonzero(
+                (ids[:, None] < ids[None, :]) & (sims >= NEARDUP_THRESHOLD)
+            )
+            if not len(ai):
+                return empty
+            return pd.DataFrame(
+                {"vec_a": ids[ai], "vec_b": ids[bix], "sim": sims[ai, bix]}
+            )
+        a = pdf[pdf["blk"] == bi]
+        b = pdf[pdf["blk"] == bj]
+        if not len(a) or not len(b):
+            return empty
+        ids_a = a["vec_id"].to_numpy()
+        ids_b = b["vec_id"].to_numpy()
+        sims = (np.stack(a["q"].to_numpy()) @ np.stack(b["q"].to_numpy()).T) / SCALE_SQ
+        ai, bix = np.nonzero(sims >= NEARDUP_THRESHOLD)
+        if not len(ai):
+            return empty
+        va, vb = ids_a[ai], ids_b[bix]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "sim": sims[ai, bix],
+            }
+        )
+
+    return repl.groupBy("bi", "bj").applyInPandas(
+        _block_pair, schema="vec_a bigint, vec_b bigint, sim double"
     )
 
 

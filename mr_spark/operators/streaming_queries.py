@@ -183,7 +183,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension (the broadcast-dimension pattern for streams — no state, the
     static side is re-read per micro-batch). Complete-mode agg equals the
     batch join = oracle."""
-    from ..sources import load_table, normalize_event_ts
+    from ..sources import load_table
     from ..streaming import events_file_stream, run_to_completion
 
     stream = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))

@@ -289,7 +289,18 @@ def winnow_fingerprints(docs: DataFrame, *, w: int = _WINNOW_W, k: int = 3) -> D
     SCALAR expression (whole-stage codegen — an array-lambda hash re-inlines
     upstream work per element and ran 10× slower), then the window minimum
     min(h) OVER (PARTITION BY doc ORDER BY pos ROWS 0..w-1 FOLLOWING) —
-    one shuffle on doc_id, the same plan shape at any scale."""
+    one shuffle on doc_id, the same plan shape at any scale.
+
+    Dedup happens WITHOUT a second shuffle (a trailing ``.distinct()``
+    re-shuffled the full exploded minima stream on (doc_id, fp) and was
+    the one super-linear probe in round 1's SCALING.md — 9.44× wall at 8×
+    data): first drop consecutive duplicate minima with ``lag`` over the
+    same (doc_id, pos) sort the min-window already established (the same
+    minimum survives ~w consecutive windows, so this sheds ~(w-1)/w of
+    rows for free), then ``collect_set`` grouped by doc_id alone — the
+    window's hash(doc_id) partitioning satisfies that aggregation's
+    distribution, so the whole fingerprint relation is one exchange
+    end-to-end."""
     from .dedup import word_ngrams
 
     tri_pos = docs.select(
@@ -300,16 +311,21 @@ def winnow_fingerprints(docs: DataFrame, *, w: int = _WINNOW_W, k: int = 3) -> D
         .orderBy("pos")
         .rowsBetween(Window.currentRow, w - 1)
     )
+    order = Window.partitionBy("doc_id").orderBy("pos")
     wall = Window.partitionBy("doc_id")
+    mins = tri_pos.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(win).alias("fp"),
+        (F.col("pos") <= F.max("pos").over(wall) - (w - 1)).alias("full"),
+    ).where(F.col("full"))
+    runs = mins.withColumn("prev_fp", F.lag("fp").over(order)).where(
+        F.col("prev_fp").isNull() | (F.col("fp") != F.col("prev_fp"))
+    )
     return (
-        tri_pos.select(
-            "doc_id",
-            F.min("h").over(win).alias("fp"),
-            (F.col("pos") <= F.max("pos").over(wall) - (w - 1)).alias("full"),
-        )
-        .where(F.col("full"))
-        .select("doc_id", "fp")
-        .distinct()
+        runs.groupBy("doc_id")
+        .agg(F.collect_set("fp").alias("fps"))
+        .select("doc_id", F.explode("fps").alias("fp"))
     )
 
 

@@ -60,3 +60,53 @@ def test_output_survives_task_crashes():
         timeout=300,
     )
     assert "CHAOS_OK" in res.stdout, res.stderr[-3000:]
+
+
+CHAOS_BATCHED_JOB = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+from pyspark import TaskContext
+
+spark = (
+    SparkSession.builder.master("local[8,4]")  # 4 attempts per task
+    .appName("chaos-batched").config("spark.ui.enabled", "false").getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from mr_spark.engine import get_app
+from mr_spark.engine.mapreduce import run_on_documents_batched
+
+SF = "/root/testdata/sf0.001"
+app = get_app("wc")
+
+
+class ChaosApp:
+    # same injection as the RDD-path chaos job, but the crash fires inside
+    # the Arrow map_phase task of the batched executor
+    def map(self, k, v):
+        ctx = TaskContext.get()
+        if ctx is not None and ctx.attemptNumber() == 0:
+            raise RuntimeError("injected first-attempt crash")
+        return app.map(k, v)
+
+    def reduce(self, k, vs):
+        return app.reduce(k, vs)
+
+
+golden = sorted(f"{r['k']} {r['v']}" for r in run_on_documents_batched(spark, SF, app).collect())
+got = sorted(f"{r['k']} {r['v']}" for r in run_on_documents_batched(spark, SF, ChaosApp()).collect())
+assert got == golden, f"batched chaos output diverged: {got[:3]} vs {golden[:3]}"
+assert golden, "empty golden output"
+print("CHAOS_BATCHED_OK", len(got))
+"""
+
+
+def test_batched_output_survives_task_crashes():
+    res = subprocess.run(
+        [sys.executable, "-c", CHAOS_BATCHED_JOB],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "CHAOS_BATCHED_OK" in res.stdout, res.stderr[-3000:]

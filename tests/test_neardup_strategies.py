@@ -1,0 +1,34 @@
+"""Both embedding-neardup strategies (collect-broadcast matmul vs
+distributed block-pair matmul) must produce the identical pair set — the
+blocked path evaluates every unordered pair in exactly one block-pair
+group, with the same quantized-integer dot product; this pins it."""
+
+from __future__ import annotations
+
+from mr_spark.operators.similarity import (
+    _neardup_blocked,
+    _neardup_broadcast,
+    _quantized,
+)
+
+from conftest import SF_DIR
+
+
+def _canon(rows):
+    return sorted((r["vec_a"], r["vec_b"], round(r["sim"], 12)) for r in rows)
+
+
+def test_blocked_equals_broadcast(spark):
+    emb = _quantized(spark, SF_DIR)
+    broadcast = _canon(_neardup_broadcast(emb).collect())
+    blocked = _canon(_neardup_blocked(spark, emb).collect())
+    assert broadcast == blocked
+    assert broadcast, "no near-dup pairs found"
+
+
+def test_blocked_covers_all_block_pairs(spark):
+    # a degenerate block count still covers the diagonal
+    emb = _quantized(spark, SF_DIR)
+    blocked1 = _canon(_neardup_blocked(spark, emb, n_blocks=1).collect())
+    blocked5 = _canon(_neardup_blocked(spark, emb, n_blocks=5).collect())
+    assert blocked1 == blocked5

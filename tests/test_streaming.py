@@ -164,4 +164,14 @@ def test_transform_with_state_user_profile(spark):
         F.max("ts").alias("last_ts"),
         F.count_distinct("event_type").alias("n_types"),
     )
-    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+    # update mode emits one row per key per micro-batch that touched it;
+    # only the final (max-n_events) row per user is the batch-equivalent
+    # profile, so the comparison holds however the source splits batches
+    final = {}
+    for r in out.collect():
+        if (
+            r["user_id"] not in final
+            or r["n_events"] > final[r["user_id"]]["n_events"]
+        ):
+            final[r["user_id"]] = r
+    assert sorted(map(tuple, final.values())) == sorted(map(tuple, batch.collect()))
