@@ -57,16 +57,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # Round-2 prefix = q12 + the LLM-pipeline families (dedup, similarity,
 # text, multimodal, streaming, tier A, pipeline, sampling, skew, udtf,
-# layout, cdc, graph) + 4 riskier analytics_ext entries. The 7 overflow
-# queries (date_arithmetic, case_bucketing, math_funcs,
-# rolling_range_window, json_typed_parse, regex_funcs,
-# window_rank_battery) are pure built-in function batteries, green under
-# local pytest + oracle; they rotate into the round-3 prefix.
+# layout, cdc, graph), including the 5 operators new this round
+# (repetition_quality, semantic_dedup, dedup_keep_best,
+# stratified_sample, shuffle_shards). The 12 overflow queries
+# (date_arithmetic, case_bucketing, math_funcs, rolling_range_window,
+# json_typed_parse, regex_funcs, window_rank_battery,
+# approx_distinct_sketch, stat_aggregates, bucketed_fact_join,
+# time_rollup, null_handling) are built-in function/agg batteries, green
+# under local pytest + oracle; they rotate into the round-3 prefix.
 _CHECK_PRIORITY = [
     "q12_priority_shipping",
     "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_buckets",
     "embedding_neardup", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "label_outlier_scores", "neardup_components",
+    "repetition_quality", "semantic_dedup", "dedup_keep_best",
+    "stratified_sample", "shuffle_shards",
     "token_stats", "text_quality", "lang_id", "doc_fingerprint",
     "bpe_token_count", "term_frequency", "winnow_fingerprint",
     "winnow_containment", "top_terms_per_doc",
@@ -75,13 +80,11 @@ _CHECK_PRIORITY = [
     "stream_hourly_agg", "stream_stream_join", "stream_session_window",
     "stream_static_join", "stream_dedup_events", "stream_sessionize_stateful",
     "tier_a_wc", "tier_a_indexer",
-    "hash_sample", "train_val_split", "null_handling", "salted_skew_join",
+    "hash_sample", "train_val_split", "salted_skew_join",
     "udtf_sentences", "pandas_udaf_median",
     "doc_chunking", "pack_context_windows", "contamination_ngrams",
     "pii_pseudonymize", "vocab_coverage", "corpus_curation",
     "zorder_key_lineitem", "scd2_history",
-    "approx_distinct_sketch", "stat_aggregates", "bucketed_fact_join",
-    "time_rollup",
 ]
 
 

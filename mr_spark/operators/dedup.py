@@ -485,3 +485,46 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.where(F.col("hamming") <= 2)
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    WITH fps AS (
+      SELECT doc_id, n_chars,
+             md5(trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g'))) AS fp
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, fp, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY fp
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY fp) AS n_copies
+      FROM fps
+    )
+    SELECT doc_id AS keep_doc_id, fp, CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each exact-duplicate cluster
+    (normalized-text md5), keep the BEST copy — longest text, doc_id
+    tie-break — rather than dedup_exact's arbitrary min-id. This is the
+    curation rule real pipelines want when near-identical copies differ in
+    truncation or boilerplate. One window over the fingerprint shuffle;
+    at 100 TB the 16-byte digest is the only wide shuffle key."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id", "n_chars", F.md5(normalized_text("text")).alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wall = Window.partitionBy("fp")
+    return (
+        fps.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(wall))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").alias("keep_doc_id"),
+            "fp",
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+        )
+    )

@@ -10,7 +10,7 @@ percentage buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
@@ -93,4 +93,76 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.count("o_orderkey").cast("bigint"), F.lit(0)).alias("n_orders"),
             F.nullif(F.count("o_orderkey"), F.lit(0)).alias("n_orders_or_null"),
         )
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN {_BUCKET_SQL_T.format(
+               key="lang || '_doc_' || CAST(doc_id AS VARCHAR)")} < 20
+                      THEN 1 END) AS BIGINT) AS n_sampled
+    FROM documents GROUP BY lang
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified ~20% sample with per-stratum determinism: the hash key
+    is (stratum, doc identity), so each language's sample is an
+    independent deterministic 20% — re-balancing one stratum never
+    perturbs another, and re-sharding the corpus never moves a document
+    in or out of the sample. Returns per-stratum totals and sampled
+    counts (the allocation report a curation pipeline logs); the row
+    filter itself is the same pushdown-friendly predicate as
+    hash_sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.concat(
+        F.col("lang"), F.lit("_doc_"), F.col("doc_id").cast("string")
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(_bucket(key) < 20, 1)).alias("n_sampled"),
+    )
+
+
+_N_SHARDS = 8
+
+
+@query(
+    "shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(md5_number_lower('shard_' || CAST(doc_id AS VARCHAR))
+                  % 9223372036854775808 AS BIGINT) AS hv
+      FROM documents
+    )
+    SELECT CAST(hv % {_N_SHARDS} AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hv % {_N_SHARDS}
+                                   ORDER BY hv // {_N_SHARDS}, doc_id)
+                AS BIGINT) AS pos,
+           doc_id
+    FROM h
+    """,
+)
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: each
+    document hashes to one of {_N_SHARDS} shards (shard = low bits) and to
+    a pseudo-random position WITHIN its shard (order = remaining hash
+    bits, doc_id tie-break). The classic shuffle-then-shard step before
+    sequential training reads — reproducible across engines, runs, and
+    cluster sizes, unlike rand()-ordering, and re-runnable on any subset
+    of shards. One hash shuffle + per-shard sort; at 100 TB use
+    shard-count ≈ target file count and write with partitionBy(shard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.concat(F.lit("shard_"), F.col("doc_id").cast("string"))
+    h = docs.select("doc_id", _md5_lower64(key).alias("hv"))
+    w = Window.partitionBy(F.col("hv") % _N_SHARDS).orderBy(
+        F.floor(F.col("hv") / _N_SHARDS), F.col("doc_id")
+    )
+    return h.select(
+        (F.col("hv") % _N_SHARDS).alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "doc_id",
     )

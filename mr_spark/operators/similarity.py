@@ -569,3 +569,62 @@ def label_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.groupBy("label").applyInPandas(
         _outliers, schema="vec_id bigint, label bigint, n bigint, dist2 double"
     )
+
+
+# ---- semantic dedup (SemDeDup-style) ----------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.30
+
+
+@query(
+    "semantic_dedup",
+    oracle=f"""
+    WITH e AS ({_EMB_QL}),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.q, b.q) / {SCALE_SQ} >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT e.vec_id, e.label,
+           e.vec_id NOT IN (SELECT vec_id FROM dropped) AS is_kept
+    FROM e
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): cluster
+    the corpus with a coarse quantizer, compare pairs only WITHIN a
+    cluster, and drop every vector that has an earlier (lower vec_id)
+    same-cluster vector above the similarity threshold. Here the cluster
+    id is the `label` column (a stand-in coarse quantizer; ann_ivf_topk's
+    broadcast-Lloyd k-means is the production one — same downstream shape).
+
+    Plan: equi-join on cluster id (hash shuffle, never a cross join — the
+    pairwise blow-up is bounded per cluster, the whole point of SemDeDup),
+    exact quantized-integer dot filter, distinct dropped set, then a left
+    join back to flag keeps. At 100 TB: clusters shuffle independently;
+    a hot cluster salts/splits like any skewed key."""
+    from ..functions import dot as dot_fn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    e = emb.select(
+        "vec_id", "label", F.transform(v, lambda x: F.round(x / norm * SCALE)).alias("q")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            dot_fn(F.col("a.q"), F.col("b.q")) / F.lit(SCALE_SQ)
+            >= SEMDEDUP_THRESHOLD
+        )
+        .select(F.col("b.vec_id").alias("dropped_id"))
+        .distinct()
+    )
+    return e.join(
+        dropped, e.vec_id == F.col("dropped_id"), "left"
+    ).select("vec_id", "label", F.col("dropped_id").isNull().alias("is_kept"))

@@ -213,19 +213,25 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: classic two-agg + broadcast-join plan (df table is
-    vocabulary-sized → broadcast; corpus count is a scalar cross join)."""
+    vocabulary-sized → broadcast; the corpus count stays IN the plan as a
+    broadcast 1-row aggregate cross-joined in — no separate driver-side
+    count() action, so one job end-to-end and no extra corpus scan)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
-    n_docs = docs.count()  # scalar; at scale: countApprox or a broadcast agg
-    return tf.join(F.broadcast(df), "word").select(
-        "doc_id",
-        "word",
-        "tf",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tf_idf"),
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tf_idf"),
+        )
     )
 
 
@@ -428,4 +434,90 @@ def top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("doc_id", "word", "tf_idf")
+    )
+
+
+# ---- repetition-based quality filtering -------------------------------------
+
+_REP_TOP_BIGRAM_MAX = 0.18
+_REP_DUP_TRIGRAM_MAX = 0.30
+
+_REP_BG_SQL = f"""
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i+1])) AS g
+    FROM (SELECT doc_id, {_TOKS_SQL} AS ws FROM documents)
+    WHERE len(ws) >= 3
+"""
+_REP_TG_SQL = f"""
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+    FROM (SELECT doc_id, {_TOKS_SQL} AS ws FROM documents)
+    WHERE len(ws) >= 3
+"""
+
+
+@query(
+    "repetition_quality",
+    oracle=f"""
+    WITH bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM ({_REP_BG_SQL}) GROUP BY 1, 2),
+    bstat AS (
+      SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+      FROM bgc GROUP BY doc_id
+    ),
+    tstat AS (
+      SELECT doc_id,
+             1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS dup_trigram_frac
+      FROM ({_REP_TG_SQL}) GROUP BY doc_id
+    )
+    SELECT b.doc_id, top_bigram_frac, dup_trigram_frac,
+           top_bigram_frac < {_REP_TOP_BIGRAM_MAX}
+             AND dup_trigram_frac < {_REP_DUP_TRIGRAM_MAX} AS keep
+    FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id
+    """,
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
+    fraction of word-bigram occurrences taken by the single most frequent
+    bigram, and the fraction of word-trigram occurrences that are repeats —
+    the two signals that catch boilerplate / keyword-stuffed / looping
+    documents which length and stopword ratios miss.
+
+    Plan: two explode→partial-agg subtrees over documents (bigram counts →
+    per-doc max/sum; trigram distinct ratio), joined on doc_id. Every agg
+    combines map-side; the join keys are doc ids, so at 100 TB this is two
+    shuffles of per-doc scalars — never the text. Exactness: each output is
+    a single correctly-rounded division of exact ints (< 2^53), so both
+    engines produce bit-identical doubles and the keep booleans agree."""
+    from .dedup import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.size(tokens("text")) >= 3
+    )
+    bg = docs.select(
+        "doc_id", F.explode(word_ngrams("text", 2, distinct=False)).alias("g")
+    )
+    bstat = (
+        bg.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"))
+    )
+    tg = docs.select(
+        "doc_id", F.explode(word_ngrams("text", 3, distinct=False)).alias("g")
+    )
+    tstat = tg.groupBy("doc_id").agg(
+        (
+            F.lit(1.0) - F.count_distinct("g").cast("double") / F.count("*")
+        ).alias("dup_trigram_frac")
+    )
+    return bstat.join(tstat, "doc_id").select(
+        "doc_id",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        (
+            (F.col("top_bigram_frac") < _REP_TOP_BIGRAM_MAX)
+            & (F.col("dup_trigram_frac") < _REP_DUP_TRIGRAM_MAX)
+        ).alias("keep"),
     )
