@@ -57,20 +57,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # Round-2 prefix = q12 + the LLM-pipeline families (dedup, similarity,
 # text, multimodal, streaming, tier A, pipeline, sampling, skew, udtf,
-# layout, cdc, graph), including the 5 operators new this round
-# (repetition_quality, semantic_dedup, dedup_keep_best,
-# stratified_sample, shuffle_shards). The 12 overflow queries
-# (date_arithmetic, case_bucketing, math_funcs, rolling_range_window,
-# json_typed_parse, regex_funcs, window_rank_battery,
-# approx_distinct_sketch, stat_aggregates, bucketed_fact_join,
-# time_rollup, null_handling) are built-in function/agg batteries, green
-# under local pytest + oracle; they rotate into the round-3 prefix.
+# layout, cdc, graph), including the 7 operators new this round
+# (repetition_quality, lm_surprisal, semantic_dedup, dedup_keep_best,
+# stratified_sample, shuffle_shards, stream_trending_topk). The 14
+# overflow queries (date_arithmetic, case_bucketing, math_funcs,
+# rolling_range_window, json_typed_parse, regex_funcs,
+# window_rank_battery, approx_distinct_sketch, stat_aggregates,
+# bucketed_fact_join, time_rollup, null_handling, hash_sample,
+# train_val_split — the last two share their md5-tail machinery with
+# in-prefix stratified_sample/shuffle_shards) are green under local
+# pytest + oracle; they rotate into the round-3 prefix.
 _CHECK_PRIORITY = [
     "q12_priority_shipping",
     "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_buckets",
     "embedding_neardup", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "label_outlier_scores", "neardup_components",
-    "repetition_quality", "semantic_dedup", "dedup_keep_best",
+    "repetition_quality", "lm_surprisal", "semantic_dedup", "dedup_keep_best",
     "stratified_sample", "shuffle_shards",
     "token_stats", "text_quality", "lang_id", "doc_fingerprint",
     "bpe_token_count", "term_frequency", "winnow_fingerprint",
@@ -79,8 +81,9 @@ _CHECK_PRIORITY = [
     "payload_byte_stats",
     "stream_hourly_agg", "stream_stream_join", "stream_session_window",
     "stream_static_join", "stream_dedup_events", "stream_sessionize_stateful",
+    "stream_trending_topk",
     "tier_a_wc", "tier_a_indexer",
-    "hash_sample", "train_val_split", "salted_skew_join",
+    "salted_skew_join",
     "udtf_sentences", "pandas_udaf_median",
     "doc_chunking", "pack_context_windows", "contamination_ngrams",
     "pii_pseudonymize", "vocab_coverage", "corpus_curation",

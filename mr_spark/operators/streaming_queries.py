@@ -248,3 +248,55 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+@query(
+    "stream_trending_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour_start, event_type, n FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_start
+                                   ORDER BY n DESC, event_type) AS rn
+      FROM counts
+    ) WHERE rn <= 2
+    """,
+)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-items pattern: a streaming windowed count (real readStream,
+    complete mode) with the per-window top-k rank applied to the sink
+    output — the standard split, since rank-over-aggregate isn't an
+    incremental streaming operator: the stream maintains the counts, the
+    serving read ranks them (in production, the same rank runs inside
+    foreachBatch or on the results table). Deterministic event_type
+    tie-break."""
+    from pyspark.sql import Window
+
+    from ..streaming import run_to_completion
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = normalize_event_ts(stream)
+    counts = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    result = run_to_completion(
+        counts, name="mrspark_stream_topk", output_mode="complete",
+        state_partitions=8,
+    )
+    w = Window.partitionBy("hour_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        result.select(F.col("window.start").alias("hour_start"), "event_type", "n")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("hour_start", "event_type", "n")
+    )

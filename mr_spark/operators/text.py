@@ -521,3 +521,70 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("dup_trigram_frac") < _REP_DUP_TRIGRAM_MAX)
         ).alias("keep"),
     )
+
+
+# ---- unigram-LM surprisal filter --------------------------------------------
+
+# keep band tuned to the synthetic corpus's surprisal distribution (the
+# CCNet practice: drop both tails — too-common ≈ boilerplate, too-rare ≈
+# noise); on real corpora these come from the head/middle/tail terciles
+_SURP_LO = 3.395
+_SURP_HI = 3.410
+
+
+@query(
+    "lm_surprisal",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents),
+    freq AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_total FROM tok),
+    surp AS (
+      SELECT tok.doc_id,
+             round(ln(CAST(n.n_total AS DOUBLE) / freq.c) * 1000000) AS s
+      FROM tok JOIN freq USING (word) CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(SUM(s) / COUNT(*) / 1000000, 6) AS avg_surprisal,
+           round(SUM(s) / COUNT(*) / 1000000, 6) BETWEEN {_SURP_LO} AND {_SURP_HI}
+             AS keep
+    FROM surp GROUP BY doc_id
+    """,
+)
+def lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal filter (the CCNet/Wenzek et al. 2020 quality
+    signal, with the corpus itself as the LM): each document's mean
+    per-token surprisal −(1/n)·Σ ln p(w), where p comes from corpus-level
+    unigram counts. Documents far below the band are boilerplate (all
+    high-frequency tokens); far above are noise/garbage.
+
+    Plan: one explode pass feeds both the vocabulary-sized frequency
+    table (broadcast back) and the 1-row total (broadcast) — then one
+    doc_id shuffle for the per-doc mean. At 100 TB the LM table is
+    bounded by vocabulary, not corpus, so the broadcast holds.
+
+    Exactness: each token's ln is rounded to an integer quantum
+    (round(ln·10⁶) — integer-valued doubles, sums < 2^53, so the Σ is
+    order-independent), then two correctly-rounded divisions and a final
+    round(·,6) — both engines agree bit-for-bit, same argument as the
+    quantized-dot similarity family."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    freq = tok.groupBy("word").agg(F.count("*").alias("c"))
+    n = tok.agg(F.count("*").alias("n_total"))
+    surp = (
+        tok.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("n_total").cast("double") / F.col("c")) * 1e6
+            ).alias("s"),
+        )
+    )
+    avg = F.round(F.sum("s") / F.count("*") / 1e6, 6)
+    return surp.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        avg.alias("avg_surprisal"),
+        avg.between(_SURP_LO, _SURP_HI).alias("keep"),
+    )

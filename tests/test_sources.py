@@ -152,3 +152,25 @@ def test_whole_text_datasource_filter_pushdown(spark, tmp_path):
         "f3.txt",
     ]
     assert flt.rdd.getNumPartitions() == 2  # pruned BEFORE reading
+
+
+def test_binary_file_ingest(spark, tmp_path):
+    """spark.read.format('binaryFile') — the ingestion path for opaque
+    image/audio/video payloads (multimodal.py operates on exactly this
+    (path, length, content) shape once ingested): content bytes round-trip
+    exactly and pathGlobFilter prunes non-matching extensions."""
+    payloads = {f"img_{i}.bin": bytes([i] * (16 + i)) for i in range(4)}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    (tmp_path / "notes.txt").write_text("not a payload")
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(tmp_path))
+    )
+    rows = {os.path.basename(r["path"]): r for r in df.collect()}
+    assert set(rows) == set(payloads)
+    for name, data in payloads.items():
+        assert bytes(rows[name]["content"]) == data
+        assert rows[name]["length"] == len(data)
