@@ -579,10 +579,12 @@ SEMDEDUP_THRESHOLD = 0.30
 @query(
     "semantic_dedup",
     oracle=f"""
-    WITH e AS ({_EMB_QL}),
+    WITH e0 AS ({_EMB_QL}),
+    e AS (SELECT vec_id, label, q, {_BUCKET_SQL} AS bucket FROM e0),
     dropped AS (
       SELECT DISTINCT b.vec_id
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket
+                       AND a.vec_id < b.vec_id
       WHERE list_dot_product(a.q, b.q) / {SCALE_SQ} >= {SEMDEDUP_THRESHOLD}
     )
     SELECT e.vec_id, e.label,
@@ -594,15 +596,20 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): cluster
     the corpus with a coarse quantizer, compare pairs only WITHIN a
     cluster, and drop every vector that has an earlier (lower vec_id)
-    same-cluster vector above the similarity threshold. Here the cluster
-    id is the `label` column (a stand-in coarse quantizer; ann_ivf_topk's
-    broadcast-Lloyd k-means is the production one — same downstream shape).
+    same-cluster vector above the similarity threshold. The quantizer is
+    (label × 8-bit sign-LSH bucket): SemDeDup's semantics are
+    quantizer-defined, and the cluster count MUST grow with the corpus to
+    bound per-cluster pairwise work — a static label column alone went
+    quadratic in the 8× scale probe (32× wall); subdividing by the sign
+    bucket caps cluster sizes the way production SemDeDup scales k with n
+    (ann_ivf_topk's broadcast-Lloyd k-means is the learned version of the
+    same quantizer).
 
-    Plan: equi-join on cluster id (hash shuffle, never a cross join — the
-    pairwise blow-up is bounded per cluster, the whole point of SemDeDup),
-    exact quantized-integer dot filter, distinct dropped set, then a left
-    join back to flag keeps. At 100 TB: clusters shuffle independently;
-    a hot cluster salts/splits like any skewed key."""
+    Plan: equi-join on (label, bucket) — hash shuffle, never a cross
+    join; the pairwise blow-up is bounded per cluster, the whole point of
+    SemDeDup — exact quantized-integer dot filter, distinct dropped set,
+    then a left join back to flag keeps. A hot cluster salts/splits like
+    any skewed key."""
     from ..functions import dot as dot_fn
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -610,12 +617,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     e = emb.select(
         "vec_id", "label", F.transform(v, lambda x: F.round(x / norm * SCALE)).alias("q")
-    )
+    ).withColumn("bucket", _sign_bucket_expr())
     a, b = e.alias("a"), e.alias("b")
     dropped = (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .where(
