@@ -57,23 +57,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # Round-2 prefix = q12 + the LLM-pipeline families (dedup, similarity,
 # text, multimodal, streaming, tier A, pipeline, sampling, skew, udtf,
-# layout, cdc, graph), including the 7 operators new this round
+# layout, cdc, graph), including the 8 operators new this round
 # (repetition_quality, lm_surprisal, semantic_dedup, dedup_keep_best,
-# stratified_sample, shuffle_shards, stream_trending_topk). The 14
-# overflow queries (date_arithmetic, case_bucketing, math_funcs,
+# exact_substring_pairs, stratified_sample, shuffle_shards,
+# stream_trending_topk). The 15 overflow queries (date_arithmetic, case_bucketing, math_funcs,
 # rolling_range_window, json_typed_parse, regex_funcs,
 # window_rank_battery, approx_distinct_sketch, stat_aggregates,
-# bucketed_fact_join, time_rollup, null_handling, hash_sample,
-# train_val_split — the last two share their md5-tail machinery with
-# in-prefix stratified_sample/shuffle_shards) are green under local
-# pytest + oracle; they rotate into the round-3 prefix.
+# bucketed_fact_join, time_rollup, null_handling, vocab_coverage,
+# hash_sample, train_val_split — the last two share their md5-tail
+# machinery with in-prefix stratified_sample/shuffle_shards) are green
+# under local pytest + oracle; they rotate into the round-3 prefix.
 _CHECK_PRIORITY = [
     "q12_priority_shipping",
     "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_buckets",
     "embedding_neardup", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "label_outlier_scores", "neardup_components",
     "repetition_quality", "lm_surprisal", "semantic_dedup", "dedup_keep_best",
-    "stratified_sample", "shuffle_shards",
+    "exact_substring_pairs", "stratified_sample", "shuffle_shards",
     "token_stats", "text_quality", "lang_id", "doc_fingerprint",
     "bpe_token_count", "term_frequency", "winnow_fingerprint",
     "winnow_containment", "top_terms_per_doc",
@@ -86,7 +86,7 @@ _CHECK_PRIORITY = [
     "salted_skew_join",
     "udtf_sentences", "pandas_udaf_median",
     "doc_chunking", "pack_context_windows", "contamination_ngrams",
-    "pii_pseudonymize", "vocab_coverage", "corpus_curation",
+    "pii_pseudonymize", "corpus_curation",
     "zorder_key_lineitem", "scd2_history",
 ]
 

@@ -528,3 +528,69 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_copies").cast("bigint").alias("n_copies"),
         )
     )
+
+
+_SUBSTR_L = 40  # window length, chars (Lee et al. use 50 BPE tokens)
+
+
+@query(
+    "exact_substring_pairs",
+    oracle=f"""
+    WITH wins AS (
+      SELECT DISTINCT doc_id,
+             CAST(md5_number_lower(substr(text, i, {_SUBSTR_L}))
+                  % 9223372036854775808 AS BIGINT) AS h
+      FROM documents, unnest(range(1, length(text) - {_SUBSTR_L - 2})) AS t(i)
+      WHERE length(text) >= {_SUBSTR_L}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup criterion (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): document pairs sharing
+    at least one VERBATIM 40-char substring, with the count of shared
+    windows. Complements the set-overlap (Jaccard) and sampled-fingerprint
+    (winnowing) criteria — verbatim overlap catches quotation/boilerplate
+    reuse that shingle sets dilute.
+
+    Implementation: every stride-1 character window hashes to a 64-bit
+    digest (the md5-tail construction shared with winnowing, identical in
+    DuckDB), deduped per doc BEFORE the shuffle, then the same inverted
+    hash-index self-join as the Jaccard path. At 100 TB only 8-byte
+    digests shuffle, never text; a boilerplate window shared by many docs
+    is the classic hot-shingle df² key — cap or PPJoin-filter it exactly
+    as ngram_jaccard_pairs does above _PPJOIN_DOC_THRESHOLD."""
+    from .text import _md5_lower64
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= _SUBSTR_L
+    )
+    wins = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - (_SUBSTR_L - 1)),
+                    lambda i: F.col("text").substr(i, F.lit(_SUBSTR_L)),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", _md5_lower64(F.col("w")).alias("h"))
+        .distinct()
+    )
+    a, b = wins.alias("a"), wins.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )

@@ -42,9 +42,13 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    return formatted(df).count("Exchange hashpartitioning") + formatted(df).count(
-        "Exchange rangepartitioning"
-    )
+    """Shuffle Exchange nodes in the plan (broadcast exchanges excluded).
+    Formatted explain names shuffle nodes exactly 'Exchange' — the
+    partitioning lands on a separate Arguments line — so count the
+    '(n) Exchange' detail headers."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange\b", formatted(df)))
 
 
 def has_partial_aggregate(df: DataFrame) -> bool:

@@ -86,3 +86,29 @@ def test_jvm_queries_have_no_python_in_plan(spark):
         if any(m in plan for m in markers):
             offenders.append(name)
     assert not offenders, f"unexpected Python in plans: {offenders}"
+
+
+def test_winnow_fingerprints_single_exchange(spark):
+    """The winnowing fingerprint relation must stay ONE exchange
+    end-to-end: the lag-based run filter and the collect_set dedup both
+    reuse the min-window's hash(doc_id) partitioning. A second exchange
+    here was round 1's only super-linear scale probe."""
+    from mr_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert plans.count_shuffles(winnow_fingerprints(docs)) == 1
+
+
+def test_lm_surprisal_broadcasts_lm(spark):
+    """The unigram LM (vocab-sized) and the total-count row must reach the
+    token stream as broadcasts — a shuffle join on the token stream would
+    move the corpus twice."""
+    df = QUERIES["lm_surprisal"](spark, SF_DIR)
+    assert plans.uses_broadcast_join(df)
+
+
+def test_term_frequency_broadcasts_corpus_count(spark):
+    """docs.count() used to run as a separate driver-side job; the count
+    now lives in the plan as a broadcast 1-row aggregate."""
+    df = QUERIES["term_frequency"](spark, SF_DIR)
+    assert plans.uses_broadcast_join(df)
