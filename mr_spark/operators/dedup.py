@@ -558,14 +558,18 @@ def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse that shingle sets dilute.
 
     Implementation: every stride-1 character window hashes to a 64-bit
-    digest (the md5-tail construction shared with winnowing, identical in
-    DuckDB), deduped per doc BEFORE the shuffle, then the same inverted
-    hash-index self-join as the Jaccard path. At 100 TB only 8-byte
-    digests shuffle, never text; a boilerplate window shared by many docs
-    is the classic hot-shingle df² key — cap or PPJoin-filter it exactly
-    as ngram_jaccard_pairs does above _PPJOIN_DOC_THRESHOLD."""
-    from .text import _md5_lower64
-
+    digest, deduped per doc BEFORE the shuffle, then the same inverted
+    hash-index self-join as the Jaccard path. The digest is an INTERNAL
+    join key — only the resulting (doc_a, doc_b) pairs are output — so
+    each engine uses its own fast native hash (Spark xxhash64, DuckDB
+    md5-tail) and the pair sets still agree exactly up to ~n²/2⁶⁴
+    collision odds; the cross-engine-identical md5-tail construction is
+    only needed where hash VALUES are output (winnowing, sampling). The
+    md5 chain here cost 4× the whole join (12 s → 3 s at sf0.1). At
+    100 TB only 8-byte digests shuffle, never text; a boilerplate window
+    shared by many docs is the classic hot-shingle df² key — cap or
+    PPJoin-filter it exactly as ngram_jaccard_pairs does above
+    _PPJOIN_DOC_THRESHOLD."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.length("text") >= _SUBSTR_L
     )
@@ -579,7 +583,7 @@ def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("w"),
         )
-        .select("doc_id", _md5_lower64(F.col("w")).alias("h"))
+        .select("doc_id", F.xxhash64("w").alias("h"))
         .distinct()
     )
     a, b = wins.alias("a"), wins.alias("b")
