@@ -110,3 +110,69 @@ def test_batched_output_survives_task_crashes():
         timeout=300,
     )
     assert "CHAOS_BATCHED_OK" in res.stdout, res.stderr[-3000:]
+
+
+JOBCOUNT_JOB = r"""
+import os, sys, tempfile, uuid
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+from pyspark import TaskContext
+
+spark = (
+    SparkSession.builder.master("local[8,4]")
+    .appName("jobcount").config("spark.ui.enabled", "false").getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from mr_spark.engine import get_app, run_mapreduce, run_sequential
+from mr_spark.engine.sequential import to_text_lines
+
+MARK_DIR = tempfile.mkdtemp()
+corpus = [(f"doc_{i}", f"alpha beta doc{i} gamma alpha") for i in range(20)]
+app = get_app("wc")
+
+
+class JobCountApp:
+    # the reference's app-jobcount technique (app-jobcount/src/lib.rs:18-73):
+    # a SIDE-EFFECT marker file per map invocation, which survives the task
+    # failure — the only way to observe execution count from inside a UDF
+    def map(self, k, v):
+        open(os.path.join(MARK_DIR, f"{k}-{uuid.uuid4().hex}"), "w").close()
+        ctx = TaskContext.get()
+        if ctx is not None and ctx.attemptNumber() == 0:
+            raise RuntimeError("injected first-attempt crash")
+        return app.map(k, v)
+
+    def reduce(self, k, vs):
+        return app.reduce(k, vs)
+
+
+got = sorted(f"{k} {v}" for k, v in run_mapreduce(spark, corpus, JobCountApp(), n_reduce=5).collect())
+golden = to_text_lines(run_sequential(corpus, app))
+n_invocations = len(os.listdir(MARK_DIR))
+# at-least-once EXECUTION: the crashed first attempts left markers beyond
+# one-per-record...
+assert n_invocations > len(corpus), f"{n_invocations} <= {len(corpus)}"
+# ...while the RESULT is still exactly-once (golden):
+assert got == golden
+print("JOBCOUNT_OK", n_invocations, len(corpus))
+"""
+
+
+def test_jobcount_side_effects_observe_retries():
+    """The reference's jobcount app counts map INVOCATIONS via side-effect
+    marker files (app-jobcount/src/lib.rs:18-73) — untranslatable as a
+    *query* because Spark's retry model assumes idempotent UDFs (README
+    'untranslatable' note). This test re-expresses its semantic as a
+    property: under injected task crashes, marker files show MORE
+    invocations than records (at-least-once execution), while the job
+    output remains byte-identical to the sequential golden (exactly-once
+    results). That pair of facts is precisely what jobcount exists to
+    demonstrate."""
+    res = subprocess.run(
+        [sys.executable, "-c", JOBCOUNT_JOB],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "JOBCOUNT_OK" in res.stdout, res.stderr[-3000:]
