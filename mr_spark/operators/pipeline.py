@@ -356,3 +356,71 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ok") & ~F.col("keep"), 1).otherwise(0)).cast("bigint")
         .alias("n_drop_dup"),
     )
+
+
+# target mixture: upweight the benchmark-adjacent source, downweight the
+# rest uniformly (literal so both engines share it; a real pipeline reads
+# this from a mixture config)
+_MIX_TARGET_SRC = "src1"
+_MIX_TARGET_SHARE = 0.25
+
+
+@query(
+    "mixture_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, CAST(len({_TOKS_SQL}) AS BIGINT) AS n FROM documents
+    ),
+    per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS n_tokens
+            FROM tok GROUP BY source),
+    tot AS (SELECT SUM(n_tokens) AS total FROM per)
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / total AS actual_share,
+           CASE WHEN source = '{_MIX_TARGET_SRC}' THEN {_MIX_TARGET_SHARE}
+                ELSE {(1 - _MIX_TARGET_SHARE)} / ((SELECT COUNT(*) FROM per) - 1)
+           END AS target_share,
+           (CASE WHEN source = '{_MIX_TARGET_SRC}' THEN {_MIX_TARGET_SHARE}
+                 ELSE {(1 - _MIX_TARGET_SHARE)} / ((SELECT COUNT(*) FROM per) - 1)
+            END) / (CAST(n_tokens AS DOUBLE) / total) AS sample_weight
+    FROM per CROSS JOIN tot
+    """,
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing (the domain-weights step of pretraining
+    curation, à la The Pile / DoReMi's input): per-source token counts,
+    actual corpus share, a target mixture (one source upweighted to 25%,
+    the rest uniform), and the per-source sampling weight
+    target/actual that a weighted sampler applies downstream.
+
+    Plan: one explode-free token count per doc (array length, no explode),
+    one source-level agg (sources ≪ corpus), totals broadcast back — at
+    100 TB this is a metadata-sized result computed in one corpus scan.
+    Exactness: integer token counts, then divisions in the same literal
+    order on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source", F.size(tokens("text")).cast("bigint").alias("n")
+    ).groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+    )
+    per = per.persist()
+    tot = per.agg(F.sum("n_tokens").alias("total"))
+    n_src = per.agg(F.count("*").alias("n_sources"))
+    target = F.when(
+        F.col("source") == _MIX_TARGET_SRC, F.lit(_MIX_TARGET_SHARE)
+    ).otherwise(F.lit(1 - _MIX_TARGET_SHARE) / (F.col("n_sources") - 1))
+    actual = F.col("n_tokens").cast("double") / F.col("total")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n_src))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            actual.alias("actual_share"),
+            target.alias("target_share"),
+            (target / actual).alias("sample_weight"),
+        )
+    )
