@@ -486,3 +486,109 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
         """
     )
+
+
+@query(
+    "event_funnel",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    v AS (SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT ev.user_id, MIN(ev.ts) AS t2
+          FROM ev JOIN v ON ev.user_id = v.user_id
+          WHERE ev.event_type = 'click' AND ev.ts > v.t1 GROUP BY ev.user_id),
+    p AS (SELECT ev.user_id, MIN(ev.ts) AS t3
+          FROM ev JOIN c ON ev.user_id = c.user_id
+          WHERE ev.event_type = 'purchase' AND ev.ts > c.t2 GROUP BY ev.user_id)
+    SELECT '1_view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase, strict
+    timestamp order per user): each step's user count requires the
+    earliest qualifying event AFTER the previous step's — the sequential
+    min-chain that plain per-type aggregation gets wrong (a click before
+    the first view must not count).
+
+    Plan: three filtered aggregations chained by equi-joins on user_id —
+    every join keys on the user shuffle, each stage's output is
+    user-cardinality (shrinking), and all aggs combine map-side. The
+    standard product-analytics funnel at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def _cnt(df, step):
+        return df.agg(
+            F.lit(step).alias("step"), F.count("*").cast("bigint").alias("n_users")
+        )
+    return _cnt(v, "1_view").unionAll(_cnt(c, "2_click")).unionAll(
+        _cnt(p, "3_purchase")
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    first AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM ev GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+            FROM ev)
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, wk) / 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    in each subsequent activity week — the (cohort_week, week_offset)
+    triangle every growth dashboard draws. Week offsets are exact integer
+    day-diffs of week-truncated timestamps divided by 7.
+
+    Plan: one user-level min agg, one distinct (user, week) projection,
+    an equi-join on user_id, and a (cohort, offset) agg — two
+    user-keyed shuffles plus one metadata-sized one."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )
