@@ -588,3 +588,108 @@ def lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg.alias("avg_surprisal"),
         avg.between(_SURP_LO, _SURP_HI).alias("keep"),
     )
+
+
+# ---- BM25 ranking -----------------------------------------------------------
+
+_BM25_TERMS = ("the", "fast", "key", "join", "merge")  # the fixed "query"
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 10
+
+
+def _bm25_term_sql(t: str) -> str:
+    """Per-term BM25 partial: same literal op order as the Spark column."""
+    return f"""round(
+        ln((CAST(n.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+        * (tf.tf * {_BM25_K1 + 1.0})
+        / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+           + {_BM25_B} * (dl.dl / (CAST(n.n_tokens AS DOUBLE) / n.n_docs)))), 6)"""
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+    n AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM tok) AS n_tokens),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok
+           WHERE word IN {str(_BM25_TERMS)} GROUP BY 1, 2),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    scores AS (
+      SELECT tf.doc_id, tf.word, {_bm25_term_sql('t')} AS s
+      FROM tf JOIN df USING (word) CROSS JOIN n
+      JOIN dl ON tf.doc_id = dl.doc_id
+    ),
+    pivoted AS (
+      SELECT doc_id,
+             {", ".join(f"COALESCE(MAX(CASE WHEN word = '{t}' THEN s END), 0.0) AS s{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM scores GROUP BY doc_id
+    )
+    SELECT doc_id, round({" + ".join(f"s{i}" for i in range(len(_BM25_TERMS)))}, 6) AS bm25
+    FROM pivoted
+    ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOP}
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking (Robertson/Sparck Jones) for a fixed query
+    term set: the tf saturation (k1) and length normalization (b) that
+    raw TF-IDF lacks — the default lexical ranking function everywhere.
+
+    Determinism: per-(doc, term) scores are identical double chains in
+    both engines (same literal op order over exact integer tf/df/dl/N),
+    rounded to 6 decimals; the per-doc total is a FIXED-ORDER sum of the
+    pivoted per-term columns (a float SUM() aggregate would be
+    summation-order-dependent — the pivot makes addition order literal).
+
+    Plan: the tf table is filtered to query terms BEFORE any shuffle (the
+    inverted-index access pattern), df/N broadcast, one doc_id pivot agg,
+    global top-k via TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    n = tok.agg(F.count("*").alias("n_tokens")).crossJoin(
+        docs.agg(F.count("*").alias("n_docs"))
+    )
+    tf = (
+        tok.where(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    avgdl = F.col("n_tokens").cast("double") / F.col("n_docs")
+    s = F.round(
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * (F.col("dl") / avgdl))
+        ),
+        6,
+    )
+    scores = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .join(dl, "doc_id")
+        .select("doc_id", "word", s.alias("s"))
+    )
+    pivoted = scores.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("word") == t, F.col("s"))), F.lit(0.0)
+            ).alias(f"s{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
+    total = F.col("s0")
+    for i in range(1, len(_BM25_TERMS)):
+        total = total + F.col(f"s{i}")
+    return (
+        pivoted.select("doc_id", F.round(total, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOP)
+    )
