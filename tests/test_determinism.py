@@ -21,6 +21,12 @@ SENSITIVE = [
     "ngram_jaccard_pairs",
     "pack_context_windows",
     "label_outlier_scores",
+    # round-2 additions whose naive forms are order-sensitive: quantized
+    # ln-sum, fixed-order BM25 sum + top-k ties, hash-bucketed pair gen
+    "lm_surprisal",
+    "bm25_topk",
+    "semantic_dedup",
+    "exact_substring_pairs",
 ]
 
 
