@@ -1,0 +1,199 @@
+"""Word-graph text analytics over ``documents``: bigram collocation
+scoring (PMI) and TextRank keyword extraction (PageRank over the word
+co-occurrence graph — Mihalcea & Tarau 2004, Page et al. 1999).
+
+Bigram extraction is row-side (transform over each doc's token array —
+no shuffle until the count); the graph relations (vocabulary-sized) are
+broadcast. TextRank's 5 power iterations follow the same cross-engine
+determinism contract as the minhash oracle: the ENTIRE iteration is
+replayed in generated SQL, with per-step rounding to 12dp and exact
+decimal sums so neither engine's float accumulation order can leak into
+the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+from ..sources import load_table
+from . import query
+
+# lowercased letter-run tokens — DuckDB twin of tokens(lower(text))
+_TOKSL_SQL = "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '')"
+
+# adjacent-pair stream: every (t[i], t[i+1]) across the corpus
+_BIGRAM_SQL = f"""
+  toks AS (SELECT {_TOKSL_SQL} AS t FROM documents),
+  big AS (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                  i -> {{'w1': t[i], 'w2': t[i+1]}})) AS bg
+    FROM toks WHERE len(t) >= 2
+  ),
+  bg AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM big)
+"""
+
+_MIN_PAIR = 20  # support floor: rare pairs have unstable PMI and bloat output
+
+
+def _bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w1, w2) adjacent-token pairs, one row per occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("t")
+    pair = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 2),
+        lambda i: F.struct(
+            F.element_at(t, i + 1).alias("w1"), F.element_at(t, i + 2).alias("w2")
+        ),
+    )
+    return (
+        docs.select(tokens(F.lower(F.col("text"))).alias("t"))
+        .where(F.size(t) >= 2)
+        .select(F.explode(pair).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH {_BIGRAM_SQL},
+    bc AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM uni)
+    SELECT bc.w1, bc.w2, CAST(bc.c_xy AS BIGINT) AS c_xy,
+           ROUND(LN(CAST(bc.c_xy * tot.n AS DOUBLE)
+                    / CAST(u1.c * u2.c AS DOUBLE)), 6) AS pmi
+    FROM bc, tot
+    JOIN uc u1 ON bc.w1 = u1.w
+    JOIN uc u2 ON bc.w2 = u2.w
+    WHERE bc.c_xy >= {_MIN_PAIR}
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent word
+    pairs, PMI = ln(c_xy·N / (c_x·c_y)) on exact integer counts (one ln +
+    one division of identical integers — deterministic). Unigram marginals
+    are vocabulary-sized → broadcast; the bigram count is the only big
+    shuffle. Support floor keeps the output the interesting head, not the
+    long tail."""
+    bg = _bigrams(spark, sf_dir)
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy")).where(
+        F.col("c_xy") >= _MIN_PAIR
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    uni = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.count("*").alias("n"))
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.round(
+                F.log(
+                    (F.col("c_xy") * F.col("n")).cast("double")
+                    / (F.col("c1") * F.col("c2")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+_DAMPING = 0.85
+_ITERS = 5
+
+
+def _textrank_oracle() -> str:
+    """Generated SQL replaying the full TextRank iteration in DuckDB.
+
+    Determinism contract (mirrored exactly in the Spark code): each
+    contribution is ROUND(r·w/outw, 12) in double (identical IEEE ops both
+    engines), summed EXACTLY as DECIMAL(28,12), and each new rank is
+    ROUND(0.15/N + 0.85·sum, 12)."""
+    parts = [
+        f"WITH {_BIGRAM_SQL}",
+        """,
+    und AS (
+      SELECT w1 AS src, w2 AS dst FROM bg WHERE w1 <> w2
+      UNION ALL
+      SELECT w2 AS src, w1 AS dst FROM bg WHERE w1 <> w2
+    ),
+    edges AS (SELECT src, dst, COUNT(*) AS w FROM und GROUP BY 1, 2),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM outw),
+    r0 AS (SELECT src AS word, ROUND(1.0 / (SELECT n FROM nn), 12) AS r FROM outw)""",
+    ]
+    for i in range(1, _ITERS + 1):
+        parts.append(f""",
+    r{i} AS (
+      SELECT e.dst AS word,
+             ROUND(0.15 / (SELECT n FROM nn)
+                   + 0.85 * CAST(SUM(CAST(ROUND(p.r * e.w / o.ow, 12)
+                                          AS DECIMAL(28,12))) AS DOUBLE), 12) AS r
+      FROM edges e
+      JOIN r{i - 1} p ON e.src = p.word
+      JOIN outw o ON e.src = o.src
+      GROUP BY e.dst
+    )""")
+    parts.append(f"""
+    SELECT word, ROUND(r, 6) AS rank FROM r{_ITERS}""")
+    return "".join(parts)
+
+
+@query("textrank_keywords", oracle=_textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring: PageRank (d=0.85, 5 power iterations)
+    over the undirected word co-occurrence graph (edge weight = adjacency
+    count, self-loops dropped). Iteration strategy mirrors ann_ivf's
+    broadcast-Lloyd: the rank vector is VOCABULARY-sized (≪ corpus, like
+    k-means centroids), so each round collects it and broadcast-joins it
+    back into the persisted distributed edge relation — one groupBy
+    shuffle per round, no deep AQE stage chains (the fully-distributed
+    rank join was 10× slower here on pure stage-scheduling latency; for a
+    vocabulary too big to collect, swap the broadcast for the equi-join —
+    the surrounding algebra is unchanged). Every float step is rounded to
+    12dp and summed in exact decimal so five iterations stay bit-identical
+    to the generated-SQL oracle — same technique as minhash_lsh_pairs."""
+    bg = _bigrams(spark, sf_dir).where(F.col("w1") != F.col("w2"))
+    und = bg.select(F.col("w1").alias("src"), F.col("w2").alias("dst")).unionAll(
+        bg.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
+    )
+    edges = und.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    e2 = edges.join(outw, "src").select("src", "dst", "w", "ow").persist()
+    nodes = [row["src"] for row in outw.select("src").collect()]
+    n = len(nodes)
+    r0 = round(1.0 / n, 12)
+    rank_rows = [(word, r0) for word in nodes]
+    for _ in range(_ITERS):
+        ranks_df = spark.createDataFrame(rank_rows, "word string, r double")
+        rank_rows = (
+            e2.join(F.broadcast(ranks_df), e2.src == ranks_df.word)
+            .select(
+                "dst", F.round(F.col("r") * F.col("w") / F.col("ow"), 12).alias("contrib")
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("contrib").cast("decimal(28,12)")).alias("s"))
+            .select(
+                "dst",
+                F.round(
+                    F.lit(0.15) / F.lit(float(n))
+                    + F.lit(0.85) * F.col("s").cast("double"),
+                    12,
+                ).alias("r"),
+            )
+            .collect()
+        )
+        rank_rows = [(row["dst"], row["r"]) for row in rank_rows]
+    e2.unpersist()
+    final = spark.createDataFrame(rank_rows, "word string, rank double")
+    return final.select("word", F.round("rank", 6).alias("rank"))

@@ -27,6 +27,11 @@ SENSITIVE = [
     "bm25_topk",
     "semantic_dedup",
     "exact_substring_pairs",
+    # round-2 late additions: iterative float ranks, partition-local
+    # skyline pruning, collect_list path ordering
+    "textrank_keywords",
+    "pareto_frontier",
+    "session_paths",
 ]
 
 

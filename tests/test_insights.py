@@ -1,0 +1,107 @@
+"""Independent semantic checks for the timeseries / text-graph / stats_ext
+operators — verifying ALGORITHM properties brute-force or by invariant,
+not just oracle agreement (the oracle shares the algorithm; these don't)."""
+
+from __future__ import annotations
+
+from mr_spark import operators as ops
+
+from conftest import SF_DIR
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """The two-phase sort-prune skyline must equal the O(n²) dominance
+    definition computed directly."""
+    rows = ops.queries()["pareto_frontier"](spark, SF_DIR).collect()
+    frontier = {(r["c_custkey"], r["spend"], r["n_orders"]) for r in rows}
+
+    from pyspark.sql import functions as F
+
+    from mr_spark.sources import load_table
+
+    pc = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("spend"),
+            F.count("*").alias("n_orders"),
+        )
+        .collect()
+    )
+    pts = [(r["c_custkey"], r["spend"], r["n_orders"]) for r in pc]
+    brute = {
+        (c, s, n)
+        for (c, s, n) in pts
+        if not any(
+            s2 >= s and n2 >= n and (s2 > s or n2 > n) for (_, s2, n2) in pts
+        )
+    }
+    assert frontier == brute
+
+
+def test_textrank_is_a_probability_vector(spark):
+    """PageRank invariants: every rank positive, and the vector sums to 1
+    (within the 12dp per-step rounding drift × iterations)."""
+    rows = ops.queries()["textrank_keywords"](spark, SF_DIR).collect()
+    assert rows
+    ranks = [r["rank"] for r in rows]
+    assert all(r > 0 for r in ranks)
+    assert abs(sum(ranks) - 1.0) < 1e-4
+
+
+def test_gapfill_spine_is_contiguous(spark):
+    """Gap-fill output must cover every calendar day exactly once between
+    min and max, with forward-filled revenue never null after day one and
+    zero-filled counts on gap days."""
+    rows = ops.queries()["gapfill_daily_revenue"](spark, SF_DIR).collect()
+    days = sorted(r["day"] for r in rows)
+    assert len(days) == len(set(days))
+    assert (days[-1] - days[0]).days == len(days) - 1
+    by_day = {r["day"]: r for r in sorted(rows, key=lambda r: r["day"])}
+    seen_obs = False
+    for d in days:
+        r = by_day[d]
+        if not r["is_gap"]:
+            seen_obs = True
+            assert r["n_orders"] > 0
+        else:
+            assert r["n_orders"] == 0
+        if seen_obs:
+            assert r["revenue_ffill"] is not None
+
+
+def test_regression_trend_on_synthetic_slope(spark, tmp_path):
+    """Exact recovery: a hand-built events table with count = 3·day + 10
+    per day must yield slope 3, intercept 10 (integer OLS is exact)."""
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for day in range(5):
+        for _ in range(3 * day + 10):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(days=day, seconds=eid % 7),
+                    "user_id": eid % 3,
+                    "event_type": "click",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet")
+    out = ops.queries()["regression_trend"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["slope"] == 3.0
+    assert out[0]["intercept"] == 10.0
+
+
+def test_session_paths_counts_are_consistent(spark):
+    rows = ops.queries()["session_paths"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_sessions"] <= r["n_occurrences"]
+        assert r["path"].count(">") == 2
