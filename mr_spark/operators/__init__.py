@@ -70,7 +70,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # salted_skew_join (equality-vs-unsalted pinned in test_skew),
 # zorder_key_lineitem (test_layout file-stats proof), scd2_history
 # (test_cdc), pii_pseudonymize + corpus_curation (test_pipeline_ops
-# invariants). All overflow queries stay green under local pytest +
+# invariants), doc_chunking + contamination_ngrams (test_pipeline_ops
+# conservation/bounds invariants), histogram_prices (trivial floor-div
+# bucketing, same expression family as case_bucketing). All
+# overflow queries stay green under local pytest +
 # tools/check_correctness at sf0.001/0.01/0.1; they rotate into the
 # round-3 prefix along with the 15 listed in COVERAGE.md.
 _CHECK_PRIORITY = [
@@ -92,7 +95,8 @@ _CHECK_PRIORITY = [
     "stream_static_join", "stream_dedup_events", "stream_sessionize_stateful",
     "stream_trending_topk",
     "udtf_sentences", "pandas_udaf_median",
-    "doc_chunking", "pack_context_windows", "contamination_ngrams",
+    "pack_context_windows",
+    "fuzzy_match_pairs", "triangle_count",
 ]
 
 

@@ -598,3 +598,81 @@ def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )
+
+
+_FUZZY_PREFIX = 16  # blocking-key width (chars of normalized text)
+_FUZZY_LEN_BAND = 20  # max length difference worth comparing
+_FUZZY_MAX_DIST = 20  # edit-distance match threshold
+
+
+@query(
+    "fuzzy_match_pairs",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^\\p{{L}}]+', ' ', 'g')) AS n
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, n, substr(n, 1, {_FUZZY_PREFIX}) AS k FROM norm
+      UNION ALL
+      SELECT doc_id, n, substr(n, length(n) - {_FUZZY_PREFIX - 1}, {_FUZZY_PREFIX})
+      FROM norm WHERE length(n) >= {_FUZZY_PREFIX}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb
+      FROM keyed a JOIN keyed b
+        ON a.k = b.k AND a.doc_id < b.doc_id
+           AND abs(length(a.n) - length(b.n)) <= {_FUZZY_LEN_BAND}
+    )
+    SELECT doc_a, doc_b, CAST(levenshtein(na, nb) AS BIGINT) AS edit_dist
+    FROM cand WHERE levenshtein(na, nb) <= {_FUZZY_MAX_DIST}
+    """,
+)
+def fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate pairs with BLOCKING — the classic
+    entity-resolution shape: candidates come from two cheap equi-join
+    blocking passes (shared 16-char prefix OR shared 16-char suffix of the
+    normalized text, plus a length band), and the quadratic-cost
+    levenshtein runs only on blocked candidates, never all pairs. Two
+    blocking keys raise recall (an edit in the first chars breaks the
+    prefix block but not the suffix block); at 100 TB you'd add more
+    passes (token-sorted key, minhash band) — each is another cheap
+    equi-join feeding the same verify. Complements the token-level
+    (jaccard/minhash) and chunk-level (winnow/substring) dedup criteria
+    with a character-level one."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", normalized_text("text").alias("n")
+    )
+    prefix = docs.select("doc_id", "n", F.substring("n", 1, _FUZZY_PREFIX).alias("k"))
+    suffix = docs.where(F.length("n") >= _FUZZY_PREFIX).select(
+        "doc_id",
+        "n",
+        F.substring(
+            "n", F.length("n") - (_FUZZY_PREFIX - 1), F.lit(_FUZZY_PREFIX)
+        ).alias("k"),
+    )
+    keyed = prefix.unionAll(suffix)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.length(F.col("a.n")) - F.length(F.col("b.n")))
+                <= _FUZZY_LEN_BAND
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.levenshtein("na", "nb").cast("bigint").alias("edit_dist"),
+    ).where(F.col("edit_dist") <= _FUZZY_MAX_DIST)

@@ -137,3 +137,50 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pc.join(F.broadcast(frontier), ["spend", "n_orders"], "left_semi").select(
         "c_custkey", "spend", F.col("n_orders").cast("bigint").alias("n_orders")
     )
+
+
+_N_BUCKETS = 20
+
+
+@query(
+    "histogram_prices",
+    oracle=f"""
+    WITH b AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+               FROM lineitem)
+    SELECT CAST(LEAST(CAST(FLOOR((l_extendedprice - b.mn)
+                                 / ((b.mx - b.mn) / {_N_BUCKETS})) AS BIGINT),
+                      {_N_BUCKETS - 1}) AS BIGINT) AS bucket,
+           ROUND(b.mn + LEAST(CAST(FLOOR((l_extendedprice - b.mn)
+                                 / ((b.mx - b.mn) / {_N_BUCKETS})) AS BIGINT),
+                      {_N_BUCKETS - 1}) * ((b.mx - b.mn) / {_N_BUCKETS}), 2) AS lo,
+           COUNT(*) AS n
+    FROM lineitem, b
+    GROUP BY 1, 2
+    """,
+)
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 buckets over the observed price range) —
+    the profiling primitive behind every dashboard distribution plot. The
+    range comes from a scalar min/max aggregate broadcast as a one-row
+    cross join (exactly how Catalyst rewrites a scalar subquery), then
+    bucket assignment is a row-side floor division — one scan + one tiny
+    agg + one group-by, no sort. The bucket edge floats are identical
+    IEEE expressions on both engines (floor((p−mn)/w) with w computed
+    once), so even boundary values bucket identically."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    b = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    w = (F.col("mx") - F.col("mn")) / _N_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("mn")) / w).cast("bigint"),
+        F.lit(_N_BUCKETS - 1),
+    ).cast("bigint")
+    return (
+        li.crossJoin(F.broadcast(b))
+        .groupBy(
+            bucket.alias("bucket"),
+            F.round(F.col("mn") + bucket * w, 2).alias("lo"),
+        )
+        .agg(F.count("*").alias("n"))
+    )

@@ -105,3 +105,67 @@ def test_session_paths_counts_are_consistent(spark):
     for r in rows:
         assert 1 <= r["n_sessions"] <= r["n_occurrences"]
         assert r["path"].count(">") == 2
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-ordered wedge join vs direct enumeration over the collected
+    (small) word graph."""
+    from itertools import combinations
+
+    from mr_spark.operators.text_graph import _bigrams
+    from pyspark.sql import functions as F
+
+    out = ops.queries()["triangle_count"](spark, SF_DIR).collect()[0]
+    bg = _bigrams(spark, SF_DIR).where(F.col("w1") != F.col("w2"))
+    edges = {
+        tuple(sorted((r["w1"], r["w2"])))
+        for r in bg.select("w1", "w2").distinct().collect()
+    }
+    nodes = {x for e in edges for x in e}
+    n_tri = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    assert out["n_nodes"] == len(nodes)
+    assert out["n_edges"] == len(edges)
+    assert out["n_triangles"] == n_tri
+
+
+def test_fuzzy_match_finds_exact_duplicates(spark):
+    """Every exact normalized-text duplicate pair must surface with
+    edit_dist 0 (prefix blocking always catches identical strings)."""
+    from collections import defaultdict
+
+    from mr_spark.functions import normalized_text
+    from mr_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", normalized_text("text").alias("n")
+    )
+    by_norm = defaultdict(list)
+    for r in docs.collect():
+        by_norm[r["n"]].append(r["doc_id"])
+    expected_zero = {
+        (min(a, b), max(a, b))
+        for ids in by_norm.values()
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in ops.queries()["fuzzy_match_pairs"](spark, SF_DIR).collect()
+    }
+    for pair in expected_zero:
+        assert got.get(pair) == 0, f"missed exact duplicate pair {pair}"
+
+
+def test_histogram_partitions_all_rows(spark):
+    from mr_spark.sources import load_table
+
+    rows = ops.queries()["histogram_prices"](spark, SF_DIR).collect()
+    total = load_table(spark, SF_DIR, "lineitem").count()
+    assert sum(r["n"] for r in rows) == total
+    assert all(0 <= r["bucket"] <= 19 for r in rows)
+    los = [r["lo"] for r in sorted(rows, key=lambda r: r["bucket"])]
+    assert los == sorted(los)
