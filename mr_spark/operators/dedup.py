@@ -637,15 +637,58 @@ def fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking keys raise recall (an edit in the first chars breaks the
     prefix block but not the suffix block); at 100 TB you'd add more
     passes (token-sorted key, minhash band) — each is another cheap
-    equi-join feeding the same verify. Complements the token-level
-    (jaccard/minhash) and chunk-level (winnow/substring) dedup criteria
-    with a character-level one."""
+    equi-join feeding the same verify.
+
+    Scale-critical detail: levenshtein runs on DISTINCT normalized texts,
+    never on documents. Exact copies are grouped first (one md5-width
+    shuffle); intra-group pairs are emitted as edit-distance 0 by
+    construction, and verified inter-TEXT matches expand back to document
+    pairs with two cheap joins. The first cut verified doc-level pairs
+    directly and the 8× scale probe caught it at ratio 48 (every
+    duplicated text made its whole block quadratic); with text-level
+    verify the lev cost is bound by distinct-text pairs and the probe
+    drops back under the replication factor — the only super-linear part
+    left is the output itself, which is inherent. Complements the
+    token-level (jaccard/minhash) and chunk-level (winnow/substring)
+    dedup criteria with a character-level one."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", normalized_text("text").alias("n")
     )
-    prefix = docs.select("doc_id", "n", F.substring("n", 1, _FUZZY_PREFIX).alias("k"))
-    suffix = docs.where(F.length("n") >= _FUZZY_PREFIX).select(
-        "doc_id",
+    # five downstream branches (intra pairs, two blocking passes, two
+    # expansion joins) read this relation — persist or each re-runs the
+    # scan + normalize + groupBy
+    groups = (
+        docs.groupBy("n")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .persist()
+    )
+
+    ids = F.col("ids")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ids) - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(ids) - 1),
+                lambda j: F.struct(
+                    F.element_at(ids, i + 1).alias("a"),
+                    F.element_at(ids, j + 1).alias("b"),
+                ),
+            ),
+        )
+    )
+    intra = (
+        groups.where(F.size(ids) >= 2)
+        .select(F.explode(combos).alias("p"))
+        .select(
+            F.col("p.a").alias("doc_a"),
+            F.col("p.b").alias("doc_b"),
+            F.lit(0).cast("bigint").alias("edit_dist"),
+        )
+    )
+
+    texts = groups.select("n")
+    prefix = texts.select("n", F.substring("n", 1, _FUZZY_PREFIX).alias("k"))
+    suffix = texts.where(F.length("n") >= _FUZZY_PREFIX).select(
         "n",
         F.substring(
             "n", F.length("n") - (_FUZZY_PREFIX - 1), F.lit(_FUZZY_PREFIX)
@@ -657,22 +700,30 @@ def fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") < F.col("b.n"))
             & (
                 F.abs(F.length(F.col("a.n")) - F.length(F.col("b.n")))
                 <= _FUZZY_LEN_BAND
             ),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
+        .select(F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
         .distinct()
     )
-    return cand.select(
-        "doc_a",
-        "doc_b",
-        F.levenshtein("na", "nb").cast("bigint").alias("edit_dist"),
+    verified = cand.select(
+        "na", "nb", F.levenshtein("na", "nb").cast("bigint").alias("edit_dist")
     ).where(F.col("edit_dist") <= _FUZZY_MAX_DIST)
+
+    ga = groups.select(F.col("n").alias("na"), F.col("ids").alias("ids_a"))
+    gb = groups.select(F.col("n").alias("nb"), F.col("ids").alias("ids_b"))
+    inter = (
+        verified.join(ga, "na")
+        .join(gb, "nb")
+        .select("edit_dist", F.explode("ids_a").alias("ia"), "ids_b")
+        .select("edit_dist", "ia", F.explode("ids_b").alias("ib"))
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "edit_dist",
+        )
+    )
+    return intra.unionByName(inter.select("doc_a", "doc_b", "edit_dist"))

@@ -112,3 +112,63 @@ def test_term_frequency_broadcasts_corpus_count(spark):
     now lives in the plan as a broadcast 1-row aggregate."""
     df = QUERIES["term_frequency"](spark, SF_DIR)
     assert plans.uses_broadcast_join(df)
+
+
+def test_fuzzy_blocking_is_equi_join(spark):
+    """The blocking join must be a hash/sort-merge EQUI join on the block
+    key — a nested-loop (the plan a naive `levenshtein(a,b) <= k` join
+    condition produces) is the all-pairs death at scale."""
+    plan = plans.formatted(QUERIES["fuzzy_match_pairs"](spark, SF_DIR))
+    assert "NestedLoop" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_triangle_wedge_joins_are_equi(spark):
+    """Wedge build and closure must both be equi joins (the closure is a
+    single forward (source,sink)-key join; an OR-of-directions condition
+    would fall back to a nested loop). The only nested-loop nodes allowed
+    are the final one-row scalar cross joins."""
+    import re
+
+    plan = plans.formatted(QUERIES["triangle_count"](spark, SF_DIR))
+    equi = len(re.findall(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan))
+    assert equi >= 2
+
+
+def test_anomaly_days_broadcasts_stats(spark):
+    df = QUERIES["anomaly_days"](spark, SF_DIR)
+    assert plans.uses_broadcast_join(df)
+
+
+def test_event_cooccurrence_pairs_are_rowside(spark):
+    """Pair generation must be an explode over per-user arrays (Generate
+    node), with the marginals broadcast — not a user-level self-join."""
+    plan = plans.formatted(QUERIES["event_cooccurrence"](spark, SF_DIR))
+    assert "Generate" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_histogram_prunes_to_one_column(spark):
+    df = QUERIES["histogram_prices"](spark, SF_DIR)
+    schemas = plans.scan_schemas(df)
+    assert schemas and all(s == "struct<l_extendedprice:double>" for s in schemas)
+
+
+def test_gapfill_prunes_fact_scan(spark):
+    df = QUERIES["gapfill_daily_revenue"](spark, SF_DIR)
+    schemas = plans.scan_schemas(df)
+    assert schemas and all("o_orderkey" not in s for s in schemas)
+
+
+def test_pareto_has_two_window_phases(spark):
+    """Phase-1 per-partition prune + phase-2 global scan = two Window
+    nodes; recovery of customer rows is a broadcast semi join."""
+    import re
+
+    plan = plans.formatted(QUERIES["pareto_frontier"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) >= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_regression_trend_has_partial_aggregation(spark):
+    assert plans.has_partial_aggregate(QUERIES["regression_trend"](spark, SF_DIR))
