@@ -86,9 +86,9 @@ _CHECK_PRIORITY = [
     "label_outlier_scores", "neardup_components",
     "repetition_quality", "lm_surprisal", "semantic_dedup", "dedup_keep_best",
     "exact_substring_pairs",
-    "token_stats", "text_quality", "lang_id", "doc_fingerprint",
-    "bpe_token_count", "term_frequency", "winnow_fingerprint",
-    "winnow_containment", "top_terms_per_doc",
+    "market_concentration", "lexical_diversity", "mad_outliers",
+    "equidepth_histogram", "interpolate_missing", "markov_transitions",
+    "winnow_fingerprint", "winnow_containment", "top_terms_per_doc",
     "multimodal_meta", "frame_sample_stub", "image_features_stub",
     "payload_byte_stats",
     "stream_hourly_agg", "stream_stream_join", "stream_session_window",
@@ -151,4 +151,5 @@ def _load_all() -> None:
     from . import timeseries  # noqa: F401
     from . import text_graph  # noqa: F401
     from . import stats_ext  # noqa: F401
+    from . import distributions  # noqa: F401
     _LOADED = True
