@@ -89,8 +89,8 @@ _CHECK_PRIORITY = [
     "market_concentration", "lexical_diversity", "mad_outliers",
     "equidepth_histogram", "interpolate_missing", "markov_transitions",
     "winnow_fingerprint", "winnow_containment", "top_terms_per_doc",
-    "multimodal_meta", "frame_sample_stub", "image_features_stub",
-    "payload_byte_stats",
+    "char_ngram_entropy", "kl_source_drift", "embedding_dim_stats",
+    "weighted_sample",
     "stream_hourly_agg", "stream_stream_join", "stream_session_window",
     "stream_static_join", "stream_dedup_events", "stream_sessionize_stateful",
     "stream_trending_topk",
@@ -152,4 +152,5 @@ def _load_all() -> None:
     from . import text_graph  # noqa: F401
     from . import stats_ext  # noqa: F401
     from . import distributions  # noqa: F401
+    from . import infometrics  # noqa: F401
     _LOADED = True
