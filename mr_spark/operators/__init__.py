@@ -94,8 +94,8 @@ _CHECK_PRIORITY = [
     "stream_hourly_agg", "stream_stream_join", "stream_session_window",
     "stream_static_join", "stream_dedup_events", "stream_sessionize_stateful",
     "stream_trending_topk",
+    "kcenter_coreset",
     "udtf_sentences", "pandas_udaf_median",
-    "pack_context_windows",
     "fuzzy_match_pairs", "triangle_count",
 ]
 
@@ -153,4 +153,5 @@ def _load_all() -> None:
     from . import stats_ext  # noqa: F401
     from . import distributions  # noqa: F401
     from . import infometrics  # noqa: F401
+    from . import coreset  # noqa: F401
     _LOADED = True
