@@ -575,12 +575,53 @@ def label_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_THRESHOLD = 0.30
 
+# k ∝ n: sign-LSH bucket width by corpus size, so per-cluster pairwise
+# work stays bounded as the corpus grows (adding 6 bits per 100× ≈
+# cluster sizes constant). Tiers are exact-integer thresholds — both
+# engines derive the same width from the same COUNT(*).
+_SEMDEDUP_TIERS = ((100_000, 8), (10_000_000, 14), (1_000_000_000, 20))
+_SEMDEDUP_MAX_BITS = 26
+
+_ADAPTIVE_BITS_SQL = (
+    "CASE "
+    + " ".join(f"WHEN COUNT(*) <= {n} THEN {b}" for n, b in _SEMDEDUP_TIERS)
+    + f" ELSE {_SEMDEDUP_MAX_BITS} END"
+)
+
+
+def _adaptive_bits_col(n_col):
+    """Spark twin of _ADAPTIVE_BITS_SQL over a corpus-count column."""
+    expr = F.lit(_SEMDEDUP_MAX_BITS)
+    for n, b in reversed(_SEMDEDUP_TIERS):
+        expr = F.when(n_col <= n, F.lit(b)).otherwise(expr)
+    return expr.cast("int")
+
+
+def _adaptive_sign_bucket(bits_col):
+    """First-`bits` sign bits of the quantized vector as a bigint bucket
+    (2^i via pow — exact for i ≤ 52; the oracle's 1<<i yields the same
+    integers)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), bits_col - 1),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(F.col("q"), (i + 1).cast("int")) >= 0,
+            F.pow(F.lit(2.0), i).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+
 
 @query(
     "semantic_dedup",
     oracle=f"""
     WITH e0 AS ({_EMB_QL}),
-    e AS (SELECT vec_id, label, q, {_BUCKET_SQL} AS bucket FROM e0),
+    nb AS (SELECT {_ADAPTIVE_BITS_SQL} AS b FROM e0),
+    e AS (SELECT vec_id, label, q,
+          CAST(list_sum(list_transform(range(0, (SELECT b FROM nb)),
+               i -> CASE WHEN q[i + 1] >= 0 THEN CAST(1 AS BIGINT) << i
+                         ELSE 0 END)) AS BIGINT) AS bucket
+          FROM e0),
     dropped AS (
       SELECT DISTINCT b.vec_id
       FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket
@@ -597,13 +638,15 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus with a coarse quantizer, compare pairs only WITHIN a
     cluster, and drop every vector that has an earlier (lower vec_id)
     same-cluster vector above the similarity threshold. The quantizer is
-    (label × 8-bit sign-LSH bucket): SemDeDup's semantics are
+    (label × adaptive sign-LSH bucket): SemDeDup's semantics are
     quantizer-defined, and the cluster count MUST grow with the corpus to
     bound per-cluster pairwise work — a static label column alone went
-    quadratic in the 8× scale probe (32× wall); subdividing by the sign
-    bucket caps cluster sizes the way production SemDeDup scales k with n
-    (ann_ivf_topk's broadcast-Lloyd k-means is the learned version of the
-    same quantizer).
+    quadratic in the 8× scale probe (32× wall). The bucket width is
+    k ∝ n: 8 sign bits up to 1e5 vectors, +6 bits per ~100× beyond
+    (14/20/26), so expected cluster sizes stay roughly constant at any
+    corpus size — production SemDeDup's "scale k with n", both engines
+    deriving the width from the same exact COUNT(*) (ann_ivf_topk's
+    broadcast-Lloyd k-means is the learned version of this quantizer).
 
     Plan: equi-join on (label, bucket) — hash shuffle, never a cross
     join; the pairwise blow-up is bounded per cluster, the whole point of
@@ -615,9 +658,16 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    e = emb.select(
-        "vec_id", "label", F.transform(v, lambda x: F.round(x / norm * SCALE)).alias("q")
-    ).withColumn("bucket", _sign_bucket_expr())
+    cnt = emb.agg(F.count("*").alias("n_corpus"))
+    e = (
+        emb.select(
+            "vec_id",
+            "label",
+            F.transform(v, lambda x: F.round(x / norm * SCALE)).alias("q"),
+        )
+        .crossJoin(F.broadcast(cnt))
+        .withColumn("bucket", _adaptive_sign_bucket(_adaptive_bits_col(F.col("n_corpus"))))
+    )
     a, b = e.alias("a"), e.alias("b")
     dropped = (
         a.join(
