@@ -78,9 +78,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # round-3 prefix along with the 15 listed in COVERAGE.md.
 _CHECK_PRIORITY = [
     "q12_priority_shipping",
-    "regression_trend", "anomaly_days", "gapfill_daily_revenue",
-    "event_cooccurrence", "session_paths", "pmi_collocations",
-    "textrank_keywords", "approx_quantile_bounds", "pareto_frontier",
+    "anomaly_days", "event_cooccurrence", "session_paths",
+    "pmi_collocations", "textrank_keywords", "approx_quantile_bounds",
+    "heavy_hitters", "attribution_last_touch", "table_profile",
+    "referential_integrity", "psi_drift",
     "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_buckets",
     "embedding_neardup", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "label_outlier_scores", "neardup_components",
@@ -96,7 +97,6 @@ _CHECK_PRIORITY = [
     "stream_trending_topk",
     "kcenter_coreset",
     "udtf_sentences", "pandas_udaf_median",
-    "fuzzy_match_pairs", "triangle_count",
 ]
 
 
@@ -154,4 +154,5 @@ def _load_all() -> None:
     from . import distributions  # noqa: F401
     from . import infometrics  # noqa: F401
     from . import coreset  # noqa: F401
+    from . import quality  # noqa: F401
     _LOADED = True

@@ -1,0 +1,132 @@
+"""Independent semantic checks for the quality/audit operators:
+injected-corruption detection, sketch-vs-exact equality, and
+distribution-identity baselines."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mr_spark import operators as ops
+from mr_spark.sources import load_table
+
+from conftest import SF_DIR
+
+
+def test_heavy_hitters_equals_exact_computation(spark):
+    """The MG-candidates + exact-verify pipeline must return EXACTLY the
+    set a plain groupBy threshold returns — the sketch may only shrink
+    the candidate set, never the answer."""
+    got = {
+        (r["word"], r["freq"])
+        for r in ops.queries()["heavy_hitters"](spark, SF_DIR).collect()
+    }
+    from mr_spark.functions import tokens
+
+    tok = load_table(spark, SF_DIR, "documents").select(
+        F.explode(tokens("text")).alias("word")
+    )
+    c = tok.groupBy("word").agg(F.count("*").alias("c"))
+    n = tok.count()
+    expect = {
+        (r["word"], r["c"]) for r in c.collect() if 50 * r["c"] > n
+    }
+    assert got == expect and got
+
+
+def test_attribution_shares_partition_purchases(spark):
+    """Channels partition all purchases: shares sum to 1 and counts sum
+    to the purchase total; channels ⊆ {click, view, organic}."""
+    rows = ops.queries()["attribution_last_touch"](spark, SF_DIR).collect()
+    n_purch = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r["n_purchases"] for r in rows) == n_purch
+    assert math.isclose(sum(r["share"] for r in rows), 1.0, abs_tol=1e-4)
+    assert {r["channel"] for r in rows} <= {"click", "view", "organic"}
+
+
+def test_attribution_credits_recent_touch(spark, tmp_path):
+    """Constructed stream: click 10 min before purchase → credited to
+    click; purchase with a 2-hour-stale view → organic."""
+    from mr_spark.operators.quality import attribution_last_touch
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 100, "click", 0.0, "{}"),
+        (2, "2024-01-01 10:10:00", 100, "purchase", 1.0, "{}"),
+        (3, "2024-01-01 08:00:00", 200, "view", 0.0, "{}"),
+        (4, "2024-01-01 10:00:00", 200, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "ev")
+    df.write.parquet(path + "/events.parquet")
+    out = {r["channel"]: r["n_purchases"] for r in attribution_last_touch(spark, path).collect()}
+    assert out == {"click": 1, "organic": 1}
+
+
+def test_table_profile_key_column_is_unique_and_nonnull(spark):
+    rows = {r["column_name"]: r for r in ops.queries()["table_profile"](spark, SF_DIR).collect()}
+    pk = rows["o_orderkey"]
+    assert pk["n_nulls"] == 0
+    assert pk["n_distinct"] == pk["n_rows"]
+    assert rows["o_orderstatus"]["n_distinct"] <= 3
+
+
+def test_referential_integrity_detects_injected_corruption(spark, tmp_path):
+    """Clean data audits to zero; after injecting an orphan order, a
+    duplicate customer PK, and an orphan lineitem, the audit reports the
+    exact violation counts."""
+    from mr_spark.operators.quality import referential_integrity
+
+    clean = {r["check_name"]: r["n_violations"] for r in referential_integrity(spark, SF_DIR).collect()}
+    assert set(clean.values()) == {0}
+
+    path = str(tmp_path / "dirty")
+    o = load_table(spark, SF_DIR, "orders")
+    cu = load_table(spark, SF_DIR, "customer")
+    li = load_table(spark, SF_DIR, "lineitem")
+    orphan_o = (
+        o.limit(1)
+        .withColumn("o_custkey", F.lit(-999).cast("bigint"))
+        .withColumn("o_orderkey", F.lit(-1).cast("bigint"))
+    )
+    o.unionAll(orphan_o).write.parquet(path + "/orders.parquet")
+    cu.unionAll(cu.limit(1)).write.parquet(path + "/customer.parquet")
+    orphan_l = li.limit(1).withColumn("l_orderkey", F.lit(-999).cast("bigint"))
+    li.unionAll(orphan_l).write.parquet(path + "/lineitem.parquet")
+
+    dirty = {r["check_name"]: r["n_violations"] for r in referential_integrity(spark, path).collect()}
+    assert dirty["orders_orphan_custkey"] == 1
+    assert dirty["customer_dup_pk"] == 1
+    assert dirty["lineitem_orphan_orderkey"] == 1
+    assert dirty["orders_dup_pk"] == 0
+
+
+def test_psi_zero_for_identical_distributions(spark, tmp_path):
+    """The same price multiset on both sides of the split → PSI = 0
+    (Laplace smoothing preserves p=q when counts are equal)."""
+    from mr_spark.operators.quality import psi_drift
+
+    prices = [100.0 + i for i in range(50)]
+    data = [
+        (k, 1, "O", p, d, "1-URGENT")
+        for k, (p, d) in enumerate(
+            [(p, d) for p in prices for d in ("1995-06-01", "1999-06-01")]
+        )
+    ]
+    df = spark.createDataFrame(
+        data,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    path = str(tmp_path / "psi")
+    df.write.parquet(path + "/orders.parquet")
+    out = psi_drift(spark, path).collect()[0]
+    assert out["n_early"] == out["n_late"] == 50
+    assert out["psi"] == 0.0
+    # and on real data PSI is non-negative (termwise (p-q)ln(p/q) >= 0)
+    assert ops.queries()["psi_drift"](spark, SF_DIR).collect()[0]["psi"] >= 0
