@@ -78,10 +78,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # round-3 prefix along with the 15 listed in COVERAGE.md.
 _CHECK_PRIORITY = [
     "q12_priority_shipping",
-    "anomaly_days", "event_cooccurrence", "session_paths",
-    "pmi_collocations", "textrank_keywords", "approx_quantile_bounds",
+    "anomaly_days", "event_cooccurrence", "pmi_collocations",
     "heavy_hitters", "attribution_last_touch", "table_profile",
     "referential_integrity", "psi_drift",
+    "audio_energy_stub", "lateral_topn", "ewma_daily",
     "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_buckets",
     "embedding_neardup", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "label_outlier_scores", "neardup_components",

@@ -693,3 +693,37 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@query(
+    "lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-2 orders per BUILDING customer,
+    written as the per-row subquery a SQL user reaches for (the
+    procedural twin of `top_k_per_group`'s window form). Catalyst
+    decorrelates the LIMIT subquery into a ranked join (DomainJoin →
+    window), so the executed plan is the scalable one — the point of
+    registering both forms is pinning that the rewrite exists and agrees
+    with the window answer. Ties break on o_orderkey; the segment filter
+    pushes into the customer scan."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM lat_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )

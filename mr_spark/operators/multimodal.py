@@ -254,3 +254,68 @@ def payload_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         _stats, schema="doc_id bigint, n_bytes bigint, n_spaces bigint"
     )
+
+
+_AUDIO_FRAME = 128  # samples per fake PCM frame
+_AUDIO_CENTER = 100  # DC offset of the fake PCM mapping
+
+
+@query(
+    "audio_energy_stub",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, CAST(off // {_AUDIO_FRAME} AS BIGINT) AS frame_idx,
+             substring(text, off + 1, {_AUDIO_FRAME}) AS fr
+      FROM documents, unnest(range(0, length(text), {_AUDIO_FRAME})) AS t(off)
+    )
+    SELECT doc_id, frame_idx, CAST(length(fr) AS BIGINT) AS n_samples,
+           ROUND(sqrt(CAST(list_sum(list_transform(range(1, length(fr) + 1),
+                    i -> CAST(ascii(substring(fr, i, 1)) - {_AUDIO_CENTER} AS BIGINT)
+                         * (ascii(substring(fr, i, 1)) - {_AUDIO_CENTER})))
+                 AS DOUBLE) / CAST(length(fr) AS DOUBLE)), 6) AS rms_energy
+    FROM f
+    """,
+)
+def audio_energy_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame RMS energy over an opaque audio payload — the third
+    modality's plumbing (image = features, video = frames, audio =
+    windowed signal stats). The real decode is `resample_audio` above
+    (an honest NotImplementedError stub); the deterministic stand-in
+    maps each code point to a fake PCM sample (ord(c) − 100) and frames
+    the stream at 128 samples. The SUM of squares per frame is exact
+    integers; sqrt + one division at the end, rounded — so the oracle
+    replays it bit-for-bit. mapInPandas kernel: 1 payload row → n frame
+    rows, dict state per Arrow batch, same shape a librosa/torchaudio
+    kernel would fill; frames never cross a shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "n_samples": [],
+                "rms_energy": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                chars = bytes(payload).decode("utf-8")
+                for idx in range(0, (len(chars) + _AUDIO_FRAME - 1) // _AUDIO_FRAME):
+                    fr = chars[idx * _AUDIO_FRAME : (idx + 1) * _AUDIO_FRAME]
+                    ss = sum((ord(c) - _AUDIO_CENTER) ** 2 for c in fr)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["n_samples"].append(len(fr))
+                    out["rms_energy"].append(round((ss / len(fr)) ** 0.5, 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int64"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "rms_energy": pd.Series(out["rms_energy"], dtype="float64"),
+                }
+            )
+
+    return src.mapInPandas(
+        _frames, schema="doc_id bigint, frame_idx bigint, n_samples bigint, rms_energy double"
+    )

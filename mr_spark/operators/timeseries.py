@@ -345,3 +345,71 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_occurrences"),
         F.countDistinct("user_id", "sid").alias("n_sessions"),
     )
+
+
+_EWMA_ALPHA = 0.3
+
+
+@query(
+    "ewma_daily",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    j AS (
+      SELECT t.event_type, t.day, t.n,
+             CAST(date_diff('day', CAST(i.day AS DATE), CAST(t.day AS DATE))
+                  AS BIGINT) AS dd,
+             i.n AS ni, i.day AS day_i
+      FROM daily t JOIN daily i
+        ON t.event_type = i.event_type AND i.day <= t.day
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+           ROUND(SUM(pow({1 - _EWMA_ALPHA}, dd) * ni ORDER BY day_i)
+                 / SUM(pow({1 - _EWMA_ALPHA}, dd) ORDER BY day_i), 6) AS ewma
+    FROM j GROUP BY event_type, day, n
+    """,
+)
+def ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume
+    (α=0.3, adjust=True normalization: Σw·x/Σw over the full history) —
+    the smoothing baseline `anomaly_days` z-scores against raw counts
+    lack. Weights pow(0.7, Δdays) are identical float expressions on
+    both engines; numerator and denominator are FIXED-ORDER folds over
+    the day-sorted history (Spark array fold == DuckDB ordered SUM, the
+    infometrics pattern). The self-join is per-type over the POST-AGG
+    daily relation — O(days²) per type on a calendar-bounded input, not
+    the fact table; decade-long series would switch to the per-key
+    sorted-array recurrence (same fold, one pass)."""
+    daily = _daily(spark, sf_dir)
+    t, i = daily.alias("t"), daily.alias("i")
+    j = t.join(
+        i,
+        (F.col("t.event_type") == F.col("i.event_type"))
+        & (F.col("i.day") <= F.col("t.day")),
+    ).select(
+        F.col("t.event_type").alias("event_type"),
+        F.col("t.day").alias("day"),
+        F.col("t.n").alias("n"),
+        F.datediff(F.col("t.day").cast("date"), F.col("i.day").cast("date"))
+        .cast("bigint")
+        .alias("dd"),
+        F.col("i.n").alias("ni"),
+        F.col("i.day").alias("day_i"),
+    )
+    a = j.groupBy("event_type", "day", "n").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day_i", "dd", "ni"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(F.lit(1 - _EWMA_ALPHA), x["dd"]) * x["ni"],
+        ).alias("num"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day_i", "dd", "ni"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(F.lit(1 - _EWMA_ALPHA), x["dd"]),
+        ).alias("den"),
+    )
+    return a.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(F.col("num") / F.col("den"), 6).alias("ewma"),
+    )

@@ -169,3 +169,70 @@ def test_histogram_partitions_all_rows(spark):
     assert all(0 <= r["bucket"] <= 19 for r in rows)
     los = [r["lo"] for r in sorted(rows, key=lambda r: r["bucket"])]
     assert los == sorted(los)
+
+
+def test_audio_energy_silence_and_framing(spark, tmp_path):
+    """A payload of ord-100 chars ('d' = the DC center) is silence
+    (rms 0); framing covers every character exactly once."""
+    from pyspark.sql import functions as F
+
+    from mr_spark.operators.multimodal import audio_energy_stub
+
+    df = spark.createDataFrame(
+        [(1, "d" * 300, "en", "s", 300), (2, "az" * 100, "en", "s", 200)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "docs")
+    df.write.parquet(path + "/documents.parquet")
+    rows = audio_energy_stub(spark, path).collect()
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert sorted(r["frame_idx"] for r in d1) == [0, 1, 2]
+    assert all(r["rms_energy"] == 0.0 for r in d1)
+    assert sum(r["n_samples"] for r in d1) == 300
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert all(r["rms_energy"] > 0 for r in d2)
+
+
+def test_lateral_topn_agrees_with_window_form(spark):
+    """The decorrelated LATERAL plan must return exactly the window-rank
+    top-2 — same semantics, different surface."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mr_spark import operators as ops
+    from mr_spark.sources import load_table
+
+    got = {
+        (r["c_custkey"], r["o_orderkey"])
+        for r in ops.queries()["lateral_topn"](spark, SF_DIR).collect()
+    }
+    c = load_table(spark, SF_DIR, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, SF_DIR, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    expect = {
+        (r["c_custkey"], r["o_orderkey"])
+        for r in c.join(o, c.c_custkey == o.o_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .collect()
+    }
+    assert got == expect and got
+
+
+def test_ewma_bounds_and_constant_series(spark, tmp_path):
+    """EWMA of a constant daily series is that constant; on real data the
+    smoother stays within the running min/max of the history."""
+    from mr_spark import operators as ops
+
+    rows = sorted(
+        ops.queries()["ewma_daily"](spark, SF_DIR).collect(),
+        key=lambda r: (r["event_type"], r["day"]),
+    )
+    assert rows
+    hist: dict[str, list] = {}
+    for r in rows:
+        h = hist.setdefault(r["event_type"], [])
+        h.append(r["n_events"])
+        assert min(h) - 1e-6 <= r["ewma"] <= max(h) + 1e-6
