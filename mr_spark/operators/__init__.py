@@ -85,11 +85,11 @@ _CHECK_PRIORITY = [
     "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_buckets",
     "embedding_neardup", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "label_outlier_scores", "neardup_components",
-    "repetition_quality", "lm_surprisal", "semantic_dedup", "dedup_keep_best",
-    "exact_substring_pairs",
+    "repetition_quality", "lm_surprisal", "semantic_dedup",
+    "exact_substring_pairs", "copurchase_pairs", "bigram_perplexity",
     "market_concentration", "lexical_diversity", "mad_outliers",
     "equidepth_histogram", "interpolate_missing", "markov_transitions",
-    "winnow_fingerprint", "winnow_containment", "top_terms_per_doc",
+    "winnow_fingerprint", "top_terms_per_doc",
     "char_ngram_entropy", "kl_source_drift", "embedding_dim_stats",
     "weighted_sample",
     "stream_hourly_agg", "stream_stream_join", "stream_session_window",

@@ -727,3 +727,60 @@ def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_mktsegment = 'BUILDING'
         """
     )
+
+
+_COPURCHASE_TOP = 50
+
+
+@query(
+    "copurchase_pairs",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT p1, p2, COUNT(*) AS support
+    FROM pairs GROUP BY p1, p2
+    ORDER BY support DESC, p1, p2 LIMIT {_COPURCHASE_TOP}
+    """,
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-purchase mining on the FACT table: part pairs that
+    appear in the same order, top-{50} by support — the
+    collaborative-filtering / recommendation primitive. Pair generation
+    is ROW-SIDE over each order's sorted distinct-part array (orders
+    hold ≤7 parts, so ≤21 pairs per order — bounded by basket size, not
+    corpus size; the oracle's self-join is the semantics, not the plan).
+    One (orderkey) shuffle to build baskets, one (p1,p2) count shuffle,
+    TakeOrdered top-k with full (support, p1, p2) tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("a"))
+        .where(F.size("a") >= 2)
+    )
+    a = F.col("a")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(a) - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(a) - 1),
+                lambda j: F.struct(
+                    F.element_at(a, i + 1).alias("p1"),
+                    F.element_at(a, j + 1).alias("p2"),
+                ),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.p1", "p.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), F.asc("p1"), F.asc("p2"))
+        .limit(_COPURCHASE_TOP)
+    )

@@ -693,3 +693,104 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_BM25_TOP)
     )
+
+
+_LM_LAMBDA = 0.7  # bigram weight in the interpolated model
+
+
+@query(
+    "bigram_perplexity",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ws FROM documents),
+    tp AS (
+      SELECT doc_id, i AS pidx, ws[i] AS w, ws[i - 1] AS w1
+      FROM toks, unnest(range(1, len(ws) + 1)) AS t(i)
+    ),
+    uni AS (SELECT w, COUNT(*) AS u FROM tp GROUP BY w),
+    nv AS (SELECT SUM(u) AS n, COUNT(*) AS v FROM uni),
+    bi AS (SELECT w1, w AS w2, COUNT(*) AS b FROM tp WHERE pidx > 1
+           GROUP BY 1, 2),
+    scored AS (
+      SELECT p.doc_id, p.pidx,
+             ln({_LM_LAMBDA} * (CAST(COALESCE(bi.b, 0) + 1 AS DOUBLE)
+                                / CAST(u1.u + nv.v AS DOUBLE))
+                + {1 - _LM_LAMBDA} * (CAST(uw.u + 1 AS DOUBLE)
+                                      / CAST(nv.n + nv.v AS DOUBLE))) AS lnp
+      FROM tp p
+      JOIN uni u1 ON p.w1 = u1.w
+      JOIN uni uw ON p.w = uw.w
+      LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w
+      CROSS JOIN nv
+      WHERE p.pidx > 1
+    )
+    SELECT doc_id, COUNT(*) AS n_scored,
+           ROUND(exp(-SUM(lnp ORDER BY pidx) / COUNT(*)), 6) AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an interpolated bigram LM trained on
+    the corpus itself (λ·P_bigram + (1−λ)·P_unigram, both
+    Laplace-smoothed) — the CCNet/Gopher-style fluency filter one step up
+    from `lm_surprisal`'s unigram model (context-sensitive: scrambled
+    word salad scores high PP even when its unigrams are common).
+    PP = exp(−mean ln p) with the Σ ln p a FIXED-ORDER fold over the
+    position-sorted tokens (Spark array fold == DuckDB ordered SUM).
+    The bigram table joins on (w1,w2) — broadcast here (tiny vocab), a
+    hash join at web scale; every count is exact integers, ln/exp applied
+    to identical doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    w_prev = Window.partitionBy("doc_id").orderBy("pos")
+    pos = pos.withColumn("w1", F.lag("w").over(w_prev))
+    uni = pos.groupBy("w").agg(F.count("*").alias("u"))
+    nv = uni.agg(F.sum("u").alias("n"), F.count("*").alias("v"))
+    bi = (
+        pos.where(F.col("pos") > 1)
+        .groupBy(F.col("w1").alias("bw1"), F.col("w").alias("bw2"))
+        .agg(F.count("*").alias("b"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("u").alias("u1"))
+    uw = uni.select(F.col("w").alias("w"), F.col("u").alias("uw"))
+    scored = (
+        pos.where(F.col("pos") > 1)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(uw), "w")
+        .join(
+            F.broadcast(bi),
+            (F.col("w1") == F.col("bw1")) & (F.col("w") == F.col("bw2")),
+            "left",
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "doc_id",
+            "pos",
+            F.log(
+                _LM_LAMBDA
+                * (
+                    (F.coalesce(F.col("b"), F.lit(0)) + 1).cast("double")
+                    / (F.col("u1") + F.col("v")).cast("double")
+                )
+                + (1 - _LM_LAMBDA)
+                * (
+                    (F.col("uw") + 1).cast("double")
+                    / (F.col("n") + F.col("v")).cast("double")
+                )
+            ).alias("lnp"),
+        )
+    )
+    a = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_scored"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "lnp"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["lnp"],
+        ).alias("s"),
+    )
+    return a.select(
+        "doc_id",
+        F.col("n_scored").cast("bigint").alias("n_scored"),
+        F.round(F.exp(-F.col("s") / F.col("n_scored")), 6).alias("perplexity"),
+    )

@@ -236,3 +236,75 @@ def test_ewma_bounds_and_constant_series(spark, tmp_path):
         h = hist.setdefault(r["event_type"], [])
         h.append(r["n_events"])
         assert min(h) - 1e-6 <= r["ewma"] <= max(h) + 1e-6
+
+
+def test_copurchase_pairs_matches_bruteforce(spark):
+    """Row-side pair generation equals the O(n²)-per-basket definition
+    recomputed on the driver, and the top-k ordering is (support desc,
+    p1, p2)."""
+    from itertools import combinations
+
+    from mr_spark import operators as ops
+    from mr_spark.sources import load_table
+
+    rows = ops.queries()["copurchase_pairs"](spark, SF_DIR).collect()
+    got = [(r["p1"], r["p2"], r["support"]) for r in rows]
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey").collect()
+    baskets: dict[int, set] = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    from collections import Counter
+
+    c: Counter = Counter()
+    for parts in baskets.values():
+        for p1, p2 in combinations(sorted(parts), 2):
+            c[(p1, p2)] += 1
+    expect = sorted(
+        ((p1, p2, n) for (p1, p2), n in c.items()),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:50]
+    assert got == expect
+
+
+def test_bigram_perplexity_matches_python_lm(spark, tmp_path):
+    """PP recomputed with a pure-Python interpolated bigram LM on a
+    constructed corpus; and the context-sensitivity property: a doc of
+    corpus-frequent bigrams scores lower PP than the same unigrams
+    scrambled into unseen bigrams."""
+    import math
+
+    from mr_spark.operators.text import bigram_perplexity
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the rug",
+        3: "the dog sat on the mat",
+        4: "mat the on sat cat the",  # scrambled: same unigrams, odd bigrams
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in corpus.items()]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "lm")
+    df.write.parquet(path + "/documents.parquet")
+    got = {r["doc_id"]: r["perplexity"] for r in bigram_perplexity(spark, path).collect()}
+
+    toks = {i: t.split() for i, t in corpus.items()}
+    uni: dict[str, int] = {}
+    bi: dict[tuple, int] = {}
+    for ws in toks.values():
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    n, v = sum(uni.values()), len(uni)
+    for i, ws in toks.items():
+        s = 0.0
+        for a, b in zip(ws, ws[1:]):
+            pb = (bi.get((a, b), 0) + 1) / (uni[a] + v)
+            pu = (uni[b] + 1) / (n + v)
+            s += math.log(0.7 * pb + 0.3 * pu)
+        pp = round(math.exp(-s / (len(ws) - 1)), 6)
+        assert abs(got[i] - pp) < 1e-6, (i, got[i], pp)
+    assert got[1] < got[4]
