@@ -66,6 +66,8 @@ _PANDAS_QUERIES = {
     "udtf_sentences",       # typed Python UDTF (by design)
     "pandas_udaf_median",   # typed grouped-agg pandas UDAF (by design)
     "label_outlier_scores", # grouped-map applyInPandas centroid kernel (by design)
+    "heavy_hitters",        # per-partition Misra-Gries sketch in mapInPandas (by design)
+    "audio_energy_stub",    # mapInPandas fake-PCM framing kernel (by design)
     "payload_byte_stats",   # mapInArrow RecordBatch kernel (by design)
     "stream_hourly_agg",    # streaming (plan not comparable)
     "stream_stream_join",   # streaming
