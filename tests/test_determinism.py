@@ -32,6 +32,21 @@ SENSITIVE = [
     "textrank_keywords",
     "pareto_frontier",
     "session_paths",
+    # third-session additions whose naive forms are order-sensitive:
+    # fixed-order entropy/KL/PSI/lnp folds, per-segment rank products,
+    # two-level distributed rank, greedy trajectory, per-partition
+    # sketch candidates, weighted top-k ties, basket pair gen
+    "char_ngram_entropy",
+    "kl_source_drift",
+    "psi_drift",
+    "bigram_perplexity",
+    "market_concentration",
+    "equidepth_histogram",
+    "kcenter_coreset",
+    "heavy_hitters",
+    "weighted_sample",
+    "copurchase_pairs",
+    "ewma_daily",
 ]
 
 
