@@ -78,7 +78,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # round-3 prefix along with the 15 listed in COVERAGE.md.
 _CHECK_PRIORITY = [
     "q12_priority_shipping",
-    "anomaly_days", "event_cooccurrence", "pmi_collocations",
+    "rolling_active_users", "cuped_adjusted_ab", "seasonal_decompose",
     "heavy_hitters", "attribution_last_touch", "table_profile",
     "referential_integrity", "psi_drift",
     "audio_energy_stub", "lateral_topn", "ewma_daily",
@@ -155,4 +155,5 @@ def _load_all() -> None:
     from . import infometrics  # noqa: F401
     from . import coreset  # noqa: F401
     from . import quality  # noqa: F401
+    from . import engagement  # noqa: F401
     _LOADED = True

@@ -1,0 +1,241 @@
+"""Product-analytics / experimentation operators over ``events``:
+rolling active users (DAU/WAU), CUPED-adjusted A/B readout, and seasonal
+decomposition of daily volume.
+
+House determinism rules: metric values quantize to 1e-6 integers, all
+moments run exact in DECIMAL(38,0)/HUGEINT, MA/seasonal components are
+kept as exact integer numerators with denominators folded into one
+final double expression — no float ever accumulates."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import query
+from .text import _md5_lower64
+
+
+@query(
+    "rolling_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
+           CAST(COUNT(DISTINCT CASE WHEN du.day = d.day THEN du.user_id END)
+                AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN du ON du.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-7-day WAU per calendar day — the engagement
+    metric pair. Sliding-window COUNT(DISTINCT) has no window-function
+    form (distinct isn't decomposable), so the scalable shape is the
+    (day-spine × distinct day-user) range join: the spine is calendar
+    days (broadcast — bounded at any data size), each day-user row lands
+    in ≤7 day-buckets, then one exact distinct agg per day. All
+    integers."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select(F.col("day").alias("d")).distinct()
+    j = du.join(
+        F.broadcast(days),
+        (F.col("day") <= F.col("d")) & (F.col("day") >= F.date_sub("d", 6)),
+    )
+    return j.groupBy("d").agg(
+        F.countDistinct(F.when(F.col("day") == F.col("d"), F.col("user_id")))
+        .cast("bigint")
+        .alias("dau"),
+        F.countDistinct("user_id").cast("bigint").alias("wau"),
+    ).select(F.col("d").cast("timestamp").alias("day"), "dau", "wau")
+
+
+_CUPED_SPLIT_DAY = 16  # pre-period: days 1-15; post: 16+
+
+
+@query(
+    "cuped_adjusted_ab",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(date_part('day', CAST(ts AS TIMESTAMP)) AS INT) AS dom,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS qv
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(md5_number_lower('ab_' || CAST(user_id AS VARCHAR))
+                  % 9223372036854775808 AS BIGINT) % 2 AS variant,
+             SUM(CASE WHEN dom < {_CUPED_SPLIT_DAY} THEN qv ELSE 0 END) AS x,
+             SUM(CASE WHEN dom >= {_CUPED_SPLIT_DAY} THEN qv ELSE 0 END) AS y
+      FROM ev GROUP BY user_id
+    ),
+    g AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM u
+    ),
+    v AS (
+      SELECT variant, COUNT(*) AS nv, SUM(x) AS sxv, SUM(y) AS syv
+      FROM u GROUP BY variant
+    )
+    SELECT v.variant, CAST(v.nv AS BIGINT) AS n_users,
+           ROUND(CAST(v.syv AS DOUBLE) / (CAST(v.nv AS DOUBLE) * 1e6), 6)
+             AS mean_post,
+           ROUND(CAST(v.syv AS DOUBLE) / (CAST(v.nv AS DOUBLE) * 1e6)
+                 - (CAST(g.n AS DOUBLE) * CAST(g.sxy AS DOUBLE)
+                    - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE))
+                   / (CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+                      - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE))
+                   * (CAST(v.sxv AS DOUBLE) / (CAST(v.nv AS DOUBLE) * 1e6)
+                      - CAST(g.sx AS DOUBLE) / (CAST(g.n AS DOUBLE) * 1e6)), 6)
+             AS mean_adjusted
+    FROM v CROSS JOIN g
+    """,
+)
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al. 2013): users split
+    into two variants by content hash, per-user pre-period (days 1–15)
+    covariate X and post-period metric Y, pooled θ = cov(X,Y)/var(X),
+    and each variant's adjusted mean Ȳ_v − θ(X̄_v − X̄) — the
+    experimentation-platform primitive that cuts weeks off A/B runtime.
+    Values quantize to 1e-6 ints; all moments (ΣX, ΣY, ΣXY, ΣX²) are
+    exact DECIMAL(38,0)/HUGEINT; θ and the adjustment are one float
+    expression on identical integers. Two shuffles (per-user agg, 2-row
+    variant agg); the pooled moments broadcast back."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.dayofmonth("ts").alias("dom"),
+        F.round(F.col("value") * 1000000, 0).cast("bigint").alias("qv"),
+    )
+    pre = F.when(F.col("dom") < _CUPED_SPLIT_DAY, F.col("qv")).otherwise(F.lit(0))
+    post = F.when(F.col("dom") >= _CUPED_SPLIT_DAY, F.col("qv")).otherwise(F.lit(0))
+    u = ev.groupBy("user_id").agg(
+        F.sum(pre).alias("x"), F.sum(post).alias("y")
+    ).withColumn(
+        "variant",
+        _md5_lower64(F.concat(F.lit("ab_"), F.col("user_id").cast("string"))) % 2,
+    )
+    big = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    g = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(big("x") * F.col("y")).alias("sxy"),
+        F.sum(big("x") * F.col("x")).alias("sxx"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count("*").alias("nv"), F.sum("x").alias("sxv"), F.sum("y").alias("syv")
+    )
+    j = v.crossJoin(F.broadcast(g))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean_post = d("syv") / (d("nv") * F.lit(1e6))
+    theta = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    adj = mean_post - theta * (
+        d("sxv") / (d("nv") * F.lit(1e6)) - d("sx") / (d("n") * F.lit(1e6))
+    )
+    return j.select(
+        F.col("variant").cast("bigint").alias("variant"),
+        F.col("nv").cast("bigint").alias("n_users"),
+        F.round(mean_post, 6).alias("mean_post"),
+        F.round(adj, 6).alias("mean_adjusted"),
+    )
+
+
+@query(
+    "seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series((SELECT MIN(day) FROM daily),
+                                         (SELECT MAX(day) FROM daily),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    dense AS (
+      SELECT s.day, COALESCE(d.n, 0) AS n FROM spine s
+      LEFT JOIN daily d ON s.day = d.day
+    ),
+    ma AS (
+      SELECT day, n,
+             SUM(n) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS wsum,
+             COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS wcnt
+      FROM dense
+    ),
+    full_w AS (SELECT day, n, wsum, 7 * n - wsum AS r7 FROM ma WHERE wcnt = 7),
+    season AS (
+      SELECT CAST(dayofweek(day) AS BIGINT) AS dow,
+             SUM(r7) AS s_num, COUNT(*) AS s_cnt
+      FROM full_w GROUP BY 1
+    )
+    SELECT CAST(f.day AS TIMESTAMP) AS day, CAST(f.n AS BIGINT) AS n_events,
+           ROUND(CAST(f.wsum AS DOUBLE) / 7, 6) AS trend,
+           ROUND(CAST(s.s_num AS DOUBLE) / (7 * CAST(s.s_cnt AS DOUBLE)), 6)
+             AS seasonal,
+           ROUND(CAST(f.n AS DOUBLE) - CAST(f.wsum AS DOUBLE) / 7
+                 - CAST(s.s_num AS DOUBLE) / (7 * CAST(s.s_cnt AS DOUBLE)), 6)
+             AS residual
+    FROM full_w f JOIN season s ON CAST(dayofweek(f.day) AS BIGINT) = s.dow
+    """,
+)
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily event volume: trend =
+    centered 7-day moving average, seasonal = day-of-week mean of the
+    detrended series, residual = the rest. Everything stays an EXACT
+    integer numerator (window sum wsum, detrended 7n−wsum, per-dow sums)
+    until three final divisions — the float-mean-of-floats a naive
+    decomposition would take is summation-order-dependent and can't be
+    replayed cross-engine. Windows run on the POST-AGG calendar spine
+    (gapfill argument: bounded by days, not events); edge days without a
+    full 7-day window are excluded rather than padded."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    dense = (
+        spine.join(daily, "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    ma = dense.select(
+        "day", "n", F.sum("n").over(w).alias("wsum"), F.count("*").over(w).alias("wcnt")
+    )
+    full_w = ma.where(F.col("wcnt") == 7).withColumn(
+        "r7", 7 * F.col("n") - F.col("wsum")
+    )
+    season = full_w.groupBy(
+        F.dayofweek("day").cast("bigint").alias("dow")
+    ).agg(F.sum("r7").alias("s_num"), F.count("*").alias("s_cnt"))
+    j = full_w.join(
+        F.broadcast(season),
+        F.dayofweek(full_w.day).cast("bigint") == season.dow,
+    )
+    trend = F.col("wsum").cast("double") / 7
+    seasonal = F.col("s_num").cast("double") / (7 * F.col("s_cnt").cast("double"))
+    return j.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(trend, 6).alias("trend"),
+        F.round(seasonal, 6).alias("seasonal"),
+        F.round(F.col("n").cast("double") - trend - seasonal, 6).alias("residual"),
+    )
