@@ -87,8 +87,8 @@ _CHECK_PRIORITY = [
     "label_outlier_scores", "neardup_components",
     "repetition_quality", "lm_surprisal", "semantic_dedup",
     "exact_substring_pairs", "copurchase_pairs", "bigram_perplexity",
-    "market_concentration", "lexical_diversity", "mad_outliers",
-    "equidepth_histogram", "interpolate_missing", "markov_transitions",
+    "market_concentration", "lexical_diversity", "equidepth_histogram",
+    "markov_transitions", "welch_ttest_ab", "chi2_association",
     "winnow_fingerprint", "top_terms_per_doc",
     "char_ngram_entropy", "kl_source_drift", "embedding_dim_stats",
     "weighted_sample",

@@ -239,3 +239,222 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(seasonal, 6).alias("seasonal"),
         F.round(F.col("n").cast("double") - trend - seasonal, 6).alias("residual"),
     )
+
+
+@query(
+    "welch_ttest_ab",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(date_part('day', CAST(ts AS TIMESTAMP)) AS INT) AS dom,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS qv
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(md5_number_lower('ab_' || CAST(user_id AS VARCHAR))
+                  % 9223372036854775808 AS BIGINT) % 2 AS variant,
+             SUM(CASE WHEN dom >= {_CUPED_SPLIT_DAY} THEN qv ELSE 0 END) AS y
+      FROM ev GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant, COUNT(*) AS n, SUM(y) AS s,
+             SUM(CAST(y AS HUGEINT) * y) AS ss
+      FROM u GROUP BY variant
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+             MAX(CASE WHEN variant = 0 THEN s END) AS s0,
+             MAX(CASE WHEN variant = 0 THEN ss END) AS ss0,
+             MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+             MAX(CASE WHEN variant = 1 THEN s END) AS s1,
+             MAX(CASE WHEN variant = 1 THEN ss END) AS ss1
+      FROM v
+    ),
+    m AS (
+      SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+             CAST(s0 AS DOUBLE) / (CAST(n0 AS DOUBLE) * 1e6) AS m0,
+             CAST(s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * 1e6) AS m1,
+             (CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE)
+              - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+               / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1) * 1e12)
+               / CAST(n0 AS DOUBLE) AS vn0,
+             (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1) * 1e12)
+               / CAST(n1 AS DOUBLE) AS vn1
+      FROM wide
+    )
+    SELECT n0, n1, ROUND(m0 - m1, 6) AS mean_diff,
+           ROUND((m0 - m1) / sqrt(vn0 + vn1), 6) AS t_stat,
+           ROUND((vn0 + vn1) * (vn0 + vn1)
+                 / (vn0 * vn0 / (CAST(n0 AS DOUBLE) - 1)
+                    + vn1 * vn1 / (CAST(n1 AS DOUBLE) - 1)), 6) AS welch_df
+    FROM m
+    """,
+)
+def welch_ttest_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on the A/B split — the
+    significance readout that pairs with `cuped_adjusted_ab`'s point
+    estimate. Per-variant moments (n, Σy, Σy²) are exact quantized
+    integers; the two variants PIVOT into one wide row (fixed arity —
+    the bm25 pattern), so every float op (means, variance-over-n terms,
+    t, Welch–Satterthwaite df) is a single literal expression identical
+    on both engines. One per-user shuffle + a 2-row agg."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.dayofmonth("ts").alias("dom"),
+        F.round(F.col("value") * 1000000, 0).cast("bigint").alias("qv"),
+    )
+    post = F.when(F.col("dom") >= _CUPED_SPLIT_DAY, F.col("qv")).otherwise(F.lit(0))
+    u = ev.groupBy("user_id").agg(F.sum(post).alias("y")).withColumn(
+        "variant",
+        _md5_lower64(F.concat(F.lit("ab_"), F.col("user_id").cast("string"))) % 2,
+    )
+    big = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    v = u.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(big("y") * F.col("y")).alias("ss"),
+    )
+    wide = v.agg(
+        *[
+            F.max(F.when(F.col("variant") == k, F.col(c))).alias(f"{c}{k}")
+            for k in (0, 1)
+            for c in ("n", "s", "ss")
+        ]
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    m0 = d("s0") / (d("n0") * F.lit(1e6))
+    m1 = d("s1") / (d("n1") * F.lit(1e6))
+    vn0 = (d("n0") * d("ss0") - d("s0") * d("s0")) / (
+        d("n0") * (d("n0") - 1) * F.lit(1e12)
+    ) / d("n0")
+    vn1 = (d("n1") * d("ss1") - d("s1") * d("s1")) / (
+        d("n1") * (d("n1") - 1) * F.lit(1e12)
+    ) / d("n1")
+    return wide.select(
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.round(m0 - m1, 6).alias("mean_diff"),
+        F.round((m0 - m1) / F.sqrt(vn0 + vn1), 6).alias("t_stat"),
+        F.round(
+            (vn0 + vn1)
+            * (vn0 + vn1)
+            / (vn0 * vn0 / (d("n0") - 1) + vn1 * vn1 / (d("n1") - 1)),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+@query(
+    "chi2_association",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (SELECT seg, prio, COUNT(*) AS o FROM j GROUP BY 1, 2),
+    grid AS (
+      SELECT s.seg, p.prio, COALESCE(c.o, 0) AS o
+      FROM (SELECT DISTINCT seg FROM j) s
+      CROSS JOIN (SELECT DISTINCT prio FROM j) p
+      LEFT JOIN cells c ON c.seg = s.seg AND c.prio = p.prio
+    ),
+    rm AS (SELECT seg, SUM(o) AS r FROM grid GROUP BY seg),
+    cm AS (SELECT prio, SUM(o) AS c FROM grid GROUP BY prio),
+    nn AS (SELECT SUM(o) AS n, COUNT(DISTINCT seg) AS nr,
+                  COUNT(DISTINCT prio) AS nc FROM grid),
+    chi AS (
+      SELECT SUM(
+        CAST((CAST(g.o AS HUGEINT) * nn.n - CAST(rm.r AS HUGEINT) * cm.c)
+             AS DOUBLE)
+        * CAST((CAST(g.o AS HUGEINT) * nn.n - CAST(rm.r AS HUGEINT) * cm.c)
+               AS DOUBLE)
+        / (CAST(rm.r AS DOUBLE) * CAST(cm.c AS DOUBLE) * CAST(nn.n AS DOUBLE))
+        ORDER BY g.seg, g.prio) AS chi2,
+        MAX(nn.n) AS n, MAX(nn.nr) AS nr, MAX(nn.nc) AS nc
+      FROM grid g JOIN rm ON g.seg = rm.seg JOIN cm ON g.prio = cm.prio
+      CROSS JOIN nn
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           ROUND(chi2, 6) AS chi2,
+           ROUND(sqrt(chi2 / (CAST(n AS DOUBLE)
+                              * LEAST(nr - 1, nc - 1))), 6) AS cramers_v
+    FROM chi
+    """,
+)
+def chi2_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between market segment and order
+    priority (+ Cramér's V effect size) — the categorical-association
+    profiler. Each cell's (o−e)²/e term is rearranged to
+    (o·N − r·c)²/(r·c·N) so
+    the numerator (o·N − r·c) is an EXACT integer (HUGEINT /
+    DECIMAL(38,0) — o·N reaches 1e19 at 1e5-order scale) before the one
+    float division; the Σ over the R×C grid (zero cells included via the
+    margin spine) is a fixed-order fold sorted by (seg, prio). The fact
+    join shuffles once; the grid is R×C rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("prio")
+    )
+    cells = j.groupBy("seg", "prio").agg(F.count("*").alias("o"))
+    segs = j.select("seg").distinct()
+    prios = j.select("prio").distinct()
+    grid = (
+        segs.crossJoin(prios)
+        .join(cells, ["seg", "prio"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+    )
+    rm = grid.groupBy("seg").agg(F.sum("o").alias("r"))
+    cm = grid.groupBy("prio").agg(F.sum("o").alias("c"))
+    nn = grid.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("seg").alias("nr"),
+        F.countDistinct("prio").alias("nc"),
+    )
+    g = (
+        grid.join(F.broadcast(rm), "seg")
+        .join(F.broadcast(cm), "prio")
+        .crossJoin(F.broadcast(nn))
+    )
+    agg = g.groupBy().agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("seg", "prio", "o", "r", "c", "n"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + (
+                (x["o"].cast("decimal(38,0)") * x["n"]
+                 - x["r"].cast("decimal(38,0)") * x["c"]).cast("double")
+                * (x["o"].cast("decimal(38,0)") * x["n"]
+                   - x["r"].cast("decimal(38,0)") * x["c"]).cast("double")
+                / (
+                    x["r"].cast("double")
+                    * x["c"].cast("double")
+                    * x["n"].cast("double")
+                )
+            ),
+        ).alias("chi2"),
+        F.max("n").alias("n"),
+        F.max("nr").alias("nr"),
+        F.max("nc").alias("nc"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("nr") - 1, F.col("nc") - 1).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
