@@ -90,8 +90,8 @@ _CHECK_PRIORITY = [
     "market_concentration", "lexical_diversity", "equidepth_histogram",
     "markov_transitions", "welch_ttest_ab", "chi2_association",
     "winnow_fingerprint", "top_terms_per_doc",
-    "char_ngram_entropy", "kl_source_drift", "embedding_dim_stats",
-    "weighted_sample",
+    "char_ngram_entropy", "kl_source_drift",
+    "kaplan_meier", "k_anonymity_audit",
     "stream_hourly_agg", "stream_stream_join", "stream_session_window",
     "stream_static_join", "stream_dedup_events", "stream_sessionize_stateful",
     "stream_trending_topk",
@@ -156,4 +156,5 @@ def _load_all() -> None:
     from . import coreset  # noqa: F401
     from . import quality  # noqa: F401
     from . import engagement  # noqa: F401
+    from . import survival  # noqa: F401
     _LOADED = True
