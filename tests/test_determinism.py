@@ -47,6 +47,12 @@ SENSITIVE = [
     "weighted_sample",
     "copurchase_pairs",
     "ewma_daily",
+    # product folds, grid folds, last-touch windows, decorrelated top-n
+    "kaplan_meier",
+    "chi2_association",
+    "seasonal_decompose",
+    "attribution_last_touch",
+    "lateral_topn",
 ]
 
 
