@@ -87,8 +87,9 @@ _CHECK_PRIORITY = [
     "label_outlier_scores", "neardup_components",
     "repetition_quality", "lm_surprisal", "semantic_dedup",
     "exact_substring_pairs", "copurchase_pairs", "bigram_perplexity",
-    "market_concentration", "lexical_diversity", "equidepth_histogram",
-    "markov_transitions", "welch_ttest_ab", "chi2_association",
+    "market_concentration", "lexical_diversity",
+    "welch_ttest_ab", "chi2_association",
+    "hard_negative_mining", "centroid_confusion",
     "winnow_fingerprint", "top_terms_per_doc",
     "char_ngram_entropy", "kl_source_drift",
     "kaplan_meier", "k_anonymity_audit",

@@ -686,3 +686,179 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(
         dropped, e.vec_id == F.col("dropped_id"), "left"
     ).select("vec_id", "label", F.col("dropped_id").isNull().alias("is_kept"))
+
+
+# ---- contrastive mining + centroid-classifier eval --------------------------
+
+_HN_ANCHOR_MOD = 50  # ~2% hash-picked anchor mini-batch
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH e0 AS ({_EMB_QL}),
+    anchors AS (
+      SELECT vec_id, label, q FROM e0
+      WHERE CAST(md5_number_lower('hn_' || CAST(vec_id AS VARCHAR))
+                 % 9223372036854775808 AS BIGINT) % {_HN_ANCHOR_MOD} = 0
+    ),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             b.vec_id AS cand_id, b.label AS cand_label,
+             {_SIM_SQL} AS sim
+      FROM anchors a JOIN e0 b ON a.vec_id <> b.vec_id
+    ),
+    pos AS (
+      SELECT anchor_id, cand_id, sim FROM (
+        SELECT anchor_id, cand_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY sim DESC, cand_id) AS rn
+        FROM scored WHERE anchor_label = cand_label
+      ) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT anchor_id, cand_id, sim FROM (
+        SELECT anchor_id, cand_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY sim DESC, cand_id) AS rn
+        FROM scored WHERE anchor_label <> cand_label
+      ) WHERE rn = 1
+    )
+    SELECT p.anchor_id, p.cand_id AS pos_id, ROUND(p.sim, 6) AS pos_sim,
+           n.cand_id AS neg_id, ROUND(n.sim, 6) AS neg_sim,
+           ROUND(p.sim - n.sim, 6) AS margin
+    FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for metric-learning batches: for a
+    hash-picked ~2% anchor mini-batch, the most similar SAME-label vector
+    (positive) and the most similar OTHER-label vector (the hard
+    negative), with the triplet margin pos_sim − neg_sim. Anchors are a
+    bounded broadcast side (mini-batch mining is how contrastive
+    training actually consumes pairs — full-corpus mining would reuse
+    ann_lsh_topk's sign-bucket join instead of this anchor×corpus
+    product). Similarities are exact integer-valued-double dots of the
+    shared quantized relation; argmax picks break ties on cand_id via
+    ROW_NUMBER, so the mined pairs are engine- and partition-stable."""
+    from ..functions import dot as dot_fn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    e = emb.select(
+        "vec_id", "label", F.transform(v, lambda x: F.round(x / norm * SCALE)).alias("q")
+    )
+    from .text import _md5_lower64
+
+    anchors = e.where(
+        _md5_lower64(F.concat(F.lit("hn_"), F.col("vec_id").cast("string")))
+        % _HN_ANCHOR_MOD
+        == 0
+    ).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("q").alias("aq"),
+    )
+    scored = (
+        F.broadcast(anchors)
+        .join(e, F.col("anchor_id") != F.col("vec_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            (dot_fn(F.col("aq"), F.col("q")) / F.lit(SCALE_SQ)).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    pos = (
+        scored.where(F.col("anchor_label") == F.col("cand_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("anchor_id", F.col("cand_id").alias("pos_id"), F.col("sim").alias("ps"))
+    )
+    neg = (
+        scored.where(F.col("anchor_label") != F.col("cand_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("anchor_id", F.col("cand_id").alias("neg_id"), F.col("sim").alias("ns"))
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        F.round("ps", 6).alias("pos_sim"),
+        "neg_id",
+        F.round("ns", 6).alias("neg_sim"),
+        F.round(F.col("ps") - F.col("ns"), 6).alias("margin"),
+    )
+
+
+@query(
+    "centroid_confusion",
+    oracle=f"""
+    WITH e0 AS ({_EMB_QL}),
+    cent AS (
+      SELECT cell, list(h ORDER BY dim) AS c FROM (
+        SELECT label AS cell, dim,
+               round(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS h
+        FROM (SELECT label, generate_subscripts(q, 1) AS dim, unnest(q) AS v
+              FROM e0)
+        GROUP BY label, dim
+      ) GROUP BY cell
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             c.cell AS pred,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_dot_product(e.q, c.c) DESC,
+                                         c.cell) AS rn
+      FROM e0 e CROSS JOIN cent c
+    )
+    SELECT CAST(label AS BIGINT) AS true_label,
+           CAST(pred AS BIGINT) AS pred_label,
+           COUNT(*) AS n_vecs
+    FROM scored WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+)
+def centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier evaluation: per-label centroids
+    (rounded per-dim means — exact integer-valued doubles, the
+    ann_ivf_topk centroid machinery with label as the cell), every
+    vector scored against all 10 broadcast centroids by exact dot,
+    argmax with label tie-break, and the (true, predicted) confusion
+    counts — the embedding-quality eval a labeling pipeline runs after
+    reclustering. One posexplode agg for centroids (10×64 rows), one
+    broadcast product scan, one count shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    e = emb.select(
+        "vec_id", "label", F.transform(v, lambda x: F.round(x / norm * SCALE)).alias("q")
+    )
+    cent = (
+        e.select("label", F.posexplode("q").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.sum("val") / F.count("*")).alias("h"))
+        .groupBy(F.col("label").alias("cell"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "h"))), lambda s: s.h
+            ).alias("c")
+        )
+    )
+    from ..functions import dot as dot_fn
+
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        F.col("cell").alias("pred"),
+        dot_fn(F.col("q"), F.col("c")).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("pred"))
+    top = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return top.groupBy(
+        F.col("label").cast("bigint").alias("true_label"),
+        F.col("pred").cast("bigint").alias("pred_label"),
+    ).agg(F.count("*").alias("n_vecs"))
