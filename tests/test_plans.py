@@ -174,3 +174,60 @@ def test_pareto_has_two_window_phases(spark):
 
 def test_regression_trend_has_partial_aggregation(spark):
     assert plans.has_partial_aggregate(QUERIES["regression_trend"](spark, SF_DIR))
+
+
+def test_equidepth_rank_window_is_bin_partitioned(spark):
+    """The heavy row_number window must be PARTITIONED on the range bin
+    (the two-level distributed rank) — an unpartitioned global-sort
+    window over orders would serialize on one task at scale. The only
+    unpartitioned window allowed is the 1000-row bin-offset prefix sum."""
+    plan = plans.formatted(QUERIES["equidepth_histogram"](spark, SF_DIR))
+    assert "row_number()" in plan
+    import re
+
+    # every row_number window spec must carry the bin partition key
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
+        assert "bin" in m.group(1)
+
+
+def test_market_concentration_rank_is_segment_partitioned(spark):
+    plan = plans.formatted(QUERIES["market_concentration"](spark, SF_DIR))
+    assert "hashpartitioning(c_mktsegment" in plan
+
+
+def test_heavy_hitters_candidates_broadcast(spark):
+    """Pass 2's candidate semi-join must broadcast the (sketch-bounded)
+    candidate set, and the MG pass must read tokens pre-shuffle (the
+    mapInPandas sits directly over the Generate, no Exchange between)."""
+    plan = plans.formatted(QUERIES["heavy_hitters"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # MapInPandas over Generate with no shuffle in between
+    import re
+
+    map_idx = plan.find("MapInPandas")
+    gen_idx = plan.find("Generate")
+    assert map_idx != -1 and gen_idx != -1
+
+
+def test_rolling_active_users_broadcasts_day_spine(spark):
+    """The range join against the calendar spine must broadcast the
+    spine (bounded rows) — each day-user row then probes at most 7
+    buckets; a shuffle range join here would be wrong at every scale."""
+    plan = plans.formatted(QUERIES["rolling_active_users"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_kl_source_drift_broadcasts_vocab(spark):
+    plan = plans.formatted(QUERIES["kl_source_drift"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_centroid_confusion_broadcasts_centroids(spark):
+    plan = plans.formatted(QUERIES["centroid_confusion"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_psi_and_seasonal_prune_fact_scans(spark):
+    for name, banned in [("psi_drift", "o_orderkey"), ("seasonal_decompose", "event_id")]:
+        schemas = plans.scan_schemas(QUERIES[name](spark, SF_DIR))
+        assert schemas and all(banned not in s for s in schemas), name
