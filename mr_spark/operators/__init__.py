@@ -87,7 +87,7 @@ _CHECK_PRIORITY = [
     "label_outlier_scores", "neardup_components",
     "repetition_quality", "lm_surprisal", "semantic_dedup",
     "exact_substring_pairs", "copurchase_pairs", "bigram_perplexity",
-    "market_concentration", "lexical_diversity",
+    "market_concentration", "corpus_datacard",
     "welch_ttest_ab", "chi2_association",
     "hard_negative_mining", "centroid_confusion",
     "winnow_fingerprint", "top_terms_per_doc",

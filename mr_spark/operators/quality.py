@@ -393,3 +393,83 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nl").cast("bigint").alias("n_late"),
         F.round("psi_raw", 6).alias("psi"),
     )
+
+
+@query(
+    "corpus_datacard",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, source, md5(text) AS digest,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    srcs AS (SELECT source, COUNT(*) AS c FROM d GROUP BY source),
+    tok AS (SELECT unnest({_TOKS_SQL}) AS w FROM documents),
+    agg AS (
+      SELECT (SELECT COUNT(*) FROM d) AS n_docs,
+             (SELECT SUM(n_toks) FROM d) AS n_tokens,
+             (SELECT COUNT(DISTINCT w) FROM tok) AS n_vocab,
+             (SELECT COUNT(DISTINCT digest) FROM d) AS n_unique,
+             (SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) FROM d) AS n_en,
+             (SELECT SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY source)
+              FROM srcs) AS slnl
+      FROM (SELECT 1)
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_vocab AS BIGINT) AS n_vocab,
+           ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             AS avg_doc_tokens,
+           ROUND(1.0 - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             AS dup_rate,
+           ROUND(CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS share_en,
+           ROUND(ln(CAST(n_docs AS DOUBLE)) - slnl / CAST(n_docs AS DOUBLE), 6)
+             AS source_entropy
+    FROM agg
+    """,
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus data card — the capstone summary a dataset release
+    ships: scale (docs, tokens, vocabulary), density (tokens/doc),
+    exact-duplicate rate (1 − |distinct digests|/n), language share, and
+    the Shannon entropy of the source mixture (the number
+    mixture_weights rebalances toward). Every count is exact; the
+    entropy Σ c·ln c is the fixed-order fold (infometrics pattern).
+    Three scans of the corpus (doc-level, token explode, digest
+    distinct), each a partial-aggregated tree — nothing holds state
+    beyond counters at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.encode("text", "utf-8")).alias("digest"),
+        F.size(tokens("text")).cast("bigint").alias("n_toks"),
+    )
+    srcs = d.groupBy("source").agg(F.count("*").alias("c"))
+    slnl = srcs.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"].cast("double") * F.log(x["c"].cast("double")),
+        ).alias("slnl")
+    )
+    tok = docs.select(F.explode(tokens("text")).alias("w"))
+    agg = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.countDistinct("digest").alias("n_unique"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+    )
+    vocab = tok.agg(F.countDistinct("w").alias("n_vocab"))
+    j = agg.crossJoin(F.broadcast(vocab)).crossJoin(F.broadcast(slnl))
+    nd = F.col("n_docs").cast("double")
+    return j.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_vocab").cast("bigint").alias("n_vocab"),
+        F.round(F.col("n_tokens").cast("double") / nd, 6).alias("avg_doc_tokens"),
+        F.round(F.lit(1.0) - F.col("n_unique").cast("double") / nd, 6).alias("dup_rate"),
+        F.round(F.col("n_en").cast("double") / nd, 6).alias("share_en"),
+        F.round(F.log(nd) - F.col("slnl") / nd, 6).alias("source_entropy"),
+    )

@@ -130,3 +130,34 @@ def test_psi_zero_for_identical_distributions(spark, tmp_path):
     assert out["psi"] == 0.0
     # and on real data PSI is non-negative (termwise (p-q)ln(p/q) >= 0)
     assert ops.queries()["psi_drift"](spark, SF_DIR).collect()[0]["psi"] >= 0
+
+
+def test_datacard_consistency(spark, tmp_path):
+    """Datacard on a constructed corpus: known dup rate, language share,
+    and uniform-source entropy ln(k); real-data entropy is bounded by
+    ln(#sources)."""
+    import math
+
+    from mr_spark.operators.quality import corpus_datacard
+
+    rows = [
+        (1, "a b c", "en", "s1", 5),
+        (2, "a b c", "en", "s2", 5),  # exact dup of doc 1
+        (3, "d e", "fr", "s1", 3),
+        (4, "f g", "en", "s2", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "dc")
+    df.write.parquet(path + "/documents.parquet")
+    out = corpus_datacard(spark, path).collect()[0]
+    assert out["n_docs"] == 4 and out["n_tokens"] == 10 and out["n_vocab"] == 7
+    assert out["dup_rate"] == 0.25
+    assert out["share_en"] == 0.75
+    assert math.isclose(out["source_entropy"], math.log(2), abs_tol=1e-6)
+
+    real = ops.queries()["corpus_datacard"](spark, SF_DIR).collect()[0]
+    n_sources = load_table(spark, SF_DIR, "documents").select("source").distinct().count()
+    assert 0 <= real["source_entropy"] <= math.log(n_sources) + 1e-9
+    assert 0 <= real["dup_rate"] < 1
