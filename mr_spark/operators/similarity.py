@@ -690,7 +690,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- contrastive mining + centroid-classifier eval --------------------------
 
-_HN_ANCHOR_MOD = 50  # ~2% hash-picked anchor mini-batch
+_HN_ANCHOR_MOD = 50  # hash-pick ~2% as candidates...
+_HN_ANCHOR_CAP = 64  # ...then cap at a FIXED mini-batch size
 
 
 @query(
@@ -701,6 +702,7 @@ _HN_ANCHOR_MOD = 50  # ~2% hash-picked anchor mini-batch
       SELECT vec_id, label, q FROM e0
       WHERE CAST(md5_number_lower('hn_' || CAST(vec_id AS VARCHAR))
                  % 9223372036854775808 AS BIGINT) % {_HN_ANCHOR_MOD} = 0
+      ORDER BY vec_id LIMIT {_HN_ANCHOR_CAP}
     ),
     scored AS (
       SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
@@ -732,15 +734,18 @@ _HN_ANCHOR_MOD = 50  # ~2% hash-picked anchor mini-batch
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-pair mining for metric-learning batches: for a
-    hash-picked ~2% anchor mini-batch, the most similar SAME-label vector
-    (positive) and the most similar OTHER-label vector (the hard
-    negative), with the triplet margin pos_sim − neg_sim. Anchors are a
-    bounded broadcast side (mini-batch mining is how contrastive
-    training actually consumes pairs — full-corpus mining would reuse
-    ann_lsh_topk's sign-bucket join instead of this anchor×corpus
-    product). Similarities are exact integer-valued-double dots of the
-    shared quantized relation; argmax picks break ties on cand_id via
-    ROW_NUMBER, so the mined pairs are engine- and partition-stable."""
+    hash-picked anchor mini-batch CAPPED at a fixed 64 anchors, the most
+    similar SAME-label vector (positive) and the most similar
+    OTHER-label vector (the hard negative), with the triplet margin
+    pos_sim − neg_sim. The cap is the scale contract: a fixed-FRACTION
+    anchor set made anchors×corpus quadratic (the 8× probe measured
+    22.7×) — a fixed-BUDGET mini-batch keeps the product linear in the
+    corpus, which is also how contrastive training actually consumes
+    pairs (one batch at a time; full-corpus mining would reuse
+    ann_lsh_topk's sign-bucket join instead). Similarities are exact
+    integer-valued-double dots of the shared quantized relation; argmax
+    picks break ties on cand_id via ROW_NUMBER, so the mined pairs are
+    engine- and partition-stable."""
     from ..functions import dot as dot_fn
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -751,14 +756,19 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .text import _md5_lower64
 
-    anchors = e.where(
-        _md5_lower64(F.concat(F.lit("hn_"), F.col("vec_id").cast("string")))
-        % _HN_ANCHOR_MOD
-        == 0
-    ).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("anchor_label"),
-        F.col("q").alias("aq"),
+    anchors = (
+        e.where(
+            _md5_lower64(F.concat(F.lit("hn_"), F.col("vec_id").cast("string")))
+            % _HN_ANCHOR_MOD
+            == 0
+        )
+        .orderBy("vec_id")
+        .limit(_HN_ANCHOR_CAP)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("q").alias("aq"),
+        )
     )
     scored = (
         F.broadcast(anchors)
