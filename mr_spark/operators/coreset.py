@@ -102,7 +102,11 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "qv",
                     F.least("mind", dist_to(top["qv"])).alias("mind"),
                 ).persist()
-                nxt.count()  # materialize before dropping the parent
+                try:
+                    nxt.count()  # materialize before dropping the parent
+                except Exception:
+                    nxt.unpersist()  # don't leak the child if it never built
+                    raise
                 d.unpersist()
                 d = nxt
     finally:

@@ -38,20 +38,27 @@ from .text import _md5_lower64
 def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU and trailing-7-day WAU per calendar day — the engagement
     metric pair. Sliding-window COUNT(DISTINCT) has no window-function
-    form (distinct isn't decomposable), so the scalable shape is the
-    (day-spine × distinct day-user) range join: the spine is calendar
-    days (broadcast — bounded at any data size), each day-user row lands
-    in ≤7 day-buckets, then one exact distinct agg per day. All
+    form (distinct isn't decomposable), so the scalable shape EXPLODES
+    each distinct (day, user) row into the ≤7 trailing day-buckets it
+    contributes to (a Generate, linear in the input) and equi-joins the
+    bucket day against the observed-day spine (broadcast hash join —
+    bounded rows; this also drops buckets past the horizon). The naive
+    alternative — a day BETWEEN d−6 AND d range join — compiles to a
+    BroadcastNestedLoopJoin that tests every day-user row against every
+    spine day: quadratic in days, ~150× wasted predicate work at a
+    3-year horizon. One exact distinct agg per bucket day; all
     integers."""
     ev = load_table(spark, sf_dir, "events")
     du = ev.select(
         F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
     ).distinct()
     days = du.select(F.col("day").alias("d")).distinct()
-    j = du.join(
-        F.broadcast(days),
-        (F.col("day") <= F.col("d")) & (F.col("day") >= F.date_sub("d", 6)),
+    exploded = du.select(
+        "day",
+        "user_id",
+        F.explode(F.sequence("day", F.date_add("day", 6))).alias("d"),
     )
+    j = exploded.join(F.broadcast(days), "d")
     return j.groupBy("d").agg(
         F.countDistinct(F.when(F.col("day") == F.col("d"), F.col("user_id")))
         .cast("bigint")
@@ -61,6 +68,29 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CUPED_SPLIT_DAY = 16  # pre-period: days 1-15; post: 16+
+
+
+def _ab_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared A/B prep for cuped_adjusted_ab and welch_ttest_ab: per-user
+    pre/post quantized metric sums (x, y) and the content-hash variant.
+    One definition keeps the two readouts describing the SAME experiment
+    split — a drifted copy would silently desynchronize the t-test from
+    the CUPED estimate it pairs with."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.dayofmonth("ts").alias("dom"),
+        F.round(F.col("value") * 1000000, 0).cast("bigint").alias("qv"),
+    )
+    pre = F.when(F.col("dom") < _CUPED_SPLIT_DAY, F.col("qv")).otherwise(F.lit(0))
+    post = F.when(F.col("dom") >= _CUPED_SPLIT_DAY, F.col("qv")).otherwise(F.lit(0))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.sum(pre).alias("x"), F.sum(post).alias("y"))
+        .withColumn(
+            "variant",
+            _md5_lower64(F.concat(F.lit("ab_"), F.col("user_id").cast("string"))) % 2,
+        )
+    )
 
 
 @query(
@@ -114,19 +144,7 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact DECIMAL(38,0)/HUGEINT; θ and the adjustment are one float
     expression on identical integers. Two shuffles (per-user agg, 2-row
     variant agg); the pooled moments broadcast back."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.dayofmonth("ts").alias("dom"),
-        F.round(F.col("value") * 1000000, 0).cast("bigint").alias("qv"),
-    )
-    pre = F.when(F.col("dom") < _CUPED_SPLIT_DAY, F.col("qv")).otherwise(F.lit(0))
-    post = F.when(F.col("dom") >= _CUPED_SPLIT_DAY, F.col("qv")).otherwise(F.lit(0))
-    u = ev.groupBy("user_id").agg(
-        F.sum(pre).alias("x"), F.sum(post).alias("y")
-    ).withColumn(
-        "variant",
-        _md5_lower64(F.concat(F.lit("ab_"), F.col("user_id").cast("string"))) % 2,
-    )
+    u = _ab_user_metrics(spark, sf_dir)
     big = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     g = u.agg(
         F.count("*").alias("n"),
@@ -301,16 +319,7 @@ def welch_ttest_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bm25 pattern), so every float op (means, variance-over-n terms,
     t, Welch–Satterthwaite df) is a single literal expression identical
     on both engines. One per-user shuffle + a 2-row agg."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.dayofmonth("ts").alias("dom"),
-        F.round(F.col("value") * 1000000, 0).cast("bigint").alias("qv"),
-    )
-    post = F.when(F.col("dom") >= _CUPED_SPLIT_DAY, F.col("qv")).otherwise(F.lit(0))
-    u = ev.groupBy("user_id").agg(F.sum(post).alias("y")).withColumn(
-        "variant",
-        _md5_lower64(F.concat(F.lit("ab_"), F.col("user_id").cast("string"))) % 2,
-    )
+    u = _ab_user_metrics(spark, sf_dir).select("user_id", "variant", "y")
     big = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     v = u.groupBy("variant").agg(
         F.count("*").alias("n"),

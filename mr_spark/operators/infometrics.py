@@ -11,9 +11,12 @@ the identical order, so the sums are bit-equal (the house rule that a
 bare float SUM() is summation-order-dependent and never comparable
 across engines — see bm25_topk's pivot for the fixed-arity variant).
 Embedding moments are quantized to 1e-6 integers first (exact
-DECIMAL(38,0)/HUGEINT sums; a float32 value can never land exactly on a
-.5 rounding boundary after *1e6 — the denominator 2e6 has factor 5⁶, not
-a binary fraction), mirroring semantic_dedup's quantized dot products.
+DECIMAL(38,0)/HUGEINT sums), mirroring semantic_dedup's quantized dot
+products. Quantization tie rule: a float32 value CAN land exactly on a
+.5 boundary after ×1e6 (e.g. 1/128 → 7812.5 — the odd numerator cancels
+the 5⁶ factor), and both engines resolve it the same way — ROUND half
+AWAY from zero (Spark HALF_UP == DuckDB round). Any replay (including
+the numpy tests) must use half-away, not banker's rounding.
 """
 
 from __future__ import annotations
@@ -135,7 +138,15 @@ def kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tok = docs.select("source", F.explode(tokens("text")).alias("word"))
     wc = tok.groupBy("word").agg(F.count("*").alias("qc"))
-    vocab = wc.orderBy(F.desc("qc"), F.asc("word")).limit(_KL_V)
+    # the top-V vocab is referenced three times downstream (totals, the
+    # count semi-join, the smoothing grid); Spark has no cross-subtree
+    # CSE for TakeOrdered subplans, so materialize the ≤V rows on the
+    # driver once (the kcenter pattern) instead of re-tokenizing the
+    # corpus per reference
+    vocab_rows = wc.orderBy(F.desc("qc"), F.asc("word")).limit(_KL_V).collect()
+    vocab = spark.createDataFrame(
+        [(r["word"], r["qc"]) for r in vocab_rows], "word string, qc bigint"
+    )
     tot = vocab.agg(F.sum("qc").alias("q"), F.count("*").alias("v"))
     sc = (
         tok.join(F.broadcast(vocab.select("word")), "word")
@@ -238,8 +249,8 @@ _POW53 = 9007199254740992  # 2^53
     ),
     k AS (
       SELECT o_orderkey, o_totalprice,
-             ROUND(ln((CAST(h53 AS DOUBLE) + 0.5) / {_POW53}) / o_totalprice, 6)
-               AS es_key
+             ROUND(ln((CAST(h53 AS DOUBLE) + 0.5) / {_POW53}) * 1000000
+                   / o_totalprice, 6) AS es_key
       FROM h
     )
     SELECT o_orderkey, o_totalprice, es_key
@@ -254,14 +265,20 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver state), and deterministic: u derives from the md5-tail
     machinery shared with hash_sample, and ranking uses the ROUNDED key
     with an o_orderkey tie-break, so a last-ulp ln() divergence can
-    never reorder the boundary. ln(u)/w is order-isomorphic to the
-    textbook u^(1/w) (exp is monotone) without pow()."""
+    never reorder the boundary. The key is SCALED ×1e6 before rounding:
+    with weights ~1e5, the raw quotient sits at ~1e-5 where a 6-decimal
+    round collapses thousands of rows into one tie bucket and the
+    tie-break (not the weights) would pick the sample — measured at
+    sf0.1 before the fix: 17k orders shared the top rounded key.
+    ln(u)/w is order-isomorphic to the textbook u^(1/w) (exp is
+    monotone) without pow(); the positive scale factor preserves the
+    order exactly."""
     o = load_table(spark, sf_dir, "orders")
     h53 = _md5_lower64(F.concat(F.lit("ws_"), F.col("o_orderkey").cast("string"))) % _POW53
     u = (h53.cast("double") + 0.5) / F.lit(float(_POW53))
     k = o.select(
         "o_orderkey",
         "o_totalprice",
-        F.round(F.log(u) / F.col("o_totalprice"), 6).alias("es_key"),
+        F.round(F.log(u) * 1000000 / F.col("o_totalprice"), 6).alias("es_key"),
     )
     return k.orderBy(F.desc("es_key"), F.asc("o_orderkey")).limit(_WS_K)

@@ -49,13 +49,18 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sketch bounds candidate-set size (≤ k per partition regardless of
     data volume); the exact pass makes the output identical to the plain
     groupBy the oracle runs — approximation in the plan, none in the
-    answer. Thresholds compare as 50·c > n in exact integers."""
+    answer. The global token total rides out of the MG pass as one
+    sentinel row per partition (persisted ≤k+1 rows/partition), so the
+    corpus is tokenized exactly twice, not three times. Thresholds
+    compare as 50·c > n in exact integers."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens("text")).alias("word"))
 
     def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             for w in pdf["word"]:
                 if w in counters:
                     counters[w] += 1
@@ -69,10 +74,20 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                             dead.append(key)
                     for key in dead:
                         del counters[key]
-        yield pd.DataFrame({"word": list(counters.keys())})
+        # candidates + one sentinel row carrying this partition's token
+        # count — the global n falls out of the SAME pass instead of a
+        # second full tokenize scan
+        words = list(counters.keys()) + [None]
+        yield pd.DataFrame(
+            {
+                "word": pd.Series(words, dtype="object"),
+                "n_part": pd.Series([0] * (len(words) - 1) + [n_part], dtype="int64"),
+            }
+        )
 
-    candidates = tok.mapInPandas(mg_partition, schema="word string").distinct()
-    n = tok.agg(F.count("*").alias("n"))
+    mg = tok.mapInPandas(mg_partition, schema="word string, n_part bigint").persist()
+    candidates = mg.where(F.col("word").isNotNull()).select("word").distinct()
+    n = mg.agg(F.sum("n_part").alias("n"))
     exact = (
         tok.join(F.broadcast(candidates), "word")
         .groupBy("word")

@@ -23,3 +23,13 @@ def duck():
     from mr_spark.oracle import duck_connection
 
     return duck_connection(SF_DIR)
+
+
+def round_half_away(x):
+    """Half-AWAY-from-zero rounding — the rule BOTH engines use for the
+    1e-6 quantization (Spark HALF_UP == DuckDB round). np.round is
+    banker's (half-even) and diverges on exact .5 boundaries, which
+    float32 values CAN hit after *1e6 (e.g. 1/128 -> 7812.5)."""
+    import numpy as np
+
+    return np.trunc(x + np.copysign(0.5, x))

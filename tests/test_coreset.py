@@ -8,7 +8,7 @@ import numpy as np
 from mr_spark import operators as ops
 from mr_spark.sources import load_table
 
-from conftest import SF_DIR
+from conftest import SF_DIR, round_half_away
 
 
 def test_kcenter_matches_numpy_greedy(spark):
@@ -18,7 +18,7 @@ def test_kcenter_matches_numpy_greedy(spark):
     )
     emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in emb])
-    q = np.round(np.array([r["embedding"] for r in emb], dtype=np.float64) * 1e6)
+    q = round_half_away(np.array([r["embedding"] for r in emb], dtype=np.float64) * 1e6)
 
     order = np.argsort(ids)
     ids, q = ids[order], q[order]
@@ -51,7 +51,7 @@ def test_hard_negatives_match_numpy(spark):
     ids = np.array([r["vec_id"] for r in emb])
     labels = np.array([r["label"] for r in emb])
     m = np.array([r["embedding"] for r in emb], dtype=np.float64)
-    q = np.round(m / np.linalg.norm(m, axis=1, keepdims=True) * 1e6)
+    q = round_half_away(m / np.linalg.norm(m, axis=1, keepdims=True) * 1e6)
     order = np.argsort(ids)
     ids, labels, q = ids[order], labels[order], q[order]
     sims = (q @ q.T) / 1e12
@@ -88,10 +88,10 @@ def test_centroid_confusion_matches_numpy(spark):
     emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "label", "embedding").collect()
     labels = np.array([r["label"] for r in emb])
     m = np.array([r["embedding"] for r in emb], dtype=np.float64)
-    q = np.round(m / np.linalg.norm(m, axis=1, keepdims=True) * 1e6)
+    q = round_half_away(m / np.linalg.norm(m, axis=1, keepdims=True) * 1e6)
     cents = {}
     for lab in sorted(set(labels.tolist())):
-        cents[lab] = np.round(q[labels == lab].sum(axis=0) / (labels == lab).sum())
+        cents[lab] = round_half_away(q[labels == lab].sum(axis=0) / (labels == lab).sum())
     labs = sorted(cents)
     c_mat = np.stack([cents[k] for k in labs])
     d = q @ c_mat.T

@@ -8,7 +8,7 @@ import math
 
 from mr_spark import operators as ops
 
-from conftest import SF_DIR
+from conftest import SF_DIR, round_half_away
 
 
 def _mini_docs(spark, tmp_path, rows):
@@ -67,7 +67,7 @@ def test_embedding_moments_match_numpy(spark):
     rows = ops.queries()["embedding_dim_stats"](spark, SF_DIR).collect()
     emb = load_table(spark, SF_DIR, "embeddings").select("embedding").collect()
     m = np.array([r["embedding"] for r in emb], dtype=np.float64)
-    q = np.round(m * 1e6)
+    q = round_half_away(m * 1e6)
     for r in rows:
         col = q[:, r["dim"]]
         assert r["n_vecs"] == len(col)

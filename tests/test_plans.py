@@ -209,12 +209,14 @@ def test_heavy_hitters_candidates_broadcast(spark):
     assert map_idx != -1 and gen_idx != -1
 
 
-def test_rolling_active_users_broadcasts_day_spine(spark):
-    """The range join against the calendar spine must broadcast the
-    spine (bounded rows) — each day-user row then probes at most 7
-    buckets; a shuffle range join here would be wrong at every scale."""
+def test_rolling_active_users_is_explode_plus_equi_join(spark):
+    """The sliding window must be a Generate (explode into ≤7 buckets)
+    feeding a broadcast EQUI join on the spine — the range-join form
+    compiles to BroadcastNestedLoopJoin, quadratic in days."""
     plan = plans.formatted(QUERIES["rolling_active_users"](spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "Generate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_kl_source_drift_broadcasts_vocab(spark):
