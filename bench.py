@@ -40,6 +40,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark("mr-spark-bench")
+    # Quiet the tail: the driver parses the LAST ~2000 chars of stdout/err —
+    # round 1's summary line was crowded out by a WARN flood (WindowExec
+    # etc.). Remaining WARN sources are all documented-benign (bounded
+    # small-relation windows), so run the bench at ERROR.
+    spark.sparkContext.setLogLevel("ERROR")
 
     queries = ops.queries()
     # warm-up: JVM JIT + codegen + parquet footer caches

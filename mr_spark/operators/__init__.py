@@ -55,49 +55,46 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver row yet — plus q12, red in r01 on a (now fixed) dtype artifact —
 # in the checked prefix, and rotate per round as driver rows accumulate.
 #
-# Round-2 prefix = q12 + the LLM-pipeline families (dedup, similarity,
-# text, multimodal, streaming, pipeline, udtf) + every operator NEW this
-# round (repetition_quality, lm_surprisal, semantic_dedup,
-# dedup_keep_best, exact_substring_pairs, stream_trending_topk, and the
-# late-round-2 nine: regression_trend, anomaly_days,
-# gapfill_daily_revenue, event_cooccurrence, session_paths,
-# pmi_collocations, textrank_keywords, approx_quantile_bounds,
-# pareto_frontier). To stay inside the driver's 50-row budget, queries
-# whose machinery is pinned by an INDEPENDENT in-repo check were rotated
-# to overflow: tier_a_wc/tier_a_indexer (golden-diff + differential twins
-# of driver-green wc/indexer), stratified_sample/shuffle_shards (md5-tail
-# shared with hash_sample/train_val_split + test_pipeline_ops),
-# salted_skew_join (equality-vs-unsalted pinned in test_skew),
-# zorder_key_lineitem (test_layout file-stats proof), scd2_history
-# (test_cdc), pii_pseudonymize + corpus_curation (test_pipeline_ops
-# invariants), doc_chunking + contamination_ngrams (test_pipeline_ops
-# conservation/bounds invariants), histogram_prices (trivial floor-div
-# bucketing, same expression family as case_bucketing). All
-# overflow queries stay green under local pytest +
-# tools/check_correctness at sf0.001/0.01/0.1; they rotate into the
-# round-3 prefix along with the 15 listed in COVERAGE.md.
+# Round-3 prefix = exactly the 50 queries (of the 62 with no driver row
+# in r01 or r02) that can take a full oracle check — union of
+# r01+r02-green names all rotate OUT (99 driver-green queries so far).
+# The 12 never-checked queries NOT in the prefix each carry a named
+# independent in-repo pin and stay in overflow:
+#   tier-a… none this round — tier_a_wc/tier_a_indexer rotate IN.
+#   salted_skew_join (equality-vs-unsalted pinned in test_skew),
+#   zorder_key_lineitem (test_layout file-stats proof), scd2_history
+#   (test_cdc), pii_pseudonymize / corpus_curation / doc_chunking /
+#   contamination_ngrams (test_pipeline_ops invariants + oracle
+#   rehearsal in test_queries_oracle), stratified_sample /
+#   shuffle_shards (md5-tail machinery shared with hash_sample and
+#   train_val_split, both IN the prefix), histogram_prices (trivial
+#   floor-div bucketing, same expression family as case_bucketing, IN
+#   the prefix), null_handling (coalesce/nullif battery, oracle
+#   rehearsal), approx_distinct_sketch (rows-only by design — a driver
+#   row adds no hash signal).
+# All overflow queries stay green under local pytest +
+# tools/check_correctness at sf0.001/0.01/0.1.
 _CHECK_PRIORITY = [
-    "q12_priority_shipping",
-    "rolling_active_users", "cuped_adjusted_ab", "seasonal_decompose",
-    "heavy_hitters", "attribution_last_touch", "table_profile",
-    "referential_integrity", "psi_drift",
-    "audio_energy_stub", "lateral_topn", "ewma_daily",
-    "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_buckets",
-    "embedding_neardup", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "label_outlier_scores", "neardup_components",
-    "repetition_quality", "lm_surprisal", "semantic_dedup",
-    "exact_substring_pairs", "copurchase_pairs", "bigram_perplexity",
-    "market_concentration", "corpus_datacard",
-    "welch_ttest_ab", "chi2_association",
-    "hard_negative_mining", "centroid_confusion",
-    "winnow_fingerprint", "top_terms_per_doc",
-    "char_ngram_entropy", "kl_source_drift",
-    "kaplan_meier", "k_anonymity_audit",
-    "stream_hourly_agg", "stream_stream_join", "stream_session_window",
-    "stream_static_join", "stream_dedup_events", "stream_sessionize_stateful",
-    "stream_trending_topk",
-    "kcenter_coreset",
-    "udtf_sentences", "pandas_udaf_median",
+    "event_funnel", "retention_cohorts",
+    "date_arithmetic", "case_bucketing", "math_funcs",
+    "rolling_range_window", "json_typed_parse", "regex_funcs",
+    "stat_aggregates", "window_rank_battery",
+    "bucketed_fact_join", "time_rollup",
+    "dedup_keep_best", "fuzzy_match_pairs",
+    "token_stats", "text_quality", "lang_id", "doc_fingerprint",
+    "bpe_token_count", "term_frequency", "winnow_containment", "bm25_topk",
+    "multimodal_meta", "frame_sample_stub", "image_features_stub",
+    "payload_byte_stats",
+    "tier_a_wc", "tier_a_indexer",
+    "hash_sample", "train_val_split",
+    "pack_context_windows", "vocab_coverage", "mixture_weights",
+    "regression_trend", "anomaly_days", "gapfill_daily_revenue",
+    "event_cooccurrence", "session_paths", "pmi_collocations",
+    "textrank_keywords", "triangle_count",
+    "approx_quantile_bounds", "pareto_frontier",
+    "lexical_diversity", "mad_outliers", "equidepth_histogram",
+    "interpolate_missing", "markov_transitions",
+    "embedding_dim_stats", "weighted_sample",
 ]
 
 

@@ -107,15 +107,55 @@ def lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(4) over a total order. Note: a single unpartitioned window is a
-    scale anti-pattern (one task sorts everything); at 100 TB use
-    approx quantile cutpoints + a broadcast range lookup instead — this
-    entry exists for exact-operator parity."""
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_custkey", F.ntile(4).over(w).cast("int").alias("quartile")
+    """ntile(4) over a total order, WITHOUT the single-partition sort a bare
+    ``Window.orderBy`` implies. Global rank is computed range-binned exactly
+    as `equidepth_histogram` (distributions.py) does: 1000 coarse acctbal
+    bins (bounds from one min/max agg), tiny per-bin counts give broadcast
+    exclusive prefix offsets, and the intra-bin row_number window shuffles
+    only on bin id — every corpus-sized exchange is parallel. The NTILE
+    bucket is then closed-form from (rank, n): with q = n div 4, r = n mod 4
+    the first r buckets get q+1 rows (SQL NTILE semantics, larger buckets
+    first):  bucket = ceil(rank/(q+1)) while rank ≤ r·(q+1), else
+    r + ceil((rank − r·(q+1))/q). Ranks are total (c_custkey tie-break), so
+    this matches the oracle's NTILE bit-for-bit; equality against the exact
+    window form is pinned in tests/test_insights.py."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").alias("v")
     )
+    nbins = 1000
+    bounds = c.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
+    )
+    binned = c.crossJoin(F.broadcast(bounds)).withColumn(
+        "bin",
+        F.when(
+            F.col("hi") == F.col("lo"), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.lit(nbins - 1),
+                F.floor(
+                    (F.col("v") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / nbins)
+                ),
+            )
+        ).cast("bigint"),
+    )
+    off_w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        binned.groupBy("bin")
+        .agg(F.count("*").alias("c"))
+        .select("bin", F.coalesce(F.sum("c").over(off_w), F.lit(0)).alias("off"))
+    )
+    intra_w = Window.partitionBy("bin").orderBy("v", "c_custkey")
+    ranked = binned.join(F.broadcast(offsets), "bin").withColumn(
+        "rnk", F.col("off") + F.row_number().over(intra_w)
+    )
+    q = (F.col("n") / 4).cast("bigint")  # floor-div bucket base size
+    r = F.col("n") % 4
+    big_span = r * (q + 1)  # rows covered by the r larger buckets
+    bucket = F.when(
+        F.col("rnk") <= big_span, F.ceil(F.col("rnk") / (q + 1))
+    ).otherwise(r + F.ceil((F.col("rnk") - big_span) / q))
+    return ranked.select("c_custkey", bucket.cast("int").alias("quartile"))
 
 
 @query(

@@ -714,19 +714,32 @@ def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     window), so the executed plan is the scalable one — the point of
     registering both forms is pinning that the rewrite exists and agrees
     with the window answer. Ties break on o_orderkey; the segment filter
-    pushes into the customer scan."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
-    return spark.sql(
-        """
-        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
-        FROM lat_customer c,
-        LATERAL (SELECT o_orderkey, o_totalprice FROM lat_orders o
-                 WHERE o.o_custkey = c.c_custkey
-                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
-        WHERE c.c_mktsegment = 'BUILDING'
-        """
-    )
+    pushes into the customer scan.
+
+    The temp views are per-call-unique and dropped before returning
+    (spark.sql analyzes the LATERAL eagerly, so the returned plan no
+    longer references them) — fixed names would silently rebind across
+    invocations with different sf_dir and outlive the call."""
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    cv, ov = f"lat_customer_{tag}", f"lat_orders_{tag}"
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(cv)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(ov)
+    try:
+        return spark.sql(
+            f"""
+            SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+            FROM {cv} c,
+            LATERAL (SELECT o_orderkey, o_totalprice FROM {ov} o
+                     WHERE o.o_custkey = c.c_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+            WHERE c.c_mktsegment = 'BUILDING'
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(cv)
+        spark.catalog.dropTempView(ov)
 
 
 _COPURCHASE_TOP = 50

@@ -531,6 +531,14 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SUBSTR_L = 40  # window length, chars (Lee et al. use 50 BPE tokens)
+# Hot-shingle cap: a window (after per-doc dedup) present in more than this
+# many DOCUMENTS is boilerplate (license header, template chrome) and is
+# dropped before the self-join — df docs would otherwise emit df²/2 pair
+# instances through ONE hash key, the classic skewed-shuffle job-killer at
+# corpus scale. Lee et al. 2022 likewise exclude such cluster-busting
+# substrings. The cap is a property of the window TEXT (its doc frequency),
+# not of either engine's hash, so it is mirrored exactly in the oracle.
+_SUBSTR_DF_CAP = 256
 
 
 @query(
@@ -542,10 +550,14 @@ _SUBSTR_L = 40  # window length, chars (Lee et al. use 50 BPE tokens)
                   % 9223372036854775808 AS BIGINT) AS h
       FROM documents, unnest(range(1, length(text) - {_SUBSTR_L - 2})) AS t(i)
       WHERE length(text) >= {_SUBSTR_L}
-    )
+    ),
+    keep AS (
+      SELECT h FROM wins GROUP BY h HAVING COUNT(*) <= {_SUBSTR_DF_CAP}
+    ),
+    w2 AS (SELECT wins.doc_id, wins.h FROM wins JOIN keep USING (h))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared
-    FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
+    FROM w2 a JOIN w2 b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     """,
 )
@@ -565,16 +577,26 @@ def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-tail) and the pair sets still agree exactly up to ~n²/2⁶⁴
     collision odds; the cross-engine-identical md5-tail construction is
     only needed where hash VALUES are output (winnowing, sampling). The
-    md5 chain here cost 4× the whole join (12 s → 3 s at sf0.1). At
-    100 TB only 8-byte digests shuffle, never text; a boilerplate window
-    shared by many docs is the classic hot-shingle df² key — cap or
-    PPJoin-filter it exactly as ngram_jaccard_pairs does above
-    _PPJOIN_DOC_THRESHOLD."""
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.length("text") >= _SUBSTR_L
-    )
+    md5 chain here cost 4× the whole join (12 s → 3 s at sf0.1).
+
+    Hot-shingle cap (always on, oracle-mirrored): windows whose doc
+    frequency exceeds _SUBSTR_DF_CAP are dropped before the self-join —
+    the df agg is a safe partial-aggregated count, the hot set is removed
+    with a left_anti join (no broadcast hint: AQE broadcasts it when
+    small, shuffles when boilerplate is genuinely plentiful), and no hash
+    key can emit more than _SUBSTR_DF_CAP²/2 pair instances. At 100 TB
+    only 8-byte digests shuffle, never text. Cap behavior unit-tested on
+    a constructed boilerplate corpus in tests/test_substring_cap.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _substring_pairs(docs)
+
+
+def _substring_pairs(docs: DataFrame) -> DataFrame:
+    """Windows → per-doc distinct digests → df cap → inverted-index
+    self-join. Split out so tests can drive it on constructed corpora."""
     wins = (
-        docs.select(
+        docs.where(F.length("text") >= _SUBSTR_L)
+        .select(
             "doc_id",
             F.explode(
                 F.transform(
@@ -585,7 +607,17 @@ def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.xxhash64("w").alias("h"))
         .distinct()
+        .persist()  # feeds df agg + both self-join sides; the stride-1
+        # window explode is the most expensive projection here (same
+        # rationale and precedent as _jaccard_naive's persist)
     )
+    hot = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > _SUBSTR_DF_CAP)
+        .select("h")
+    )
+    wins = wins.join(hot, "h", "left_anti")
     a, b = wins.alias("a"), wins.alias("b")
     return (
         a.join(

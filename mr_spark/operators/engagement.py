@@ -293,12 +293,12 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
              CAST(s0 AS DOUBLE) / (CAST(n0 AS DOUBLE) * 1e6) AS m0,
              CAST(s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * 1e6) AS m1,
-             (CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE)
-              - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+             GREATEST(CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE)
+              - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE), 0)
                / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1) * 1e12)
                / CAST(n0 AS DOUBLE) AS vn0,
-             (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
-              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             GREATEST(CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0)
                / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1) * 1e12)
                / CAST(n1 AS DOUBLE) AS vn1
       FROM wide
@@ -336,10 +336,14 @@ def welch_ttest_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     m0 = d("s0") / (d("n0") * F.lit(1e6))
     m1 = d("s1") / (d("n1") * F.lit(1e6))
-    vn0 = (d("n0") * d("ss0") - d("s0") * d("s0")) / (
+    # n·Σy² − (Σy)² is ≥ 0 exactly, but the double cast can round it
+    # slightly negative when a variant's variance is ~0 — and DuckDB's
+    # sqrt(negative) is a hard error while Spark's is NaN. Clamp the
+    # numerator on BOTH engines (GREATEST(..., 0) in the oracle above).
+    vn0 = F.greatest(d("n0") * d("ss0") - d("s0") * d("s0"), F.lit(0.0)) / (
         d("n0") * (d("n0") - 1) * F.lit(1e12)
     ) / d("n0")
-    vn1 = (d("n1") * d("ss1") - d("s1") * d("s1")) / (
+    vn1 = F.greatest(d("n1") * d("ss1") - d("s1") * d("s1"), F.lit(0.0)) / (
         d("n1") * (d("n1") - 1) * F.lit(1e12)
     ) / d("n1")
     return wide.select(

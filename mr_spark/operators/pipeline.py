@@ -253,31 +253,33 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the cumulative share of the corpus each prefix of the vocabulary
     covers (the coverage curve that sizes a real vocab).
 
-    The global window runs AFTER the count aggregation, on vocabulary-sized
-    data (≪ corpus, bounded by distinct tokens) — a single-partition sort
-    of the vocab is the correct plan at any corpus scale."""
+    The vocabulary is NOT window-sized data — distinct tokens grow with the
+    corpus (billions at web scale), so ranking it with an unpartitioned
+    window would funnel the whole vocab through one task. Instead the
+    top-32 is cut FIRST with ``orderBy().limit()`` (TakeOrderedAndProject:
+    per-partition heaps, 32-row driver merge) and the corpus total comes
+    from one scalar aggregate; the rank/cumulative windows then run over
+    exactly 32 rows, which is single-partition by construction and correct
+    at any scale. The top-32 prefix of the full-vocab cumulative sum is
+    identical to the cumulative sum over the top-32 rows, so this matches
+    the oracle bit-for-bit. Plan pinned in tests/test_plans.py."""
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(tokens("text")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(_VOCAB_TOP)
     order_w = Window.orderBy(F.desc("cnt"), F.asc("word"))
     cum_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    total_w = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    return (
-        counts.select(
-            "word",
-            "cnt",
-            F.row_number().over(order_w).cast("bigint").alias("rank"),
-            (
-                F.sum("cnt").over(cum_w).cast("double")
-                / F.sum("cnt").over(total_w)
-            ).alias("cum_share"),
-        )
-        .where(F.col("rank") <= _VOCAB_TOP)
+    return top.crossJoin(F.broadcast(total)).select(
+        "word",
+        "cnt",
+        F.row_number().over(order_w).cast("bigint").alias("rank"),
+        (F.sum("cnt").over(cum_w).cast("double") / F.col("total")).alias(
+            "cum_share"
+        ),
     )
 
 

@@ -149,20 +149,31 @@ def _textrank_oracle() -> str:
     return "".join(parts)
 
 
+# Above this vocabulary size the per-iteration rank vector no longer
+# belongs on the driver (it grows with the corpus, unlike k-means
+# centroids) — switch to the distributed equi-join power iteration.
+_TEXTRANK_COLLECT_MAX = 1_000_000
+
+
 @query("textrank_keywords", oracle=_textrank_oracle())
 def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword scoring: PageRank (d=0.85, 5 power iterations)
     over the undirected word co-occurrence graph (edge weight = adjacency
-    count, self-loops dropped). Iteration strategy mirrors ann_ivf's
-    broadcast-Lloyd: the rank vector is VOCABULARY-sized (≪ corpus, like
-    k-means centroids), so each round collects it and broadcast-joins it
-    back into the persisted distributed edge relation — one groupBy
-    shuffle per round, no deep AQE stage chains (the fully-distributed
-    rank join was 10× slower here on pure stage-scheduling latency; for a
-    vocabulary too big to collect, swap the broadcast for the equi-join —
-    the surrounding algebra is unchanged). Every float step is rounded to
-    12dp and summed in exact decimal so five iterations stay bit-identical
-    to the generated-SQL oracle — same technique as minhash_lsh_pairs."""
+    count, self-loops dropped).
+
+    Size-gated iteration strategy (same gate pattern as semantic_dedup's
+    quantizer and neardup_components' union-find): vocabularies up to
+    _TEXTRANK_COLLECT_MAX words collect the rank vector each round and
+    broadcast-join it into the persisted edge relation — one groupBy
+    shuffle per round, no deep AQE stage chains (the distributed join
+    measured ~10× slower at sf0.1 on pure stage-scheduling latency).
+    Bigger vocabularies take `_textrank_distributed`: the SAME algebra
+    with the broadcast swapped for a shuffled equi-join and zero driver
+    round-trips — the rank vector never leaves the executors. Both paths
+    round every contribution to 12dp and sum in exact decimal, so they
+    are bit-identical to each other (pinned in
+    tests/test_insights.py::test_textrank_strategies_identical) and to
+    the generated-SQL oracle — same technique as minhash_lsh_pairs."""
     bg = _bigrams(spark, sf_dir).where(F.col("w1") != F.col("w2"))
     und = bg.select(F.col("w1").alias("src"), F.col("w2").alias("dst")).unionAll(
         bg.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
@@ -170,33 +181,65 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = und.groupBy("src", "dst").agg(F.count("*").alias("w"))
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     e2 = edges.join(outw, "src").select("src", "dst", "w", "ow").persist()
+    n = outw.count()  # scalar vocab size — safe at any scale
+    if n <= _TEXTRANK_COLLECT_MAX:
+        return _textrank_broadcast(spark, e2, outw, n)
+    return _textrank_distributed(e2, outw, n)
+
+
+def _rank_step(e2: DataFrame, ranks: DataFrame, n: int) -> DataFrame:
+    """One power iteration: ranks(word, r) -> ranks(word, r). The exact
+    12dp-round + decimal-sum contract shared by both strategies and the
+    oracle lives HERE, once."""
+    return (
+        e2.join(ranks, e2.src == ranks.word)
+        .select(
+            "dst",
+            F.round(F.col("r") * F.col("w") / F.col("ow"), 12).alias("contrib"),
+        )
+        .groupBy("dst")
+        .agg(F.sum(F.col("contrib").cast("decimal(28,12)")).alias("s"))
+        .select(
+            F.col("dst").alias("word"),
+            F.round(
+                F.lit(0.15) / F.lit(float(n))
+                + F.lit(0.85) * F.col("s").cast("double"),
+                12,
+            ).alias("r"),
+        )
+    )
+
+
+def _textrank_broadcast(
+    spark: SparkSession, e2: DataFrame, outw: DataFrame, n: int
+) -> DataFrame:
+    """≤ gate: rank vector collected + broadcast each round."""
     nodes = [row["src"] for row in outw.select("src").collect()]
-    n = len(nodes)
     r0 = round(1.0 / n, 12)
     rank_rows = [(word, r0) for word in nodes]
     for _ in range(_ITERS):
-        ranks_df = spark.createDataFrame(rank_rows, "word string, r double")
-        rank_rows = (
-            e2.join(F.broadcast(ranks_df), e2.src == ranks_df.word)
-            .select(
-                "dst", F.round(F.col("r") * F.col("w") / F.col("ow"), 12).alias("contrib")
-            )
-            .groupBy("dst")
-            .agg(F.sum(F.col("contrib").cast("decimal(28,12)")).alias("s"))
-            .select(
-                "dst",
-                F.round(
-                    F.lit(0.15) / F.lit(float(n))
-                    + F.lit(0.85) * F.col("s").cast("double"),
-                    12,
-                ).alias("r"),
-            )
-            .collect()
+        ranks_df = F.broadcast(
+            spark.createDataFrame(rank_rows, "word string, r double")
         )
-        rank_rows = [(row["dst"], row["r"]) for row in rank_rows]
+        rank_rows = [
+            (row["word"], row["r"]) for row in _rank_step(e2, ranks_df, n).collect()
+        ]
     e2.unpersist()
     final = spark.createDataFrame(rank_rows, "word string, rank double")
     return final.select("word", F.round("rank", 6).alias("rank"))
+
+
+def _textrank_distributed(e2: DataFrame, outw: DataFrame, n: int) -> DataFrame:
+    """> gate: the rank vector stays a distributed relation; each round is
+    a shuffled equi-join + groupBy against the persisted edges. Fully
+    lazy — _ITERS is small and fixed, so the composed 5-join plan executes
+    as ONE job with no driver materialization at all."""
+    ranks = outw.select(
+        F.col("src").alias("word"), F.lit(round(1.0 / n, 12)).alias("r")
+    )
+    for _ in range(_ITERS):
+        ranks = _rank_step(e2, ranks, n)
+    return ranks.select("word", F.round("r", 6).alias("rank"))
 
 
 @query(

@@ -365,7 +365,11 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returns, top-20 customers.
     Join order: lineitem filtered on returnflag (pushed to scan) drives;
-    customer/nation broadcast; top-k via window with custkey tie-break."""
+    customer/nation broadcast. Top-k via ``orderBy().limit(20)`` so Catalyst
+    plans TakeOrderedAndProject — per-partition heaps + a 20-row driver
+    merge — instead of an unpartitioned ``row_number`` window that would
+    funnel every per-customer aggregate through ONE task at scale
+    (plan pinned in tests/test_plans.py)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
@@ -381,10 +385,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(_disc_price(), "revenue"))
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("custkey"))
     return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
+        rev.orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(20)
         .select("custkey", "c_name", "nation", "revenue")
     )
 

@@ -308,3 +308,66 @@ def test_bigram_perplexity_matches_python_lm(spark, tmp_path):
         pp = round(math.exp(-s / (len(ws) - 1)), 6)
         assert abs(got[i] - pp) < 1e-6, (i, got[i], pp)
     assert got[1] < got[4]
+
+
+def test_textrank_strategies_identical(spark):
+    """Both power-iteration strategies — collect+broadcast (≤ gate) and the
+    fully-distributed equi-join (> gate) — must be BIT-identical: every
+    contribution is rounded to 12dp and summed in exact decimal, so the
+    iteration order can't leak into either path."""
+    from pyspark.sql import functions as F
+
+    from mr_spark.operators.text_graph import (
+        _bigrams,
+        _textrank_broadcast,
+        _textrank_distributed,
+    )
+
+    def build_graph():
+        bg = _bigrams(spark, SF_DIR).where(F.col("w1") != F.col("w2"))
+        und = bg.select(
+            F.col("w1").alias("src"), F.col("w2").alias("dst")
+        ).unionAll(bg.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        edges = und.groupBy("src", "dst").agg(F.count("*").alias("w"))
+        outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+        e2 = edges.join(outw, "src").select("src", "dst", "w", "ow").persist()
+        return e2, outw
+
+    e2, outw = build_graph()
+    n = outw.count()
+    dist = sorted(
+        (r["word"], r["rank"]) for r in _textrank_distributed(e2, outw, n).collect()
+    )
+    # _textrank_broadcast unpersists e2 internally — give it its own copy
+    e2b, outwb = build_graph()
+    bcast = sorted(
+        (r["word"], r["rank"])
+        for r in _textrank_broadcast(spark, e2b, outwb, n).collect()
+    )
+    e2.unpersist()
+    assert dist == bcast
+    assert dist, "empty rank vector"
+
+
+def test_ntile_quartiles_matches_exact_window(spark):
+    """The range-binned distributed rank + closed-form bucket must equal
+    the textbook single-window NTILE(4) exactly (including the
+    larger-buckets-first remainder rule)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mr_spark.sources import load_table
+
+    got = sorted(
+        (r["c_custkey"], r["quartile"])
+        for r in ops.queries()["ntile_quartiles"](spark, SF_DIR).collect()
+    )
+    c = load_table(spark, SF_DIR, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    want = sorted(
+        (r["c_custkey"], r["quartile"])
+        for r in c.select(
+            "c_custkey", F.ntile(4).over(w).cast("int").alias("quartile")
+        ).collect()
+    )
+    assert got == want

@@ -198,15 +198,30 @@ def test_market_concentration_rank_is_segment_partitioned(spark):
 def test_heavy_hitters_candidates_broadcast(spark):
     """Pass 2's candidate semi-join must broadcast the (sketch-bounded)
     candidate set, and the MG pass must read tokens pre-shuffle (the
-    mapInPandas sits directly over the Generate, no Exchange between)."""
+    mapInPandas sits directly over the Generate, no Exchange between).
+    The MG pass runs eagerly inside heavy_hitters (so its persist can be
+    released before returning) — pin its plan via the _mg_sketch helper."""
+    from pyspark.sql import functions as SF
+
+    from mr_spark.functions import tokens
+    from mr_spark.operators.quality import _mg_sketch
+    from mr_spark.sources import load_table
+
+    tok = load_table(spark, SF_DIR, "documents").select(
+        SF.explode(tokens("text")).alias("word")
+    )
+    mg_plan = plans.formatted(_mg_sketch(tok))
+    map_idx = mg_plan.find("MapInPandas")
+    gen_idx = mg_plan.find("Generate")
+    assert map_idx != -1 and gen_idx != -1
+    # formatted plans print top-down: MapInPandas appears ABOVE the
+    # Generate feeding it, and no Exchange may sit between the two
+    assert map_idx < gen_idx
+    assert "Exchange" not in mg_plan[map_idx:gen_idx]
+    # pass 2: broadcast semi-join of the bounded candidate set
     plan = plans.formatted(QUERIES["heavy_hitters"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
-    # MapInPandas over Generate with no shuffle in between
-    import re
-
-    map_idx = plan.find("MapInPandas")
-    gen_idx = plan.find("Generate")
-    assert map_idx != -1 and gen_idx != -1
+    assert "MapInPandas" not in plan  # sketch already ran + unpersisted
 
 
 def test_rolling_active_users_is_explode_plus_equi_join(spark):
@@ -233,3 +248,25 @@ def test_psi_and_seasonal_prune_fact_scans(spark):
     for name, banned in [("psi_drift", "o_orderkey"), ("seasonal_decompose", "event_id")]:
         schemas = plans.scan_schemas(QUERIES[name](spark, SF_DIR))
         assert schemas and all(banned not in s for s in schemas), name
+
+
+def test_q10_top20_is_take_ordered(spark):
+    """q10's top-20 must compile to TakeOrderedAndProject (per-partition
+    heaps + 20-row driver merge), NOT an unpartitioned row_number window
+    that funnels every per-customer aggregate through one task."""
+    plan = plans.formatted(QUERIES["q10_returned_items"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_vocab_coverage_cuts_topk_before_window(spark):
+    """The vocabulary is corpus-proportional: the top-32 cut must be a
+    TakeOrderedAndProject and the rank/cumulative windows must run AFTER
+    it (over 32 rows), never over the full vocab."""
+    plan = plans.formatted(QUERIES["vocab_coverage"](spark, SF_DIR))
+    take_idx = plan.find("TakeOrderedAndProject")
+    win_idx = plan.find("Window")
+    assert take_idx != -1 and win_idx != -1
+    # formatted plans print top-down (consumers above producers): the
+    # window consumes the TakeOrdered output, so it prints ABOVE it
+    assert win_idx < take_idx
