@@ -632,6 +632,176 @@ def _substring_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+# Shared windows CTE for the per-doc substring family (novelty / spans):
+# per-doc DISTINCT 40-char window digests, md5-tail hashed (DuckDB side).
+_WINS_SQL = f"""
+    wins AS (
+      SELECT DISTINCT doc_id,
+             CAST(md5_number_lower(substr(text, i, {_SUBSTR_L}))
+                  % 9223372036854775808 AS BIGINT) AS h
+      FROM documents, unnest(range(1, length(text) - {_SUBSTR_L - 2})) AS t(i)
+      WHERE length(text) >= {_SUBSTR_L}
+    )"""
+
+
+@query(
+    "ngram_novelty",
+    oracle=f"""
+    WITH {_WINS_SQL},
+    df AS (SELECT h, COUNT(*) AS df FROM wins GROUP BY h)
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           ROUND(1.0 - CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)
+                            AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM wins w JOIN df ON w.h = df.h
+    GROUP BY w.doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct 40-char windows
+    that appear in NO other document (df = 1) — the memorization/content-
+    reuse score a curation pipeline thresholds on (low novelty = mostly
+    boilerplate or copies; Lee et al. 2022 motivate exactly this metric).
+
+    Unlike exact_substring_pairs this is LINEAR, never pair-emitting: each
+    (doc, window) row just picks up its window's corpus doc-frequency via
+    an equi-join on the 8-byte digest and aggregates per doc. Hot
+    boilerplate windows contribute one df row each — no df² blow-up, so no
+    cap is needed. Digests are engine-internal (Spark xxhash64 / DuckDB
+    md5-tail); df is a property of the window TEXT, identical on both.
+    Two shuffles total (df agg + the h join, which AQE plans off the same
+    exchange); windows relation persisted across its two consumers."""
+    docs = load_table(spark, sf_dir, "documents")
+    wins = (
+        docs.where(F.length("text") >= _SUBSTR_L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - (_SUBSTR_L - 1)),
+                    lambda i: F.col("text").substr(i, F.lit(_SUBSTR_L)),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.xxhash64("w").alias("h"))
+        .distinct()
+        .persist()  # feeds the df agg AND the join side
+    )
+    dfrel = wins.groupBy("h").agg(F.count("*").alias("df"))
+    dup = F.when(F.col("df") >= 2, 1).otherwise(0)
+    return (
+        wins.join(dfrel, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.sum(dup).cast("bigint").alias("n_dup_windows"),
+            F.round(
+                F.lit(1.0) - F.sum(dup).cast("double") / F.count("*"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "dup_span_stats",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, i,
+             CAST(md5_number_lower(substr(text, i, {_SUBSTR_L}))
+                  % 9223372036854775808 AS BIGINT) AS h
+      FROM documents, unnest(range(1, length(text) - {_SUBSTR_L - 2})) AS t(i)
+      WHERE length(text) >= {_SUBSTR_L}
+    ),
+    df AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY h),
+    dup AS (
+      SELECT pos.doc_id, pos.i FROM pos JOIN df ON pos.h = df.h
+      WHERE df.df >= 2
+    ),
+    runs AS (
+      SELECT doc_id, grp, COUNT(*) AS cnt FROM (
+        SELECT doc_id,
+               i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM dup
+      ) GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT doc_id, MAX(cnt) AS max_run, SUM(cnt) AS n_dup
+      FROM runs GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_positions,
+           CAST(COALESCE(p.max_run + {_SUBSTR_L - 1}, 0) AS BIGINT)
+             AS longest_dup_span_chars
+    FROM (SELECT doc_id FROM documents WHERE length(text) >= {_SUBSTR_L}) d
+    LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. 2022's ACTUAL dedup unit, per document: maximal VERBATIM
+    spans duplicated somewhere else in the corpus. A char position is
+    'duplicated' when the 40-char window starting there occurs in ≥2
+    documents; consecutive duplicated positions merge into spans
+    (gaps-and-islands: position − row_number is constant within a run),
+    and a run of L consecutive windows covers L+39 chars. Output per doc:
+    duplicated-position count and the longest duplicated span in chars —
+    the quantity Lee et al. threshold at 50 tokens to cut spans out.
+
+    Scale shape: positions keep (doc_id, i, 8-byte digest) — text never
+    shuffles; doc-frequency is a count-distinct on the digest; the islands
+    windows are PARTITIONED by doc_id (parallel at any corpus size). Like
+    ngram_novelty this is linear — df gates a semi-join, never a pair
+    join."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.where(F.length("text") >= _SUBSTR_L)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - (_SUBSTR_L - 1)),
+                    lambda i: F.col("text").substr(i, F.lit(_SUBSTR_L)),
+                )
+            ).alias("p", "w"),
+        )
+        .select("doc_id", (F.col("p") + 1).alias("i"), F.xxhash64("w").alias("h"))
+        .persist()  # feeds the df agg AND the dup-position join
+    )
+    dfrel = (
+        pos.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+    )
+    dup = pos.join(dfrel.where(F.col("df") >= 2).select("h"), "h").select(
+        "doc_id", "i"
+    )
+    w1 = Window.partitionBy("doc_id").orderBy("i")
+    runs = (
+        dup.withColumn("grp", F.col("i") - F.row_number().over(w1))
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.max("cnt").alias("max_run"), F.sum("cnt").alias("n_dup")
+    )
+    return (
+        docs.where(F.length("text") >= _SUBSTR_L)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_dup"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_positions"),
+            F.coalesce(F.col("max_run") + (_SUBSTR_L - 1), F.lit(0))
+            .cast("bigint")
+            .alias("longest_dup_span_chars"),
+        )
+    )
+
+
 _FUZZY_PREFIX = 16  # blocking-key width (chars of normalized text)
 _FUZZY_LEN_BAND = 20  # max length difference worth comparing
 _FUZZY_MAX_DIST = 20  # edit-distance match threshold

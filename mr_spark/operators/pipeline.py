@@ -426,3 +426,112 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (target / actual).alias("sample_weight"),
         )
     )
+
+
+_DSIR_B = 1024  # hashed-feature buckets (DSIR uses 10k; 1024 keeps the
+# synthetic-corpus buckets non-degenerate while the algebra is identical)
+_DSIR_TARGET = "src0"  # the target domain whose distribution docs score against
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents),
+    bk AS (
+      SELECT doc_id, source,
+             CAST(md5_number_lower('bg_' || t[i] || '_' || t[i+1])
+                  % 9223372036854775808 AS BIGINT) % {_DSIR_B} AS b
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    dc AS (SELECT doc_id, b, COUNT(*) AS c FROM bk GROUP BY 1, 2),
+    raw AS (SELECT b, COUNT(*) AS r FROM bk GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS tc FROM bk
+            WHERE source = '{_DSIR_TARGET}' GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM bk) AS rn,
+                   (SELECT COUNT(*) FROM bk WHERE source = '{_DSIR_TARGET}') AS tn)
+    SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(
+             c * (ln(CAST(COALESCE(tgt.tc, 0) + 1 AS DOUBLE)
+                     / CAST(tot.tn + {_DSIR_B} AS DOUBLE))
+                  - ln(CAST(raw.r + 1 AS DOUBLE)
+                       / CAST(tot.rn + {_DSIR_B} AS DOUBLE)))
+             ORDER BY dc.b), 6) AS log_weight
+    FROM dc JOIN raw USING (b) LEFT JOIN tgt USING (b) CROSS JOIN tot
+    GROUP BY dc.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Modeling via Importance Resampling"): per-document log importance
+    weight log p_target(doc)/p_raw(doc) under hashed-bigram bag-of-ngrams
+    distributions — the score a pretraining pipeline Gumbel-top-k samples
+    against to tilt a raw corpus toward a target domain (here: source
+    'src0' stands in for the target).
+
+    Word bigrams hash into _DSIR_B=1024 buckets via the cross-engine
+    md5-tail (bucket ids must agree with the oracle — this is the
+    sampling.py md5-tail contract, not the internal-digest xxhash one);
+    both distributions are Laplace-smoothed bucket histograms. Scale
+    shape: one (doc_id, bucket) count shuffle; the raw/target histograms
+    derive from that SAME relation (persisted — no re-tokenize per
+    reference) and are ≤1024-row broadcasts; the per-doc
+    Σ c·(ln t̂_b − ln r̂_b) is the
+    fixed-order bucket fold (kl_source_drift's contract), so five ln/mul
+    float ops land bit-identically on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .text import _md5_lower64
+
+    t = F.col("t")
+    bigram = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 2),
+        lambda i: F.concat(
+            F.element_at(t, i + 1), F.lit("_"), F.element_at(t, i + 2)
+        ),
+    )
+    bk = (
+        docs.select("doc_id", "source", tokens("text").alias("t"))
+        .where(F.size(t) >= 2)
+        .select("doc_id", "source", F.explode(bigram).alias("bg"))
+        .select(
+            "doc_id",
+            "source",
+            (_md5_lower64(F.concat(F.lit("bg_"), F.col("bg"))) % _DSIR_B).alias(
+                "b"
+            ),
+        )
+    )
+    dc = (
+        bk.groupBy("doc_id", "source", "b").agg(F.count("*").alias("c")).persist()
+    )  # feeds the per-doc join AND both histograms — ≤B rows per doc
+    raw = dc.groupBy("b").agg(F.sum("c").alias("r"))
+    tgt = (
+        dc.where(F.col("source") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.sum("c").alias("tc"))
+    )
+    dists = raw.join(tgt, "b", "left").withColumn(
+        "tc", F.coalesce("tc", F.lit(0))
+    )
+    tot = dists.agg(F.sum("r").alias("rn"), F.sum("tc").alias("tn"))
+    g = dc.join(F.broadcast(dists), "b").crossJoin(F.broadcast(tot))
+    lw = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("b", "c", "r", "tc", "rn", "tn"))),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["c"].cast("double")
+        * (
+            F.log(
+                (x["tc"] + 1).cast("double")
+                / (x["tn"] + _DSIR_B).cast("double")
+            )
+            - F.log(
+                (x["r"] + 1).cast("double")
+                / (x["rn"] + _DSIR_B).cast("double")
+            )
+        ),
+    )
+    return g.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.round(lw, 6).alias("log_weight"),
+    )

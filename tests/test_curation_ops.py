@@ -1,0 +1,149 @@
+"""Brute-force twins for the round-3 curation operators (the oracle shares
+each operator's algebra; these recompute the SEMANTICS independently in
+pure Python on constructed corpora):
+
+* ngram_novelty — per-doc share of 40-char windows unique to that doc
+* dup_span_stats — gaps-and-islands longest verbatim duplicated span
+* dsir_importance_weights — hashed-bigram log importance (Xie et al.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+from mr_spark.operators.dedup import _SUBSTR_L
+
+DOCS = {
+    1: "A" * 10 + "the shared boilerplate chunk of text lives right here!" + "B" * 10,
+    2: "C" * 12 + "the shared boilerplate chunk of text lives right here!" + "D" * 8,
+    3: "an entirely unique document with no duplicated windows anywhere at all zz",
+    4: "A" * 10 + "the shared boilerplate chunk of text lives right here!" + "B" * 10,
+    5: "short",  # < 40 chars — excluded by every operator
+}
+
+
+def _write_docs(spark, tmp_path, docs, sources=None):
+    rows = [
+        (i, t, "en", (sources or {}).get(i, "src1"), len(t))
+        for i, t in docs.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "corpus")
+    df.write.parquet(path + "/documents.parquet")
+    return path
+
+
+def _windows(text):
+    return [text[i : i + _SUBSTR_L] for i in range(len(text) - _SUBSTR_L + 1)]
+
+
+def test_ngram_novelty_matches_bruteforce(spark, tmp_path):
+    from mr_spark.operators.dedup import ngram_novelty
+
+    path = _write_docs(spark, tmp_path, DOCS)
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["novelty"])
+        for r in ngram_novelty(spark, path).collect()
+    }
+
+    wins = {d: set(_windows(t)) for d, t in DOCS.items() if len(t) >= _SUBSTR_L}
+    df = Counter(w for ws in wins.values() for w in ws)
+    for d, ws in wins.items():
+        n, dup = len(ws), sum(1 for w in ws if df[w] >= 2)
+        assert got[d] == (n, dup, round(1.0 - dup / n, 6)), d
+    assert 5 not in got  # sub-window doc excluded
+    # docs 1 and 4 are exact copies: every window duplicated, novelty 0
+    assert got[1][2] == 0.0
+    # doc 3 shares nothing: novelty 1
+    assert got[3][2] == 1.0
+
+
+def test_dup_span_stats_matches_bruteforce(spark, tmp_path):
+    from mr_spark.operators.dedup import dup_span_stats
+
+    path = _write_docs(spark, tmp_path, DOCS)
+    got = {
+        r["doc_id"]: (r["n_dup_positions"], r["longest_dup_span_chars"])
+        for r in dup_span_stats(spark, path).collect()
+    }
+
+    wins = {d: _windows(t) for d, t in DOCS.items() if len(t) >= _SUBSTR_L}
+    # doc frequency of each distinct window
+    df = Counter(w for ws in wins.values() for w in set(ws))
+    for d, ws in wins.items():
+        dup_pos = [i for i, w in enumerate(ws) if df[w] >= 2]
+        runs, cur = [], 0
+        for j, i in enumerate(dup_pos):
+            cur = cur + 1 if j and dup_pos[j - 1] == i - 1 else 1
+            runs.append(cur)
+        longest = (max(runs) + _SUBSTR_L - 1) if runs else 0
+        assert got[d] == (len(dup_pos), longest), d
+    # docs 1/4 are identical: every position duplicated, span = full doc
+    assert got[1] == (len(wins[1]), len(DOCS[1]))
+    assert got[3] == (0, 0)
+    assert 5 not in got
+
+
+def _md5_tail_bucket(s: str, mod: int) -> int:
+    return (
+        int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+        % 2**63
+        % mod
+    )
+
+
+def test_dsir_importance_matches_bruteforce(spark, tmp_path):
+    from mr_spark.operators.pipeline import (
+        _DSIR_B,
+        _DSIR_TARGET,
+        dsir_importance_weights,
+    )
+
+    docs = {
+        1: "alpha beta alpha beta alpha beta",          # pure target language
+        2: "gamma delta gamma delta gamma delta",       # pure off-target
+        3: "alpha beta gamma delta alpha beta",         # mixed
+        4: "alpha beta alpha beta gamma delta epsilon zeta",
+    }
+    sources = {1: _DSIR_TARGET, 2: "src1", 3: "src1", 4: "src2"}
+    path = _write_docs(spark, tmp_path, docs, sources)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["log_weight"])
+        for r in dsir_importance_weights(spark, path).collect()
+    }
+
+    def bigram_buckets(text):
+        ws = text.split()
+        return [
+            _md5_tail_bucket(f"bg_{a}_{b}", _DSIR_B) for a, b in zip(ws, ws[1:])
+        ]
+
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    per_doc = {}
+    for d, t in docs.items():
+        bs = bigram_buckets(t)
+        per_doc[d] = Counter(bs)
+        raw.update(bs)
+        if sources[d] == _DSIR_TARGET:
+            tgt.update(bs)
+    rn, tn = sum(raw.values()), sum(tgt.values())
+    for d, cnt in per_doc.items():
+        lw = sum(
+            c
+            * (
+                math.log((tgt[b] + 1) / (tn + _DSIR_B))
+                - math.log((raw[b] + 1) / (rn + _DSIR_B))
+            )
+            for b, c in sorted(cnt.items())
+        )
+        assert got[d][0] == sum(cnt.values()), d
+        assert abs(got[d][1] - round(lw, 6)) < 1e-6, (d, got[d][1], lw)
+    # the target-language doc must outscore the off-target doc
+    assert got[1][1] > got[2][1]
+    # and the mixed doc sits strictly between them
+    assert got[2][1] < got[3][1] < got[1][1]

@@ -97,6 +97,10 @@ def test_winnow_fingerprints_single_exchange(spark):
     here was round 1's only super-linear scale probe."""
     from mr_spark.operators.text import winnow_fingerprints
 
+    # pin the plan as BUILT: if another test already ran winnow_containment,
+    # its persisted fingerprint relation cache-substitutes into this plan
+    # and the cached subtree's internal exchange double-counts
+    spark.catalog.clearCache()
     docs = load_table(spark, SF_DIR, "documents")
     assert plans.count_shuffles(winnow_fingerprints(docs)) == 1
 
@@ -270,3 +274,32 @@ def test_vocab_coverage_cuts_topk_before_window(spark):
     # formatted plans print top-down (consumers above producers): the
     # window consumes the TakeOrdered output, so it prints ABOVE it
     assert win_idx < take_idx
+
+
+def test_ngram_novelty_is_linear_equi_join(spark):
+    """df lookup must be an equi join on the 8-byte digest — no nested
+    loop, no pair-emitting self-join shape; aggs keep partial phases."""
+    df = QUERIES["ngram_novelty"](spark, SF_DIR)
+    plan = plans.formatted(df)
+    assert "NestedLoop" not in plan
+    assert plans.has_partial_aggregate(df)
+
+
+def test_dup_span_islands_window_is_doc_partitioned(spark):
+    """Every row_number window in the gaps-and-islands pass must be
+    PARTITIONED by doc_id — parallel at any corpus size."""
+    import re
+
+    plan = plans.formatted(QUERIES["dup_span_stats"](spark, SF_DIR))
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("doc_id" in s for s in specs)
+
+
+def test_dsir_broadcasts_histograms(spark):
+    """The bucket histograms (≤1024 rows) must broadcast into the per-doc
+    join — a shuffle join there would move the (doc, bucket) relation
+    twice."""
+    plan = plans.formatted(QUERIES["dsir_importance_weights"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the only nested-loop allowed is the broadcast 1-row totals cross join
+    assert "CartesianProduct" not in plan
