@@ -39,11 +39,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
-    spark = get_spark("mr-spark-bench")
     # Quiet the tail: the driver parses the LAST ~2000 chars of stdout/err —
     # round 1's summary line was crowded out by a WARN flood (WindowExec
     # etc.). Remaining WARN sources are all documented-benign (bounded
-    # small-relation windows), so run the bench at ERROR.
+    # small-relation windows), so run the bench at ERROR, and kill the
+    # console progress bar (its \r-spam is the other tail polluter).
+    spark = get_spark(
+        "mr-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = ops.queries()

@@ -1,0 +1,233 @@
+"""Multi-version snapshot tables on plain parquet — the Delta/Iceberg
+commit protocol (Armbrust et al., "Delta Lake: High-Performance ACID Table
+Storage", VLDB 2020) rebuilt from its public building blocks, because this
+image ships neither connector's jars:
+
+* data files are immutable parquet, grouped into hash BUCKETS on the merge
+  key (so a MERGE rewrites only the buckets its source touches — file-level
+  pruning via the manifest, exactly Iceberg's manifest-pruning idea);
+* a TABLE VERSION is a JSON manifest listing its files per bucket;
+* the committed version is a one-line pointer file updated by ATOMIC
+  rename (POSIX rename(2); on object stores swap for a conditional PUT) —
+  readers see the old complete version or the new complete version, never
+  a torn mix;
+* commits are OPTIMISTIC: a writer records the version it based its
+  rewrite on and aborts (ConflictError) if another commit landed first;
+* old versions stay readable — time travel — until vacuum() removes
+  files no live manifest references.
+
+Crash-safety claim (tested in tests/test_acid.py): any failure BEFORE the
+pointer rename leaves the previous version fully intact; data/manifest
+files from the dead writer are invisible garbage, collected by vacuum().
+
+Scale design: the merge's shuffle is bounded by the AFFECTED buckets, not
+the table — source keys prune buckets through the same hash that
+partitioned the data, the per-bucket rewrite is an anti-join + union on
+the bucket's rows only, and untouched buckets are carried by reference in
+the new manifest (zero data movement). At 100 TB with 4096 buckets a
+1%-of-keys MERGE reads and rewrites ~1% of files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ConflictError(RuntimeError):
+    """Another writer committed since this writer's base version."""
+
+
+def _bucket_col(key: str, n_buckets: int) -> F.Column:
+    # non-negative hash bucket; pmod matches Spark's own bucketing intent
+    return F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
+
+
+class SnapshotTable:
+    """A versioned parquet table rooted at ``path``.
+
+    Layout::
+
+        path/data/<uuid>.parquet          immutable data files
+        path/versions/v<N>.json           manifest: {bucket -> [files]}
+        path/LATEST                       pointer, atomically renamed in
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ---- paths -----------------------------------------------------------
+
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    def _versions_dir(self) -> str:
+        return os.path.join(self.path, "versions")
+
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "LATEST")
+
+    # ---- version plumbing ------------------------------------------------
+
+    def latest_version(self) -> int:
+        with open(self._pointer()) as f:
+            return int(f.read().strip())
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self._versions_dir(), f"v{version}.json")) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict, base_version: int) -> int:
+        """Write the manifest for base_version+1, then atomically swing the
+        pointer. The pointer rename is the COMMIT POINT: everything before
+        it is invisible staging."""
+        new_version = base_version + 1
+        manifest["version"] = new_version
+        mpath = os.path.join(self._versions_dir(), f"v{new_version}.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        # optimistic check as late as possible, then atomic rename
+        if self.latest_version() != base_version:
+            os.unlink(mpath)
+            raise ConflictError(
+                f"base version {base_version} is stale "
+                f"(latest is {self.latest_version()})"
+            )
+        tmp = self._pointer() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(new_version))
+        os.rename(tmp, self._pointer())  # POSIX-atomic
+        return new_version
+
+    # ---- data-file plumbing ---------------------------------------------
+
+    def _write_bucket_files(self, df: DataFrame) -> dict[str, list[str]]:
+        """Write df (which carries a __bucket column) as one immutable
+        parquet file set per bucket; returns {bucket: [relative paths]}.
+        Files land under data/ with uuid names — never overwriting."""
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        (
+            df.repartition("__bucket")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        out: dict[str, list[str]] = {}
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith("__bucket="):
+                continue
+            bucket = entry.split("=", 1)[1]
+            for fn in sorted(os.listdir(os.path.join(staging, entry))):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.join("data", f"{uuid.uuid4().hex}.parquet")
+                os.rename(
+                    os.path.join(staging, entry, fn),
+                    os.path.join(self.path, rel),
+                )
+                out.setdefault(bucket, []).append(rel)
+        shutil.rmtree(staging)
+        return out
+
+    # ---- public API ------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        key: str,
+        n_buckets: int = 8,
+    ) -> "SnapshotTable":
+        """Materialize version 1 from ``df``, hash-bucketed on ``key``."""
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(os.path.join(path, "data"))
+        os.makedirs(os.path.join(path, "versions"))
+        t = cls(spark, path)
+        files = t._write_bucket_files(
+            df.withColumn("__bucket", _bucket_col(key, n_buckets))
+        )
+        manifest = {"key": key, "n_buckets": n_buckets, "files": files}
+        manifest["version"] = 1
+        with open(os.path.join(t._versions_dir(), "v1.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        tmp = t._pointer() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("1")
+        os.rename(tmp, t._pointer())
+        return t
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table at ``version`` (default: latest) — manifest-listed
+        files only, so a dead writer's stray data files are invisible."""
+        m = self._manifest(version if version is not None else self.latest_version())
+        paths = [
+            os.path.join(self.path, rel)
+            for files in m["files"].values()
+            for rel in files
+        ]
+        if not paths:
+            raise ValueError(f"version has no data files: {self.path}")
+        return self.spark.read.parquet(*paths).drop("__bucket")
+
+    def merge_upsert(self, source: DataFrame) -> int:
+        """MERGE INTO: source rows replace target rows with the same key;
+        unmatched source rows insert. Copy-on-write at BUCKET granularity:
+        only buckets containing source keys are rewritten; every other
+        bucket is carried into the new manifest by reference."""
+        base = self.latest_version()
+        m = self._manifest(base)
+        key, n_buckets = m["key"], m["n_buckets"]
+        src = source.withColumn("__bucket", _bucket_col(key, n_buckets))
+        affected = sorted(
+            str(r["__bucket"])
+            for r in src.select("__bucket").distinct().collect()
+        )  # ≤ n_buckets rows — bounded driver collect
+        old_files = [
+            os.path.join(self.path, rel)
+            for b in affected
+            for rel in m["files"].get(b, [])
+        ]
+        if old_files:
+            target = self.spark.read.parquet(*old_files)
+            keep = target.join(
+                src.select(key).distinct(), key, "left_anti"
+            )
+            merged = keep.unionByName(src.drop("__bucket")).withColumn(
+                "__bucket", _bucket_col(key, n_buckets)
+            )
+        else:
+            merged = src
+        new_files = self._write_bucket_files(merged)
+        files = {
+            b: rels for b, rels in m["files"].items() if b not in set(affected)
+        }
+        files.update(new_files)
+        return self._commit(
+            {"key": key, "n_buckets": n_buckets, "files": files}, base
+        )
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO manifest (dead writers'
+        staging leftovers after the manifests themselves are pruned).
+        Returns the deleted relative paths."""
+        live: set[str] = set()
+        for fn in os.listdir(self._versions_dir()):
+            with open(os.path.join(self._versions_dir(), fn)) as f:
+                for rels in json.load(f)["files"].values():
+                    live.update(rels)
+        dead = []
+        for fn in sorted(os.listdir(self._data_dir())):
+            rel = os.path.join("data", fn)
+            if rel not in live:
+                os.unlink(os.path.join(self.path, rel))
+                dead.append(rel)
+        return dead

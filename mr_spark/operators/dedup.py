@@ -25,6 +25,14 @@ from . import query
 
 JACCARD_THRESHOLD = 0.5
 _PPJOIN_DOC_THRESHOLD = 100_000  # docs; below this the naive join is faster
+# Duplication-aware second gate: the naive inverted-index join costs
+# Σ_g df(g)² pair instances while the corpus is only Σ_g df(g) shingle
+# rows, so the BLOWUP ratio Σdf²/Σdf is exactly the join's amplification
+# factor. Natural corpora sit low (measured 2.1 at sf0.01, 10.7 at
+# sf0.1); an 8×-duplicated corpus measured 85.8 — and there PPJoin ran
+# 3.2× faster (33.7 s vs 107.8 s). Above this ratio the prefix filter
+# wins regardless of document count.
+_PPJOIN_BLOWUP = 32
 
 
 @query(
@@ -114,34 +122,54 @@ _TRIGRAMS_SQL = """
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT near-dup pairs: word-trigram Jaccard ≥ 0.5.
 
-    Size-based strategy (both produce IDENTICAL results — pinned by test
-    and by the oracle): below _PPJOIN_DOC_THRESHOLD docs the naive
-    inverted-index join wins (one codegen'd join + count, no window pass);
-    above it, PPJoin prefix filtering — only each doc's
-    |d| − ⌈t·|d|⌉ + 1 globally-rarest shingles enter the self-join, which
-    removes the df² blow-up on hot shingles that makes the naive join
-    quadratic at corpus scale (measured 2.8× fewer candidates even on this
-    small-vocabulary synthetic corpus).
+    Two-signal strategy choice (both paths produce IDENTICAL results —
+    pinned by test and by the oracle): PPJoin prefix filtering engages
+    when EITHER the corpus exceeds _PPJOIN_DOC_THRESHOLD docs OR the
+    measured shingle blowup Σdf²/Σdf exceeds _PPJOIN_BLOWUP — the second
+    signal catches duplication-dense corpora (exactly what a dedup
+    operator gets fed) where the naive join's df² pair instances explode
+    long before the document count does; otherwise the naive inverted-
+    index join wins (one codegen'd join + count, no window pass). PPJoin:
+    only each doc's |d| − ⌈t·|d|⌉ + 1 globally-rarest shingles enter the
+    self-join. The df stats come from one cheap agg over the persisted
+    hashed-shingle relation both paths consume anyway.
 
     Shingles are 64-bit hashes before any shuffle (collision odds ~n²/2^64)."""
     docs = load_table(spark, sf_dir, "documents")
-    if docs.count() <= _PPJOIN_DOC_THRESHOLD:
-        return _jaccard_naive(docs)
-    return _jaccard_ppjoin(docs)
+    tri_arr = _tri_arr(docs).persist()
+    tri = tri_arr.select("doc_id", F.explode("tset").alias("h"))
+    st = (
+        tri.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .agg(
+            F.sum("df").alias("s1"),
+            F.sum(F.col("df") * F.col("df")).alias("s2"),
+        )
+        .collect()[0]
+    )
+    n_docs = tri_arr.count()
+    blowup = (st["s2"] / st["s1"]) if st["s1"] else 0.0
+    if n_docs > _PPJOIN_DOC_THRESHOLD or blowup > _PPJOIN_BLOWUP:
+        return _jaccard_ppjoin(tri_arr)
+    return _jaccard_naive(tri_arr)
 
 
-def _jaccard_naive(docs: DataFrame) -> DataFrame:
+def _tri_arr(docs: DataFrame) -> DataFrame:
+    """(doc_id, array<bigint> hashed distinct trigrams) — the shared input
+    both strategies (and the dispatcher's df stats) consume; persist it at
+    the call site: it feeds several plan subtrees and the regex tokenize +
+    trigram explode is the most expensive projection in the pipeline
+    (measured ~2 s of pure recompute per extra consumer at sf0.1)."""
+    return docs.select(
+        "doc_id",
+        F.transform(_trigrams("text"), lambda g: F.xxhash64(g)).alias("tset"),
+    )
+
+
+def _jaccard_naive(tri_arr: DataFrame) -> DataFrame:
     """Inverted shingle index → self-join → count/union. Optimal while the
-    per-shingle df² pair-instance count stays small.
-
-    The hashed-shingle relation is persisted: it feeds three plan subtrees
-    (sizes agg + both self-join sides) and Spark does not reuse the
-    exchange across them, so without the cache the regex tokenize +
-    trigram explode — the most expensive projection in the pipeline —
-    runs three times (measured ~2 s of pure recompute at sf0.1)."""
-    tri = docs.select("doc_id", F.explode(_trigrams("text")).alias("g0")).select(
-        "doc_id", F.xxhash64("g0").alias("g")
-    ).persist()
+    per-shingle df² pair-instance count stays small."""
+    tri = tri_arr.select("doc_id", F.explode("tset").alias("g"))
     sizes = tri.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = tri.alias("a")
     b = tri.alias("b")
@@ -167,13 +195,9 @@ def _jaccard_naive(docs: DataFrame) -> DataFrame:
     )
 
 
-def _jaccard_ppjoin(docs: DataFrame) -> DataFrame:
+def _jaccard_ppjoin(tri_arr: DataFrame) -> DataFrame:
     """PPJoin (Chaudhuri/Xiao et al.): prefix-filtered candidates +
     array_intersect verification — the corpus-scale path."""
-    tri_arr = docs.select(
-        "doc_id",
-        F.transform(_trigrams("text"), lambda g: F.xxhash64(g)).alias("tset"),
-    ).persist()  # feeds the exploded index AND both verification sides
     tri = tri_arr.select("doc_id", F.explode("tset").alias("h"))
     df = tri.groupBy("h").agg(F.count("*").alias("df"))
     sizes = tri.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -929,3 +953,82 @@ def fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return intra.unionByName(inter.select("doc_a", "doc_b", "edit_dist"))
+
+
+_SPLIT_SQL = """
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN CAST(md5_number_lower('doc_' || CAST(doc_id AS VARCHAR))
+                       % 9223372036854775808 AS BIGINT) % 100 < 90
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    )"""
+
+
+@query(
+    "split_leakage_audit",
+    oracle=_TRIGRAMS_SQL
+    + """
+    , sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON inter.doc_a = sa.doc_id
+      JOIN sizes sb ON inter.doc_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+    ),"""
+    + _SPLIT_SQL
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs,
+           CAST(SUM(CASE WHEN s1.split <> s2.split THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_split,
+           ROUND(CAST(SUM(CASE WHEN s1.split <> s2.split THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS leak_share
+    FROM pairs
+    JOIN splits s1 ON pairs.doc_a = s1.doc_id
+    JOIN splits s2 ON pairs.doc_b = s2.doc_id
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val leakage audit: of the near-duplicate pairs (word-trigram
+    Jaccard ≥ 0.5 — the ngram_jaccard_pairs criterion, including its
+    size-gated PPJoin strategy), how many CROSS the content-hash 90/10
+    split (train_val_split's md5-tail rule)? Cross-split near-dups are
+    exactly the leakage that inflates validation metrics — the audit every
+    corpus release should publish next to its split. One row:
+    pair count, crossing count, leak share.
+
+    Scale shape: the expensive part IS the pair pipeline, which is the
+    (already scale-audited) jaccard path; the split column is a scalar
+    hash expression joined to the pair endpoints by doc_id — two equi
+    joins against a pairs relation that near-dup density, not corpus
+    size, determines."""
+    from .sampling import _bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    key = F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
+    splits = docs.select(
+        "doc_id",
+        F.when(_bucket(key) < 90, F.lit("train")).otherwise(F.lit("val")).alias(
+            "split"
+        ),
+    )
+    s1 = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    s2 = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    cross = F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)
+    return (
+        pairs.join(s1, "doc_a")
+        .join(s2, "doc_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_neardup_pairs"),
+            F.sum(cross).cast("bigint").alias("n_cross_split"),
+            F.round(F.sum(cross).cast("double") / F.count("*"), 6).alias(
+                "leak_share"
+            ),
+        )
+    )

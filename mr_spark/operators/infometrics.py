@@ -57,38 +57,74 @@ def char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyboard-mash (low H = repetitive template, near-max H = random
     noise; natural text sits in a band). H = ln N − (Σ c·ln c)/N on
     exact integer counts; the Σ is a fixed-order fold over the
-    gram-sorted count array (see module docstring). Shuffles: (doc, gram)
-    counts then one per-doc agg — both partial-aggregated; the per-doc
-    array is bounded by document length, never by corpus size."""
+    gram-sorted count array (see module docstring).
+
+    ZERO-shuffle plan: the whole computation is row-side. Each doc's
+    trigram array is sorted in-row and a single run-length fold walks it
+    (state = current run's gram/length + distinct count + Σ c·ln c so
+    far) — a (doc, gram) groupBy here would shuffle a corpus×len(text)
+    trigram stream, which at 8× data showed GC/spill variance up to 10×
+    wall despite partial aggs. Run contributions land in ascending gram
+    order, exactly the oracle's ``SUM(c·ln c ORDER BY g)`` float order.
+    Per-row cost is O(len·log len) inside codegen; memory is one doc's
+    trigram array, bounded by document length, never corpus size. Plan
+    pinned shuffle-free in tests/test_plans.py."""
     docs = load_table(spark, sf_dir, "documents").where(F.length("text") >= 3)
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - 2),
-                lambda i: F.col("text").substr(i, F.lit(3)),
-            )
-        ).alias("g"),
+    arr = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 2),
+            lambda i: F.col("text").substr(i, F.lit(3)),
+        )
     )
-    c = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-    a = c.groupBy("doc_id").agg(
-        F.sum("c").alias("n"),
-        F.count("*").alias("d"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("g", "c"))),
-            F.lit(0.0),
-            lambda acc, x: acc
-            + x["c"].cast("double") * F.log(x["c"].cast("double")),
-        ).alias("s"),
+
+    def step(acc, x):
+        run_s = F.when(
+            acc["run"] > 0,
+            acc["run"].cast("double") * F.log(acc["run"].cast("double")),
+        ).otherwise(F.lit(0.0))
+        return F.when(
+            x == acc["prev"],
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["d"].alias("d"),
+                acc["s"].alias("s"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("bigint").alias("run"),
+                (acc["d"] + 1).alias("d"),
+                (acc["s"] + run_s).alias("s"),
+            )
+        )
+
+    def finish(acc):
+        last_s = F.when(
+            acc["run"] > 0,
+            acc["run"].cast("double") * F.log(acc["run"].cast("double")),
+        ).otherwise(F.lit(0.0))
+        return F.struct(acc["d"].alias("d"), (acc["s"] + last_s).alias("s"))
+
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("d"),
+        F.lit(0.0).alias("s"),
+    )
+    folded = docs.select(
+        "doc_id",
+        (F.length("text") - 2).cast("bigint").alias("n"),
+        F.aggregate(arr, init, step, finish).alias("a"),
     )
     n = F.col("n")
-    return a.select(
+    return folded.select(
         "doc_id",
         n.cast("bigint").alias("n_grams"),
-        F.col("d").cast("bigint").alias("n_distinct"),
-        F.round(F.log(n.cast("double")) - F.col("s") / n.cast("double"), 6).alias(
-            "entropy"
-        ),
+        F.col("a.d").cast("bigint").alias("n_distinct"),
+        F.round(
+            F.log(n.cast("double")) - F.col("a.s") / n.cast("double"), 6
+        ).alias("entropy"),
     )
 
 

@@ -872,3 +872,62 @@ def centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("true_label"),
         F.col("pred").cast("bigint").alias("pred_label"),
     ).agg(F.count("*").alias("n_vecs"))
+
+
+@query(
+    "ann_recall_at_k",
+    oracle=f"""
+    WITH e AS ({_EMB_Q}),
+    eb AS (SELECT vec_id, q, {_BUCKET_SQL} AS bucket FROM e),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_SIM_SQL} DESC, a.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        WHERE b.vec_id < {N_QUERIES}
+      ) WHERE rn <= {TOP_K}
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_SIM_SQL} DESC, a.vec_id) AS rn
+        FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        WHERE b.vec_id < {N_QUERIES}
+      ) WHERE rn <= {TOP_K}
+    )
+    SELECT x.query_id, CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(CAST(COUNT(l.neighbor_id) AS DOUBLE) / {TOP_K}, 6)
+             AS recall_at_k
+    FROM exact x LEFT JOIN lsh l
+      ON x.query_id = l.query_id AND x.neighbor_id = l.neighbor_id
+    GROUP BY x.query_id
+    """,
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@k of the sign-LSH index against the
+    exact brute-force top-k, per query — the measurement that tunes an
+    approximate index (bucket bits, probe count) before anyone trusts it
+    at corpus scale. Composes the two registered pipelines (ann_cosine_topk
+    exact baseline, ann_lsh_topk candidate path) and counts agreement;
+    both use the same quantized-integer similarity and (sim DESC, id)
+    tie-break, so recall is deterministic and the oracle replays BOTH
+    pipelines relationally. A bucket with fewer than k candidates yields
+    recall < 1 by construction — that is the finding, not an error."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = (
+        ann_lsh_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_hits"),
+            F.round(F.count("hit").cast("double") / TOP_K, 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )

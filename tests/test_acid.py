@@ -1,0 +1,96 @@
+"""SnapshotTable (mr_spark/acid.py) protocol tests: merge semantics,
+atomic-commit crash safety, time travel, optimistic conflicts, vacuum,
+and bucket-pruned copy-on-write (untouched buckets carried by reference).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_spark.acid import ConflictError, SnapshotTable
+
+
+def _mk(spark, tmp_path, rows, n_buckets=4):
+    df = spark.createDataFrame(rows, "k bigint, v string")
+    return SnapshotTable.create(
+        spark, str(tmp_path / "tbl"), df, key="k", n_buckets=n_buckets
+    )
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def test_merge_updates_and_inserts(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")])
+    src = spark.createDataFrame([(2, "B"), (9, "Z")], "k bigint, v string")
+    v = t.merge_upsert(src)
+    assert v == 2
+    assert _rows(t.read()) == [(1, "a"), (2, "B"), (3, "c"), (9, "Z")]
+
+
+def test_time_travel_old_version_intact(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    t.merge_upsert(spark.createDataFrame([(1, "A")], "k bigint, v string"))
+    assert _rows(t.read(version=1)) == [(1, "a"), (2, "b")]
+    assert _rows(t.read()) == [(1, "A"), (2, "b")]
+
+
+def test_crash_before_commit_is_invisible_and_vacuumable(spark, tmp_path):
+    """A writer that dies after writing data files but BEFORE the pointer
+    rename leaves the committed version untouched; its orphans are
+    invisible to read() (manifest-listed files only) and vacuum() collects
+    them."""
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    before = _rows(t.read())
+    # simulate the dead writer: data files land, no manifest, no pointer
+    orphan_df = spark.createDataFrame([(7, "GHOST")], "k bigint, v string")
+    t._write_bucket_files(
+        orphan_df.withColumn("__bucket", F.pmod(F.hash(F.col("k")), F.lit(4)))
+    )
+    assert t.latest_version() == 1
+    assert _rows(t.read()) == before  # orphan rows invisible
+    dead = t.vacuum()
+    assert dead, "vacuum found no orphans"
+    assert _rows(t.read()) == before  # live files untouched
+
+
+def test_stale_base_commit_rejected(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a")])
+    t.merge_upsert(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    m = t._manifest(t.latest_version())
+    with pytest.raises(ConflictError):
+        t._commit(
+            {"key": m["key"], "n_buckets": m["n_buckets"], "files": m["files"]},
+            base_version=1,  # stale: latest is 2
+        )
+    # the aborted manifest must not linger
+    assert not os.path.exists(
+        os.path.join(t._versions_dir(), "v2.json.rej")
+    )
+    assert t.latest_version() == 2
+
+
+def test_merge_rewrites_only_affected_buckets(spark, tmp_path):
+    """Copy-on-write pruning: buckets without source keys must carry their
+    ORIGINAL file paths into the new manifest — zero data movement."""
+    rows = [(k, f"v{k}") for k in range(40)]
+    t = _mk(spark, tmp_path, rows, n_buckets=4)
+    m1 = t._manifest(1)
+    src = spark.createDataFrame([(0, "NEW")], "k bigint, v string")
+    src_bucket = str(
+        src.select(F.pmod(F.hash(F.col("k")), F.lit(4)).alias("b")).collect()[0]["b"]
+    )
+    t.merge_upsert(src)
+    m2 = t._manifest(2)
+    for b in m1["files"]:
+        if b == src_bucket:
+            assert m2["files"][b] != m1["files"][b]
+        else:
+            assert m2["files"][b] == m1["files"][b], f"bucket {b} was rewritten"
+    # and the data itself is right
+    expect = sorted([(k, "NEW" if k == 0 else f"v{k}") for k in range(40)])
+    assert _rows(t.read()) == expect

@@ -147,3 +147,32 @@ def test_dsir_importance_matches_bruteforce(spark, tmp_path):
     assert got[1][1] > got[2][1]
     # and the mixed doc sits strictly between them
     assert got[2][1] < got[3][1] < got[1][1]
+
+
+def test_split_leakage_audit_matches_bruteforce(spark, tmp_path):
+    """Two exact-duplicate pairs with hand-checkable doc_ids: the audit
+    must count exactly the pairs whose endpoints' md5-tail split buckets
+    differ (computed independently in Python here)."""
+    from mr_spark.operators.dedup import split_leakage_audit
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again today "
+        "while the patient grey owl watches from the old oak tree nearby"
+    )
+    other = (
+        "completely different subject matter entirely about ships and the "
+        "sea with long voyages across cold northern waters under pale stars"
+    )
+    docs = {11: base, 12: base, 21: other, 22: other}
+    path = _write_docs(spark, tmp_path, docs)
+    row = split_leakage_audit(spark, path).collect()[0]
+
+    def split(doc_id):
+        b = _md5_tail_bucket(f"doc_{doc_id}", 100)
+        return "train" if b < 90 else "val"
+
+    pairs = [(11, 12), (21, 22)]
+    n_cross = sum(1 for a, b in pairs if split(a) != split(b))
+    assert row["n_neardup_pairs"] == len(pairs)
+    assert row["n_cross_split"] == n_cross
+    assert row["leak_share"] == round(n_cross / len(pairs), 6)

@@ -371,3 +371,25 @@ def test_ntile_quartiles_matches_exact_window(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_ann_recall_matches_set_intersection(spark):
+    """recall@k recomputed as a plain Python set intersection of the two
+    registered pipelines' results — independent of the operator's join."""
+    qs = ops.queries()
+    exact = {}
+    for r in qs["ann_cosine_topk"](spark, SF_DIR).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    lsh = {}
+    for r in qs["ann_lsh_topk"](spark, SF_DIR).collect():
+        lsh.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {
+        r["query_id"]: (r["n_hits"], r["recall_at_k"])
+        for r in qs["ann_recall_at_k"](spark, SF_DIR).collect()
+    }
+    from mr_spark.operators.similarity import N_QUERIES, TOP_K
+
+    assert set(got) == set(exact) and len(got) == N_QUERIES
+    for qid, neighbors in exact.items():
+        hits = len(neighbors & lsh.get(qid, set()))
+        assert got[qid] == (hits, round(hits / TOP_K, 6)), qid

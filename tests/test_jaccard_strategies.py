@@ -1,18 +1,52 @@
 """Both Jaccard-pair strategies (naive inverted index vs PPJoin prefix
 filtering) must produce the identical pair set — prefix filtering is exact
-by theorem; this pins the implementation."""
+by theorem; this pins the implementation. Also pins the duplication-aware
+dispatcher gate: a verbatim-duplicated corpus must flip to PPJoin even far
+below the document-count threshold."""
 
 from __future__ import annotations
 
-from mr_spark.operators.dedup import _jaccard_naive, _jaccard_ppjoin
+from pyspark.sql import functions as F
+
+from mr_spark.operators.dedup import _jaccard_naive, _jaccard_ppjoin, _tri_arr
 from mr_spark.sources import load_table
 
 from conftest import SF_DIR
 
 
 def test_ppjoin_equals_naive(spark):
-    docs = load_table(spark, SF_DIR, "documents")
-    naive = sorted(map(tuple, _jaccard_naive(docs).collect()))
-    ppjoin = sorted(map(tuple, _jaccard_ppjoin(docs).collect()))
+    tri_arr = _tri_arr(load_table(spark, SF_DIR, "documents")).persist()
+    naive = sorted(map(tuple, _jaccard_naive(tri_arr).collect()))
+    ppjoin = sorted(map(tuple, _jaccard_ppjoin(tri_arr).collect()))
+    tri_arr.unpersist()
     assert naive == ppjoin
     assert naive, "no near-dup pairs found"
+
+
+def test_blowup_gate_flips_on_duplication(spark, tmp_path):
+    """40 verbatim copies of each doc (tiny corpus, far under the doc
+    threshold) must push Σdf²/Σdf over _PPJOIN_BLOWUP — the dispatcher's
+    duplication signal (the ratio scales with the copy count: ~16× copies
+    measured 18.5, still naive; ~40× crosses); and both strategies still
+    agree there."""
+    from mr_spark.operators.dedup import _PPJOIN_BLOWUP
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    reps = F.explode(F.array(*[F.lit(i) for i in range(40)])).alias("rep")
+    dup = docs.select("doc_id", "text", reps).select(
+        (F.col("doc_id") * 100 + F.col("rep")).alias("doc_id"), "text"
+    )
+    tri_arr = _tri_arr(dup).persist()
+    tri = tri_arr.select("doc_id", F.explode("tset").alias("h"))
+    st = (
+        tri.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .agg(F.sum("df").alias("s1"), F.sum(F.col("df") * F.col("df")).alias("s2"))
+        .collect()[0]
+    )
+    assert st["s2"] / st["s1"] > _PPJOIN_BLOWUP
+    naive = sorted(map(tuple, _jaccard_naive(tri_arr).collect()))
+    ppjoin = sorted(map(tuple, _jaccard_ppjoin(tri_arr).collect()))
+    tri_arr.unpersist()
+    assert naive == ppjoin
+    assert naive, "duplicated corpus produced no pairs"

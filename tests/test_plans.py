@@ -57,6 +57,7 @@ _PANDAS_QUERIES = {
     "ann_cosine_topk",      # numpy block-matmul kernel
     "embedding_neardup",    # numpy block-matmul kernel
     "ann_ivf_topk",         # numpy Lloyd-assignment kernel (broadcast k-means)
+    "ann_recall_at_k",      # composes ann_cosine_topk's numpy kernel (by design)
     "image_features_stub",  # mapInPandas feature extraction
     "frame_sample_stub",    # mapInPandas 1->n frame rows
     "stream_sessionize_stateful",  # applyInPandasWithState
@@ -303,3 +304,11 @@ def test_dsir_broadcasts_histograms(spark):
     assert "BroadcastHashJoin" in plan
     # the only nested-loop allowed is the broadcast 1-row totals cross join
     assert "CartesianProduct" not in plan
+
+
+def test_char_ngram_entropy_is_shuffle_free(spark):
+    """The entropy fold is entirely row-side (sorted-array run-length
+    walk) — zero exchanges; the former (doc, gram) groupBy shuffled a
+    corpus×len(text) trigram stream."""
+    df = QUERIES["char_ngram_entropy"](spark, SF_DIR)
+    assert plans.count_shuffles(df) == 0
