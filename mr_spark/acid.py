@@ -14,7 +14,15 @@ image ships neither connector's jars:
 * commits are OPTIMISTIC: a writer records the version it based its
   rewrite on and aborts (ConflictError) if another commit landed first;
 * old versions stay readable — time travel — until vacuum() removes
-  files no live manifest references.
+  files no live manifest references;
+* merge_upsert takes an optional ``batch_id`` transaction tag (Delta's
+  `txn` idempotent-writes pattern): a replayed micro-batch with the tag
+  already recorded in the committed manifest is a no-op, which makes a
+  Structured Streaming ``foreachBatch`` MERGE sink exactly-once;
+* append() is the blind fast-insert path (no read of existing data —
+  buckets accumulate files), compact() is OPTIMIZE (multi-file buckets
+  rewritten to one file each), delete_keys() is keyed DELETE
+  (copy-on-write on the affected buckets only).
 
 Crash-safety claim (tested in tests/test_acid.py): any failure BEFORE the
 pointer rename leaves the previous version fully intact; data/manifest
@@ -155,7 +163,14 @@ class SnapshotTable:
         files = t._write_bucket_files(
             df.withColumn("__bucket", _bucket_col(key, n_buckets))
         )
-        manifest = {"key": key, "n_buckets": n_buckets, "files": files}
+        manifest = {
+            "key": key,
+            "n_buckets": n_buckets,
+            "files": files,
+            # schema travels in the manifest so an empty version (all rows
+            # deleted, or a table created ahead of its stream) stays readable
+            "schema": df.schema.json(),
+        }
         manifest["version"] = 1
         with open(os.path.join(t._versions_dir(), "v1.json"), "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
@@ -175,16 +190,45 @@ class SnapshotTable:
             for rel in files
         ]
         if not paths:
-            raise ValueError(f"version has no data files: {self.path}")
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(m["schema"]))
+            )
         return self.spark.read.parquet(*paths).drop("__bucket")
 
-    def merge_upsert(self, source: DataFrame) -> int:
+    def _next_manifest(
+        self, m: dict, files: dict, batch_id: int | None = None
+    ) -> dict:
+        """Successor manifest: carries key/buckets/schema and the last
+        committed transaction tag forward (overwritten when a new tag is
+        supplied — Delta's single-slot `txn` appId simplification)."""
+        nxt = {
+            "key": m["key"],
+            "n_buckets": m["n_buckets"],
+            "schema": m["schema"],
+            "files": files,
+        }
+        tag = batch_id if batch_id is not None else m.get("last_batch_id")
+        if tag is not None:
+            nxt["last_batch_id"] = tag
+        return nxt
+
+    def merge_upsert(self, source: DataFrame, batch_id: int | None = None) -> int:
         """MERGE INTO: source rows replace target rows with the same key;
         unmatched source rows insert. Copy-on-write at BUCKET granularity:
         only buckets containing source keys are rewritten; every other
-        bucket is carried into the new manifest by reference."""
+        bucket is carried into the new manifest by reference.
+
+        ``batch_id`` is the idempotence tag for streaming foreachBatch
+        sinks: if the committed manifest already records this tag, the
+        micro-batch was fully committed before a replay — skip it (return
+        the current version). Tag check and commit share the same
+        optimistic-version protocol, so a replay can never double-apply."""
         base = self.latest_version()
         m = self._manifest(base)
+        if batch_id is not None and m.get("last_batch_id") == batch_id:
+            return base  # replayed micro-batch: already committed
         key, n_buckets = m["key"], m["n_buckets"]
         src = source.withColumn("__bucket", _bucket_col(key, n_buckets))
         affected = sorted(
@@ -211,9 +255,74 @@ class SnapshotTable:
             b: rels for b, rels in m["files"].items() if b not in set(affected)
         }
         files.update(new_files)
-        return self._commit(
-            {"key": key, "n_buckets": n_buckets, "files": files}, base
+        return self._commit(self._next_manifest(m, files, batch_id), base)
+
+    def append(self, df: DataFrame) -> int:
+        """Blind INSERT: write df's bucket files and add them to the
+        manifest WITHOUT reading any existing data — the fast ingest path
+        (no key dedup; buckets accumulate files until compact())."""
+        base = self.latest_version()
+        m = self._manifest(base)
+        new_files = self._write_bucket_files(
+            df.withColumn("__bucket", _bucket_col(m["key"], m["n_buckets"]))
         )
+        files = {b: list(rels) for b, rels in m["files"].items()}
+        for b, rels in new_files.items():
+            files[b] = files.get(b, []) + rels
+        return self._commit(self._next_manifest(m, files), base)
+
+    def delete_keys(self, keys: DataFrame) -> int:
+        """Keyed DELETE: copy-on-write rewrite of only the buckets holding
+        the given keys; a bucket emptied by the delete drops out of the
+        manifest entirely."""
+        base = self.latest_version()
+        m = self._manifest(base)
+        key, n_buckets = m["key"], m["n_buckets"]
+        k = keys.select(key).distinct().withColumn(
+            "__bucket", _bucket_col(key, n_buckets)
+        )
+        affected = sorted(
+            str(r["__bucket"]) for r in k.select("__bucket").distinct().collect()
+        )
+        old_files = [
+            os.path.join(self.path, rel)
+            for b in affected
+            for rel in m["files"].get(b, [])
+        ]
+        files = {
+            b: rels for b, rels in m["files"].items() if b not in set(affected)
+        }
+        if old_files:
+            remaining = (
+                self.spark.read.parquet(*old_files)
+                .join(k.drop("__bucket"), key, "left_anti")
+                .withColumn("__bucket", _bucket_col(key, n_buckets))
+            )
+            files.update(self._write_bucket_files(remaining))
+        return self._commit(self._next_manifest(m, files), base)
+
+    def compact(self) -> int:
+        """OPTIMIZE: rewrite every multi-file bucket (append debris) into
+        one file; single-file buckets carry by reference. Data unchanged —
+        read(version_before) == read(version_after)."""
+        base = self.latest_version()
+        m = self._manifest(base)
+        multi = sorted(b for b, rels in m["files"].items() if len(rels) > 1)
+        if not multi:
+            return base
+        old_files = [
+            os.path.join(self.path, rel)
+            for b in multi
+            for rel in m["files"][b]
+        ]
+        rows = self.spark.read.parquet(*old_files).withColumn(
+            "__bucket", _bucket_col(m["key"], m["n_buckets"])
+        )
+        files = {
+            b: rels for b, rels in m["files"].items() if b not in set(multi)
+        }
+        files.update(self._write_bucket_files(rows))
+        return self._commit(self._next_manifest(m, files), base)
 
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO manifest (dead writers'

@@ -94,3 +94,99 @@ def test_merge_rewrites_only_affected_buckets(spark, tmp_path):
     # and the data itself is right
     expect = sorted([(k, "NEW" if k == 0 else f"v{k}") for k in range(40)])
     assert _rows(t.read()) == expect
+
+
+def test_append_accumulates_then_compact_rewrites(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(k, f"v{k}") for k in range(20)])
+    t.append(spark.createDataFrame([(100, "x"), (101, "y")], "k bigint, v string"))
+    t.append(spark.createDataFrame([(102, "z")], "k bigint, v string"))
+    m = t._manifest(t.latest_version())
+    assert any(len(rels) > 1 for rels in m["files"].values()), "no multi-file bucket"
+    before = _rows(t.read())
+    assert len(before) == 23
+    v = t.compact()
+    m2 = t._manifest(v)
+    assert all(len(rels) == 1 for rels in m2["files"].values())
+    assert _rows(t.read()) == before  # OPTIMIZE must not change data
+    # single-file buckets were carried by reference, not rewritten
+    carried = [
+        b for b, rels in m["files"].items() if len(rels) == 1
+    ]
+    for b in carried:
+        assert m2["files"][b] == m["files"][b]
+
+
+def test_delete_keys_removes_rows_and_prunes_buckets(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(k, f"v{k}") for k in range(20)])
+    m1 = t._manifest(1)
+    t.delete_keys(spark.createDataFrame([(3,), (7,)], "k bigint"))
+    got = _rows(t.read())
+    assert got == sorted((k, f"v{k}") for k in range(20) if k not in (3, 7))
+    # buckets without deleted keys keep their original files
+    m2 = t._manifest(2)
+    from pyspark.sql import functions as SF
+
+    del_buckets = {
+        str(r["b"])
+        for r in spark.createDataFrame([(3,), (7,)], "k bigint")
+        .select(SF.pmod(SF.hash(SF.col("k")), SF.lit(4)).alias("b"))
+        .collect()
+    }
+    for b in m1["files"]:
+        if b not in del_buckets:
+            assert m2["files"][b] == m1["files"][b]
+
+
+def test_merge_batch_id_replay_is_noop(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a")])
+    src = spark.createDataFrame([(1, "A"), (2, "b")], "k bigint, v string")
+    v1 = t.merge_upsert(src, batch_id=7)
+    after = _rows(t.read())
+    v2 = t.merge_upsert(src, batch_id=7)  # replayed micro-batch
+    assert v2 == v1  # no new version
+    assert _rows(t.read()) == after
+    # a NEW batch id applies normally
+    v3 = t.merge_upsert(
+        spark.createDataFrame([(3, "c")], "k bigint, v string"), batch_id=8
+    )
+    assert v3 == v1 + 1
+
+
+def test_streaming_foreach_batch_merge_is_exactly_once(spark, tmp_path):
+    """foreachBatch MERGE sink: replaying a micro-batch (the failure mode
+    foreachBatch exposes — at-least-once delivery) must not double-apply,
+    because the batch_id tag rides in the committed manifest."""
+    import os
+
+    from mr_spark.sources import load_table
+    from mr_spark.streaming import events_file_stream
+
+    from conftest import SF_DIR
+
+    seed = spark.createDataFrame([], "event_id bigint, user_id bigint, event_type string")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "sink"), seed, key="event_id", n_buckets=4
+    )
+
+    def write_batch(df, batch_id: int):
+        t.merge_upsert(df, batch_id=batch_id)
+        if batch_id == 0:
+            t.merge_upsert(df, batch_id=batch_id)  # simulate a replay
+
+    stream = events_file_stream(
+        spark, os.path.join(SF_DIR, "events.parquet"), max_files_per_trigger=1
+    )
+    q = (
+        stream.select("event_id", "user_id", "event_type")
+        .writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    golden = load_table(spark, SF_DIR, "events").select("event_id").distinct().count()
+    assert t.read().count() == golden
