@@ -63,8 +63,18 @@ class SnapshotTable:
 
         path/data/<uuid>.parquet          immutable data files
         path/versions/v<N>.json           manifest: {bucket -> [files]}
-        path/LATEST                       pointer, atomically renamed in
-    """
+
+    The manifest file IS the commit (exactly Delta's _delta_log protocol):
+    version N is committed iff versions/vN.json exists, and the latest
+    version is the highest N present (versions are contiguous — vN+1 can
+    only be created after vN exists). Committing atomically CREATES
+    v{base+1}.json via link(2) from a fully-written temp file, so
+    (a) a concurrent same-base writer loses the race with EEXIST →
+    ConflictError, and no writer can ever clobber a committed manifest;
+    (b) a crash before the link leaves only invisible temp/staging garbage;
+    (c) a crash after the link is a COMPLETED commit — the data files were
+    all in place before _commit was called. On an object store, swap the
+    link for a conditional PUT (if-none-match)."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -78,39 +88,43 @@ class SnapshotTable:
     def _versions_dir(self) -> str:
         return os.path.join(self.path, "versions")
 
-    def _pointer(self) -> str:
-        return os.path.join(self.path, "LATEST")
-
     # ---- version plumbing ------------------------------------------------
 
     def latest_version(self) -> int:
-        with open(self._pointer()) as f:
-            return int(f.read().strip())
+        vs = [
+            int(fn[1:-5])
+            for fn in os.listdir(self._versions_dir())
+            if fn.startswith("v") and fn.endswith(".json") and ".tmp." not in fn
+        ]
+        if not vs:
+            raise ValueError(f"no committed version under {self.path}")
+        return max(vs)
 
     def _manifest(self, version: int) -> dict:
         with open(os.path.join(self._versions_dir(), f"v{version}.json")) as f:
             return json.load(f)
 
     def _commit(self, manifest: dict, base_version: int) -> int:
-        """Write the manifest for base_version+1, then atomically swing the
-        pointer. The pointer rename is the COMMIT POINT: everything before
-        it is invisible staging."""
+        """Atomically create versions/v{base+1}.json — the commit point.
+        The manifest is fully written to a temp file first and linked into
+        place, so a committed manifest is always complete; EEXIST means
+        another writer committed this version first (or the base was stale
+        — versions are contiguous, so any staleness surfaces as EEXIST)."""
         new_version = base_version + 1
         manifest["version"] = new_version
         mpath = os.path.join(self._versions_dir(), f"v{new_version}.json")
-        with open(mpath, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-        # optimistic check as late as possible, then atomic rename
-        if self.latest_version() != base_version:
-            os.unlink(mpath)
-            raise ConflictError(
-                f"base version {base_version} is stale "
-                f"(latest is {self.latest_version()})"
-            )
-        tmp = self._pointer() + f".tmp.{uuid.uuid4().hex}"
+        tmp = mpath + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            f.write(str(new_version))
-        os.rename(tmp, self._pointer())  # POSIX-atomic
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        try:
+            os.link(tmp, mpath)  # atomic create-if-absent of a COMPLETE file
+        except FileExistsError:
+            raise ConflictError(
+                f"version {new_version} was committed by another writer "
+                f"(base {base_version} is stale)"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return new_version
 
     # ---- data-file plumbing ---------------------------------------------
@@ -171,13 +185,7 @@ class SnapshotTable:
             # deleted, or a table created ahead of its stream) stays readable
             "schema": df.schema.json(),
         }
-        manifest["version"] = 1
-        with open(os.path.join(t._versions_dir(), "v1.json"), "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-        tmp = t._pointer() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write("1")
-        os.rename(tmp, t._pointer())
+        t._commit(manifest, base_version=0)
         return t
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -230,6 +238,21 @@ class SnapshotTable:
         if batch_id is not None and m.get("last_batch_id") == batch_id:
             return base  # replayed micro-batch: already committed
         key, n_buckets = m["key"], m["n_buckets"]
+        # MERGE's contract is "source row REPLACES the target row with its
+        # key" — two source rows for one key have no defined winner. Delta
+        # raises here too ("multiple source rows matched").
+        dup = (
+            source.groupBy(key)
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "merge_upsert source has multiple rows for the same key; "
+                "deduplicate the source first"
+            )
         src = source.withColumn("__bucket", _bucket_col(key, n_buckets))
         affected = sorted(
             str(r["__bucket"])
@@ -324,19 +347,36 @@ class SnapshotTable:
         files.update(self._write_bucket_files(rows))
         return self._commit(self._next_manifest(m, files), base)
 
-    def vacuum(self) -> list[str]:
-        """Delete data files referenced by NO manifest (dead writers'
-        staging leftovers after the manifests themselves are pruned).
+    def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
+        """Delete data files referenced by NO manifest, plus dead writers'
+        abandoned ``_staging_*`` directories. ``min_age_seconds`` is the
+        retention guard (Delta's retention window in miniature): an
+        IN-FLIGHT writer has already renamed its data files into data/ but
+        not yet committed its manifest — deleting young unreferenced files
+        would let that writer commit a manifest pointing at nothing. Only
+        garbage older than the longest plausible write is collected.
         Returns the deleted relative paths."""
+        import time
+
         live: set[str] = set()
         for fn in os.listdir(self._versions_dir()):
+            if ".tmp." in fn:
+                continue
             with open(os.path.join(self._versions_dir(), fn)) as f:
                 for rels in json.load(f)["files"].values():
                     live.update(rels)
+        now = time.time()
         dead = []
         for fn in sorted(os.listdir(self._data_dir())):
             rel = os.path.join("data", fn)
-            if rel not in live:
-                os.unlink(os.path.join(self.path, rel))
+            full = os.path.join(self.path, rel)
+            if rel not in live and now - os.path.getmtime(full) >= min_age_seconds:
+                os.unlink(full)
                 dead.append(rel)
+        for entry in sorted(os.listdir(self.path)):
+            if entry.startswith("_staging_"):
+                full = os.path.join(self.path, entry)
+                if now - os.path.getmtime(full) >= min_age_seconds:
+                    shutil.rmtree(full)
+                    dead.append(entry)
         return dead

@@ -615,10 +615,13 @@ def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _substring_pairs(docs)
 
 
-def _substring_pairs(docs: DataFrame) -> DataFrame:
-    """Windows → per-doc distinct digests → df cap → inverted-index
-    self-join. Split out so tests can drive it on constructed corpora."""
-    wins = (
+def _win_digests(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): per-doc DISTINCT 40-char-window xxhash64 digests — the
+    shared base relation of the substring family (exact_substring_pairs,
+    ngram_novelty); its SQL twin is the wins CTE both oracles embed.
+    Persist at the call site: the stride-1 window explode is the most
+    expensive projection in these pipelines."""
+    return (
         docs.where(F.length("text") >= _SUBSTR_L)
         .select(
             "doc_id",
@@ -631,10 +634,13 @@ def _substring_pairs(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", F.xxhash64("w").alias("h"))
         .distinct()
-        .persist()  # feeds df agg + both self-join sides; the stride-1
-        # window explode is the most expensive projection here (same
-        # rationale and precedent as _jaccard_naive's persist)
     )
+
+
+def _substring_pairs(docs: DataFrame) -> DataFrame:
+    """Windows → per-doc distinct digests → df cap → inverted-index
+    self-join. Split out so tests can drive it on constructed corpora."""
+    wins = _win_digests(docs).persist()  # feeds df agg + both join sides
     hot = (
         wins.groupBy("h")
         .agg(F.count("*").alias("df"))
@@ -698,21 +704,7 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two shuffles total (df agg + the h join, which AQE plans off the same
     exchange); windows relation persisted across its two consumers."""
     docs = load_table(spark, sf_dir, "documents")
-    wins = (
-        docs.where(F.length("text") >= _SUBSTR_L)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("text") - (_SUBSTR_L - 1)),
-                    lambda i: F.col("text").substr(i, F.lit(_SUBSTR_L)),
-                )
-            ).alias("w"),
-        )
-        .select("doc_id", F.xxhash64("w").alias("h"))
-        .distinct()
-        .persist()  # feeds the df agg AND the join side
-    )
+    wins = _win_digests(docs).persist()  # feeds the df agg AND the join side
     dfrel = wins.groupBy("h").agg(F.count("*").alias("df"))
     dup = F.when(F.col("df") >= 2, 1).otherwise(0)
     return (

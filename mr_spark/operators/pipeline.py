@@ -268,16 +268,29 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(tokens("text")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
+        .persist()  # the scalar total and the top-32 cut are separate
+        # subtrees; without the cache the tokenize+groupBy — the dominant
+        # cost — runs twice. Both are materialized inside the persist
+        # scope (32 rows + one scalar), then the cache is released.
     )
-    total = counts.agg(F.sum("cnt").alias("total"))
-    top = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(_VOCAB_TOP)
+    try:
+        total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+        top_rows = [
+            (r["word"], r["cnt"])
+            for r in counts.orderBy(F.desc("cnt"), F.asc("word"))
+            .limit(_VOCAB_TOP)
+            .collect()
+        ]
+    finally:
+        counts.unpersist()
+    top = spark.createDataFrame(top_rows, "word string, cnt bigint")
     order_w = Window.orderBy(F.desc("cnt"), F.asc("word"))
     cum_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return top.crossJoin(F.broadcast(total)).select(
+    return top.select(
         "word",
         "cnt",
         F.row_number().over(order_w).cast("bigint").alias("rank"),
-        (F.sum("cnt").over(cum_w).cast("double") / F.col("total")).alias(
+        (F.sum("cnt").over(cum_w).cast("double") / F.lit(int(total))).alias(
             "cum_share"
         ),
     )

@@ -69,7 +69,10 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .collect()
         ]
-        n_total = mg.agg(F.sum("n_part")).collect()[0][0]
+        # sum over zero sentinel rows (empty/zero-partition corpus) is
+        # NULL — treat as 0 so the query degrades to an empty result
+        # instead of a TypeError below
+        n_total = mg.agg(F.sum("n_part")).collect()[0][0] or 0
     finally:
         mg.unpersist()
     candidates = spark.createDataFrame([(w,) for w in cand], "word string")

@@ -180,10 +180,16 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = und.groupBy("src", "dst").agg(F.count("*").alias("w"))
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    e2 = edges.join(outw, "src").select("src", "dst", "w", "ow").persist()
+    e2 = edges.join(outw, "src").select("src", "dst", "w", "ow")
     n = outw.count()  # scalar vocab size — safe at any scale
     if n <= _TEXTRANK_COLLECT_MAX:
-        return _textrank_broadcast(spark, e2, outw, n)
+        # the broadcast path runs _ITERS separate jobs over e2 — persist
+        # for their duration; _textrank_broadcast unpersists when done
+        return _textrank_broadcast(spark, e2.persist(), outw, n)
+    # the distributed path composes ONE lazy 5-join plan: the e2 subtree
+    # repeats per iteration but Spark reuses its exchange within the job
+    # (ReusedExchange), so a persist here would only leak cached blocks
+    # the lazily-returned plan never releases
     return _textrank_distributed(e2, outw, n)
 
 

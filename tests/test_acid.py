@@ -53,25 +53,52 @@ def test_crash_before_commit_is_invisible_and_vacuumable(spark, tmp_path):
     )
     assert t.latest_version() == 1
     assert _rows(t.read()) == before  # orphan rows invisible
-    dead = t.vacuum()
+    # default vacuum is retention-gated (it must not delete files an
+    # IN-FLIGHT writer staged seconds ago) — the fresh orphans survive it
+    assert t.vacuum() == []
+    dead = t.vacuum(min_age_seconds=0)
     assert dead, "vacuum found no orphans"
     assert _rows(t.read()) == before  # live files untouched
 
 
-def test_stale_base_commit_rejected(spark, tmp_path):
+def test_crashed_staging_dir_is_vacuumed(spark, tmp_path):
+    """A writer that dies mid-_write_bucket_files leaves a _staging_* dir;
+    age-gated vacuum collects it."""
+    t = _mk(spark, tmp_path, [(1, "a")])
+    os.makedirs(os.path.join(t.path, "_staging_deadbeef"))
+    assert t.vacuum() == []  # retention gate protects young staging
+    dead = t.vacuum(min_age_seconds=0)
+    assert "_staging_deadbeef" in dead
+    assert not os.path.exists(os.path.join(t.path, "_staging_deadbeef"))
+
+
+def test_stale_base_commit_rejected_and_winner_untouched(spark, tmp_path):
+    """A stale writer must get ConflictError AND must not damage the
+    winner's committed manifest — the clobber-then-unlink failure mode of
+    a write-then-check protocol (the manifest create is atomic via
+    link(2), so the loser never touches the winner's file)."""
     t = _mk(spark, tmp_path, [(1, "a")])
     t.merge_upsert(spark.createDataFrame([(2, "b")], "k bigint, v string"))
-    m = t._manifest(t.latest_version())
+    winner = t._manifest(2)
+    committed_rows = _rows(t.read())
     with pytest.raises(ConflictError):
         t._commit(
-            {"key": m["key"], "n_buckets": m["n_buckets"], "files": m["files"]},
+            {
+                "key": winner["key"],
+                "n_buckets": winner["n_buckets"],
+                "schema": winner["schema"],
+                "files": {},  # a would-be-corrupting manifest
+            },
             base_version=1,  # stale: latest is 2
         )
-    # the aborted manifest must not linger
-    assert not os.path.exists(
-        os.path.join(t._versions_dir(), "v2.json.rej")
-    )
     assert t.latest_version() == 2
+    # the committed v2 manifest is byte-identical and still readable
+    assert t._manifest(2) == winner
+    assert _rows(t.read()) == committed_rows
+    # no temp debris from the aborted attempt
+    assert all(
+        ".tmp." not in fn for fn in os.listdir(t._versions_dir())
+    )
 
 
 def test_merge_rewrites_only_affected_buckets(spark, tmp_path):
@@ -190,3 +217,11 @@ def test_streaming_foreach_batch_merge_is_exactly_once(spark, tmp_path):
 
     golden = load_table(spark, SF_DIR, "events").select("event_id").distinct().count()
     assert t.read().count() == golden
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a")])
+    dup_src = spark.createDataFrame([(2, "x"), (2, "y")], "k bigint, v string")
+    with pytest.raises(ValueError, match="multiple rows"):
+        t.merge_upsert(dup_src)
+    assert t.latest_version() == 1  # nothing committed

@@ -265,16 +265,27 @@ def test_q10_top20_is_take_ordered(spark):
 
 
 def test_vocab_coverage_cuts_topk_before_window(spark):
-    """The vocabulary is corpus-proportional: the top-32 cut must be a
-    TakeOrderedAndProject and the rank/cumulative windows must run AFTER
-    it (over 32 rows), never over the full vocab."""
+    """The vocabulary is corpus-proportional: the top-32 cut must plan as
+    TakeOrderedAndProject (it runs eagerly inside the operator, within the
+    counts persist scope), and the returned plan must window ONLY the 32
+    collected rows — no corpus scan behind the window."""
+    from pyspark.sql import functions as SF
+
+    from mr_spark.functions import tokens
+
+    counts = (
+        load_table(spark, SF_DIR, "documents")
+        .select(SF.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(SF.count("*").alias("cnt"))
+    )
+    cut_plan = plans.formatted(
+        counts.orderBy(SF.desc("cnt"), SF.asc("word")).limit(32)
+    )
+    assert "TakeOrderedAndProject" in cut_plan
     plan = plans.formatted(QUERIES["vocab_coverage"](spark, SF_DIR))
-    take_idx = plan.find("TakeOrderedAndProject")
-    win_idx = plan.find("Window")
-    assert take_idx != -1 and win_idx != -1
-    # formatted plans print top-down (consumers above producers): the
-    # window consumes the TakeOrdered output, so it prints ABOVE it
-    assert win_idx < take_idx
+    assert "Window" in plan
+    assert "Scan parquet" not in plan  # windows a local 32-row relation
 
 
 def test_ngram_novelty_is_linear_equi_join(spark):
