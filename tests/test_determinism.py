@@ -53,6 +53,17 @@ SENSITIVE = [
     "seasonal_decompose",
     "attribution_last_touch",
     "lateral_topn",
+    # round-3 additions: hash-join df counting, gaps-and-islands runs over
+    # a shuffled position stream, fixed-order DSIR bucket fold, pair set ∩
+    # hash split, distributed NTILE rank, LSH∩exact agreement, bucketed
+    # copy-on-write merge through real file writes
+    "ngram_novelty",
+    "dup_span_stats",
+    "dsir_importance_weights",
+    "split_leakage_audit",
+    "ntile_quartiles",
+    "ann_recall_at_k",
+    "acid_merge_upsert",
 ]
 
 
