@@ -6,13 +6,15 @@ image ships neither connector's jars:
 * data files are immutable parquet, grouped into hash BUCKETS on the merge
   key (so a MERGE rewrites only the buckets its source touches — file-level
   pruning via the manifest, exactly Iceberg's manifest-pruning idea);
-* a TABLE VERSION is a JSON manifest listing its files per bucket;
-* the committed version is a one-line pointer file updated by ATOMIC
-  rename (POSIX rename(2); on object stores swap for a conditional PUT) —
-  readers see the old complete version or the new complete version, never
-  a torn mix;
-* commits are OPTIMISTIC: a writer records the version it based its
-  rewrite on and aborts (ConflictError) if another commit landed first;
+* a TABLE VERSION is a JSON manifest listing its files per bucket, with
+  per-file column min/max footer stats for data skipping;
+* the manifest file IS the commit (Delta's _delta_log protocol): version
+  N exists iff versions/vN.json does, created ATOMICALLY via link(2)
+  from a fully-written temp (object stores: conditional PUT) — readers
+  see complete versions only, never a torn mix;
+* commits are OPTIMISTIC: two writers racing to the same version
+  arbitrate on the atomic create — the loser gets ConflictError and can
+  never clobber the winner's committed manifest;
 * old versions stay readable — time travel — until vacuum() removes
   files no live manifest references;
 * merge_upsert takes an optional ``batch_id`` transaction tag (Delta's
@@ -25,8 +27,9 @@ image ships neither connector's jars:
   (copy-on-write on the affected buckets only).
 
 Crash-safety claim (tested in tests/test_acid.py): any failure BEFORE the
-pointer rename leaves the previous version fully intact; data/manifest
-files from the dead writer are invisible garbage, collected by vacuum().
+manifest link leaves the previous version fully intact; data files and
+staging dirs from the dead writer are invisible garbage, collected by the
+retention-gated vacuum(). A crash AFTER the link is a completed commit.
 
 Scale design: the merge's shuffle is bounded by the AFFECTED buckets, not
 the table — source keys prune buckets through the same hash that
@@ -129,10 +132,49 @@ class SnapshotTable:
 
     # ---- data-file plumbing ---------------------------------------------
 
-    def _write_bucket_files(self, df: DataFrame) -> dict[str, list[str]]:
+    @staticmethod
+    def _file_stats(full_path: str) -> dict[str, list]:
+        """Per-column [min, max] from the parquet FOOTER (pyarrow metadata
+        — no Spark job, no data read): the manifest-level statistics that
+        make data skipping possible, exactly Delta's per-file stats /
+        Iceberg's manifest column bounds. Columns without usable footer
+        stats (or with non-JSON-able types) are simply absent — readers
+        treat absence conservatively."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(full_path).metadata
+        stats: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                col = rgm.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        continue
+                if not isinstance(mn, (bool, int, float, str)):
+                    continue
+                name = col.path_in_schema
+                cur = stats.get(name)
+                stats[name] = (
+                    [mn, mx]
+                    if cur is None
+                    else [min(cur[0], mn), max(cur[1], mx)]
+                )
+        return stats
+
+    def _write_bucket_files(
+        self, df: DataFrame
+    ) -> tuple[dict[str, list[str]], dict[str, dict]]:
         """Write df (which carries a __bucket column) as one immutable
-        parquet file set per bucket; returns {bucket: [relative paths]}.
-        Files land under data/ with uuid names — never overwriting."""
+        parquet file set per bucket; returns ({bucket: [relative paths]},
+        {relative path: column min/max stats}). Files land under data/
+        with uuid names — never overwriting."""
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         (
             df.repartition("__bucket")
@@ -141,6 +183,7 @@ class SnapshotTable:
             .parquet(staging)
         )
         out: dict[str, list[str]] = {}
+        stats: dict[str, dict] = {}
         for entry in sorted(os.listdir(staging)):
             if not entry.startswith("__bucket="):
                 continue
@@ -149,13 +192,12 @@ class SnapshotTable:
                 if not fn.endswith(".parquet"):
                     continue
                 rel = os.path.join("data", f"{uuid.uuid4().hex}.parquet")
-                os.rename(
-                    os.path.join(staging, entry, fn),
-                    os.path.join(self.path, rel),
-                )
+                full = os.path.join(self.path, rel)
+                os.rename(os.path.join(staging, entry, fn), full)
                 out.setdefault(bucket, []).append(rel)
+                stats[rel] = self._file_stats(full)
         shutil.rmtree(staging)
-        return out
+        return out, stats
 
     # ---- public API ------------------------------------------------------
 
@@ -174,13 +216,14 @@ class SnapshotTable:
         os.makedirs(os.path.join(path, "data"))
         os.makedirs(os.path.join(path, "versions"))
         t = cls(spark, path)
-        files = t._write_bucket_files(
+        files, stats = t._write_bucket_files(
             df.withColumn("__bucket", _bucket_col(key, n_buckets))
         )
         manifest = {
             "key": key,
             "n_buckets": n_buckets,
             "files": files,
+            "stats": stats,
             # schema travels in the manifest so an empty version (all rows
             # deleted, or a table created ahead of its stream) stays readable
             "schema": df.schema.json(),
@@ -188,34 +231,81 @@ class SnapshotTable:
         t._commit(manifest, base_version=0)
         return t
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """The table at ``version`` (default: latest) — manifest-listed
-        files only, so a dead writer's stray data files are invisible."""
+    def data_paths(
+        self,
+        version: int | None = None,
+        where: tuple[str, object, object] | None = None,
+    ) -> list[str]:
+        """The version's data-file paths, optionally PRUNED by manifest
+        stats: ``where=(col, lo, hi)`` skips every file whose footer
+        [min, max] for ``col`` cannot intersect [lo, hi] — Delta/Iceberg
+        data skipping from the manifest alone, zero file opens. Files
+        without stats for the column are kept conservatively. File-level
+        pruning is advisory: a surviving file may still hold out-of-range
+        rows, so the caller applies the actual row filter too."""
         m = self._manifest(version if version is not None else self.latest_version())
-        paths = [
-            os.path.join(self.path, rel)
-            for files in m["files"].values()
-            for rel in files
-        ]
+        stats = m.get("stats", {})
+        paths = []
+        for rels in m["files"].values():
+            for rel in rels:
+                if where is not None:
+                    col, lo, hi = where
+                    s = stats.get(rel, {}).get(col)
+                    if s is not None and (s[1] < lo or s[0] > hi):
+                        continue
+                paths.append(os.path.join(self.path, rel))
+        return paths
+
+    def read(
+        self,
+        version: int | None = None,
+        where: tuple[str, object, object] | None = None,
+    ) -> DataFrame:
+        """The table at ``version`` (default: latest) — manifest-listed
+        files only, so a dead writer's stray data files are invisible.
+        ``where=(col, lo, hi)`` applies stats-based file skipping AND the
+        row-level BETWEEN filter."""
+        m = self._manifest(version if version is not None else self.latest_version())
+        paths = self.data_paths(version, where)
         if not paths:
             from pyspark.sql.types import StructType
 
-            return self.spark.createDataFrame(
+            df = self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(m["schema"]))
             )
-        return self.spark.read.parquet(*paths).drop("__bucket")
+        else:
+            df = self.spark.read.parquet(*paths).drop("__bucket")
+        if where is not None:
+            col, lo, hi = where
+            df = df.where(F.col(col).between(F.lit(lo), F.lit(hi)))
+        return df
 
     def _next_manifest(
-        self, m: dict, files: dict, batch_id: int | None = None
+        self,
+        m: dict,
+        files: dict,
+        new_stats: dict | None = None,
+        batch_id: int | None = None,
     ) -> dict:
         """Successor manifest: carries key/buckets/schema and the last
         committed transaction tag forward (overwritten when a new tag is
-        supplied — Delta's single-slot `txn` appId simplification)."""
+        supplied — Delta's single-slot `txn` appId simplification); file
+        stats follow their files (carried entries keep their old stats,
+        rewritten entries get the fresh footer stats)."""
+        old_stats = m.get("stats", {})
+        new_stats = new_stats or {}
+        stats = {}
+        for rels in files.values():
+            for rel in rels:
+                s = new_stats.get(rel, old_stats.get(rel))
+                if s is not None:
+                    stats[rel] = s
         nxt = {
             "key": m["key"],
             "n_buckets": m["n_buckets"],
             "schema": m["schema"],
             "files": files,
+            "stats": stats,
         }
         tag = batch_id if batch_id is not None else m.get("last_batch_id")
         if tag is not None:
@@ -273,12 +363,14 @@ class SnapshotTable:
             )
         else:
             merged = src
-        new_files = self._write_bucket_files(merged)
+        new_files, new_stats = self._write_bucket_files(merged)
         files = {
             b: rels for b, rels in m["files"].items() if b not in set(affected)
         }
         files.update(new_files)
-        return self._commit(self._next_manifest(m, files, batch_id), base)
+        return self._commit(
+            self._next_manifest(m, files, new_stats, batch_id), base
+        )
 
     def append(self, df: DataFrame) -> int:
         """Blind INSERT: write df's bucket files and add them to the
@@ -286,13 +378,13 @@ class SnapshotTable:
         (no key dedup; buckets accumulate files until compact())."""
         base = self.latest_version()
         m = self._manifest(base)
-        new_files = self._write_bucket_files(
+        new_files, new_stats = self._write_bucket_files(
             df.withColumn("__bucket", _bucket_col(m["key"], m["n_buckets"]))
         )
         files = {b: list(rels) for b, rels in m["files"].items()}
         for b, rels in new_files.items():
             files[b] = files.get(b, []) + rels
-        return self._commit(self._next_manifest(m, files), base)
+        return self._commit(self._next_manifest(m, files, new_stats), base)
 
     def delete_keys(self, keys: DataFrame) -> int:
         """Keyed DELETE: copy-on-write rewrite of only the buckets holding
@@ -321,8 +413,11 @@ class SnapshotTable:
                 .join(k.drop("__bucket"), key, "left_anti")
                 .withColumn("__bucket", _bucket_col(key, n_buckets))
             )
-            files.update(self._write_bucket_files(remaining))
-        return self._commit(self._next_manifest(m, files), base)
+            new_files, new_stats = self._write_bucket_files(remaining)
+            files.update(new_files)
+        else:
+            new_stats = {}
+        return self._commit(self._next_manifest(m, files, new_stats), base)
 
     def compact(self) -> int:
         """OPTIMIZE: rewrite every multi-file bucket (append debris) into
@@ -344,8 +439,9 @@ class SnapshotTable:
         files = {
             b: rels for b, rels in m["files"].items() if b not in set(multi)
         }
-        files.update(self._write_bucket_files(rows))
-        return self._commit(self._next_manifest(m, files), base)
+        new_files, new_stats = self._write_bucket_files(rows)
+        files.update(new_files)
+        return self._commit(self._next_manifest(m, files, new_stats), base)
 
     def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
         """Delete data files referenced by NO manifest, plus dead writers'

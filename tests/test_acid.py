@@ -225,3 +225,31 @@ def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
     with pytest.raises(ValueError, match="multiple rows"):
         t.merge_upsert(dup_src)
     assert t.latest_version() == 1  # nothing committed
+
+
+def test_stats_based_file_skipping(spark, tmp_path):
+    """Manifest footer stats prune files without opening them: three
+    appends with disjoint value ranges → a narrow range read touches only
+    the files whose [min, max] intersect, and returns exactly the
+    in-range rows."""
+    t = _mk(spark, tmp_path, [(k, f"v{k}") for k in range(0, 10)], n_buckets=2)
+    t.append(
+        spark.createDataFrame([(k, f"v{k}") for k in range(100, 110)], "k bigint, v string")
+    )
+    t.append(
+        spark.createDataFrame([(k, f"v{k}") for k in range(200, 210)], "k bigint, v string")
+    )
+    all_paths = t.data_paths()
+    pruned = t.data_paths(where=("k", 100, 109))
+    assert len(pruned) < len(all_paths), "stats pruned nothing"
+    # pruning is advisory at file granularity, exact after the row filter
+    got = sorted(r["k"] for r in t.read(where=("k", 100, 109)).collect())
+    assert got == list(range(100, 110))
+    # stats follow carried files through a later merge commit
+    t.merge_upsert(spark.createDataFrame([(0, "NEW")], "k bigint, v string"))
+    got2 = sorted(r["k"] for r in t.read(where=("k", 200, 209)).collect())
+    assert got2 == list(range(200, 210))
+    m = t._manifest(t.latest_version())
+    assert all(
+        rel in m["stats"] for rels in m["files"].values() for rel in rels
+    )
