@@ -17,10 +17,13 @@ image ships neither connector's jars:
   never clobber the winner's committed manifest;
 * old versions stay readable — time travel — until vacuum() removes
   files no live manifest references;
-* merge_upsert takes an optional ``batch_id`` transaction tag (Delta's
-  `txn` idempotent-writes pattern): a replayed micro-batch with the tag
-  already recorded in the committed manifest is a no-op, which makes a
-  Structured Streaming ``foreachBatch`` MERGE sink exactly-once;
+* merge_upsert takes an optional ``(app_id, batch_id)`` transaction tag
+  (Delta's `txn` idempotent-writes pattern, keyed by appId): the manifest
+  carries a ``txns`` map ``{app_id: last_batch_id}``, so a replayed
+  micro-batch whose tag is already recorded for ITS writer is a no-op —
+  which makes a Structured Streaming ``foreachBatch`` MERGE sink
+  exactly-once even with several streams (or streams interleaved with
+  batch merges) writing the same table;
 * append() is the blind fast-insert path (no read of existing data —
   buckets accumulate files), compact() is OPTIMIZE (multi-file buckets
   rewritten to one file each), delete_keys() is keyed DELETE
@@ -251,8 +254,16 @@ class SnapshotTable:
                 if where is not None:
                     col, lo, hi = where
                     s = stats.get(rel, {}).get(col)
-                    if s is not None and (s[1] < lo or s[0] > hi):
-                        continue
+                    if s is not None:
+                        try:
+                            if s[1] < lo or s[0] > hi:
+                                continue
+                        except TypeError:
+                            # bound type doesn't compare with the stored
+                            # stat type (e.g. numeric bounds on a string
+                            # column) — keep the file conservatively; the
+                            # row-level filter still applies
+                            pass
                 paths.append(os.path.join(self.path, rel))
         return paths
 
@@ -265,7 +276,12 @@ class SnapshotTable:
         files only, so a dead writer's stray data files are invisible.
         ``where=(col, lo, hi)`` applies stats-based file skipping AND the
         row-level BETWEEN filter."""
-        m = self._manifest(version if version is not None else self.latest_version())
+        # resolve the version ONCE: resolving latest_version() separately
+        # for the manifest and the file list would let a commit landing
+        # in between mix one version's schema with the next's files
+        if version is None:
+            version = self.latest_version()
+        m = self._manifest(version)
         paths = self.data_paths(version, where)
         if not paths:
             from pyspark.sql.types import StructType
@@ -286,12 +302,14 @@ class SnapshotTable:
         files: dict,
         new_stats: dict | None = None,
         batch_id: int | None = None,
+        app_id: str = "default",
     ) -> dict:
-        """Successor manifest: carries key/buckets/schema and the last
-        committed transaction tag forward (overwritten when a new tag is
-        supplied — Delta's single-slot `txn` appId simplification); file
-        stats follow their files (carried entries keep their old stats,
-        rewritten entries get the fresh footer stats)."""
+        """Successor manifest: carries key/buckets/schema and the whole
+        per-writer transaction map forward (Delta's `txn` actions keyed by
+        appId — each tagged commit updates only ITS writer's slot, so
+        interleaved writers never clobber each other's idempotence tags);
+        file stats follow their files (carried entries keep their old
+        stats, rewritten entries get the fresh footer stats)."""
         old_stats = m.get("stats", {})
         new_stats = new_stats or {}
         stats = {}
@@ -307,25 +325,36 @@ class SnapshotTable:
             "files": files,
             "stats": stats,
         }
-        tag = batch_id if batch_id is not None else m.get("last_batch_id")
-        if tag is not None:
-            nxt["last_batch_id"] = tag
+        txns = dict(m.get("txns", {}))
+        if batch_id is not None:
+            txns[app_id] = batch_id
+        if txns:
+            nxt["txns"] = txns
         return nxt
 
-    def merge_upsert(self, source: DataFrame, batch_id: int | None = None) -> int:
+    def merge_upsert(
+        self,
+        source: DataFrame,
+        batch_id: int | None = None,
+        app_id: str = "default",
+    ) -> int:
         """MERGE INTO: source rows replace target rows with the same key;
         unmatched source rows insert. Copy-on-write at BUCKET granularity:
         only buckets containing source keys are rewritten; every other
         bucket is carried into the new manifest by reference.
 
-        ``batch_id`` is the idempotence tag for streaming foreachBatch
-        sinks: if the committed manifest already records this tag, the
+        ``(app_id, batch_id)`` is the idempotence tag for streaming
+        foreachBatch sinks (Delta's txn-by-appId): if the committed
+        manifest already records this batch_id for THIS app_id, the
         micro-batch was fully committed before a replay — skip it (return
-        the current version). Tag check and commit share the same
-        optimistic-version protocol, so a replay can never double-apply."""
+        the current version). The map is keyed per writer, so two streams
+        (or a stream interleaved with tagged batch merges) writing the
+        same table each keep their own replay protection. Tag check and
+        commit share the same optimistic-version protocol, so a replay
+        can never double-apply."""
         base = self.latest_version()
         m = self._manifest(base)
-        if batch_id is not None and m.get("last_batch_id") == batch_id:
+        if batch_id is not None and m.get("txns", {}).get(app_id) == batch_id:
             return base  # replayed micro-batch: already committed
         key, n_buckets = m["key"], m["n_buckets"]
         # MERGE's contract is "source row REPLACES the target row with its
@@ -369,7 +398,7 @@ class SnapshotTable:
         }
         files.update(new_files)
         return self._commit(
-            self._next_manifest(m, files, new_stats, batch_id), base
+            self._next_manifest(m, files, new_stats, batch_id, app_id), base
         )
 
     def append(self, df: DataFrame) -> int:
@@ -443,7 +472,35 @@ class SnapshotTable:
         files.update(new_files)
         return self._commit(self._next_manifest(m, files, new_stats), base)
 
-    def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
+    def expire_versions(self, min_age_seconds: float = 3600.0) -> list[int]:
+        """Delta's LOG RETENTION half of VACUUM: delete manifests older
+        than the retention window — always keeping the latest — so files
+        referenced ONLY by expired versions become unreferenced and the
+        next :meth:`vacuum` can reclaim them. Without expiration every
+        copy-on-write MERGE/DELETE/compact superseded file stays live
+        forever and table storage grows unboundedly with each commit.
+        Time travel remains available for all retained versions. Returns
+        the expired version numbers."""
+        import time
+
+        latest = self.latest_version()
+        now = time.time()
+        expired = []
+        for fn in sorted(os.listdir(self._versions_dir())):
+            if ".tmp." in fn or not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            v = int(fn[1:-5])
+            full = os.path.join(self._versions_dir(), fn)
+            if v != latest and now - os.path.getmtime(full) >= min_age_seconds:
+                os.unlink(full)
+                expired.append(v)
+        return expired
+
+    def vacuum(
+        self,
+        min_age_seconds: float = 3600.0,
+        version_retention_seconds: float | None = None,
+    ) -> list[str]:
         """Delete data files referenced by NO manifest, plus dead writers'
         abandoned ``_staging_*`` directories. ``min_age_seconds`` is the
         retention guard (Delta's retention window in miniature): an
@@ -451,9 +508,17 @@ class SnapshotTable:
         not yet committed its manifest — deleting young unreferenced files
         would let that writer commit a manifest pointing at nothing. Only
         garbage older than the longest plausible write is collected.
+
+        ``version_retention_seconds`` (Delta's log retention) additionally
+        runs :meth:`expire_versions` first: old manifests past that window
+        are dropped (latest always kept), which releases the files they
+        alone referenced for collection in the same pass — without it,
+        copy-on-write debris is retained forever for time travel.
         Returns the deleted relative paths."""
         import time
 
+        if version_retention_seconds is not None:
+            self.expire_versions(version_retention_seconds)
         live: set[str] = set()
         for fn in os.listdir(self._versions_dir()):
             if ".tmp." in fn:

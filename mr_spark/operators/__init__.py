@@ -17,12 +17,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..session import tune_session
+from ..session import release_tracked_caches, tune_session
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+
+# Reentrancy depth for the tracked-cache release: composed queries
+# (split_leakage_audit → ngram_jaccard_pairs, ann_recall_at_k →
+# ann_cosine_topk) invoke other REGISTERED queries while building their
+# own plan — flushing there would drop the outer query's live caches.
+# Only a top-level invocation (depth 0) releases the previous query's.
+_QUERY_DEPTH = 0
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -35,10 +42,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            global _QUERY_DEPTH
             # the driver hands us ITS session — make it able to read the
             # testdata (nanos timestamps) and compare in UTC
             tune_session(spark)
-            return fn(spark, sf_dir)
+            if _QUERY_DEPTH == 0:
+                # free the PREVIOUS top-level query's tracked caches (its
+                # result was collected before this call — see session.py)
+                release_tracked_caches()
+            _QUERY_DEPTH += 1
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _QUERY_DEPTH -= 1
 
         _QUERIES[name] = wrapped
         if oracle is not None:
@@ -55,46 +71,38 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver row yet — plus q12, red in r01 on a (now fixed) dtype artifact —
 # in the checked prefix, and rotate per round as driver rows accumulate.
 #
-# Round-3 prefix = exactly the 50 queries (of the 62 with no driver row
-# in r01 or r02) that can take a full oracle check — union of
-# r01+r02-green names all rotate OUT (99 driver-green queries so far).
-# The 12 never-checked queries NOT in the prefix each carry a named
-# independent in-repo pin and stay in overflow:
-#   tier-a… none this round — tier_a_wc/tier_a_indexer rotate IN.
-#   salted_skew_join (equality-vs-unsalted pinned in test_skew),
-#   zorder_key_lineitem (test_layout file-stats proof), scd2_history
-#   (test_cdc), pii_pseudonymize / corpus_curation / doc_chunking /
-#   contamination_ngrams (test_pipeline_ops invariants + oracle
-#   rehearsal in test_queries_oracle), stratified_sample /
-#   shuffle_shards (md5-tail machinery shared with hash_sample and
-#   train_val_split, both IN the prefix), histogram_prices (trivial
-#   floor-div bucketing, same expression family as case_bucketing, IN
-#   the prefix), null_handling (coalesce/nullif battery, oracle
-#   rehearsal), approx_distinct_sketch (rows-only by design — a driver
-#   row adds no hash signal).
-# All overflow queries stay green under local pytest +
-# tools/check_correctness at sf0.001/0.01/0.1.
+# Round-4 prefix (VERDICT r3 #2): the 18 queries with no driver row in
+# r01∪r02∪r03 (ngram_novelty … approx_distinct_sketch, the last rows-only
+# by design) rotate IN, plus the new acid_data_skipping (r4, VERDICT #6)
+# — after this round every registered query has a driver row (cumulative
+# 167/168 hash-checked + approx_distinct_sketch rows-only). Next come the
+# two queries whose IMPLEMENTATION changed this round and must be driver
+# re-certified: ngram_jaccard_pairs (PPJoin broadcast hints removed,
+# VERDICT #1) and pandas_udaf_median (JVM-side count join, VERDICT #4).
+# The remaining 29 slots re-confirm the OLDEST driver evidence (r01
+# names, including the r3-rewritten q10_returned_items/ntile_quartiles
+# whose rewrites were never driver-checked).
 _CHECK_PRIORITY = [
-    "event_funnel", "retention_cohorts",
-    "date_arithmetic", "case_bucketing", "math_funcs",
-    "rolling_range_window", "json_typed_parse", "regex_funcs",
-    "stat_aggregates", "window_rank_battery",
-    "bucketed_fact_join", "time_rollup",
-    "dedup_keep_best", "fuzzy_match_pairs",
-    "token_stats", "text_quality", "lang_id", "doc_fingerprint",
-    "bpe_token_count", "term_frequency", "winnow_containment", "bm25_topk",
-    "multimodal_meta", "frame_sample_stub", "image_features_stub",
-    "payload_byte_stats",
-    "tier_a_wc", "tier_a_indexer",
-    "hash_sample", "train_val_split",
-    "pack_context_windows", "vocab_coverage", "mixture_weights",
-    "regression_trend", "anomaly_days", "gapfill_daily_revenue",
-    "event_cooccurrence", "session_paths", "pmi_collocations",
-    "textrank_keywords", "triangle_count",
-    "approx_quantile_bounds", "pareto_frontier",
-    "lexical_diversity", "mad_outliers", "equidepth_histogram",
-    "interpolate_missing", "markov_transitions",
-    "embedding_dim_stats", "weighted_sample",
+    # -- never driver-checked (18 + the new r4 query) --
+    "ngram_novelty", "dup_span_stats", "dsir_importance_weights",
+    "split_leakage_audit", "ann_recall_at_k", "acid_merge_upsert",
+    "acid_data_skipping",
+    "null_handling", "stratified_sample", "shuffle_shards",
+    "salted_skew_join", "doc_chunking", "contamination_ngrams",
+    "pii_pseudonymize", "corpus_curation", "zorder_key_lineitem",
+    "scd2_history", "histogram_prices", "approx_distinct_sketch",
+    # -- implementation changed this round --
+    "ngram_jaccard_pairs", "pandas_udaf_median",
+    # -- oldest-evidence re-confirmation (r01) --
+    "wc", "indexer", "crash_shape", "early_exit",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q14_promo_revenue", "q4_order_priority",
+    "q17_small_quantity", "q19_disjunctive_join", "q10_returned_items",
+    "market_share", "q22_global_sales_opportunity", "q7_volume_shipping",
+    "q9_product_profit", "q12_priority_shipping", "q16_supplier_count",
+    "q21_waiting_supplier", "q15_top_supplier", "q11_important_stock",
+    "q20_promotion_supplier", "top_k_per_group", "window_running_sum",
+    "lag_lead_delta", "ntile_quartiles", "distinct_agg", "set_ops",
 ]
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import normalized_text, tokens
+from ..session import persist_tracked
 from ..sources import load_table
 from . import query
 
@@ -136,7 +137,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shingles are 64-bit hashes before any shuffle (collision odds ~n²/2^64)."""
     docs = load_table(spark, sf_dir, "documents")
-    tri_arr = _tri_arr(docs).persist()
+    tri_arr = persist_tracked(_tri_arr(docs))
     tri = tri_arr.select("doc_id", F.explode("tset").alias("h"))
     st = (
         tri.groupBy("h")
@@ -203,9 +204,15 @@ def _jaccard_ppjoin(tri_arr: DataFrame) -> DataFrame:
     sizes = tri.groupBy("doc_id").agg(F.count("*").alias("sz"))
     w = Window.partitionBy("doc_id").orderBy("df", "h")
     prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(JACCARD_THRESHOLD)) + 1
+    # NO broadcast hints here: df is vocabulary-sized (one row per distinct
+    # shingle hash — billions at 100 TB) and sizes is corpus-sized (one row
+    # per doc). A mandatory BroadcastExchange on either is an executor-OOM
+    # scale-killer in exactly the regime this path is selected for. Plain
+    # equi-joins let AQE promote to broadcast when a side is measured small
+    # (same pattern as the substring cap's hot-set join below).
     prefix = (
-        tri.join(F.broadcast(df), "h")  # df is vocabulary-sized
-        .join(F.broadcast(sizes), "doc_id")
+        tri.join(df, "h")
+        .join(sizes, "doc_id")
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= prefix_len)
         .select("doc_id", "h")
@@ -338,9 +345,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole-stage codegen (an array-lambda hash runs interpreted per element
     # and measured ~5× slower on this stage); the per-doc hash arrays needed
     # for candidate verification are rebuilt with one small collect_list agg
-    tri = docs.select("doc_id", F.explode(_trigrams("text")).alias("g")).select(
-        "doc_id", _md5_lower64(F.col("g")).alias("hg")
-    ).persist()  # feeds the signature agg AND (via tri_arr) both verify sides
+    tri = persist_tracked(
+        docs.select("doc_id", F.explode(_trigrams("text")).alias("g")).select(
+            "doc_id", _md5_lower64(F.col("g")).alias("hg")
+        )
+    )  # feeds the signature agg AND (via tri_arr) both verify sides
     tri_arr = tri.groupBy("doc_id").agg(F.collect_list("hg").alias("tset"))
     hashed = tri.select("doc_id", (F.col("hg") % _MERSENNE).alias("h"))
     sig = hashed.groupBy("doc_id").agg(
@@ -640,7 +649,7 @@ def _win_digests(docs: DataFrame) -> DataFrame:
 def _substring_pairs(docs: DataFrame) -> DataFrame:
     """Windows → per-doc distinct digests → df cap → inverted-index
     self-join. Split out so tests can drive it on constructed corpora."""
-    wins = _win_digests(docs).persist()  # feeds df agg + both join sides
+    wins = persist_tracked(_win_digests(docs))  # feeds df agg + both join sides
     hot = (
         wins.groupBy("h")
         .agg(F.count("*").alias("df"))
@@ -704,7 +713,7 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two shuffles total (df agg + the h join, which AQE plans off the same
     exchange); windows relation persisted across its two consumers."""
     docs = load_table(spark, sf_dir, "documents")
-    wins = _win_digests(docs).persist()  # feeds the df agg AND the join side
+    wins = persist_tracked(_win_digests(docs))  # feeds the df agg AND the join side
     dfrel = wins.groupBy("h").agg(F.count("*").alias("df"))
     dup = F.when(F.col("df") >= 2, 1).otherwise(0)
     return (
@@ -782,8 +791,8 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p", "w"),
         )
         .select("doc_id", (F.col("p") + 1).alias("i"), F.xxhash64("w").alias("h"))
-        .persist()  # feeds the df agg AND the dup-position join
     )
+    pos = persist_tracked(pos)  # feeds the df agg AND the dup-position join
     dfrel = (
         pos.select("doc_id", "h")
         .distinct()
@@ -875,10 +884,9 @@ def fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # five downstream branches (intra pairs, two blocking passes, two
     # expansion joins) read this relation — persist or each re-runs the
     # scan + normalize + groupBy
-    groups = (
+    groups = persist_tracked(
         docs.groupBy("n")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .persist()
     )
 
     ids = F.col("ids")

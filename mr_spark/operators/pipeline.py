@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import tokens
+from ..session import persist_tracked
 from ..sources import load_table
 from . import query
 
@@ -420,7 +421,7 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n").cast("bigint").alias("n_tokens"),
     )
-    per = per.persist()
+    per = persist_tracked(per)
     tot = per.agg(F.sum("n_tokens").alias("total"))
     n_src = per.agg(F.count("*").alias("n_sources"))
     target = F.when(
@@ -514,8 +515,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    dc = (
-        bk.groupBy("doc_id", "source", "b").agg(F.count("*").alias("c")).persist()
+    dc = persist_tracked(
+        bk.groupBy("doc_id", "source", "b").agg(F.count("*").alias("c"))
     )  # feeds the per-doc join AND both histograms — ≤B rows per doc
     raw = dc.groupBy("b").agg(F.sum("c").alias("r"))
     tgt = (

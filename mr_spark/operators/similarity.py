@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import persist_tracked
 from ..sources import load_table
 from . import query
 
@@ -450,9 +451,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    e = emb.select(
-        "vec_id", "label", F.transform(v, lambda x: F.round(x / norm * SCALE)).alias("q")
-    ).persist()
+    e = persist_tracked(
+        emb.select(
+            "vec_id", "label",
+            F.transform(v, lambda x: F.round(x / norm * SCALE)).alias("q"),
+        )
+    )
 
     cent_df = _rounded_mean_cent(e.select(F.col("label").alias("cell"), "q"))
     assign = prev = None
@@ -462,10 +466,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev.unpersist()
         cell_ids = np.array([r["cell"] for r in rows])
         cent_mat = np.stack([np.asarray(r["c"]) for r in rows])
-        assign = e.mapInPandas(
-            _assign_kernel(cell_ids, cent_mat),
-            schema="vec_id bigint, q array<double>, cell bigint",
-        ).persist()
+        assign = persist_tracked(
+            e.mapInPandas(
+                _assign_kernel(cell_ids, cent_mat),
+                schema="vec_id bigint, q array<double>, cell bigint",
+            )
+        )
         cent_df = _rounded_mean_cent(assign)
         prev = assign
 

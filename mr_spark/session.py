@@ -43,6 +43,48 @@ RUNTIME_CONFS = {
 }
 
 
+# ---- tracked persist registry ----------------------------------------------
+# Operators persist relations that feed several subtrees of a LAZILY
+# returned plan; they cannot unpersist before returning (the caller hasn't
+# executed the plan yet), so in a long-lived session those cached blocks
+# accumulate across invocations — the leak class ADVICE r3 flagged
+# (jaccard tri_arr, substring/novelty windows, dup_span positions, dsir
+# bucket counts, …). Every such persist now registers here, and
+# release_tracked_caches() frees them all at once. The @query wrapper
+# (operators/__init__.py) calls the release at the START of each TOP-LEVEL
+# query, so by the time query N+1 builds its plan, query N's caches are
+# gone — cache footprint bounded to one query's working set with no
+# harness cooperation needed (bench / check_correctness / the driver all
+# collect each result before invoking the next query).
+
+_TRACKED: list = []
+
+
+def persist_tracked(df):
+    """``df.persist()`` + register for deferred release (see above).
+    Use for persists whose lifetime must extend past the operator's
+    return; persists released within the operator (the heavy_hitters
+    eager-materialize pattern) should stay plain ``persist()``."""
+    df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_tracked_caches() -> int:
+    """Unpersist every tracked DataFrame; returns how many were released.
+    Safe to call at any time between queries — unpersist never invalidates
+    a plan (the relation simply recomputes if re-executed)."""
+    n = 0
+    for df in _TRACKED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _TRACKED.clear()
+    return n
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally-created session.
     Also right-sizes shuffle partitions if left at the 200 default."""

@@ -50,3 +50,19 @@ def test_blowup_gate_flips_on_duplication(spark, tmp_path):
     tri_arr.unpersist()
     assert naive == ppjoin
     assert naive, "duplicated corpus produced no pairs"
+
+
+def test_ppjoin_prefix_join_no_mandatory_broadcast(spark):
+    """VERDICT r3 #1: the PPJoin prefix-selection joins (tri ⋈ df on h,
+    ⋈ sizes on doc_id) must carry NO broadcast hint — df is
+    vocabulary-sized (billions of distinct shingles at 100 TB) and sizes
+    is corpus-sized, so a MANDATED BroadcastExchange there is an
+    executor-OOM scale-killer in exactly the regime the dispatcher
+    selects this path for. AQE is free to promote at runtime when a side
+    is measured small; what's pinned is that nothing in the logical plan
+    REQUIRES it."""
+    tri_arr = _tri_arr(load_table(spark, SF_DIR, "documents"))
+    df = _jaccard_ppjoin(tri_arr)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "UnresolvedHint" not in analyzed

@@ -108,6 +108,11 @@ PROBES = [
     "dup_span_stats",
     "dsir_importance_weights",
     "split_leakage_audit",
+    # round-4: PPJoin hint removal (VERDICT r4 #1) + acid read path
+    "ngram_jaccard_pairs",
+    "acid_merge_upsert",
+    "acid_data_skipping",
+    "pandas_udaf_median",
 ]
 
 KEY_SHIFTS = {
@@ -136,6 +141,53 @@ def build_scaled(spark, replicas: int) -> None:
         out.write.mode("overwrite").parquet(os.path.join(SCALED, f"{t}.parquet"))
 
 
+SCALED_MUT = "/tmp/mr_spark_scaled_mut"
+
+# Queries probed on the MUTATED-replica corpus too (VERDICT r3 #5): the
+# verbatim-replica probe makes near-dup pair output grow ~quadratically in
+# the replica count (every doc near-dups its own replicas), so the wall
+# ratio on pair-emitting queries is output-bound. The mutated corpus keeps
+# the 8× data volume but PERTURBS each replica so cross-replica trigram
+# Jaccard collapses (< 0.5) while intra-replica near-dups survive — pair
+# output then grows ~linearly and the wall ratio isolates the compute.
+MUTATED_PROBES = ["ngram_jaccard_pairs", "split_leakage_audit"]
+
+
+def build_mutated_docs(spark, replicas: int) -> None:
+    """documents replicated with shifted doc_ids AND replica-tagged text:
+    every token whose xxhash64 ≡ 0 (mod 3) gets a letter-only suffix
+    unique to the replica. Content-dependent (same token → same fate in
+    every doc of a replica), so trigrams SHARED within a replica stay
+    shared — intra-replica near-dup pairs survive; ~70% of trigrams
+    (1 − (2/3)³) contain a tagged token and differ ACROSS replicas, so
+    cross-replica Jaccard ≈ 0.17 < 0.5 — no cross-replica pairs. The
+    suffix is letters only (the tokenizer splits on non-letters)."""
+    shutil.rmtree(SCALED_MUT, ignore_errors=True)
+    os.makedirs(SCALED_MUT)
+    from mr_spark.functions import tokens
+
+    df = load_table(spark, BASE, "documents")
+    reps = F.explode(F.array(*[F.lit(i) for i in range(replicas)])).alias("__rep")
+    tag = F.concat(
+        F.lit("xq"),
+        F.char(F.col("__rep") + F.lit(97)),  # 'a' + replica index
+    )
+    mutated = F.concat_ws(
+        " ",
+        F.transform(
+            tokens("text"),
+            lambda t: F.when(F.pmod(F.xxhash64(t), F.lit(3)) == 0, F.concat(t, tag)).otherwise(t),
+        ),
+    )
+    out = (
+        df.select("*", reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * 1_000_000)
+        .withColumn("text", mutated)
+        .drop("__rep")
+    )
+    out.write.mode("overwrite").parquet(os.path.join(SCALED_MUT, "documents.parquet"))
+
+
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -158,6 +210,21 @@ def main() -> None:
         t8x = time.time() - t0
         rows.append((name, t1x, t8x, t8x / t1x))
         print(f"{name}: 1x={t1x:.2f}s {replicas}x={t8x:.2f}s ratio={t8x/t1x:.2f}")
+    # mutated-replica probe (VERDICT r3 #5): same 8× volume, near-linear
+    # pair output — isolates compute from the output-bound blowup
+    t0 = time.time()
+    build_mutated_docs(spark, replicas)
+    build_mut_s = time.time() - t0
+    mut_rows = []
+    for name in MUTATED_PROBES:
+        t0 = time.time()
+        force(qs[name](spark, BASE))
+        t1x = time.time() - t0
+        t0 = time.time()
+        force(qs[name](spark, SCALED_MUT))
+        t8x = time.time() - t0
+        mut_rows.append((name, t1x, t8x, t8x / t1x))
+        print(f"[mutated] {name}: 1x={t1x:.2f}s {replicas}x={t8x:.2f}s ratio={t8x/t1x:.2f}")
     lines = [
         "# SCALING — measured 1× vs 8× wall time (local[32], sf0.1 base)",
         "",
@@ -197,6 +264,27 @@ def main() -> None:
         f"ratio sits AT the data ratio ({replicas}) ± JIT/GC noise; repeated",
         "isolated runs measured 4.9–8.4. Anything ≈ the data ratio on a",
         "shuffle-free plan is linear scaling, not a bottleneck.",
+        "",
+        "## Mutated-replica probe (near-linear pair output)",
+        "",
+        f"The same {replicas}× volume, but each replica's text is perturbed",
+        "content-dependently (every token with xxhash64 ≡ 0 mod 3 gets a",
+        "replica-unique letter suffix): trigrams shared WITHIN a replica stay",
+        "shared, so intra-replica near-dup pairs survive, while ~70% of",
+        "trigrams differ ACROSS replicas (cross-replica Jaccard ≈ 0.17 <",
+        "0.5) — pair output grows ~linearly instead of ~quadratically. The",
+        "wall ratio here isolates the pipeline's compute scaling from the",
+        "verbatim probe's output-bound blowup:",
+        "",
+        f"| query | 1× sec | {replicas}× mutated sec | ratio |",
+        "|---|---|---|---|",
+    ] + [
+        f"| {name} | {a:.2f} | {b:.2f} | {r:.2f} |" for name, a, b, r in mut_rows
+    ] + [
+        "",
+        f"(mutated-corpus build: {build_mut_s:.1f}s; the mutated corpus'",
+        "duplication profile is natural-like, so the dispatcher takes the",
+        "naive-join path — the verbatim probe exercises the PPJoin path.)",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
