@@ -325,12 +325,23 @@ class SnapshotTable:
             "files": files,
             "stats": stats,
         }
-        txns = dict(m.get("txns", {}))
+        txns = self._txns(m)
         if batch_id is not None:
             txns[app_id] = batch_id
         if txns:
             nxt["txns"] = txns
         return nxt
+
+    @staticmethod
+    def _txns(m: dict) -> dict:
+        """The manifest's per-writer txn map, with the pre-map single-slot
+        ``last_batch_id`` key (written by earlier versions of this class)
+        treated as the "default" writer's tag — replay protection for
+        tables committed by the old code survives the upgrade."""
+        txns = dict(m.get("txns", {}))
+        if "last_batch_id" in m:
+            txns.setdefault("default", m["last_batch_id"])
+        return txns
 
     def merge_upsert(
         self,
@@ -354,7 +365,7 @@ class SnapshotTable:
         can never double-apply."""
         base = self.latest_version()
         m = self._manifest(base)
-        if batch_id is not None and m.get("txns", {}).get(app_id) == batch_id:
+        if batch_id is not None and self._txns(m).get(app_id) == batch_id:
             return base  # replayed micro-batch: already committed
         key, n_buckets = m["key"], m["n_buckets"]
         # MERGE's contract is "source row REPLACES the target row with its
@@ -485,12 +496,14 @@ class SnapshotTable:
 
         latest = self.latest_version()
         now = time.time()
+        versions = sorted(
+            int(fn[1:-5])
+            for fn in os.listdir(self._versions_dir())
+            if fn.startswith("v") and fn.endswith(".json") and ".tmp." not in fn
+        )  # numeric sort: lexicographic listdir misorders past v9
         expired = []
-        for fn in sorted(os.listdir(self._versions_dir())):
-            if ".tmp." in fn or not (fn.startswith("v") and fn.endswith(".json")):
-                continue
-            v = int(fn[1:-5])
-            full = os.path.join(self._versions_dir(), fn)
+        for v in versions:
+            full = os.path.join(self._versions_dir(), f"v{v}.json")
             if v != latest and now - os.path.getmtime(full) >= min_age_seconds:
                 os.unlink(full)
                 expired.append(v)

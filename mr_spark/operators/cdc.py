@@ -131,7 +131,8 @@ def acid_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "spark-warehouse",
-        "acid_merge_demo",
+        f"acid_merge_demo_{os.getpid()}",  # per-process: concurrent sessions
+        # running this query must not rmtree each other's live table
     )
     t = SnapshotTable.create(spark, path, target, key="o_orderkey", n_buckets=8)
     t.merge_upsert(source)
@@ -149,13 +150,19 @@ def acid_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "acid_data_skipping",
+    # the middle-tertile bounds are derived from the DATA (min/max of
+    # o_orderkey) with integer arithmetic both engines share — hard-coded
+    # constants would make the commits empty at small SFs (sf0.001's
+    # orderkeys stop at 1499) and the skip path vacuous
     oracle="""
+    WITH s AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders)
     SELECT CAST(o_orderkey % 7 AS BIGINT) AS key_mod,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
              AS revenue
-    FROM orders
-    WHERE o_orderkey BETWEEN 2000 AND 3999
+    FROM orders, s
+    WHERE o_orderkey >= mn + (mx - mn) // 3
+      AND o_orderkey < mn + 2 * ((mx - mn) // 3)
     GROUP BY 1
     """,
 )
@@ -183,18 +190,26 @@ def acid_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "spark-warehouse",
-        "acid_skip_demo",
+        f"acid_skip_demo_{os.getpid()}",  # per-process: concurrent sessions
+        # running this query must not rmtree each other's live table
     )
+    # tertile bounds from the data (1-row agg collect — bounded at any SF);
+    # same integer arithmetic as the oracle's (mx - mn) // 3
+    b = o.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    ).collect()[0]
+    q3 = (b["mx"] - b["mn"]) // 3
+    b1, b2 = b["mn"] + q3, b["mn"] + 2 * q3
     k = F.col("o_orderkey")
     t = SnapshotTable.create(
-        spark, path, o.where(k < 2000), key="o_orderkey", n_buckets=4
+        spark, path, o.where(k < b1), key="o_orderkey", n_buckets=4
     )
-    t.append(o.where((k >= 2000) & (k < 4000)))
-    t.append(o.where(k >= 4000))
-    pruned = t.data_paths(where=("o_orderkey", 2000, 3999))
+    t.append(o.where((k >= b1) & (k < b2)))
+    t.append(o.where(k >= b2))
+    pruned = t.data_paths(where=("o_orderkey", b1, b2 - 1))
     assert len(pruned) < len(t.data_paths()), "manifest stats pruned no files"
     return (
-        t.read(where=("o_orderkey", 2000, 3999))
+        t.read(where=("o_orderkey", b1, b2 - 1))
         .groupBy((k % 7).cast("bigint").alias("key_mod"))
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),

@@ -124,4 +124,9 @@ def pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     med = li.groupBy("l_partkey").agg(_median("l_quantity").alias("median_qty"))
     cnt = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
-    return med.join(cnt, "l_partkey")
+    # null-safe join key: a single groupBy emits a NULL-key group; a plain
+    # inner join would silently drop it (latent on TPC-H, where l_partkey
+    # is non-null — but the rewrite must not change the grouping semantics)
+    return med.join(
+        cnt, med["l_partkey"].eqNullSafe(cnt["l_partkey"])
+    ).select(med["l_partkey"], "median_qty", "n")

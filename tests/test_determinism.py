@@ -64,6 +64,10 @@ SENSITIVE = [
     "ntile_quartiles",
     "ann_recall_at_k",
     "acid_merge_upsert",
+    # round-4: manifest-stats file pruning through real commits — the
+    # pruned file SET depends on how rows landed in bucket files, but the
+    # read result must not
+    "acid_data_skipping",
 ]
 
 
