@@ -483,6 +483,80 @@ class SnapshotTable:
         files.update(new_files)
         return self._commit(self._next_manifest(m, files, new_stats), base)
 
+    def _changed_buckets(self, m_from: dict, m_to: dict) -> list[str]:
+        """Buckets whose FILE LISTS differ between two manifests. Data
+        files are immutable and copy-on-write carries untouched buckets by
+        reference, so an identical file list proves the bucket holds zero
+        changes — the change feed reads only the differing slice."""
+        buckets = set(m_from["files"]) | set(m_to["files"])
+        return sorted(
+            b
+            for b in buckets
+            if m_from["files"].get(b) != m_to["files"].get(b)
+        )
+
+    def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Row-level change feed between two committed versions — Delta
+        Lake's Change Data Feed rebuilt relationally (the CDF row schema:
+        ``_change_type`` ∈ insert / delete / update_preimage /
+        update_postimage, followed by the table columns). Because versions
+        are immutable, the feed is DERIVED, not stored: a full-outer join
+        on the table key over only the buckets whose file lists differ
+        (manifest diff — untouched buckets are carried by reference and
+        provably unchanged), with null-safe whole-row comparison deciding
+        update vs no-op.
+
+        Scale: a narrow MERGE touches few buckets, so the CDF join reads
+        ~that fraction of both versions, not 2× the table; the join
+        shuffles on the table key (or zero shuffle once both sides are
+        bucket-pruned files of the same bucketing)."""
+        if v_to is None:
+            v_to = self.latest_version()
+        mf, mt = self._manifest(v_from), self._manifest(v_to)
+        key = mt["key"]
+        changed = self._changed_buckets(mf, mt)
+
+        def read_slice(m: dict) -> DataFrame:
+            paths = [
+                os.path.join(self.path, rel)
+                for b in changed
+                for rel in m["files"].get(b, [])
+            ]
+            if not paths:
+                from pyspark.sql.types import StructType
+
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(m["schema"]))
+                )
+            return self.spark.read.parquet(*paths).drop("__bucket")
+
+        old, new = read_slice(mf), read_slice(mt)
+        cols = new.columns
+        o = old.select(F.col(key).alias("__k"), F.struct(*cols).alias("__o"))
+        n = new.select(F.col(key).alias("__k"), F.struct(*cols).alias("__n"))
+        j = o.join(n, "__k", "full_outer")
+        ins = j.where(F.col("__o").isNull()).select(
+            F.lit("insert").alias("_change_type"), F.col("__n").alias("__r")
+        )
+        dele = j.where(F.col("__n").isNull()).select(
+            F.lit("delete").alias("_change_type"), F.col("__o").alias("__r")
+        )
+        upd = j.where(
+            F.col("__o").isNotNull()
+            & F.col("__n").isNotNull()
+            & ~F.col("__o").eqNullSafe(F.col("__n"))
+        )
+        pre = upd.select(
+            F.lit("update_preimage").alias("_change_type"), F.col("__o").alias("__r")
+        )
+        post = upd.select(
+            F.lit("update_postimage").alias("_change_type"), F.col("__n").alias("__r")
+        )
+        out = ins.unionByName(dele).unionByName(pre).unionByName(post)
+        return out.select(
+            "_change_type", *[F.col("__r")[c].alias(c) for c in cols]
+        )
+
     def expire_versions(self, min_age_seconds: float = 3600.0) -> list[int]:
         """Delta's LOG RETENTION half of VACUUM: delete manifests older
         than the retention window — always keeping the latest — so files

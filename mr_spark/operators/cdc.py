@@ -149,6 +149,80 @@ def acid_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_change_feed",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 < 8
+    ),
+    source AS (
+      SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 >= 5
+    ),
+    ins AS (
+      SELECT 'insert' AS change_type, o_totalprice FROM source
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM target)
+    ),
+    pre AS (
+      SELECT 'update_preimage' AS change_type, t.o_totalprice
+      FROM target t JOIN source s ON t.o_orderkey = s.o_orderkey
+    ),
+    post AS (
+      SELECT 'update_postimage' AS change_type, s.o_totalprice
+      FROM target t JOIN source s ON t.o_orderkey = s.o_orderkey
+    ),
+    chg AS (
+      SELECT * FROM ins UNION ALL SELECT * FROM pre
+      UNION ALL SELECT * FROM post
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total
+    FROM chg GROUP BY 1
+    """,
+)
+def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style CHANGE DATA FEED over the snapshot table
+    (SnapshotTable.changes — mr_spark/acid.py): create v1 from 80% of
+    orders, MERGE a source that updates the overlapping 30% and inserts a
+    fresh 20%, then derive the v1→v2 row-level change feed (insert /
+    update_preimage / update_postimage) and aggregate it per change type.
+    The feed is DERIVED from the immutable versions, not stored: a
+    manifest diff restricts the read to buckets whose file lists changed,
+    and a full-outer key join with null-safe whole-row comparison
+    classifies each key. The oracle replays the classification
+    relationally. Scale: a narrow merge touches few buckets, so the CDF
+    join reads only that slice of both versions (pruning pinned in
+    tests/test_acid.py::test_change_feed_reads_only_changed_buckets)."""
+    import os
+
+    from ..acid import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    target = o.where(F.col("o_orderkey") % 10 < 8)
+    source = o.where(F.col("o_orderkey") % 10 >= 5).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"acid_cdf_demo_{os.getpid()}",
+    )
+    t = SnapshotTable.create(spark, path, target, key="o_orderkey", n_buckets=8)
+    t.merge_upsert(source)
+    return (
+        t.changes(1, 2)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@query(
     "acid_data_skipping",
     # the middle-tertile bounds are derived from the DATA (min/max of
     # o_orderkey) with integer arithmetic both engines share — hard-coded

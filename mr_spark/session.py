@@ -43,6 +43,17 @@ RUNTIME_CONFS = {
 }
 
 
+def ping(spark: SparkSession) -> bool:
+    """Health check — the Spark-native analog of the reference's SayHello
+    RPC (service.proto:24,30-31; coordinator.rs:147-155). The reference
+    health-checks its separate control plane with an echo RPC; in Spark
+    the control plane IS the driver, so the idiomatic liveness probe is a
+    trivial end-to-end job: it exercises the scheduler, an executor, and
+    the result channel — strictly more than an echo. Returns True iff the
+    round-trip completes."""
+    return spark.range(1).count() == 1
+
+
 # ---- tracked persist registry ----------------------------------------------
 # Operators persist relations that feed several subtrees of a LAZILY
 # returned plan; they cannot unpersist before returning (the caller hasn't

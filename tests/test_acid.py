@@ -237,6 +237,53 @@ def test_expire_versions_unlocks_vacuum_of_superseded_files(spark, tmp_path):
         t2.read(version=1)  # expired version no longer time-travelable
 
 
+def test_change_feed_classifies_insert_update_delete(spark, tmp_path):
+    """changes(v_from, v_to) derives Delta-CDF rows from two immutable
+    versions: insert (key only in v_to), delete (key only in v_from),
+    update_preimage/postimage (key in both, row differs). Unchanged rows
+    — including ones REWRITTEN into new files by a bucket rewrite —
+    produce no feed rows."""
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")], n_buckets=1)
+    t.merge_upsert(spark.createDataFrame([(2, "B"), (9, "Z")], "k bigint, v string"))
+    got = sorted(map(tuple, t.changes(1, 2).collect()))
+    assert got == [
+        ("insert", 9, "Z"),
+        ("update_postimage", 2, "B"),
+        ("update_preimage", 2, "b"),
+    ]  # rows 1 and 3 were rewritten (n_buckets=1) but unchanged → no rows
+    t.delete_keys(spark.createDataFrame([(1,)], "k bigint"))
+    got2 = sorted(map(tuple, t.changes(2, 3).collect()))
+    assert got2 == [("delete", 1, "a")]
+    # spanning feed composes the whole history
+    got13 = sorted(map(tuple, t.changes(1, 3).collect()))
+    assert ("delete", 1, "a") in got13 and ("insert", 9, "Z") in got13
+
+
+def test_change_feed_reads_only_changed_buckets(spark, tmp_path):
+    """Manifest-diff pruning: a 1-key merge leaves every other bucket's
+    file list identical, and identical file lists prove zero changes —
+    the CDF join must restrict itself to the differing buckets."""
+    t = _mk(spark, tmp_path, [(k, f"v{k}") for k in range(40)], n_buckets=4)
+    t.merge_upsert(spark.createDataFrame([(0, "NEW")], "k bigint, v string"))
+    m1, m2 = t._manifest(1), t._manifest(2)
+    changed = t._changed_buckets(m1, m2)
+    assert len(changed) == 1  # only key 0's bucket was rewritten
+    got = sorted(map(tuple, t.changes(1, 2).collect()))
+    assert got == [("update_postimage", 0, "NEW"), ("update_preimage", 0, "v0")]
+
+
+def test_change_feed_append_and_compact(spark, tmp_path):
+    """Blind appends surface as inserts; compaction (OPTIMIZE) rewrites
+    files without changing data — its feed must be EMPTY even though
+    every multi-file bucket's file list differs."""
+    t = _mk(spark, tmp_path, [(1, "a")], n_buckets=1)
+    t.append(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    assert sorted(map(tuple, t.changes(1, 2).collect())) == [("insert", 2, "b")]
+    v = t.compact()
+    assert v == 3
+    assert t.changes(2, 3).count() == 0
+
+
 def test_stats_pruning_keeps_file_on_type_mismatch(spark, tmp_path):
     """ADVICE r3: bounds whose type doesn't compare with the stored stat
     type (numeric bounds on a string column) must keep the file

@@ -176,3 +176,15 @@ def test_jobcount_side_effects_observe_retries():
         timeout=300,
     )
     assert "JOBCOUNT_OK" in res.stdout, res.stderr[-3000:]
+
+
+def test_ping_health_check(spark):
+    """R7 parity (SURVEY.md §2a): the reference health-checks its separate
+    control plane with a SayHello echo RPC (service.proto:24,30-31;
+    coordinator.rs:147-155). Spark has no separate control plane — the
+    driver IS it — so the idiomatic analog is a trivial end-to-end job
+    through scheduler + executor + result channel (strictly more than an
+    echo). session.ping is that probe."""
+    from mr_spark.session import ping
+
+    assert ping(spark) is True
