@@ -49,7 +49,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -282,19 +282,23 @@ class SnapshotTable:
         if version is None:
             version = self.latest_version()
         m = self._manifest(version)
-        paths = self.data_paths(version, where)
-        if not paths:
-            from pyspark.sql.types import StructType
-
-            df = self.spark.createDataFrame(
-                [], StructType.fromJson(json.loads(m["schema"]))
-            )
-        else:
-            df = self.spark.read.parquet(*paths).drop("__bucket")
+        df = self._read_files(self.data_paths(version, where), m)
         if where is not None:
             col, lo, hi = where
             df = df.where(F.col(col).between(F.lit(lo), F.lit(hi)))
         return df
+
+    def _read_files(self, paths: list[str], m: dict) -> DataFrame:
+        """Read a file list as the table's rows; an empty list yields an
+        empty frame with the manifest's schema (all rows deleted, a table
+        created ahead of its stream, or a zero-bucket slice)."""
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(m["schema"]))
+            )
+        return self.spark.read.parquet(*paths).drop("__bucket")
 
     def _next_manifest(
         self,
@@ -500,61 +504,76 @@ class SnapshotTable:
         Lake's Change Data Feed rebuilt relationally (the CDF row schema:
         ``_change_type`` ∈ insert / delete / update_preimage /
         update_postimage, followed by the table columns). Because versions
-        are immutable, the feed is DERIVED, not stored: a full-outer join
-        on the table key over only the buckets whose file lists differ
-        (manifest diff — untouched buckets are carried by reference and
-        provably unchanged), with null-safe whole-row comparison deciding
-        update vs no-op.
+        are immutable, the feed is DERIVED, not stored, over only the
+        buckets whose file lists differ (manifest diff — untouched buckets
+        are carried by reference and provably unchanged).
 
-        Scale: a narrow MERGE touches few buckets, so the CDF join reads
-        ~that fraction of both versions, not 2× the table; the join
-        shuffles on the table key (or zero shuffle once both sides are
-        bucket-pruned files of the same bucketing)."""
+        The diff is a MULTISET difference, not a key join: counting each
+        distinct (key, whole row) on both sides and keeping the rows whose
+        counts differ is correct even for NULL keys (groupBy groups NULLs;
+        an equi-join would never match them and report unchanged rows as
+        delete+insert) and for duplicate keys (append() explicitly permits
+        them; a key join would fan out N_old×N_new). A key whose excess is
+        exactly one old row and one new row is an UPDATE (pre/postimage);
+        anything else is plain deletes + inserts.
+
+        Scale: a narrow MERGE touches few buckets, so the feed reads only
+        that fraction of both versions; the plan is join-free — one
+        partial-aggregated shuffle on (key, row) and a per-key window —
+        and classifies each key once."""
         if v_to is None:
             v_to = self.latest_version()
+        if v_from > v_to:
+            raise ValueError(
+                f"changes(v_from={v_from}, v_to={v_to}): v_from must not "
+                "exceed v_to (a reversed range would silently invert the feed)"
+            )
         mf, mt = self._manifest(v_from), self._manifest(v_to)
         key = mt["key"]
         changed = self._changed_buckets(mf, mt)
 
         def read_slice(m: dict) -> DataFrame:
-            paths = [
-                os.path.join(self.path, rel)
-                for b in changed
-                for rel in m["files"].get(b, [])
-            ]
-            if not paths:
-                from pyspark.sql.types import StructType
-
-                return self.spark.createDataFrame(
-                    [], StructType.fromJson(json.loads(m["schema"]))
-                )
-            return self.spark.read.parquet(*paths).drop("__bucket")
+            return self._read_files(
+                [
+                    os.path.join(self.path, rel)
+                    for b in changed
+                    for rel in m["files"].get(b, [])
+                ],
+                m,
+            )
 
         old, new = read_slice(mf), read_slice(mt)
         cols = new.columns
-        o = old.select(F.col(key).alias("__k"), F.struct(*cols).alias("__o"))
-        n = new.select(F.col(key).alias("__k"), F.struct(*cols).alias("__n"))
-        j = o.join(n, "__k", "full_outer")
-        ins = j.where(F.col("__o").isNull()).select(
-            F.lit("insert").alias("_change_type"), F.col("__n").alias("__r")
+        tagged = old.select(
+            F.col(key).alias("__k"), F.struct(*cols).alias("__r"), F.lit(-1).alias("__s")
+        ).unionByName(
+            new.select(
+                F.col(key).alias("__k"), F.struct(*cols).alias("__r"), F.lit(1).alias("__s")
+            )
         )
-        dele = j.where(F.col("__n").isNull()).select(
-            F.lit("delete").alias("_change_type"), F.col("__o").alias("__r")
+        # d = (count in new) − (count in old) per distinct (key, row);
+        # d == 0 → unchanged (even if its bucket was rewritten) → dropped
+        diff = (
+            tagged.groupBy("__k", "__r")
+            .agg(F.sum("__s").alias("__d"))
+            .where(F.col("__d") != 0)
         )
-        upd = j.where(
-            F.col("__o").isNotNull()
-            & F.col("__n").isNotNull()
-            & ~F.col("__o").eqNullSafe(F.col("__n"))
+        w = Window.partitionBy("__k")
+        tot_old = F.sum(F.when(F.col("__d") < 0, -F.col("__d")).otherwise(0)).over(w)
+        tot_new = F.sum(F.when(F.col("__d") > 0, F.col("__d")).otherwise(0)).over(w)
+        is_update = (tot_old == 1) & (tot_new == 1)
+        ct = (
+            F.when(F.col("__d") < 0, F.when(is_update, "update_preimage").otherwise("delete"))
+            .otherwise(F.when(is_update, "update_postimage").otherwise("insert"))
         )
-        pre = upd.select(
-            F.lit("update_preimage").alias("_change_type"), F.col("__o").alias("__r")
-        )
-        post = upd.select(
-            F.lit("update_postimage").alias("_change_type"), F.col("__n").alias("__r")
-        )
-        out = ins.unionByName(dele).unionByName(pre).unionByName(post)
-        return out.select(
-            "_change_type", *[F.col("__r")[c].alias(c) for c in cols]
+        copies = F.abs(F.col("__d"))
+        return (
+            diff.select(ct.alias("_change_type"), "__r", copies.alias("__n"))
+            # one feed row per excess copy (|d| is 1 except under
+            # duplicate-row appends); sequence(1, 0) would descend, so
+            # guard — though __n >= 1 always holds here
+            .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+            .select("_change_type", *[F.col("__r")[c].alias(c) for c in cols])
         )
 
     def expire_versions(self, min_age_seconds: float = 3600.0) -> list[int]:

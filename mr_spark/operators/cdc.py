@@ -79,6 +79,42 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     return kept.unionByName(source)
 
 
+def _snapshot_demo_path(name: str) -> str:
+    """Per-process demo-table path under spark-warehouse: concurrent
+    sessions running the same query must not rmtree each other's live
+    table mid-read."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"{name}_{os.getpid()}",
+    )
+
+
+def _orders_merge_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """Shared target/source/table for the snapshot-table demo queries:
+    target = the 80% of orders with o_orderkey % 10 < 8; source UPDATES
+    the overlapping 30% (% 10 in 5..7, price + 1000) and INSERTS a fresh
+    20% (% 10 in 8..9). Both queries' oracles encode exactly these
+    fractions — one constructor keeps them in lockstep. Returns the table
+    with v1 = target committed and v2 = MERGE(source) committed."""
+    from ..acid import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    target = o.where(F.col("o_orderkey") % 10 < 8)
+    source = o.where(F.col("o_orderkey") % 10 >= 5).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    t = SnapshotTable.create(
+        spark, _snapshot_demo_path(demo), target, key="o_orderkey", n_buckets=8
+    )
+    t.merge_upsert(source)
+    return t
+
+
 @query(
     "acid_merge_upsert",
     oracle="""
@@ -117,25 +153,7 @@ def acid_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the merge rewrites only the buckets holding source keys
     (manifest pruning); untouched buckets carry by reference — at 100 TB
     a narrow MERGE moves only its own slice."""
-    import os
-
-    from ..acid import SnapshotTable
-
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
-    )
-    target = o.where(F.col("o_orderkey") % 10 < 8)
-    source = o.where(F.col("o_orderkey") % 10 >= 5).withColumn(
-        "o_totalprice", F.col("o_totalprice") + 1000
-    )
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse",
-        f"acid_merge_demo_{os.getpid()}",  # per-process: concurrent sessions
-        # running this query must not rmtree each other's live table
-    )
-    t = SnapshotTable.create(spark, path, target, key="o_orderkey", n_buckets=8)
-    t.merge_upsert(source)
+    t = _orders_merge_fixture(spark, sf_dir, "acid_merge_demo")
     return (
         t.read()
         .groupBy(F.col("o_orderpriority").alias("priority"))
@@ -189,27 +207,14 @@ def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     update_preimage / update_postimage) and aggregate it per change type.
     The feed is DERIVED from the immutable versions, not stored: a
     manifest diff restricts the read to buckets whose file lists changed,
-    and a full-outer key join with null-safe whole-row comparison
-    classifies each key. The oracle replays the classification
-    relationally. Scale: a narrow merge touches few buckets, so the CDF
-    join reads only that slice of both versions (pruning pinned in
+    and a join-free multiset diff on (key, whole row) classifies each
+    key — correct under NULL and duplicate keys, where a key equi-join
+    would misreport (see SnapshotTable.changes). The oracle replays the
+    classification relationally. Scale: a narrow merge touches few
+    buckets, so the feed reads only that slice of both versions (pruning
+    pinned via inputFiles in
     tests/test_acid.py::test_change_feed_reads_only_changed_buckets)."""
-    import os
-
-    from ..acid import SnapshotTable
-
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    target = o.where(F.col("o_orderkey") % 10 < 8)
-    source = o.where(F.col("o_orderkey") % 10 >= 5).withColumn(
-        "o_totalprice", F.col("o_totalprice") + 1000
-    )
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse",
-        f"acid_cdf_demo_{os.getpid()}",
-    )
-    t = SnapshotTable.create(spark, path, target, key="o_orderkey", n_buckets=8)
-    t.merge_upsert(source)
+    t = _orders_merge_fixture(spark, sf_dir, "acid_cdf_demo")
     return (
         t.changes(1, 2)
         .groupBy(F.col("_change_type").alias("change_type"))
