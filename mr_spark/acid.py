@@ -110,6 +110,26 @@ class SnapshotTable:
         with open(os.path.join(self._versions_dir(), f"v{version}.json")) as f:
             return json.load(f)
 
+    def version_at(self, timestamp: float) -> int:
+        """Timestamp time travel (Delta's ``timestampAsOf``): the latest
+        version committed at or before ``timestamp`` (unix seconds),
+        resolved from the manifest files' mtimes — the commit instant IS
+        the manifest creation. Raises if the timestamp predates the first
+        commit, like Delta."""
+        best = None
+        for fn in os.listdir(self._versions_dir()):
+            if not (fn.startswith("v") and fn.endswith(".json")) or ".tmp." in fn:
+                continue
+            v = int(fn[1:-5])
+            mtime = os.path.getmtime(os.path.join(self._versions_dir(), fn))
+            if mtime <= timestamp and (best is None or v > best):
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no version committed at or before timestamp {timestamp}"
+            )
+        return best
+
     def _commit(self, manifest: dict, base_version: int) -> int:
         """Atomically create versions/v{base+1}.json — the commit point.
         The manifest is fully written to a temp file first and linked into
@@ -289,16 +309,18 @@ class SnapshotTable:
         return df
 
     def _read_files(self, paths: list[str], m: dict) -> DataFrame:
-        """Read a file list as the table's rows; an empty list yields an
-        empty frame with the manifest's schema (all rows deleted, a table
-        created ahead of its stream, or a zero-bucket slice)."""
-        if not paths:
-            from pyspark.sql.types import StructType
+        """Read a file list as the table's rows, under the MANIFEST's
+        schema (the log owns the schema, exactly Delta): files written
+        before a schema evolution lack the new columns and read as NULLs;
+        an empty list yields an empty frame with that schema (all rows
+        deleted, a table created ahead of its stream, or a zero-bucket
+        slice)."""
+        from pyspark.sql.types import StructType
 
-            return self.spark.createDataFrame(
-                [], StructType.fromJson(json.loads(m["schema"]))
-            )
-        return self.spark.read.parquet(*paths).drop("__bucket")
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def _next_manifest(
         self,
@@ -397,14 +419,23 @@ class SnapshotTable:
             for b in affected
             for rel in m["files"].get(b, [])
         ]
+        extra = [c for c in source.columns if c not in self._schema_names(m)]
+        if extra:
+            raise ValueError(
+                f"merge_upsert source has columns not in the table schema: "
+                f"{extra}; evolve the schema with append(merge_schema=True) "
+                "first"
+            )
         if old_files:
-            target = self.spark.read.parquet(*old_files)
+            target = self._read_files(old_files, m)
             keep = target.join(
                 src.select(key).distinct(), key, "left_anti"
             )
-            merged = keep.unionByName(src.drop("__bucket")).withColumn(
-                "__bucket", _bucket_col(key, n_buckets)
-            )
+            # a source missing evolved columns inserts/updates NULL there
+            # (Delta's unspecified-column semantics)
+            merged = keep.unionByName(
+                src.drop("__bucket"), allowMissingColumns=True
+            ).withColumn("__bucket", _bucket_col(key, n_buckets))
         else:
             merged = src
         new_files, new_stats = self._write_bucket_files(merged)
@@ -416,19 +447,58 @@ class SnapshotTable:
             self._next_manifest(m, files, new_stats, batch_id, app_id), base
         )
 
-    def append(self, df: DataFrame) -> int:
+    @staticmethod
+    def _schema_names(m: dict) -> list[str]:
+        from pyspark.sql.types import StructType
+
+        return [f.name for f in StructType.fromJson(json.loads(m["schema"])).fields]
+
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """Blind INSERT: write df's bucket files and add them to the
         manifest WITHOUT reading any existing data — the fast ingest path
-        (no key dedup; buckets accumulate files until compact())."""
+        (no key dedup; buckets accumulate files until compact()).
+
+        SCHEMA EVOLUTION (Delta's ``mergeSchema``): with
+        ``merge_schema=True``, columns of ``df`` not yet in the table are
+        ADDED to the manifest schema; every pre-existing file simply reads
+        NULL for them (the log owns the schema — _read_files reads all
+        files under the manifest schema, so no data rewrite happens).
+        Without the flag, new columns raise. A same-name column with a
+        different type always raises — type changes need a rewrite.
+        ``df`` may also OMIT table columns; its rows read as NULL there."""
+        from pyspark.sql.types import StructType
+
         base = self.latest_version()
         m = self._manifest(base)
+        table_schema = StructType.fromJson(json.loads(m["schema"]))
+        existing = {f.name: f for f in table_schema.fields}
+        added = []
+        for f in df.schema.fields:
+            have = existing.get(f.name)
+            if have is None:
+                added.append(f)
+            elif have.dataType != f.dataType:
+                raise ValueError(
+                    f"append column {f.name!r} has type "
+                    f"{f.dataType.simpleString()} but the table stores "
+                    f"{have.dataType.simpleString()} — type changes require "
+                    "a rewrite, not an append"
+                )
+        if added and not merge_schema:
+            raise ValueError(
+                f"append would add columns {[f.name for f in added]}; pass "
+                "merge_schema=True to evolve the table schema"
+            )
         new_files, new_stats = self._write_bucket_files(
             df.withColumn("__bucket", _bucket_col(m["key"], m["n_buckets"]))
         )
         files = {b: list(rels) for b, rels in m["files"].items()}
         for b, rels in new_files.items():
             files[b] = files.get(b, []) + rels
-        return self._commit(self._next_manifest(m, files, new_stats), base)
+        nxt = self._next_manifest(m, files, new_stats)
+        if added:
+            nxt["schema"] = StructType(table_schema.fields + added).json()
+        return self._commit(nxt, base)
 
     def delete_keys(self, keys: DataFrame) -> int:
         """Keyed DELETE: copy-on-write rewrite of only the buckets holding
@@ -453,7 +523,7 @@ class SnapshotTable:
         }
         if old_files:
             remaining = (
-                self.spark.read.parquet(*old_files)
+                self._read_files(old_files, m)
                 .join(k.drop("__bucket"), key, "left_anti")
                 .withColumn("__bucket", _bucket_col(key, n_buckets))
             )
@@ -477,7 +547,7 @@ class SnapshotTable:
             for b in multi
             for rel in m["files"][b]
         ]
-        rows = self.spark.read.parquet(*old_files).withColumn(
+        rows = self._read_files(old_files, m).withColumn(
             "__bucket", _bucket_col(m["key"], m["n_buckets"])
         )
         files = {
@@ -533,13 +603,17 @@ class SnapshotTable:
         changed = self._changed_buckets(mf, mt)
 
         def read_slice(m: dict) -> DataFrame:
+            # both slices read under the NEWER version's schema (mt): after
+            # a schema evolution the older slice's missing columns become
+            # NULLs, so the multiset diff compares aligned rows — Delta's
+            # CDF likewise serves the feed in the end-schema
             return self._read_files(
                 [
                     os.path.join(self.path, rel)
                     for b in changed
                     for rel in m["files"].get(b, [])
                 ],
-                m,
+                mt,
             )
 
         old, new = read_slice(mf), read_slice(mt)

@@ -228,6 +228,63 @@ def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_schema_evolution",
+    oracle="""
+    WITH ev AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS BIGINT) AS priority_flag
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderkey % 3
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT priority_flag,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM ev GROUP BY 1
+    """,
+)
+def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style SCHEMA EVOLUTION on the snapshot table
+    (SnapshotTable.append(merge_schema=True) — mr_spark/acid.py): create
+    v1 from half of orders, then append the other half carrying a NEW
+    column. The manifest schema evolves; NO existing file is rewritten —
+    the log owns the schema, so pre-evolution files read NULL for the new
+    column (read supplies the manifest schema to the parquet scan). The
+    query aggregates through the evolved reader, with the old rows landing
+    in the NULL group; the oracle replays the evolution as a null-extended
+    union. Scale: evolution is a metadata-only commit — O(manifest), zero
+    data movement, at any table size."""
+    from ..acid import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    t = SnapshotTable.create(
+        spark,
+        _snapshot_demo_path("acid_evolve_demo"),
+        o.where(k % 2 == 0),
+        key="o_orderkey",
+        n_buckets=4,
+    )
+    t.append(
+        o.where(k % 2 == 1).withColumn(
+            "priority_flag", (k % 3).cast("bigint")
+        ),
+        merge_schema=True,
+    )
+    return (
+        t.read()
+        .groupBy("priority_flag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
     "acid_data_skipping",
     # the middle-tertile bounds are derived from the DATA (min/max of
     # o_orderkey) with integer arithmetic both engines share — hard-coded

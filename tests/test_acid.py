@@ -337,6 +337,73 @@ def test_change_feed_append_and_compact(spark, tmp_path):
     assert t.changes(2, 3).count() == 0
 
 
+def test_timestamp_time_travel(spark, tmp_path):
+    """version_at(ts) — Delta's timestampAsOf: latest version committed at
+    or before ts, resolved from manifest mtimes (the manifest creation IS
+    the commit instant)."""
+    import time
+
+    t = _mk(spark, tmp_path, [(1, "a")])
+    between = time.time()
+    time.sleep(0.05)
+    t.merge_upsert(spark.createDataFrame([(1, "A")], "k bigint, v string"))
+    assert t.version_at(between) == 1
+    assert t.version_at(time.time()) == 2
+    assert _rows(t.read(t.version_at(between))) == [(1, "a")]
+    with pytest.raises(ValueError, match="no version"):
+        t.version_at(between - 3600)
+
+
+def test_schema_evolution_append(spark, tmp_path):
+    """append(merge_schema=True) adds new columns to the MANIFEST schema
+    without rewriting data (the log owns the schema): pre-existing files
+    read NULL for the new column; without the flag new columns raise;
+    same-name type conflicts always raise."""
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    ev = spark.createDataFrame([(3, "c", 9.5)], "k bigint, v string, score double")
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(ev)
+    t.append(ev, merge_schema=True)
+    got = sorted(
+        (r["k"], r["v"], r["score"]) for r in t.read().collect()
+    )
+    assert got == [(1, "a", None), (2, "b", None), (3, "c", 9.5)]
+    # time travel predates the evolution: v1 still reads the OLD schema
+    assert t.read(1).columns == ["k", "v"]
+    # type conflict on an existing column always raises
+    bad = spark.createDataFrame([(4, 5)], "k bigint, v bigint")
+    with pytest.raises(ValueError, match="type"):
+        t.append(bad, merge_schema=True)
+    # a df OMITTING table columns appends NULLs there
+    t.append(spark.createDataFrame([(9,)], "k bigint"))
+    row9 = [r for r in t.read().collect() if r["k"] == 9][0]
+    assert row9["v"] is None and row9["score"] is None
+
+
+def test_schema_evolution_merge_and_feed(spark, tmp_path):
+    """After evolution, MERGE reads the table under the manifest schema
+    (old files' new columns are NULL), a source missing the new column
+    upserts NULL there, a source with UNKNOWN columns is rejected, and the
+    change feed across the evolution compares rows in the end-schema."""
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b")], n_buckets=1)
+    t.append(
+        spark.createDataFrame([(3, "c", 9.5)], "k bigint, v string, score double"),
+        merge_schema=True,
+    )
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.merge_upsert(
+            spark.createDataFrame([(1, "x", 0)], "k bigint, v string, zz bigint")
+        )
+    t.merge_upsert(spark.createDataFrame([(1, "A")], "k bigint, v string"))
+    got = sorted((r["k"], r["v"], r["score"]) for r in t.read().collect())
+    assert got == [(1, "A", None), (2, "b", None), (3, "c", 9.5)]
+    feed = sorted(map(tuple, t.changes(2, 3).collect()))
+    assert feed == [
+        ("update_postimage", 1, "A", None),
+        ("update_preimage", 1, "a", None),
+    ]  # rows 2/3 unchanged (NULL == NULL in the multiset diff) → no rows
+
+
 def test_stats_pruning_keeps_file_on_type_mismatch(spark, tmp_path):
     """ADVICE r3: bounds whose type doesn't compare with the stored stat
     type (numeric bounds on a string column) must keep the file

@@ -1,0 +1,106 @@
+"""Model-based property test for SnapshotTable (mr_spark/acid.py):
+random operation sequences (merge / blind append / keyed delete /
+compact) run both against the real table and an in-memory multiset
+model; after every op the table's read() must equal the model, and the
+per-commit change feed must equal the model's multiset diff under the
+CDF classification rule (excess of exactly one old + one new row per key
+→ update pre/postimage, anything else → deletes + inserts).
+
+This is the same differential strategy the reference uses (sequential
+executor as oracle, SURVEY.md §5) aimed at the ACID layer: the model is
+20 lines of obviously-correct Python; any protocol bug (lost rows,
+double-applied ops, feed misclassification, schema drift) surfaces as a
+divergence on some generated sequence.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mr_spark.acid import SnapshotTable
+
+KEYS = st.integers(min_value=0, max_value=5)
+VALS = st.sampled_from(["a", "b", "c"])
+ROW = st.tuples(KEYS, VALS)
+
+
+def _op():
+    merge = st.dictionaries(KEYS, VALS, min_size=1, max_size=3).map(
+        lambda d: ("merge", sorted(d.items()))
+    )
+    append = st.lists(ROW, min_size=1, max_size=3).map(lambda r: ("append", r))
+    delete = st.lists(KEYS, min_size=1, max_size=3, unique=True).map(
+        lambda k: ("delete", sorted(k))
+    )
+    compact = st.just(("compact", None))
+    return st.one_of(merge, append, delete, compact)
+
+
+def _expected_feed(before: list, after: list) -> list:
+    """The multiset-diff CDF classification, restated independently."""
+    co, cn = Counter(before), Counter(after)
+    diff = {r: cn[r] - co[r] for r in set(co) | set(cn) if cn[r] != co[r]}
+    per_key: dict = {}
+    for r, d in diff.items():
+        per_key.setdefault(r[0], []).append((r, d))
+    out = []
+    for k, entries in per_key.items():
+        old_excess = [(r, -d) for r, d in entries if d < 0]
+        new_excess = [(r, d) for r, d in entries if d > 0]
+        n_old = sum(c for _, c in old_excess)
+        n_new = sum(c for _, c in new_excess)
+        if n_old == 1 and n_new == 1:
+            out.append(("update_preimage",) + old_excess[0][0])
+            out.append(("update_postimage",) + new_excess[0][0])
+        else:
+            out += [("delete",) + r for r, c in old_excess for _ in range(c)]
+            out += [("insert",) + r for r, c in new_excess for _ in range(c)]
+    return sorted(out)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op(), min_size=1, max_size=4))
+def test_snapshot_table_matches_multiset_model(spark, tmp_path_factory, ops):
+    tmp = tmp_path_factory.mktemp("acid_model")
+    model: list = [(1, "a"), (2, "b")]
+    t = SnapshotTable.create(
+        spark,
+        str(tmp / "tbl"),
+        spark.createDataFrame(model, "k bigint, v string"),
+        key="k",
+        n_buckets=2,
+    )
+    version = 1
+    for kind, arg in ops:
+        before = list(model)
+        if kind == "merge":
+            src = spark.createDataFrame(arg, "k bigint, v string")
+            new_version = t.merge_upsert(src)
+            keys = {k for k, _ in arg}
+            model = [r for r in model if r[0] not in keys] + list(arg)
+        elif kind == "append":
+            new_version = t.append(spark.createDataFrame(arg, "k bigint, v string"))
+            model = model + list(arg)
+        elif kind == "delete":
+            new_version = t.delete_keys(
+                spark.createDataFrame([(k,) for k in arg], "k bigint")
+            )
+            model = [r for r in model if r[0] not in set(arg)]
+        else:  # compact — data must be unchanged
+            new_version = t.compact()
+            if new_version == version:
+                continue  # nothing to compact: no commit happened
+        assert new_version == version + 1
+        got = sorted((r["k"], r["v"]) for r in t.read().collect())
+        assert got == sorted(model), f"state diverged after {kind}"
+        feed = sorted(map(tuple, t.changes(version, new_version).collect()))
+        assert feed == _expected_feed(before, model), f"feed diverged after {kind}"
+        version = new_version

@@ -66,14 +66,22 @@ SENSITIVE = [
     "acid_merge_upsert",
     # round-4: manifest-stats file pruning through real commits — the
     # pruned file SET depends on how rows landed in bucket files, but the
-    # read result must not
+    # read result must not — plus the multiset-diff change feed and the
+    # schema-evolved reader over real file writes
     "acid_data_skipping",
+    "snapshot_change_feed",
+    "snapshot_schema_evolution",
 ]
 
 
 def _rows(spark, name):
     df = ops.queries()[name](spark, SF_DIR)
-    return sorted(map(tuple, df.collect()))
+    # null-safe sort: NULLs first within their column (Python can't
+    # compare None with values — snapshot_schema_evolution's NULL group)
+    return sorted(
+        map(tuple, df.collect()),
+        key=lambda row: tuple((v is not None, 0 if v is None else v) for v in row),
+    )
 
 
 @pytest.mark.parametrize("name", SENSITIVE)
