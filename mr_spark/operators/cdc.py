@@ -284,6 +284,95 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def maintain_agg_view(mv: DataFrame, feed: DataFrame, group: str) -> DataFrame:
+    """Fold a change-data-feed slice into a count/sum materialized view.
+
+    ``mv`` has columns ``(group, n, rev)``; ``feed`` has columns
+    ``(_change_type, group, val)``. insert/update_postimage rows add
+    (+1, +val), delete/update_preimage rows subtract — count and SUM are
+    self-maintainable aggregates (Gupta & Mumick), so the view advances
+    in O(|feed|) without rescanning its base table. Groups whose
+    maintained count reaches zero drop out, exactly as a recompute
+    would. One shuffle on the group key; the join is
+    view-sized × touched-groups-sized, broadcastable under AQE."""
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = feed.groupBy(group).agg(
+        F.sum(sign).alias("d_n"), F.sum(F.col("val") * sign).alias("d_rev")
+    )
+    zero = F.lit(0)
+    return (
+        mv.join(delta, group, "full_outer")
+        .select(
+            group,
+            (F.coalesce("n", zero) + F.coalesce("d_n", zero)).alias("n"),
+            (F.coalesce("rev", zero) + F.coalesce("d_rev", zero)).alias("rev"),
+        )
+        .where(F.col("n") > 0)
+    )
+
+
+@query(
+    "matview_incremental",
+    # the maintained view must equal a FULL RECOMPUTE over the merged
+    # state — the oracle is that recompute (same merge replay as
+    # acid_merge_upsert), so a green row certifies the delta algebra
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 < 8
+    ),
+    source AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 10 >= 5
+    ),
+    merged AS (
+      SELECT * FROM target
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+      UNION ALL SELECT * FROM source
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM merged GROUP BY 1
+    """,
+)
+def matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-VIEW MAINTENANCE from the snapshot
+    table's change data feed — the canonical CDF consumer (Delta's
+    incremental-ETL pattern): a per-priority (count, revenue) view is
+    built once over v1, then advanced to v2 by FOLDING THE FEED into it
+    (insert/update_postimage add, delete/update_preimage subtract;
+    count-SUM aggregates are self-maintainable, Gupta & Mumick's classic
+    result) — the v2 table itself is never rescanned. Groups whose
+    maintained count reaches zero drop out, exactly as a recompute would
+    drop them.
+
+    Scale: maintenance cost is O(|changes|), not O(|table|) — the feed
+    reads only the buckets the MERGE rewrote (manifest-diff pruning), so
+    a narrow merge against a 100 TB table updates the view by scanning
+    megabytes. The oracle is the full recompute the view must equal.
+    Decimal(18,2) delta arithmetic keeps the fold exact — float deltas
+    would drift from the recompute."""
+    t = _orders_merge_fixture(spark, sf_dir, "acid_mv_demo")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    pri = F.col("o_orderpriority").alias("priority")
+    mv1 = (
+        t.read(1)
+        .groupBy(pri)
+        .agg(F.count("*").alias("n"), F.sum(dec).alias("rev"))
+    )
+    feed = t.changes(1, 2).select("_change_type", pri, dec.alias("val"))
+    return maintain_agg_view(mv1, feed, "priority").select(
+        "priority",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round("rev", 2).cast("double").alias("revenue"),
+    )
+
+
 @query(
     "acid_data_skipping",
     # the middle-tertile bounds are derived from the DATA (min/max of

@@ -81,6 +81,99 @@ def _z_terms_bits(bits: int) -> str:
 
 
 @query(
+    "dpp_partition_pruned_join",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             COUNT(*) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1
+    ),
+    top3 AS (
+      SELECT o_year FROM (
+        SELECT o_year, ROW_NUMBER() OVER (ORDER BY n_urgent DESC, o_year) AS rk
+        FROM yearly
+      ) WHERE rk <= 3
+    )
+    SELECT f.o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+                 o_totalprice
+          FROM orders) f
+    JOIN top3 USING (o_year)
+    GROUP BY 1
+    """,
+)
+def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING end to end: write the fact table
+    hive-partitioned by a derived key (order year — the layout any
+    time-organized 100 TB fact table already has), then join it to a
+    dimension whose filter is NOT statically pushable (the top-3 years by
+    urgent-order count — known only after running the dim's aggregate).
+    Catalyst plans a DynamicPruningExpression on the fact scan: at run
+    time the dim side's build result feeds an IN-subquery partition
+    filter, so the fact scan READS ONLY the 3 matching partitions out of
+    7 — the other years' files are never opened. The query asserts the
+    pruning subscription is in the physical plan, so a driver-green row
+    certifies the mechanism, not just the join result.
+
+    Scale: DPP is THE decisive scan optimization for star-schema joins on
+    partitioned warehouses — without it this plan scans every partition
+    of a 100 TB fact; with it, the selected fraction. Static pruning
+    cannot do this (the year set depends on data); broadcast-hash-join
+    reuse makes the filter free (the dim is broadcast anyway)."""
+    import os
+
+    from ..plans import formatted
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+    fact_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"dpp_fact_demo_{os.getpid()}",  # per-process: concurrent sessions
+    )
+    (
+        o.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .select("o_orderkey", "o_totalprice", "o_year")
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    from pyspark.sql import Window
+
+    yearly = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.count("*").alias("n_urgent"))
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n_urgent").desc(), F.col("o_year"))
+    )
+    top3 = yearly.withColumn("rk", rk).where(F.col("rk") <= 3).select("o_year")
+    out = (
+        fact.join(top3, "o_year")
+        .groupBy("o_year")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    plan = formatted(out).lower()
+    assert "dynamicpruning" in plan, (
+        "fact scan lost its DynamicPruningExpression — partition pruning "
+        "would silently degrade to a full scan at warehouse scale"
+    )
+    return out
+
+
+@query(
     "zorder_key_lineitem",
     oracle=f"""
     WITH bounds AS (

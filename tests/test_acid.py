@@ -404,6 +404,36 @@ def test_schema_evolution_merge_and_feed(spark, tmp_path):
     ]  # rows 2/3 unchanged (NULL == NULL in the multiset diff) → no rows
 
 
+def test_matview_maintenance_covers_deletes(spark, tmp_path):
+    """maintain_agg_view folds a multi-commit CDF slice (merge + DELETE +
+    append — the registered matview_incremental query's fixture has no
+    deletes, so the subtract path is pinned here): the maintained view
+    must equal a recompute over the final version, and a group whose
+    count reaches zero must drop out."""
+    from pyspark.sql import functions as F
+
+    from mr_spark.operators.cdc import maintain_agg_view
+
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "a"), (4, "c")])
+
+    def agg(df):
+        return df.groupBy("v").agg(
+            F.count("*").alias("n"), F.sum("k").alias("rev")
+        )
+
+    mv1 = agg(t.read(1))
+    t.merge_upsert(spark.createDataFrame([(3, "b")], "k bigint, v string"))
+    t.delete_keys(spark.createDataFrame([(4,)], "k bigint"))  # kills group c
+    t.append(spark.createDataFrame([(5, "a")], "k bigint, v string"))
+    feed = t.changes(1, 4).select("_change_type", "v", F.col("k").alias("val"))
+    maintained = sorted(
+        map(tuple, maintain_agg_view(mv1, feed, "v").collect())
+    )
+    recomputed = sorted(map(tuple, agg(t.read(4)).collect()))
+    assert maintained == recomputed
+    assert not any(g == "c" for g, _, _ in maintained)  # zero-count drop
+
+
 def test_stats_pruning_keeps_file_on_type_mismatch(spark, tmp_path):
     """ADVICE r3: bounds whose type doesn't compare with the stored stat
     type (numeric bounds on a string column) must keep the file

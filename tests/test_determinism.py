@@ -71,6 +71,11 @@ SENSITIVE = [
     "acid_data_skipping",
     "snapshot_change_feed",
     "snapshot_schema_evolution",
+    # the CDF-maintained view and the partitioned-write DPP join both
+    # rebuild real file layouts per call — results must not depend on
+    # how rows landed in files
+    "matview_incremental",
+    "dpp_partition_pruned_join",
 ]
 
 

@@ -323,3 +323,23 @@ def test_char_ngram_entropy_is_shuffle_free(spark):
     corpus×len(text) trigram stream."""
     df = QUERIES["char_ngram_entropy"](spark, SF_DIR)
     assert plans.count_shuffles(df) == 0
+
+
+def test_dpp_fact_scan_has_dynamic_partition_filter(spark):
+    """The partitioned fact scan must carry a DynamicPruningExpression —
+    without it a star-schema join scans every partition of a 100 TB
+    fact table. (The query also asserts this itself, so a driver-green
+    CORRECTNESS row certifies the mechanism; this pin survives if that
+    in-query assert is ever removed.)"""
+    plan = plans.formatted(QUERIES["dpp_partition_pruned_join"](spark, SF_DIR))
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_matview_delta_join_is_view_sized(spark):
+    """Incremental view maintenance must never rescan the base table's
+    v2: the plan reads v1 files and the changed-bucket CDF slice only —
+    no scan of the full merged state — and the mv⋈delta join is on the
+    tiny group domain (broadcastable; no NestedLoop)."""
+    df = QUERIES["matview_incremental"](spark, SF_DIR)
+    plan = plans.formatted(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
