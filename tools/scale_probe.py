@@ -113,6 +113,9 @@ PROBES = [
     "acid_merge_upsert",
     "acid_data_skipping",
     "pandas_udaf_median",
+    # round-4 late additions: CDF-fed view maintenance, DPP star join
+    "matview_incremental",
+    "dpp_partition_pruned_join",
 ]
 
 KEY_SHIFTS = {
@@ -197,8 +200,43 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def merge_rows(rows) -> None:
+    """--only mode: patch the measured rows into the existing SCALING.md
+    table in place (replace a query's row if present, else append just
+    before the table's closing blank line) instead of regenerating the
+    whole file — a full re-probe is ~an hour; a targeted one is minutes."""
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")) as f:
+        lines = f.read().splitlines()
+    by_name = {name: f"| {name} | {a:.2f} | {b:.2f} | {r:.2f} |" for name, a, b, r in rows}
+    out, last_row, in_first_table = [], None, True
+    for i, ln in enumerate(lines):
+        if ln.startswith("| ") and not ln.startswith("| query") and not ln.startswith("|---"):
+            q = ln.split("|")[1].strip()
+            if q in by_name:
+                ln = by_name.pop(q)
+            if in_first_table:
+                last_row = len(out)
+        elif last_row is not None and ln.strip() == "":
+            # blank line after the main table ends it — later tables
+            # (the mutated-replica one) must not receive appended rows
+            in_first_table = False
+        out.append(ln)
+    for ln in by_name.values():  # new queries: append after the last table row
+        last_row += 1
+        out.insert(last_row, ln)
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"merged {len(rows)} rows into SCALING.md")
+
+
 def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
+    replicas = int(args[0]) if args else 8
     spark = get_spark("scale-probe")
     t0 = time.time()
     build_scaled(spark, replicas)
@@ -206,6 +244,19 @@ def main() -> None:
     qs = ops.queries()
     force(qs["early_exit"](spark, BASE))  # warm-up
     rows = []
+    probe_list = [n for n in PROBES if n in only] if only else PROBES
+    if only:
+        for name in probe_list:
+            t0 = time.time()
+            force(qs[name](spark, BASE))
+            t1x = time.time() - t0
+            t0 = time.time()
+            force(qs[name](spark, SCALED))
+            t8x = time.time() - t0
+            rows.append((name, t1x, t8x, t8x / t1x))
+            print(f"{name}: 1x={t1x:.2f}s {replicas}x={t8x:.2f}s ratio={t8x/t1x:.2f}")
+        merge_rows(rows)
+        return
     for name in PROBES:
         t0 = time.time()
         force(qs[name](spark, BASE))
