@@ -73,26 +73,29 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # Round-4 prefix (VERDICT r3 #2): the 18 queries with no driver row in
 # r01∪r02∪r03 (ngram_novelty … approx_distinct_sketch, the last rows-only
-# by design) rotate IN, plus the five NEW r4 queries (acid_data_skipping,
+# by design) rotate IN, plus the six NEW r4 queries (acid_data_skipping,
 # VERDICT #6; snapshot_change_feed; snapshot_schema_evolution;
-# matview_incremental; dpp_partition_pruned_join) — after this round
-# every registered query has a driver row (cumulative 171/172
-# hash-checked + approx_distinct_sketch rows-only). Next come the two
+# matview_incremental; dpp_partition_pruned_join;
+# bloom_runtime_filter_join) — after this round every registered query
+# has a driver row (cumulative 172/173 hash-checked +
+# approx_distinct_sketch rows-only). Next come the two
 # queries whose IMPLEMENTATION changed this round and must be driver
 # re-certified: ngram_jaccard_pairs (PPJoin broadcast hints removed,
 # VERDICT #1) and pandas_udaf_median (JVM-side count join, VERDICT #4).
-# The remaining 25 slots re-confirm the OLDEST driver evidence (r01
+# The remaining 24 slots re-confirm the OLDEST driver evidence (r01
 # names, including the r3-rewritten q10_returned_items/ntile_quartiles
 # whose rewrites were never driver-checked); set_ops, distinct_agg,
-# window_running_sum and lag_lead_delta overflow (r01-green, unchanged
-# since; the window machinery they exercise is also covered by the
-# in-prefix window_rank_battery evidence and exact-window pins).
+# window_running_sum, lag_lead_delta and top_k_per_group overflow
+# (r01-green, unchanged since; the window machinery they exercise is
+# also covered by the in-prefix window_rank_battery evidence and
+# exact-window pins).
 _CHECK_PRIORITY = [
-    # -- never driver-checked (18 + the five new r4 queries) --
+    # -- never driver-checked (18 + the six new r4 queries) --
     "ngram_novelty", "dup_span_stats", "dsir_importance_weights",
     "split_leakage_audit", "ann_recall_at_k", "acid_merge_upsert",
     "acid_data_skipping", "snapshot_change_feed", "snapshot_schema_evolution",
     "matview_incremental", "dpp_partition_pruned_join",
+    "bloom_runtime_filter_join",
     "null_handling", "stratified_sample", "shuffle_shards",
     "salted_skew_join", "doc_chunking", "contamination_ngrams",
     "pii_pseudonymize", "corpus_curation", "zorder_key_lineitem",
@@ -107,7 +110,7 @@ _CHECK_PRIORITY = [
     "market_share", "q22_global_sales_opportunity", "q7_volume_shipping",
     "q9_product_profit", "q12_priority_shipping", "q16_supplier_count",
     "q21_waiting_supplier", "q15_top_supplier", "q11_important_stock",
-    "q20_promotion_supplier", "top_k_per_group", "ntile_quartiles",
+    "q20_promotion_supplier", "ntile_quartiles",
 ]
 
 

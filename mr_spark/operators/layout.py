@@ -81,6 +81,78 @@ def _z_terms_bits(bits: int) -> str:
 
 
 @query(
+    "bloom_runtime_filter_join",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def bloom_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME BLOOM-FILTER JOIN PRUNING — the row-level sibling of
+    dpp_partition_pruned_join's partition-level pruning: Catalyst's
+    InjectRuntimeFilter rule plans a ``bloom_filter_agg`` over the
+    filtered dimension's join keys and rewrites the fact scan's filter to
+    ``might_contain(xxhash64(l_orderkey))``, so ~4/5 of lineitem rows
+    (those whose order is not 1-URGENT) are dropped AT THE SCAN, before
+    the shuffle. The query asserts ``might_contain`` is in the physical
+    plan, so a driver-green row certifies the rewrite, not just the join.
+
+    Scale: this is the regime where the dimension is too big to
+    broadcast (modeled here by disabling autoBroadcast in an ISOLATED
+    child session — conf overrides must not leak into other queries'
+    plans): a shuffle join on a 100 TB fact moves every fact row to the
+    exchange; the injected bloom cuts shuffle volume by the dimension
+    filter's selectivity for the cost of one scan of the (filtered,
+    capped-size) dimension. Thresholds: the application-side floor is
+    lowered so the mechanism engages at test SF; the creation-side cap
+    is kept bounded (64 MB) because a bloom built from an unboundedly
+    large creation side stops being cheap — at real scale the optimizer
+    declines, which is the correct trade and exactly what the default
+    guards."""
+    ns = spark.newSession()
+    from ..session import tune_session
+
+    tune_session(ns)
+    ns.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    ns.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB"
+    )
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = load_table(ns, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = (
+        load_table(ns, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    from ..plans import formatted
+
+    plan = formatted(out).lower()
+    assert "might_contain" in plan, (
+        "fact scan lost its injected bloom filter — shuffle volume would "
+        "silently revert to the full fact table at warehouse scale"
+    )
+    return out
+
+
+@query(
     "dpp_partition_pruned_join",
     oracle="""
     WITH yearly AS (

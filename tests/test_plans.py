@@ -335,6 +335,20 @@ def test_dpp_fact_scan_has_dynamic_partition_filter(spark):
     assert "dynamicpruning" in plan.lower()
 
 
+def test_bloom_runtime_filter_in_plan_and_no_conf_leak(spark):
+    """The fact scan must carry the injected might_contain(bloom) filter
+    (row-level runtime pruning before the shuffle), and the query's conf
+    overrides (autoBroadcast disabled, lowered bloom thresholds) must
+    stay in its isolated child session — a leak would silently strip
+    broadcast joins from every later query in the same driver session."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = QUERIES["bloom_runtime_filter_join"](spark, SF_DIR)
+    plan = plans.formatted(df)
+    assert "might_contain" in plan.lower()
+    assert "bloom_filter_agg" in plan.lower()
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
 def test_matview_delta_join_is_view_sized(spark):
     """Incremental view maintenance must never rescan the base table's
     v2: the plan reads v1 files and the changed-bucket CDF slice only —

@@ -113,9 +113,11 @@ PROBES = [
     "acid_merge_upsert",
     "acid_data_skipping",
     "pandas_udaf_median",
-    # round-4 late additions: CDF-fed view maintenance, DPP star join
+    # round-4 late additions: CDF-fed view maintenance, DPP star join,
+    # injected runtime bloom filter
     "matview_incremental",
     "dpp_partition_pruned_join",
+    "bloom_runtime_filter_join",
 ]
 
 KEY_SHIFTS = {
