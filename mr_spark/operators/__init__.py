@@ -29,6 +29,13 @@ _ORACLES: dict[str, str] = {}
 # ann_cosine_topk) invoke other REGISTERED queries while building their
 # own plan — flushing there would drop the outer query's live caches.
 # Only a top-level invocation (depth 0) releases the previous query's.
+# SINGLE-THREADED by contract (ADVICE r4): this counter and the release
+# it gates assume one top-level query at a time per process — which every
+# harness (bench, driver, pytest, check_correctness) satisfies. Two
+# queries driven concurrently from one process would flush each other's
+# live caches (correctness unaffected; the flushed relation recomputes)
+# and could interleave depth updates. Concurrency belongs at the process
+# level (one SparkSession per worker), not inside this registry.
 _QUERY_DEPTH = 0
 
 

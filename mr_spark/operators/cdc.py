@@ -80,16 +80,12 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
 
 
 def _snapshot_demo_path(name: str) -> str:
-    """Per-process demo-table path under spark-warehouse: concurrent
-    sessions running the same query must not rmtree each other's live
-    table mid-read."""
-    import os
+    """Per-process demo-table path under spark-warehouse (pid-suffixed so
+    concurrent sessions never rmtree each other's live table; registered
+    for exit-time cleanup — see operators/_demo.py)."""
+    from ._demo import demo_path
 
-    return os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse",
-        f"{name}_{os.getpid()}",
-    )
+    return demo_path(name)
 
 
 def _orders_merge_fixture(spark: SparkSession, sf_dir: str, demo: str):
@@ -407,17 +403,10 @@ def acid_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     the matching fraction of files, manifest-only planning on the driver.
     The oracle replays the same range filter relationally on the source
     rows (append preserves rows verbatim, so the table IS orders)."""
-    import os
-
     from ..acid import SnapshotTable
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse",
-        f"acid_skip_demo_{os.getpid()}",  # per-process: concurrent sessions
-        # running this query must not rmtree each other's live table
-    )
+    path = _snapshot_demo_path("acid_skip_demo")
     # tertile bounds from the data (1-row agg collect — bounded at any SF);
     # same integer arithmetic as the oracle's (mx - mn) // 3
     b = o.agg(
@@ -432,7 +421,9 @@ def acid_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(o.where((k >= b1) & (k < b2)))
     t.append(o.where(k >= b2))
     pruned = t.data_paths(where=("o_orderkey", b1, b2 - 1))
-    assert len(pruned) < len(t.data_paths()), "manifest stats pruned no files"
+    # explicit raise, not assert: certification must survive `python -O`
+    if not len(pruned) < len(t.data_paths()):
+        raise RuntimeError("manifest stats pruned no files")
     return (
         t.read(where=("o_orderkey", b1, b2 - 1))
         .groupBy((k % 7).cast("bigint").alias("key_mod"))

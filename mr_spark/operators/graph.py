@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import query
+from ..session import persist_tracked
 from .dedup import ngram_jaccard_pairs
 
 _MAX_ROUNDS = 20
@@ -98,14 +99,23 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.u", "e.v").distinct()
-    edges.cache()
+    # edges feeds the count() gate AND the chosen strategy — persist across
+    # both actions, TRACKED (r4 verdict: an untracked cache here leaked
+    # past release_tracked_caches; the returned plan on the distributed
+    # path still references edges, so release must be deferred to the next
+    # top-level query).
+    persist_tracked(edges)
     # Size-based strategy, like any real graph engine: a near-dup edge set
     # that fits on the driver is solved with union-find in microseconds —
     # the distributed label-propagation loop below is the >threshold path
     # (it costs one join+agg+action per round, which dominates wall time on
     # tiny graphs). Both produce identical labels (tests pin this).
     if edges.count() <= _DRIVER_EDGE_THRESHOLD:
-        return _driver_union_find(spark, edges)
+        result = _driver_union_find(spark, edges)
+        # fully consumed by the collect above — release eagerly (the
+        # deferred tracked release then no-ops on the already-free frame)
+        edges.unpersist()
+        return result
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
@@ -123,7 +133,10 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        new_labels.cache()
+        # tracked: the FINAL round's frame is referenced by the returned
+        # plan (can't unpersist before return); earlier rounds are freed
+        # eagerly below and their deferred release no-ops.
+        persist_tracked(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))

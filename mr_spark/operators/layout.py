@@ -19,6 +19,28 @@ from . import query
 
 _BITS = 16  # bits kept per dimension (2 dims → 32-bit Z-value)
 
+# One conf-isolated child session per SparkContext, reused across
+# invocations (ADVICE r4: a fresh newSession() per call accumulated
+# SessionState objects in the long-lived driver JVM). newSession() shares
+# the context — there is no per-session stop(), so caching IS the release
+# strategy; the entry dies with the context.
+_CHILD_SESSIONS: dict = {}
+
+
+def _isolated_session(spark: SparkSession, tag: str, confs: dict) -> SparkSession:
+    from ..session import tune_session
+
+    sc = spark.sparkContext
+    key = (id(sc), tag)
+    ns = _CHILD_SESSIONS.get(key)
+    if ns is None or ns.sparkContext is not sc:
+        ns = spark.newSession()
+        tune_session(ns)
+        for k, v in confs.items():
+            ns.conf.set(k, v)
+        _CHILD_SESSIONS[key] = ns
+    return ns
+
 
 def zorder_key(x: F.Column, y: F.Column, *, bits: int = _BITS) -> F.Column:
     """Morton (Z-order) interleave of the low ``bits`` bits of two
@@ -114,18 +136,16 @@ def bloom_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     large creation side stops being cheap — at real scale the optimizer
     declines, which is the correct trade and exactly what the default
     guards."""
-    ns = spark.newSession()
-    from ..session import tune_session
-
-    tune_session(ns)
-    ns.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "0",
+    ns = _isolated_session(
+        spark,
+        "bloom",
+        {
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "64MB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
     )
-    ns.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB"
-    )
-    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     li = load_table(ns, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     o = (
         load_table(ns, sf_dir, "orders")
@@ -145,10 +165,13 @@ def bloom_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans import formatted
 
     plan = formatted(out).lower()
-    assert "might_contain" in plan, (
-        "fact scan lost its injected bloom filter — shuffle volume would "
-        "silently revert to the full fact table at warehouse scale"
-    )
+    # explicit raise, not assert: certification must survive `python -O`
+    # (ADVICE r4 — a stripped assert would let a lost rewrite pass silently)
+    if "might_contain" not in plan:
+        raise RuntimeError(
+            "fact scan lost its injected bloom filter — shuffle volume would "
+            "silently revert to the full fact table at warehouse scale"
+        )
     return out
 
 
@@ -196,18 +219,13 @@ def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a 100 TB fact; with it, the selected fraction. Static pruning
     cannot do this (the year set depends on data); broadcast-hash-join
     reuse makes the filter free (the dim is broadcast anyway)."""
-    import os
-
     from ..plans import formatted
+    from ._demo import demo_path
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
     )
-    fact_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse",
-        f"dpp_fact_demo_{os.getpid()}",  # per-process: concurrent sessions
-    )
+    fact_path = demo_path("dpp_fact_demo")  # per-process + exit cleanup
     (
         o.withColumn("o_year", F.year("o_orderdate").cast("int"))
         .select("o_orderkey", "o_totalprice", "o_year")
@@ -238,10 +256,12 @@ def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     plan = formatted(out).lower()
-    assert "dynamicpruning" in plan, (
-        "fact scan lost its DynamicPruningExpression — partition pruning "
-        "would silently degrade to a full scan at warehouse scale"
-    )
+    # explicit raise, not assert: certification must survive `python -O`
+    if "dynamicpruning" not in plan:
+        raise RuntimeError(
+            "fact scan lost its DynamicPruningExpression — partition pruning "
+            "would silently degrade to a full scan at warehouse scale"
+        )
     return out
 
 

@@ -69,6 +69,15 @@ def ping(spark: SparkSession) -> bool:
 # collect each result before invoking the next query).
 
 _TRACKED: list = []
+# Registry mutations are lock-guarded so concurrent persist_tracked calls
+# can't lose registrations (list.append is atomic in CPython, but the
+# release's iterate+clear is not). NOTE the broader contract is still
+# one-query-at-a-time per process: two top-level queries running
+# concurrently would flush each other's live caches at their depth-0
+# entry (results stay correct — unpersist only forces recompute — but
+# benchmarks would be skewed). The bench / driver / pytest harnesses all
+# run queries sequentially; see also _QUERY_DEPTH in operators/__init__.
+_TRACKED_LOCK = __import__("threading").Lock()
 
 
 def persist_tracked(df):
@@ -77,7 +86,8 @@ def persist_tracked(df):
     return; persists released within the operator (the heavy_hitters
     eager-materialize pattern) should stay plain ``persist()``."""
     df.persist()
-    _TRACKED.append(df)
+    with _TRACKED_LOCK:
+        _TRACKED.append(df)
     return df
 
 
@@ -85,14 +95,15 @@ def release_tracked_caches() -> int:
     """Unpersist every tracked DataFrame; returns how many were released.
     Safe to call at any time between queries — unpersist never invalidates
     a plan (the relation simply recomputes if re-executed)."""
+    with _TRACKED_LOCK:
+        batch, _TRACKED[:] = list(_TRACKED), []
     n = 0
-    for df in _TRACKED:
+    for df in batch:
         try:
             df.unpersist()
             n += 1
         except Exception:
             pass  # session already stopped — nothing to release
-    _TRACKED.clear()
     return n
 
 

@@ -25,6 +25,56 @@ def test_caches_flushed_on_next_top_level_query(spark):
     assert all(t.storageLevel.useMemory is False for t in tracked_before)
 
 
+def test_graph_query_leaves_no_untracked_cache(spark):
+    """r4 verdict: neardup_components cached edges/labels OUTSIDE the
+    tracked registry — invisible to release_tracked_caches. Now both
+    routes go through persist_tracked: after the query and a release,
+    the storage tab must be empty (local JVM check via the SparkContext's
+    persistent RDD map)."""
+    qs = ops.queries()
+    S.release_tracked_caches()
+
+    def persistent_ids():
+        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it, ids = jmap.keysIterator(), set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = persistent_ids()
+    qs["neardup_components"](spark, SF_DIR).count()
+    S.release_tracked_caches()
+    leaked = persistent_ids() - before
+    assert not leaked, f"cached RDDs leaked past release: {leaked}"
+
+
+def test_no_bare_persist_in_operator_modules():
+    """Grep-style enforcement (r4 verdict #2): every .persist()/.cache()
+    in an operator module must either go through session.persist_tracked
+    or be one of the audited scoped sites (materialize + unpersist inside
+    the operator, try/finally). Any NEW bare site fails here until it is
+    audited and added — or, preferably, routed through persist_tracked."""
+    import re
+    from pathlib import Path
+
+    ops_dir = Path(ops.__file__).parent
+    # file -> max allowed bare .persist() sites (each verified scoped:
+    # coreset kcenter rounds, pipeline vocab_coverage counts, quality
+    # heavy_hitters MG sketch, text_graph broadcast-path e2)
+    allowed = {"coreset.py": 2, "pipeline.py": 1, "quality.py": 1,
+               "text_graph.py": 1}
+    for path in sorted(ops_dir.glob("*.py")):
+        src = path.read_text()
+        n_cache = len(re.findall(r"\.cache\(\)", src))
+        assert n_cache == 0, f"{path.name}: use persist_tracked, not .cache()"
+        n_persist = len(re.findall(r"\.persist\(", src))
+        assert n_persist <= allowed.get(path.name, 0), (
+            f"{path.name}: {n_persist} bare .persist() sites "
+            f"(allowed {allowed.get(path.name, 0)}) — route new persists "
+            "through session.persist_tracked or audit+allowlist the scoped site"
+        )
+
+
 def test_composed_query_keeps_outer_caches(spark):
     """split_leakage_audit invokes the registered ngram_jaccard_pairs
     while building its own plan; the inner wrapper call must not flush

@@ -214,7 +214,9 @@ def merge_rows(rows) -> None:
     for i, ln in enumerate(lines):
         if ln.startswith("| ") and not ln.startswith("| query") and not ln.startswith("|---"):
             q = ln.split("|")[1].strip()
-            if q in by_name:
+            # replace only in the MAIN table — the mutated-replica table
+            # reuses query names and must keep its own rows (ADVICE r4)
+            if in_first_table and q in by_name:
                 ln = by_name.pop(q)
             if in_first_table:
                 last_row = len(out)
@@ -223,6 +225,13 @@ def merge_rows(rows) -> None:
             # (the mutated-replica one) must not receive appended rows
             in_first_table = False
         out.append(ln)
+    if by_name and last_row is None:
+        # no data rows found in the main table (fresh/reshaped file) —
+        # appending via last_row+1 would TypeError (ADVICE r4); say why
+        raise SystemExit(
+            "SCALING.md has no main-table rows to anchor an append; run a "
+            "full probe instead of --only"
+        )
     for ln in by_name.values():  # new queries: append after the last table row
         last_row += 1
         out.insert(last_row, ln)
