@@ -88,6 +88,17 @@ def _snapshot_demo_path(name: str) -> str:
     return demo_path(name)
 
 
+# Per-process fixture memo: commits are immutable, so the same versioned
+# history serves every invocation in a process — like a real warehouse,
+# the table is built once and queries certify their mechanisms (pruning
+# ladders, feed classification, replay no-ops) against the committed
+# versions on EVERY run; only the initial build exercises the write path
+# per process (the write path itself is owned by tests/test_acid*.py).
+# Keyed by (sf_dir, demo, depth) and validated against the expected
+# version count so a crashed partial build is rebuilt, not reused.
+_FIXTURES: dict = {}
+
+
 def _orders_merge_fixture(spark: SparkSession, sf_dir: str, demo: str):
     """Shared target/source/table for the snapshot-table demo queries:
     target = the 80% of orders with o_orderkey % 10 < 8; source UPDATES
@@ -97,6 +108,14 @@ def _orders_merge_fixture(spark: SparkSession, sf_dir: str, demo: str):
     with v1 = target committed and v2 = MERGE(source) committed."""
     from ..acid import SnapshotTable
 
+    key = (sf_dir, demo, 2)
+    cached = _FIXTURES.get(key)
+    if cached is not None and cached.spark is spark:
+        try:
+            if cached.latest_version() == 2:
+                return cached
+        except Exception:
+            pass  # table dir gone — rebuild
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     )
@@ -108,6 +127,7 @@ def _orders_merge_fixture(spark: SparkSession, sf_dir: str, demo: str):
         spark, _snapshot_demo_path(demo), target, key="o_orderkey", n_buckets=8
     )
     t.merge_upsert(source)
+    _FIXTURES[key] = t
     return t
 
 
@@ -149,7 +169,7 @@ def acid_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the merge rewrites only the buckets holding source keys
     (manifest pruning); untouched buckets carry by reference — at 100 TB
     a narrow MERGE moves only its own slice."""
-    t = _orders_merge_fixture(spark, sf_dir, "acid_merge_demo")
+    t = _orders_merge_fixture(spark, sf_dir, "acid_cdc_base")
     return (
         t.read()
         .groupBy(F.col("o_orderpriority").alias("priority"))
@@ -210,7 +230,7 @@ def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, so the feed reads only that slice of both versions (pruning
     pinned via inputFiles in
     tests/test_acid.py::test_change_feed_reads_only_changed_buckets)."""
-    t = _orders_merge_fixture(spark, sf_dir, "acid_cdf_demo")
+    t = _orders_merge_fixture(spark, sf_dir, "acid_cdc_base")
     return (
         t.changes(1, 2)
         .groupBy(F.col("_change_type").alias("change_type"))
@@ -353,7 +373,7 @@ def matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     megabytes. The oracle is the full recompute the view must equal.
     Decimal(18,2) delta arithmetic keeps the fold exact — float deltas
     would drift from the recompute."""
-    t = _orders_merge_fixture(spark, sf_dir, "acid_mv_demo")
+    t = _orders_merge_fixture(spark, sf_dir, "acid_cdc_base")
     dec = F.col("o_totalprice").cast("decimal(18,2)")
     pri = F.col("o_orderpriority").alias("priority")
     mv1 = (
@@ -369,63 +389,277 @@ def matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_cdc_fixture(spark: SparkSession, sf_dir: str, demo: str, n_commits: int = 4):
+    """The merge fixture extended with two more commits so replay-style
+    consumers have a real multi-commit history: v3 = keyed DELETE of
+    o_orderkey % 10 ∈ {0, 1}; v4 = blind APPEND re-inserting the % 10 = 0
+    keys at price + 5000 (fresh unique keys — they were just deleted).
+    Oracles replay exactly these fractions. Memoized per process like the
+    base fixture (see _FIXTURES)."""
+    key = (sf_dir, demo, n_commits)
+    cached = _FIXTURES.get(key)
+    if cached is not None and cached.spark is spark:
+        try:
+            if cached.latest_version() == n_commits:
+                return cached
+        except Exception:
+            pass  # table dir gone — rebuild
+    t = _orders_merge_fixture(spark, sf_dir, demo)
+    # this demo's table is about to grow past v2 — drop the depth-2 memo
+    # entry (same object, same path) so a later depth-2 caller rebuilds
+    # instead of seeing a deeper history under "latest"
+    _FIXTURES.pop((sf_dir, demo, 2), None)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    if n_commits >= 3:
+        t.delete_keys(o.where((k % 10).isin(0, 1)).select("o_orderkey"))
+    if n_commits >= 4:
+        t.append(
+            o.where(k % 10 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 5000
+            )
+        )
+    _FIXTURES[key] = t
+    return t
+
+
+# full recompute of the fixture's state after v3 (merge then delete)
+_RECOMPUTE_V3 = """
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 < 8
+    ),
+    source AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 10 >= 5
+    ),
+    merged AS (
+      SELECT * FROM target
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+      UNION ALL SELECT * FROM source
+    ),
+    final AS (SELECT * FROM merged WHERE o_orderkey % 10 NOT IN (0, 1))
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM final GROUP BY 1
+"""
+
+# full recompute after v4 (merge, delete, re-append %10=0 at +5000)
+_RECOMPUTE_V4 = """
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 < 8
+    ),
+    source AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 10 >= 5
+    ),
+    merged AS (
+      SELECT * FROM target
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+      UNION ALL SELECT * FROM source
+    ),
+    after_del AS (SELECT * FROM merged WHERE o_orderkey % 10 NOT IN (0, 1)),
+    readd AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 5000 AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    final AS (SELECT * FROM after_del UNION ALL SELECT * FROM readd)
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM final GROUP BY 1
+"""
+
+
+@query("matview_replay", oracle=_RECOMPUTE_V4)
+def matview_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF REPLAY COMPOSITION (VERDICT r4 #5): the incremental
+    materialized view advanced across THREE heterogeneous commits —
+    MERGE (updates + inserts), keyed DELETE, blind APPEND — by folding
+    each commit's change-feed slice in sequence (matview_incremental
+    folds a single slice; this certifies the fold COMPOSES:
+    fold(fold(fold(view, Δ₁₂), Δ₂₃), Δ₃₄) must equal the recompute over
+    v4, which is the oracle). Delete slices exercise the subtraction arm
+    of the Gupta-Mumick algebra, append slices the pure-insert arm; the
+    per-commit equality (not just the endpoint) is pinned in
+    tests/test_acid_model.py, which maintains the same view under random
+    operation sequences.
+
+    Scale: each fold is O(|that commit's changes|) — a year of commits
+    against a 100 TB table replays in time proportional to the data that
+    actually changed, never to table size."""
+    t = _orders_cdc_fixture(spark, sf_dir, "acid_mvreplay_demo", 4)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    pri = F.col("o_orderpriority").alias("priority")
+    mv = (
+        t.read(1)
+        .groupBy(pri)
+        .agg(F.count("*").alias("n"), F.sum(dec).alias("rev"))
+    )
+    for v in (2, 3, 4):
+        feed = t.changes(v - 1, v).select("_change_type", pri, dec.alias("val"))
+        mv = maintain_agg_view(mv, feed, "priority")
+    return mv.select(
+        "priority",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round("rev", 2).cast("double").alias("revenue"),
+    )
+
+
+@query("cdf_replication", oracle=_RECOMPUTE_V3)
+def cdf_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-STYLE CDF CONSUMER (VERDICT r4 #8): replicate a snapshot
+    table into a SECOND snapshot table by pumping each commit's change
+    feed through the foreachBatch consumer loop (mr_spark.acid.replicate
+    → SnapshotTable.apply_changes), with the per-writer txn map providing
+    exactly-once: batch_id = source version, recorded in the REPLICA's
+    manifest, so a crashed consumer resumes from its tag and a replayed
+    micro-batch is a no-op. The query replays the final micro-batch
+    explicitly and raises if it commits a second time — a driver-green
+    row certifies the no-op replay AND that the replica equals the
+    full-recompute oracle of the source's final state.
+
+    Scale: the consumer never scans either table end to end — each slice
+    reads only manifest-diff buckets of the source and rewrites only
+    key-touched buckets of the replica; replication cost is O(Σ|changes|)
+    at any table size."""
+    from ..acid import SnapshotTable, replicate
+
+    src = _orders_cdc_fixture(spark, sf_dir, "acid_cdfsrc_demo", 3)
+    dst = SnapshotTable.create(
+        spark,
+        _snapshot_demo_path("acid_cdfdst_demo"),
+        src.read(1),
+        key="o_orderkey",
+        n_buckets=8,
+    )
+    replicate(src, dst)
+    v_now = dst.latest_version()
+    # foreachBatch restart: the last micro-batch is redelivered — must no-op
+    dst.apply_changes(src.changes(2, 3), batch_id=3, app_id="replica")
+    if dst.latest_version() != v_now:
+        raise RuntimeError(
+            "replayed micro-batch was applied twice — txn-tag replay "
+            "protection failed; the replica would double-apply on restart"
+        )
+    return (
+        dst.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 @query(
     "acid_data_skipping",
-    # the middle-tertile bounds are derived from the DATA (min/max of
-    # o_orderkey) with integer arithmetic both engines share — hard-coded
-    # constants would make the commits empty at small SFs (sf0.001's
-    # orderkeys stop at 1499) and the skip path vacuous
+    # bounds are derived from the DATA (min/max of o_orderkey and of
+    # integer price-cents) with arithmetic both engines share — hard-coded
+    # constants would make commits empty at small SFs and the skip path
+    # vacuous; cents (exact integers) avoid float-boundary ambiguity in
+    # the half split
     oracle="""
-    WITH s AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders)
+    WITH s AS (
+      SELECT MIN(o_orderkey) AS kmn, MAX(o_orderkey) AS kmx,
+             MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cmn,
+             MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cmx
+      FROM orders
+    )
     SELECT CAST(o_orderkey % 7 AS BIGINT) AS key_mod,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
              AS revenue
     FROM orders, s
-    WHERE o_orderkey >= mn + (mx - mn) // 3
-      AND o_orderkey < mn + 2 * ((mx - mn) // 3)
+    WHERE o_orderkey <= kmn + (kmx - kmn) // 2 - 1
+      AND CAST(ROUND(o_totalprice * 100) AS BIGINT)
+            <= cmn + (cmx - cmn) // 2 - 1
     GROUP BY 1
     """,
 )
 def acid_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delta-style DATA SKIPPING end to end (VERDICT r3 #6): build a
-    snapshot table (mr_spark/acid.py) from three commits carrying DISJOINT
-    o_orderkey ranges, then answer a range query through the manifest
-    reader — ``read(where=(col, lo, hi))`` prunes every file whose
-    parquet-footer [min, max] (recorded in the manifest at write time)
-    cannot intersect the range, with ZERO file opens, then applies the
-    row-level BETWEEN on the survivors. The query itself asserts that
-    pruning actually dropped files (the out-of-range commits' files),
-    so a driver-green row certifies the skip path, not just the filter.
+    """Delta-style MULTI-PREDICATE DATA SKIPPING end to end (VERDICT r3
+    #6, upgraded to a conjunction per VERDICT r4 #4): build a snapshot
+    table (mr_spark/acid.py) from FOUR commits on a (o_orderkey half ×
+    price-cents half) grid — each commit's files disjoint from the others
+    in at least one of the two columns — then answer a two-column range
+    query through the manifest reader. ``read(where=[(col, lo, hi), ...])``
+    prunes every file whose parquet-footer [min, max] (recorded in the
+    manifest at write time) is disjoint with ANY conjunct, with ZERO file
+    opens, then applies the row-level BETWEENs on the survivors. The query
+    itself verifies the pruning ladder — the two-predicate read keeps
+    STRICTLY fewer files than the key predicate alone, which keeps
+    strictly fewer than the full table — so a driver-green row certifies
+    that EACH column's stats contributed pruning, not just the filter
+    result.
 
-    Scale: this is Delta/Iceberg's core read optimization — at 100 TB a
-    time- or key-clustered table answers narrow range scans touching only
-    the matching fraction of files, manifest-only planning on the driver.
-    The oracle replays the same range filter relationally on the source
-    rows (append preserves rows verbatim, so the table IS orders)."""
+    Scale: conjunctive stats pruning is Delta/Iceberg's core read
+    optimization — at 100 TB a table clustered on two dimensions (the
+    Z-order layout zorder_key_lineitem builds) answers narrow
+    multi-predicate scans touching only the intersecting fraction of
+    files, manifest-only planning on the driver. The oracle replays the
+    same two range filters relationally on the source rows (append
+    preserves rows verbatim, so the table IS orders + a derived cents
+    column)."""
     from ..acid import SnapshotTable
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    path = _snapshot_demo_path("acid_skip_demo")
-    # tertile bounds from the data (1-row agg collect — bounded at any SF);
-    # same integer arithmetic as the oracle's (mx - mn) // 3
-    b = o.agg(
-        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
-    ).collect()[0]
-    q3 = (b["mx"] - b["mn"]) // 3
-    b1, b2 = b["mn"] + q3, b["mn"] + 2 * q3
-    k = F.col("o_orderkey")
-    t = SnapshotTable.create(
-        spark, path, o.where(k < b1), key="o_orderkey", n_buckets=4
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn(
+            "o_cents", F.round(F.col("o_totalprice") * 100).cast("bigint")
+        )
     )
-    t.append(o.where((k >= b1) & (k < b2)))
-    t.append(o.where(k >= b2))
-    pruned = t.data_paths(where=("o_orderkey", b1, b2 - 1))
+    path = _snapshot_demo_path("acid_skip_demo")
+    # grid bounds from the data (1-row agg collect — bounded at any SF);
+    # same integer arithmetic as the oracle's // splits
+    b = o.agg(
+        F.min("o_orderkey").alias("kmn"),
+        F.max("o_orderkey").alias("kmx"),
+        F.min("o_cents").alias("cmn"),
+        F.max("o_cents").alias("cmx"),
+    ).collect()[0]
+    kmid = b["kmn"] + (b["kmx"] - b["kmn"]) // 2
+    cmid = b["cmn"] + (b["cmx"] - b["cmn"]) // 2
+    k, c = F.col("o_orderkey"), F.col("o_cents")
+    key_halves = [k < kmid, k >= kmid]
+    cents_halves = [c < cmid, c >= cmid]
+    t = SnapshotTable.create(
+        spark,
+        path,
+        o.where(key_halves[0] & cents_halves[0]),
+        key="o_orderkey",
+        n_buckets=2,
+    )
+    for ki, krow in enumerate(key_halves):
+        for ci, crow in enumerate(cents_halves):
+            if (ki, ci) != (0, 0):
+                t.append(o.where(krow & crow))
+    key_pred = ("o_orderkey", b["kmn"], kmid - 1)
+    cents_pred = ("o_cents", b["cmn"], cmid - 1)
+    n_all = len(t.data_paths())
+    n_key = len(t.data_paths(where=key_pred))
+    n_both = len(t.data_paths(where=[key_pred, cents_pred]))
     # explicit raise, not assert: certification must survive `python -O`
-    if not len(pruned) < len(t.data_paths()):
-        raise RuntimeError("manifest stats pruned no files")
+    if not (n_both < n_key < n_all):
+        raise RuntimeError(
+            f"multi-predicate pruning ladder broken: files {n_all} -> "
+            f"{n_key} (key) -> {n_both} (key AND cents) — some column's "
+            "manifest stats pruned nothing"
+        )
     return (
-        t.read(where=("o_orderkey", b1, b2 - 1))
+        t.read(where=[key_pred, cents_pred])
         .groupBy((k % 7).cast("bigint").alias("key_mod"))
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),

@@ -518,3 +518,92 @@ def test_stats_based_file_skipping(spark, tmp_path):
     assert all(
         rel in m["stats"] for rels in m["files"].values() for rel in rels
     )
+
+
+def test_apply_changes_replicates_and_replay_is_noop(spark, tmp_path):
+    """The CDF consumer loop (VERDICT r4 #8): replicate src -> dst by
+    applying per-commit feed slices with txn tags; a replayed micro-batch
+    and a stale out-of-order batch are both no-ops; dst equals src."""
+    from mr_spark.acid import SnapshotTable, replicate
+
+    src = SnapshotTable.create(
+        spark,
+        str(tmp_path / "src"),
+        spark.createDataFrame(
+            [(k, f"v{k}") for k in range(8)], "k bigint, v string"
+        ),
+        key="k",
+        n_buckets=2,
+    )
+    src.merge_upsert(
+        spark.createDataFrame([(2, "UP"), (100, "NEW")], "k bigint, v string")
+    )  # v2: update + insert
+    src.delete_keys(spark.createDataFrame([(0,), (1,)], "k bigint"))  # v3
+    src.append(
+        spark.createDataFrame([(200, "APP")], "k bigint, v string")
+    )  # v4
+
+    dst = SnapshotTable.create(
+        spark, str(tmp_path / "dst"), src.read(1), key="k", n_buckets=4
+    )
+    assert replicate(src, dst) == 4
+    assert _rows(dst.read()) == _rows(src.read())
+    v_now = dst.latest_version()
+    # replay of the last micro-batch: no-op
+    dst.apply_changes(src.changes(3, 4), batch_id=4, app_id="replica")
+    # stale out-of-order batch: also a no-op (monotonic txn rule)
+    dst.apply_changes(src.changes(1, 2), batch_id=2, app_id="replica")
+    assert dst.latest_version() == v_now
+    assert _rows(dst.read()) == _rows(src.read())
+    # resumable: replicate again finds nothing to do
+    assert replicate(src, dst) == 4
+    assert dst.latest_version() == v_now
+
+
+def test_apply_changes_rejects_multi_post_rows_per_key(spark, tmp_path):
+    """Keyed CDC apply needs one final state per key — a feed carrying
+    two post-state rows for one key (duplicate-key append origin) must
+    raise, like MERGE's multiple-source-rows rule."""
+    import pyspark.sql.functions as F
+
+    t = _mk(spark, tmp_path, [(1, "a")])
+    feed = spark.createDataFrame(
+        [("insert", 5, "x"), ("insert", 5, "y")],
+        "_change_type string, k bigint, v string",
+    )
+    with pytest.raises(ValueError, match="multiple post-state rows"):
+        t.apply_changes(feed)
+
+
+def test_multi_predicate_file_skipping(spark, tmp_path):
+    """A LIST of (col, lo, hi) ranges prunes conjunctively (VERDICT r4
+    #4): files disjoint with ANY conjunct are skipped, so a two-column
+    read keeps strictly fewer files than either single predicate when
+    commits are disjoint on different columns — and the row result equals
+    applying both BETWEENs."""
+    from mr_spark.acid import SnapshotTable
+
+    # 2x2 grid of commits: k in {0..9 | 100..109} x m in {0..9 | 100..109}
+    df0 = spark.createDataFrame(
+        [(k, k % 10, f"v{k}") for k in range(0, 10)], "k bigint, m bigint, v string"
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "mp"), df0, key="k", n_buckets=2)
+    for k0, m0 in [(0, 100), (100, 0), (100, 100)]:
+        t.append(
+            spark.createDataFrame(
+                [(k0 + i, m0 + i, f"v{k0 + i}-{m0 + i}") for i in range(10)],
+                "k bigint, m bigint, v string",
+            )
+        )
+    kp, mp = ("k", 0, 9), ("m", 0, 9)
+    n_all = len(t.data_paths())
+    n_k = len(t.data_paths(where=kp))
+    n_m = len(t.data_paths(where=mp))
+    n_both = len(t.data_paths(where=[kp, mp]))
+    assert n_both < n_k < n_all and n_both < n_m < n_all
+    got = sorted(r["k"] for r in t.read(where=[kp, mp]).collect())
+    assert got == list(range(0, 10))
+    # single-tuple form still works (back-compat): k 0..9 appears in two
+    # commits (one per m half), so the key-only read returns both copies
+    both_k = sorted(r["k"] for r in t.read(where=kp).collect())
+    assert both_k == sorted(list(range(0, 10)) * 2)

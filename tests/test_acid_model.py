@@ -62,6 +62,15 @@ def _expected_feed(before: list, after: list) -> list:
     return sorted(out)
 
 
+def _view_of(model: list) -> dict:
+    """The (count, sum-of-k) per v group a full recompute would produce."""
+    out: dict = {}
+    for k, v in model:
+        n, s = out.get(v, (0, 0))
+        out[v] = (n + 1, s + k)
+    return out
+
+
 @settings(
     max_examples=6,
     deadline=None,
@@ -69,6 +78,10 @@ def _expected_feed(before: list, after: list) -> list:
 )
 @given(ops=st.lists(_op(), min_size=1, max_size=4))
 def test_snapshot_table_matches_multiset_model(spark, tmp_path_factory, ops):
+    from pyspark.sql import functions as F
+
+    from mr_spark.operators.cdc import maintain_agg_view
+
     tmp = tmp_path_factory.mktemp("acid_model")
     model: list = [(1, "a"), (2, "b")]
     t = SnapshotTable.create(
@@ -79,6 +92,12 @@ def test_snapshot_table_matches_multiset_model(spark, tmp_path_factory, ops):
         n_buckets=2,
     )
     version = 1
+    # maintained agg view (count, sum k per v) advanced ONLY by feed
+    # folds — VERDICT r4 #5: the fold must compose across arbitrary
+    # commit sequences, equal to the recompute after EVERY step
+    mv = t.read().groupBy("v").agg(
+        F.count("*").alias("n"), F.sum("k").alias("rev")
+    )
     for kind, arg in ops:
         before = list(model)
         if kind == "merge":
@@ -101,6 +120,18 @@ def test_snapshot_table_matches_multiset_model(spark, tmp_path_factory, ops):
         assert new_version == version + 1
         got = sorted((r["k"], r["v"]) for r in t.read().collect())
         assert got == sorted(model), f"state diverged after {kind}"
-        feed = sorted(map(tuple, t.changes(version, new_version).collect()))
+        feed_df = t.changes(version, new_version)
+        feed = sorted(map(tuple, feed_df.collect()))
         assert feed == _expected_feed(before, model), f"feed diverged after {kind}"
+        # fold this commit's slice into the maintained view and compare
+        # with the recompute of the CURRENT model state
+        mv = maintain_agg_view(
+            mv,
+            feed_df.select("_change_type", "v", F.col("k").alias("val")),
+            "v",
+        )
+        got_view = {
+            r["v"]: (r["n"], r["rev"]) for r in mv.collect()
+        }
+        assert got_view == _view_of(model), f"view diverged after {kind}"
         version = new_version
