@@ -65,6 +65,11 @@ def main() -> None:
     # throughput — the quantity that matters on a cluster, where codegen
     # compile is amortized across executors and hours.
     timings: dict[str, float] = {}
+    # per-pass traces (diagnostics for session-level creep — r4's driver
+    # bench drifted ~11% uniformly vs r3 and the r5 rerun recovered it,
+    # see TODO.md §drift; pass-N-vs-pass-1 ratios distinguish "JVM got
+    # slower over the session" from "this run's tail hit GC pauses")
+    passes_trace: dict[str, list[float]] = {}
     for _ in range(n_passes):
         for name, fn in queries.items():
             t0 = time.time()
@@ -76,6 +81,7 @@ def main() -> None:
             # queries don't inherit storage-memory pressure
             spark.catalog.clearCache()
             timings[name] = round(min(timings.get(name, float("inf")), elapsed), 3)
+            passes_trace.setdefault(name, []).append(round(elapsed, 3))
 
     # The driver's stdout capture truncated round 1's ~4 KB line (BENCH_r01
     # "parsed": null — only the tail survived). Keep the one stdout line
@@ -92,6 +98,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "passes": n_passes,
                 "queries": timings,
+                "per_pass": passes_trace,
             },
             f,
             indent=1,

@@ -118,6 +118,9 @@ PROBES = [
     "matview_incremental",
     "dpp_partition_pruned_join",
     "bloom_runtime_filter_join",
+    # round-5: multi-commit CDF replay + foreachBatch replication
+    "matview_replay",
+    "cdf_replication",
 ]
 
 KEY_SHIFTS = {
