@@ -26,8 +26,21 @@ image ships neither connector's jars:
   batch merges) writing the same table;
 * append() is the blind fast-insert path (no read of existing data —
   buckets accumulate files), compact() is OPTIMIZE (multi-file buckets
-  rewritten to one file each), delete_keys() is keyed DELETE
-  (copy-on-write on the affected buckets only).
+  rewritten to one file each; ``zorder_by=(x, y)`` is OPTIMIZE ZORDER —
+  every bucket rewritten into z-contiguous files so per-file stats can
+  prune multi-predicate reads), delete_keys() is keyed DELETE
+  (copy-on-write on the affected buckets by default; ``mode="dv"`` is
+  the merge-on-read path — deletion vectors, see below);
+* DELETION VECTORS (Delta's DV): a DV delete commits a parquet sidecar
+  of dead (file, row position) pairs and touches no data file —
+  O(|deleted|) commits at any table size; readers apply DVs with an
+  anti-join on ``_metadata.row_index``; bucket rewrites apply-and-purge
+  them; the change feed and the streaming source diff DV lists per
+  bucket, so DV-only commits surface their dead rows;
+* BLOOM FILTER INDEX (Delta's): ``create(bloom_cols=[...])`` builds a
+  per-(file, column) bloom at every write, carried in the manifest
+  stats; point lookups skip files with proven absence where
+  hash-scattered values defeat [min, max] ranges.
 
 Crash-safety claim (tested in tests/test_acid.py): any failure BEFORE the
 manifest link leaves the previous version fully intact; data files and
@@ -342,10 +355,13 @@ class SnapshotTable:
         rows.sort(key=lambda r: (r["bucket"], r["pos"]))
         files: dict[str, list[str]] = {}
         stats: dict[str, dict] = {}
+        dvs: dict[str, list] = {}
         for r in rows:
             files.setdefault(r["bucket"], []).append(r["rel"])
             if r["stats"] is not None:
                 stats[r["rel"]] = json.loads(r["stats"])
+            if r.get("dvs") is not None:
+                dvs[r["rel"]] = json.loads(r["dvs"])
         m = {
             "version": version,
             "key": meta["key"],
@@ -354,6 +370,8 @@ class SnapshotTable:
             "files": files,
             "stats": stats,
         }
+        if dvs:
+            m["dvs"] = dvs
         if "bloom_cols" in meta:
             m["bloom_cols"] = meta["bloom_cols"]
         if meta.get("txns"):
@@ -376,15 +394,22 @@ class SnapshotTable:
         meta_path = os.path.join(d, f"cp_v{version}.meta.json")
         if os.path.exists(meta_path):
             return  # another writer already checkpointed this version
+        dvs = m.get("dvs", {})
         rows = [
-            (b, i, rel, json.dumps(m["stats"][rel]) if rel in m.get("stats", {}) else None)
+            (
+                b,
+                i,
+                rel,
+                json.dumps(m["stats"][rel]) if rel in m.get("stats", {}) else None,
+                json.dumps(dvs[rel]) if rel in dvs else None,
+            )
             for b, rels in m["files"].items()
             for i, rel in enumerate(rels)
         ]
         tmp_dir = os.path.join(d, f"_tmp_cp_{uuid.uuid4().hex}")
         (
             self.spark.createDataFrame(
-                rows, "bucket string, pos int, rel string, stats string"
+                rows, "bucket string, pos int, rel string, stats string, dvs string"
             ).write.mode("overwrite").parquet(tmp_dir)
         )
         try:
@@ -450,6 +475,19 @@ class SnapshotTable:
         }
         if "bloom_cols" in base:  # immutable table property — carries
             m["bloom_cols"] = base["bloom_cols"]
+        base_dvs = base.get("dvs", {})
+        dv_adds = delta.get("dv_adds", {})
+        dv_removes = delta.get("dv_removes", {})
+        live = {rel for rels in files.values() for rel in rels}
+        dvs = {}
+        for rel in live:
+            rm = set(dv_removes.get(rel, []))
+            lst = [d for d in base_dvs.get(rel, []) if d not in rm]
+            lst += dv_adds.get(rel, [])
+            if lst:
+                dvs[rel] = lst
+        if dvs:
+            m["dvs"] = dvs
         if "txns" in delta:
             m["txns"] = delta["txns"]
         else:
@@ -481,6 +519,23 @@ class SnapshotTable:
             if ad:
                 adds[b] = ad
         d: dict = {"delta": True, "removes": removes, "adds": adds}
+        base_dvs, nxt_dvs = base.get("dvs", {}), nxt.get("dvs", {})
+        dv_adds: dict = {}
+        dv_removes: dict = {}
+        for rel in set(base_dvs) | set(nxt_dvs):
+            old_l, new_l = base_dvs.get(rel, []), nxt_dvs.get(rel, [])
+            if old_l == new_l:
+                continue
+            add = [x for x in new_l if x not in set(old_l)]
+            rm = [x for x in old_l if x not in set(new_l)]
+            if add:
+                dv_adds[rel] = add
+            if rm:
+                dv_removes[rel] = rm
+        if dv_adds:
+            d["dv_adds"] = dv_adds
+        if dv_removes:
+            d["dv_removes"] = dv_removes
         if nxt["schema"] != base["schema"]:
             d["schema"] = nxt["schema"]
         if nxt.get("txns") is not None and nxt.get("txns") != base.get("txns"):
@@ -640,7 +695,10 @@ class SnapshotTable:
         )
 
     def _write_bucket_files(
-        self, df: DataFrame, bloom_cols: tuple[str, ...] = ()
+        self,
+        df: DataFrame,
+        bloom_cols: tuple[str, ...] = (),
+        arranged: bool = False,
     ) -> tuple[dict[str, list[str]], dict[str, dict]]:
         """Write df (which carries a __bucket column) as one immutable
         parquet file set per bucket; returns ({bucket: [relative paths]},
@@ -649,11 +707,15 @@ class SnapshotTable:
         a BATCH (thread pool — renames are metadata ops; on an object
         store this whole publish step becomes the write job writing final
         uuid names directly) and footer stats are collected concurrently /
-        distributed, never in a serial per-file driver loop."""
+        distributed, never in a serial per-file driver loop.
+
+        ``arranged=True`` means the caller already partitioned/ordered the
+        frame (e.g. compact(zorder_by=...)'s range partitioning) — the
+        default hash repartition would destroy that layout."""
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        out_df = df if arranged else df.repartition("__bucket")
         (
-            df.repartition("__bucket")
-            .write.partitionBy("__bucket")
+            out_df.write.partitionBy("__bucket")
             .mode("overwrite")
             .parquet(staging)
         )
@@ -819,19 +881,58 @@ class SnapshotTable:
             df = df.where(F.col(col).between(F.lit(lo), F.lit(hi)))
         return df
 
-    def _read_files(self, paths: list[str], m: dict) -> DataFrame:
+    def _read_files(
+        self, paths: list[str], m: dict, dv_m: dict | None = None
+    ) -> DataFrame:
         """Read a file list as the table's rows, under the MANIFEST's
         schema (the log owns the schema, exactly Delta): files written
         before a schema evolution lack the new columns and read as NULLs;
         an empty list yields an empty frame with that schema (all rows
         deleted, a table created ahead of its stream, or a zero-bucket
-        slice)."""
+        slice).
+
+        DELETION VECTORS (merge-on-read): rows whose (file, row position)
+        appears in a DV referenced by the manifest are filtered out with
+        an anti-join on ``_metadata.row_index`` — zero overhead when no
+        DV touches the scanned files. ``dv_m`` lets the change feed apply
+        each VERSION'S OWN deletion vectors while reading both slices
+        under the newer schema (default: same manifest as the schema)."""
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(m["schema"]))
         if not paths:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        df = self.spark.read.schema(schema).parquet(*paths)
+        dvs = (dv_m if dv_m is not None else m).get("dvs", {})
+        if not dvs:
+            return df
+        needed = sorted(
+            {
+                dv
+                for p in paths
+                for dv in dvs.get(os.path.relpath(p, self.path), [])
+            }
+        )
+        if not needed:
+            return df
+        cols = df.columns
+        fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        tagged = df.withColumn("__dv_file", fname).withColumn(
+            "__dv_pos", F.col("_metadata.row_index")
+        )
+        dead = (
+            self.spark.read.parquet(
+                *[os.path.join(self.path, d) for d in needed]
+            )
+            .select(
+                F.col("data_file").alias("__dv_file"),
+                F.col("pos").alias("__dv_pos"),
+            )
+            .distinct()
+        )
+        return tagged.join(dead, ["__dv_file", "__dv_pos"], "left_anti").select(
+            *cols
+        )
 
     def _next_manifest(
         self,
@@ -840,6 +941,7 @@ class SnapshotTable:
         new_stats: dict | None = None,
         batch_id: int | None = None,
         app_id: str = "default",
+        dvs: dict | None = None,
     ) -> dict:
         """Successor manifest: carries key/buckets/schema and the whole
         per-writer transaction map forward (Delta's `txn` actions keyed by
@@ -855,6 +957,15 @@ class SnapshotTable:
                 s = new_stats.get(rel, old_stats.get(rel))
                 if s is not None:
                     stats[rel] = s
+        # deletion vectors follow their data files: a rewritten bucket's
+        # old files leave (their DVs were APPLIED during the read and die
+        # with them); carried files keep theirs; a DV commit passes the
+        # updated map via ``dvs``
+        eff_dvs = dvs if dvs is not None else m.get("dvs", {})
+        live = {rel for rels in files.values() for rel in rels}
+        kept_dvs = {
+            rel: lst for rel, lst in eff_dvs.items() if rel in live and lst
+        }
         nxt = {
             "key": m["key"],
             "n_buckets": m["n_buckets"],
@@ -864,6 +975,8 @@ class SnapshotTable:
         }
         if "bloom_cols" in m:
             nxt["bloom_cols"] = m["bloom_cols"]
+        if kept_dvs:
+            nxt["dvs"] = kept_dvs
         txns = self._txns(m)
         if batch_id is not None:
             txns[app_id] = batch_id
@@ -1021,10 +1134,28 @@ class SnapshotTable:
             nxt["schema"] = StructType(table_schema.fields + added).json()
         return self._commit(nxt, base)
 
-    def delete_keys(self, keys: DataFrame) -> int:
-        """Keyed DELETE: copy-on-write rewrite of only the buckets holding
-        the given keys; a bucket emptied by the delete drops out of the
-        manifest entirely."""
+    def delete_keys(self, keys: DataFrame, mode: str = "cow") -> int:
+        """Keyed DELETE. ``mode="cow"`` (default): copy-on-write rewrite
+        of only the buckets holding the given keys; a bucket emptied by
+        the delete drops out of the manifest entirely.
+
+        ``mode="dv"`` is the MERGE-ON-READ path (Delta's deletion
+        vectors): NO data file is rewritten — the commit writes one small
+        parquet sidecar listing the dead (file, row position) pairs and
+        attaches it to the affected buckets' files in the manifest, so
+        DELETE cost is O(|deleted rows|) at ANY table size (a 10-row
+        delete against a 100 TB table commits in seconds). Every reader
+        (read/MERGE/compact/CDF/stream) applies the DVs via an anti-join
+        on ``_metadata.row_index``; a later rewrite of the bucket
+        (compact, MERGE) APPLIES and then drops its DVs — Delta's
+        read-time-filter / write-time-purge lifecycle. The trade: reads
+        of DV-carrying files pay the anti-join until a rewrite purges
+        them — exactly the merge-on-read vs copy-on-write trade, and why
+        both modes exist."""
+        if mode == "dv":
+            return self._delete_keys_dv(keys)
+        if mode != "cow":
+            raise ValueError(f"delete_keys mode must be 'cow' or 'dv', got {mode!r}")
         base = self.latest_version()
         m = self._manifest(base)
         key, n_buckets = m["key"], m["n_buckets"]
@@ -1056,43 +1187,146 @@ class SnapshotTable:
             new_stats = {}
         return self._commit(self._next_manifest(m, files, new_stats), base)
 
-    def compact(self) -> int:
-        """OPTIMIZE: rewrite every multi-file bucket (append debris) into
-        one file; single-file buckets carry by reference. Data unchanged —
-        read(version_before) == read(version_after)."""
+    def _delete_keys_dv(self, keys: DataFrame) -> int:
+        """The merge-on-read DELETE (see :meth:`delete_keys`): locate the
+        victims' (file, row position) pairs with a metadata-column scan of
+        only the affected buckets' files (already-deleted rows are
+        excluded by the DV-aware read, so re-deleting is a no-op), write
+        them as ONE parquet sidecar, and commit a manifest that differs
+        ONLY in its ``dvs`` map — zero data files touched. The sidecar is
+        commit-granular (attached to every file of the affected buckets;
+        readers filter by file name, so files without victims just carry
+        a reference) — Delta writes per-file DV bitmaps instead, which
+        matters once DVs accumulate; compaction purges both designs."""
         base = self.latest_version()
         m = self._manifest(base)
-        multi = sorted(b for b, rels in m["files"].items() if len(rels) > 1)
-        if not multi:
+        key, n_buckets = m["key"], m["n_buckets"]
+        k = keys.select(key).distinct().withColumn(
+            "__bucket", _bucket_col(key, n_buckets)
+        )
+        affected = sorted(
+            str(r["__bucket"]) for r in k.select("__bucket").distinct().collect()
+        )
+        rels = [rel for b in affected for rel in m["files"].get(b, [])]
+        if not rels:
+            return base  # no bucket holds these keys — nothing to delete
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        scan = (
+            self.spark.read.schema(schema)
+            .parquet(*[os.path.join(self.path, rel) for rel in rels])
+            .select(
+                F.col(key).alias("__k"),
+                fname.alias("data_file"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+        )
+        dvs = dict(m.get("dvs", {}))
+        already = sorted({dv for rel in rels for dv in dvs.get(rel, [])})
+        if already:
+            dead0 = self.spark.read.parquet(
+                *[os.path.join(self.path, d) for d in already]
+            ).select("data_file", "pos").distinct()
+            scan = scan.join(dead0, ["data_file", "pos"], "left_anti")
+        hits = scan.join(
+            k.select(F.col(key).alias("__k")), "__k", "left_semi"
+        ).select("data_file", "pos")
+        # one sidecar per commit: O(|deleted|) rows, coalesced like
+        # Delta's single DV blob; lands under data/ with a uuid name so
+        # vacuum's unreferenced-file sweep covers it too
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        hits.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            fn for fn in sorted(os.listdir(staging)) if fn.endswith(".parquet")
+        )
+        dv_rel = os.path.join("data", f"dv_{uuid.uuid4().hex}.parquet")
+        os.rename(os.path.join(staging, part), os.path.join(self.path, dv_rel))
+        shutil.rmtree(staging)
+        for rel in rels:
+            dvs[rel] = dvs.get(rel, []) + [dv_rel]
+        return self._commit(
+            self._next_manifest(m, dict(m["files"]), {}, dvs=dvs), base
+        )
+
+    def compact(
+        self,
+        zorder_by: tuple[str, str] | None = None,
+        files_per_bucket: int = 4,
+    ) -> int:
+        """OPTIMIZE: rewrite every multi-file bucket (append debris) into
+        one file; single-file buckets carry by reference. Data unchanged —
+        read(version_before) == read(version_after).
+
+        ``zorder_by=(xcol, ycol)`` is OPTIMIZE ZORDER (Delta's clustered
+        rewrite): EVERY bucket is rewritten with rows range-partitioned
+        and sorted along the normalized Morton curve of the two columns,
+        split into ~``files_per_bucket`` z-contiguous files per bucket —
+        so each file covers a NARROW (x, y) rectangle and the manifest's
+        per-file [min, max] stats turn multi-predicate range reads into
+        genuine file skipping. Scattered writes (each file spanning the
+        whole domain of every column) prune nothing however good the
+        stats are; clustering is what gives the stats their power. One
+        extra shuffle (the range partition) over exactly the rows being
+        rewritten — the same cost Delta's OPTIMIZE ZORDER pays."""
+        base = self.latest_version()
+        m = self._manifest(base)
+        if zorder_by is None:
+            targets = sorted(b for b, rels in m["files"].items() if len(rels) > 1)
+        else:
+            targets = sorted(m["files"])  # clustered rewrite touches all
+        if not targets:
             return base
         old_files = [
             os.path.join(self.path, rel)
-            for b in multi
+            for b in targets
             for rel in m["files"][b]
         ]
         rows = self._read_files(old_files, m).withColumn(
             "__bucket", _bucket_col(m["key"], m["n_buckets"])
         )
         files = {
-            b: rels for b, rels in m["files"].items() if b not in set(multi)
+            b: rels for b, rels in m["files"].items() if b not in set(targets)
         }
-        new_files, new_stats = self._write_bucket_files(
-            rows, self._bloom_cols(m)
-        )
+        if zorder_by is None:
+            new_files, new_stats = self._write_bucket_files(
+                rows, self._bloom_cols(m)
+            )
+        else:
+            from .operators.layout import with_normalized_zorder
+
+            xcol, ycol = zorder_by
+            n_parts = max(1, m["n_buckets"] * files_per_bucket)
+            arranged = (
+                with_normalized_zorder(rows, xcol, ycol, out="__zval")
+                .repartitionByRange(n_parts, "__bucket", "__zval")
+                .sortWithinPartitions("__bucket", "__zval")
+                .drop("__zval")
+            )
+            new_files, new_stats = self._write_bucket_files(
+                arranged, self._bloom_cols(m), arranged=True
+            )
         files.update(new_files)
         return self._commit(self._next_manifest(m, files, new_stats), base)
 
     def _changed_buckets(self, m_from: dict, m_to: dict) -> list[str]:
-        """Buckets whose FILE LISTS differ between two manifests. Data
-        files are immutable and copy-on-write carries untouched buckets by
-        reference, so an identical file list proves the bucket holds zero
-        changes — the change feed reads only the differing slice."""
+        """Buckets whose FILE LISTS — or any file's DELETION-VECTOR list —
+        differ between two manifests. Data files are immutable and
+        copy-on-write carries untouched buckets by reference, so identical
+        file+DV lists prove the bucket holds zero changes — the change
+        feed reads only the differing slice. (A merge-on-read DELETE
+        changes no file list; its DV entries are what mark the bucket.)"""
+        dv_f, dv_t = m_from.get("dvs", {}), m_to.get("dvs", {})
+
+        def changed(b: str) -> bool:
+            rf, rt = m_from["files"].get(b), m_to["files"].get(b)
+            if rf != rt:
+                return True
+            return any(dv_f.get(rel) != dv_t.get(rel) for rel in rf or [])
+
         buckets = set(m_from["files"]) | set(m_to["files"])
-        return sorted(
-            b
-            for b in buckets
-            if m_from["files"].get(b) != m_to["files"].get(b)
-        )
+        return sorted(b for b in buckets if changed(b))
 
     def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """Row-level change feed between two committed versions — Delta
@@ -1131,7 +1365,9 @@ class SnapshotTable:
             # both slices read under the NEWER version's schema (mt): after
             # a schema evolution the older slice's missing columns become
             # NULLs, so the multiset diff compares aligned rows — Delta's
-            # CDF likewise serves the feed in the end-schema
+            # CDF likewise serves the feed in the end-schema. Deletion
+            # vectors are the slice's OWN (dv_m=m): a DV-only commit must
+            # surface exactly the newly-dead rows as deletes.
             return self._read_files(
                 [
                     os.path.join(self.path, rel)
@@ -1139,6 +1375,7 @@ class SnapshotTable:
                     for rel in m["files"].get(b, [])
                 ],
                 mt,
+                dv_m=m,
             )
 
         old, new = read_slice(mf), read_slice(mt)
@@ -1384,6 +1621,8 @@ class SnapshotTable:
                 continue  # base expired under a concurrent cleaner
             for rels in m["files"].values():
                 live.update(rels)
+            for lst in m.get("dvs", {}).values():
+                live.update(lst)
         now = time.time()
         dead = []
         for fn in sorted(os.listdir(self._data_dir())):

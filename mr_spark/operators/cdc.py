@@ -863,3 +863,297 @@ def acid_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# every slice of the 4-commit fixture, classified and aggregated — the
+# stream over versions 1..4 must equal the union of the per-commit feeds
+_CDF_STREAM_ORACLE = """
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 < 8
+    ),
+    source AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 10 >= 5
+    ),
+    pre2 AS (
+      SELECT 'update_preimage' AS change_type, t.o_totalprice
+      FROM target t JOIN source s ON t.o_orderkey = s.o_orderkey
+    ),
+    post2 AS (
+      SELECT 'update_postimage' AS change_type, s.o_totalprice
+      FROM target t JOIN source s ON t.o_orderkey = s.o_orderkey
+    ),
+    ins2 AS (
+      SELECT 'insert' AS change_type, o_totalprice FROM source
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM target)
+    ),
+    del3 AS (
+      -- v3 deletes %10 in (0,1): those keys are target-only (source is
+      -- %10>=5), so their deleted rows carry the ORIGINAL price
+      SELECT 'delete' AS change_type, o_totalprice FROM target
+      WHERE o_orderkey % 10 IN (0, 1)
+    ),
+    ins4 AS (
+      SELECT 'insert' AS change_type, o_totalprice + 5000 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    feed AS (
+      SELECT * FROM pre2 UNION ALL SELECT * FROM post2
+      UNION ALL SELECT * FROM ins2 UNION ALL SELECT * FROM del3
+      UNION ALL SELECT * FROM ins4
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total
+    FROM feed GROUP BY 1
+"""
+
+
+@query("stream_cdf_source", oracle=_CDF_STREAM_ORACLE)
+def stream_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING READ OF THE CHANGE FEED via a custom Python streaming
+    DataSource (Spark 4 DataSourceStreamReader — the readStream analog of
+    Delta's readChangeFeed; mr_spark/sources/cdf_stream.py): table
+    VERSIONS are the stream offsets, each micro-batch covers a commit
+    range, and each input split is one CHANGED BUCKET of one commit —
+    planned from the manifest diff alone, so a narrow commit streams only
+    its slice. The query runs a REAL streaming aggregation (complete
+    mode, memory sink) over the 4-commit fixture's whole history —
+    MERGE's update pre/postimages + inserts, keyed DELETE's deletes, and
+    the blind append's inserts all land in one feed — and the oracle
+    replays every slice relationally. Spark's streaming checkpoint plus
+    immutable versions make redelivery exactly-once: a replayed batch
+    re-reads the same manifests and yields the identical rows
+    (differential pin vs SnapshotTable.changes in tests/test_streaming.py).
+
+    Scale: offsets resolve from the delta-manifest log (O(1) metadata),
+    batch planning is a manifest diff (no data read, no Spark job), and
+    executors read only changed buckets — a CDF stream over a 100 TB
+    table does O(|changes|) work per trigger."""
+    from ..sources.cdf_stream import register
+    from ..streaming import run_to_completion
+
+    t = _orders_cdc_fixture(spark, sf_dir, "acid_cdfstream_demo", 4)
+    register(spark)
+    feed = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", t.path)
+        .option("start_version", 1)
+        .load()
+    )
+    agg = feed.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+    return run_to_completion(
+        agg, name="mrspark_cdf_stream", output_mode="complete", state_partitions=8
+    )
+
+
+def _orders_zorder_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """5-version history for the OPTIMIZE ZORDER query: four appends
+    sliced by o_orderkey % 4 — a slice scatters BOTH o_orderkey and the
+    derived price-cents across their full domains, so every pre-optimize
+    file spans everything and range stats prune nothing — then
+    compact(zorder_by=(o_orderkey, o_cents)) as v5. Memoized per process
+    (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 5)
+    cached = _FIXTURES.get(key)
+    if cached is not None and cached.spark is spark:
+        try:
+            if cached.latest_version() == 5:
+                return cached
+        except Exception:
+            pass  # table dir gone — rebuild
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .withColumn(
+            "o_cents", F.round(F.col("o_totalprice") * 100).cast("bigint")
+        )
+    )
+    k = F.col("o_orderkey")
+    t = SnapshotTable.create(
+        spark,
+        _snapshot_demo_path(demo),
+        o.where(k % 4 == 0),
+        key="o_orderkey",
+        n_buckets=2,
+    )
+    for i in (1, 2, 3):
+        t.append(o.where(k % 4 == i))
+    t.compact(zorder_by=("o_orderkey", "o_cents"), files_per_bucket=4)
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "acid_optimize_zorder",
+    # bounds derived from the data with the same integer arithmetic as
+    # the Spark side (cf. acid_data_skipping) — the table is orders + a
+    # derived cents column, reassembled exactly by the four slices
+    oracle="""
+    WITH s AS (
+      SELECT MIN(o_orderkey) AS kmn, MAX(o_orderkey) AS kmx,
+             MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cmn,
+             MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cmx
+      FROM orders
+    )
+    SELECT CAST(o_orderkey % 5 AS BIGINT) AS key_mod,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders, s
+    WHERE o_orderkey <= kmn + (kmx - kmn) // 2 - 1
+      AND CAST(ROUND(o_totalprice * 100) AS BIGINT)
+            <= cmn + (cmx - cmn) // 2 - 1
+    GROUP BY 1
+    """,
+)
+def acid_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER end to end (Delta's clustered rewrite,
+    SnapshotTable.compact(zorder_by=...)): four scattered appends leave
+    every file spanning the full domain of both o_orderkey and the
+    derived price-cents — the manifest's per-file [min, max] stats are
+    TRUE but USELESS, and a two-range quadrant read keeps every file.
+    The clustered rewrite range-partitions rows along the normalized
+    Morton curve of the two columns into ~4 z-contiguous files per
+    bucket, after which the SAME stats prune the SAME query. The query
+    RAISES unless (a) the pre-optimize read kept every file (proving the
+    fixture genuinely scatters) and (b) the post-optimize read skips
+    strictly — so a driver-green row certifies that clustering, not some
+    accident of the data, produced the skipping. The oracle replays the
+    quadrant filter relationally.
+
+    Scale: this is the layout half of the data-skipping story
+    (acid_data_skipping is the stats half): at 100 TB stats exist either
+    way — only clustering makes them selective, and the rewrite cost is
+    one range-partition shuffle over the rows being compacted, exactly
+    Delta's OPTIMIZE ZORDER economics."""
+    t = _orders_zorder_fixture(spark, sf_dir, "acid_zorder_demo")
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_orderkey").alias("kmn"),
+        F.max("o_orderkey").alias("kmx"),
+        F.min(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cmn"),
+        F.max(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cmx"),
+    ).collect()[0]
+    kmid = b["kmn"] + (b["kmx"] - b["kmn"]) // 2
+    cmid = b["cmn"] + (b["cmx"] - b["cmn"]) // 2
+    pred = [("o_orderkey", b["kmn"], kmid - 1), ("o_cents", b["cmn"], cmid - 1)]
+    v_opt = t.latest_version()  # v5 = the clustered rewrite
+    v_pre = v_opt - 1
+    n_pre_kept = len(t.data_paths(v_pre, where=pred))
+    n_pre_all = len(t.data_paths(v_pre))
+    n_post_kept = len(t.data_paths(v_opt, where=pred))
+    n_post_all = len(t.data_paths(v_opt))
+    if n_pre_kept != n_pre_all:
+        raise RuntimeError(
+            f"pre-optimize layout unexpectedly prunable ({n_pre_kept}/"
+            f"{n_pre_all}) — the scattered fixture no longer scatters, so "
+            "the z-order comparison below would be vacuous"
+        )
+    if not n_post_kept < n_post_all:
+        raise RuntimeError(
+            f"OPTIMIZE ZORDER produced no skipping: {n_post_kept}/"
+            f"{n_post_all} files kept for the quadrant read — clustering "
+            "is broken"
+        )
+    return (
+        t.read(where=pred)
+        .groupBy((F.col("o_orderkey") % 5).cast("bigint").alias("key_mod"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+
+
+def _orders_dv_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """2-version history for the deletion-vector query: v1 = all of
+    orders, v2 = merge-on-read DELETE of o_orderkey % 10 in (2, 6) —
+    a DV-sidecar-only commit. Memoized per process (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 2)
+    cached = _FIXTURES.get(key)
+    if cached is not None and cached.spark is spark:
+        try:
+            if cached.latest_version() == 2:
+                return cached
+        except Exception:
+            pass  # table dir gone — rebuild
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    t = SnapshotTable.create(
+        spark, _snapshot_demo_path(demo), o, key="o_orderkey", n_buckets=8
+    )
+    t.delete_keys(
+        o.where((F.col("o_orderkey") % 10).isin(2, 6)).select("o_orderkey"),
+        mode="dv",
+    )
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "acid_deletion_vectors",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders WHERE o_orderkey % 10 NOT IN (2, 6) GROUP BY 1
+    """,
+)
+def acid_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE via DELETION VECTORS (Delta's DV feature,
+    SnapshotTable.delete_keys(mode='dv') — mr_spark/acid.py): deleting
+    20% of a table's keys commits WITHOUT rewriting a single data file —
+    the commit writes one small parquet sidecar of dead (file, row
+    position) pairs, and every reader filters them with an anti-join on
+    ``_metadata.row_index``. The query RAISES unless the post-delete
+    manifest's file lists are IDENTICAL to the pre-delete version's (the
+    whole point: zero data movement) and a DV map is present — so a
+    driver-green row certifies the merge-on-read mechanism, not just the
+    filtered result. The copy-on-write path stays the default
+    (mode='cow'); both exist because the trade is real: DV deletes are
+    O(|deleted|) at commit time but tax every read until a rewrite
+    purges them (compact/MERGE apply-and-drop, pinned in
+    tests/test_acid.py::test_deletion_vector_delete_is_merge_on_read).
+
+    Scale: a 10-row DELETE against a 100 TB table commits in seconds
+    under DV (sidecar + manifest delta) vs rewriting whole buckets under
+    copy-on-write — the GDPR-deletion / retention-sweep workload that
+    made every production lakehouse grow this feature."""
+    t = _orders_dv_fixture(spark, sf_dir, "acid_dv_demo")
+    m1, m2 = t._manifest(1), t._manifest(2)
+    if m2["files"] != m1["files"]:
+        raise RuntimeError(
+            "DV delete rewrote data files — merge-on-read degraded to "
+            "copy-on-write; the O(|deleted|) commit property is gone"
+        )
+    if not m2.get("dvs"):
+        raise RuntimeError("DV delete recorded no deletion vectors")
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

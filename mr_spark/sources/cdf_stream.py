@@ -1,0 +1,232 @@
+"""Structured Streaming SOURCE for the SnapshotTable change feed — a
+custom Python streaming DataSource (Spark 4 ``DataSourceStreamReader``):
+``spark.readStream.format("snapshot_cdf").option("path", tbl).load()``
+turns a snapshot table's commit log into a micro-batch CDF stream, the
+way Delta's ``readChangeFeed`` streaming read works.
+
+OFFSETS ARE TABLE VERSIONS: ``latestOffset`` is the table's committed
+latest version (resolved from the delta-manifest log), a micro-batch
+covers the commit range (start, end], and Spark's own streaming
+checkpoint makes redelivery exactly-once at the sink — replays re-read
+the same immutable versions and produce the identical batch.
+
+PARTITION = one CHANGED BUCKET of one commit step: ``partitions()``
+diffs consecutive manifests on the driver (pure file metadata — no
+Spark job, no data read) and emits a split per bucket whose file list
+changed, so a narrow commit against a wide table streams only its own
+slice — O(|changes|) per batch at any table size, never O(|table|).
+
+``read()`` runs EXECUTOR-SIDE without a SparkSession, so it recomputes
+the multiset diff (the same NULL-safe, duplicate-safe classification as
+:meth:`SnapshotTable.changes`, restated over pyarrow + Counter): count
+each distinct (whole row) on both sides of the bucket, keep rows whose
+counts differ, classify per key — exactly one old and one new excess
+row → update pre/postimage, anything else → deletes + inserts. The
+equivalence of the two implementations is pinned differentially in
+tests/test_streaming.py (stream batch == union of changes() slices).
+
+Caveat (same as Spark's groupBy vs Python equality): float NaN columns
+would compare unequal row-to-row here; the CDF key/colums of the
+registered fixtures are int/str/double without NaNs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+def _table(path: str):
+    """A spark-less SnapshotTable handle: the manifest/checkpoint readers
+    (_manifest, _read_vfile, _load_checkpoint, latest_version) are pure
+    file + pyarrow I/O and never touch .spark — usable on the driver's
+    planning path and inside schema()."""
+    from ..acid import SnapshotTable
+
+    return SnapshotTable(None, path)
+
+
+class SnapshotCDFDataSource(DataSource):
+    """``spark.readStream.format("snapshot_cdf")`` — options:
+
+    * ``path``: the snapshot table directory (required)
+    * ``start_version``: first version already reflected downstream
+      (default 1 — the stream begins with the v1→v2 feed)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_cdf"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("snapshot_cdf needs option('path', <table dir>)")
+        t = _table(path)
+        m = t._manifest(t.latest_version())
+        table_schema = StructType.fromJson(json.loads(m["schema"]))
+        return StructType(
+            [StructField("_change_type", StringType(), nullable=False)]
+            + list(table_schema.fields)
+        )
+
+    def streamReader(self, schema: StructType) -> "SnapshotCDFStreamReader":
+        return SnapshotCDFStreamReader(self.options)
+
+
+class _BucketSlicePartition(InputPartition):
+    def __init__(
+        self,
+        old_files: list[str],
+        new_files: list[str],
+        schema_json: str,
+        key: str,
+        old_dvs: dict[str, list[str]] | None = None,
+        new_dvs: dict[str, list[str]] | None = None,
+    ) -> None:
+        self.old_files = old_files
+        self.new_files = new_files
+        self.schema_json = schema_json
+        self.key = key
+        # {abs data path: [abs deletion-vector paths]} per slice — each
+        # version's OWN DVs, so a DV-only commit surfaces its dead rows
+        self.old_dvs = old_dvs or {}
+        self.new_dvs = new_dvs or {}
+
+
+class SnapshotCDFStreamReader(DataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("snapshot_cdf needs option('path', <table dir>)")
+        self.start = int(options.get("start_version", 1))
+
+    # ---- offset protocol ---------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start}
+
+    def latestOffset(self) -> dict:
+        return {"version": _table(self.path).latest_version()}
+
+    def commit(self, end: dict) -> None:
+        pass  # versions are immutable; nothing to acknowledge
+
+    def stop(self) -> None:
+        pass
+
+    # ---- planning (driver): manifest diff, no data read ---------------
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        t = _table(self.path)
+        parts: list[InputPartition] = []
+
+        def absmap(m: dict, rels: list[str]) -> dict:
+            dvs = m.get("dvs", {})
+            return {
+                os.path.join(self.path, r): [
+                    os.path.join(self.path, d) for d in dvs.get(r, [])
+                ]
+                for r in rels
+                if dvs.get(r)
+            }
+
+        for v in range(start["version"] + 1, end["version"] + 1):
+            mf, mt = t._manifest(v - 1), t._manifest(v)
+            for b in t._changed_buckets(mf, mt):
+                rf = mf["files"].get(b, [])
+                rt = mt["files"].get(b, [])
+                parts.append(
+                    _BucketSlicePartition(
+                        [os.path.join(self.path, r) for r in rf],
+                        [os.path.join(self.path, r) for r in rt],
+                        mt["schema"],
+                        mt["key"],
+                        absmap(mf, rf),
+                        absmap(mt, rt),
+                    )
+                )
+        # an empty batch still needs >= 1 split
+        return parts or [_BucketSlicePartition([], [], _table(self.path)._manifest(end["version"])["schema"], "")]
+
+    # ---- execution (executor): multiset diff over the bucket ----------
+
+    def read(self, partition: _BucketSlicePartition) -> Iterator[tuple]:
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        schema = StructType.fromJson(json.loads(partition.schema_json))
+        cols = [f.name for f in schema.fields]
+
+        def dead_positions(p: str, dv_paths: list[str]) -> set[int]:
+            """Row positions of ``p`` killed by its deletion vectors —
+            the pyarrow restatement of _read_files' row_index anti-join."""
+            base = os.path.basename(p)
+            dead: set[int] = set()
+            for dv in dv_paths:
+                t = pq.read_table(dv)
+                for df_name, pos in zip(
+                    t.column("data_file").to_pylist(), t.column("pos").to_pylist()
+                ):
+                    if df_name == base:
+                        dead.add(pos)
+            return dead
+
+        def rows(paths: list[str], dvs: dict[str, list[str]]) -> list[tuple]:
+            out: list[tuple] = []
+            for p in paths:
+                tbl = pq.read_table(p)
+                n = len(tbl)
+                data = [
+                    tbl.column(c).to_pylist() if c in tbl.column_names else [None] * n
+                    for c in cols
+                ]  # evolved columns absent in old files read as NULL,
+                #    matching _read_files' manifest-schema scan
+                file_rows = list(zip(*data)) if data else []
+                dead = dead_positions(p, dvs.get(p, []))
+                if dead:  # parquet row order IS the row_index order
+                    file_rows = [
+                        r for i, r in enumerate(file_rows) if i not in dead
+                    ]
+                out.extend(file_rows)
+            return out
+
+        co = Counter(rows(partition.old_files, partition.old_dvs))
+        cn = Counter(rows(partition.new_files, partition.new_dvs))
+        if not co and not cn:
+            return
+        key_idx = cols.index(partition.key)
+        per_key: dict = {}
+        for r in set(co) | set(cn):
+            d = cn[r] - co[r]
+            if d:
+                per_key.setdefault(r[key_idx], []).append((r, d))
+        for entries in per_key.values():
+            old_exc = [(r, -d) for r, d in entries if d < 0]
+            new_exc = [(r, d) for r, d in entries if d > 0]
+            n_old = sum(c for _, c in old_exc)
+            n_new = sum(c for _, c in new_exc)
+            if n_old == 1 and n_new == 1:
+                yield ("update_preimage",) + old_exc[0][0]
+                yield ("update_postimage",) + new_exc[0][0]
+            else:
+                for r, c in old_exc:
+                    for _ in range(c):
+                        yield ("delete",) + r
+                for r, c in new_exc:
+                    for _ in range(c):
+                        yield ("insert",) + r
+
+
+def register(spark) -> None:
+    """Idempotent registration of the source with a session."""
+    spark.dataSource.register(SnapshotCDFDataSource)

@@ -775,3 +775,116 @@ def test_bloom_filter_point_lookup_skipping(spark, tmp_path):
     assert [r["k"] for r in t2.read(where=("v", "qq", "qq")).collect()] == [6]
     # rewritten files got fresh blooms: 'zx' was replaced by 'qq' in k=6
     assert t2.read(where=("v", "zx", "zx")).count() == 0
+
+
+def test_compact_zorder_clusters_and_preserves_data(spark, tmp_path):
+    """OPTIMIZE ZORDER (compact(zorder_by=...)): scattered appends leave
+    every file spanning the full domain of both columns — range stats
+    prune NOTHING; the clustered rewrite range-partitions rows along the
+    normalized Morton curve so each file covers a narrow (x, y)
+    rectangle, and the same two-predicate read then skips files. Data
+    must be byte-identical before/after (it is an OPTIMIZE)."""
+    from mr_spark.acid import SnapshotTable
+
+    rows = [(k, k % 101, (k * 7) % 103, f"v{k}") for k in range(800)]
+    df = spark.createDataFrame(rows, "k bigint, x bigint, y bigint, v string")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "zt"), df.where(F.col("k") % 4 == 0), key="k", n_buckets=2
+    )
+    for i in (1, 2, 3):  # %4 slices scatter x and y across every file
+        t.append(df.where(F.col("k") % 4 == i))
+    pred = [("x", 0, 24), ("y", 0, 24)]
+    v_before = t.latest_version()
+    before_rows = _rows_kxy(t.read())
+    n_before = len(t.data_paths(v_before, where=pred))
+    assert n_before == len(t.data_paths(v_before))  # scattered: no pruning
+    v_after = t.compact(zorder_by=("x", "y"))
+    assert v_after == v_before + 1
+    assert _rows_kxy(t.read()) == before_rows  # OPTIMIZE: data unchanged
+    n_after = len(t.data_paths(v_after, where=pred))
+    assert n_after < len(t.data_paths(v_after)), "zorder pruned nothing"
+    # the quadrant read is exact after the row filter
+    got = sorted(
+        r["k"]
+        for r in t.read(where=pred).collect()
+    )
+    want = sorted(k for k, x, y, _ in rows if x <= 24 and y <= 24)
+    assert got == want
+
+
+def _rows_kxy(df):
+    return sorted((r["k"], r["x"], r["y"], r["v"]) for r in df.collect())
+
+
+def test_deletion_vector_delete_is_merge_on_read(spark, tmp_path):
+    """delete_keys(mode='dv') — Delta's deletion vectors: the commit
+    touches ZERO data files (manifest file lists identical), writing only
+    a DV sidecar; readers apply it via the row_index anti-join; the
+    change feed reports exactly the newly-dead rows; a bucket rewrite
+    (MERGE / compact) APPLIES the DVs and purges them."""
+    t = _mk(spark, tmp_path, [(k, f"v{k}") for k in range(20)], n_buckets=2)
+    m1 = t._manifest(1)
+    v2 = t.delete_keys(spark.createDataFrame([(3,), (7,)], "k bigint"), mode="dv")
+    m2 = t._manifest(v2)
+    assert m2["files"] == m1["files"], "DV delete must rewrite no data file"
+    assert m2.get("dvs"), "no deletion vectors recorded"
+    assert _rows(t.read()) == sorted(
+        (k, f"v{k}") for k in range(20) if k not in (3, 7)
+    )
+    # time travel: v1 still shows the rows (its manifest has no DVs)
+    assert len(_rows(t.read(1))) == 20
+    # the feed across the DV-only commit is exactly the deletes
+    got = sorted(map(tuple, t.changes(1, v2).collect()))
+    assert got == [("delete", 3, "v3"), ("delete", 7, "v7")]
+    # deleting again is a no-op on the data (already-dead rows excluded)
+    v3 = t.delete_keys(spark.createDataFrame([(3,)], "k bigint"), mode="dv")
+    assert _rows(t.read()) == sorted(
+        (k, f"v{k}") for k in range(20) if k not in (3, 7)
+    )
+    assert t.changes(v2, v3).count() == 0  # nothing newly dead
+    # accumulate another DV, then MERGE into one of the buckets: the
+    # rewritten bucket's files are fresh (no dvs), data stays right
+    t.delete_keys(spark.createDataFrame([(11,)], "k bigint"), mode="dv")
+    t.merge_upsert(spark.createDataFrame([(0, "NEW")], "k bigint, v string"))
+    want = sorted(
+        (k, "NEW" if k == 0 else f"v{k}")
+        for k in range(20)
+        if k not in (3, 7, 11)
+    )
+    assert _rows(t.read()) == want
+    # compact purges every remaining DV (merge-on-read -> pure files)
+    v_final = t.compact()
+    assert not t._manifest(v_final).get("dvs")
+    assert _rows(t.read()) == want
+    # DV sidecars are manifest-referenced: vacuum must NOT collect them
+    # while a manifest needs them; after expiring history they go
+    live_before = _rows(t.read())
+    t.vacuum(min_age_seconds=0)
+    assert _rows(t.read()) == live_before
+    t.expire_versions(min_age_seconds=0)
+    dead = t.vacuum(min_age_seconds=0)
+    assert any("dv_" in d for d in dead), "expired DV sidecars not reclaimed"
+    assert _rows(t.read()) == live_before
+
+
+def test_deletion_vectors_survive_checkpoint_and_fresh_reader(spark, tmp_path):
+    """DV maps ride the delta log (dv_adds) and the parquet checkpoint —
+    a fresh reader resolving from either base must still filter."""
+    t = _mk(spark, tmp_path, [(k, f"v{k}") for k in range(10)], n_buckets=1)
+    t.checkpoint_interval = 2
+    t.delete_keys(spark.createDataFrame([(4,)], "k bigint"), mode="dv")
+    t.append(spark.createDataFrame([(100, "x")], "k bigint, v string"))  # cp here
+    assert t._checkpoint_versions(), "expected a checkpoint"
+    want = sorted(
+        [(k, f"v{k}") for k in range(10) if k != 4] + [(100, "x")]
+    )
+    t2 = SnapshotTable(spark, t.path)
+    t2._manifest(t2.latest_version())
+    assert t2.last_resolution["base_kind"] == "checkpoint"
+    assert _rows(t2.read()) == want
+    # and via the pure delta-fold path (torn checkpoint)
+    os.unlink(
+        os.path.join(t.path, "checkpoints", f"cp_v{t._checkpoint_versions()[0]}.meta.json")
+    )
+    t3 = SnapshotTable(spark, t.path)
+    assert _rows(t3.read()) == want

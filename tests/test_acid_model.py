@@ -36,8 +36,13 @@ def _op():
     delete = st.lists(KEYS, min_size=1, max_size=3, unique=True).map(
         lambda k: ("delete", sorted(k))
     )
+    # merge-on-read DELETE (deletion vectors): same model semantics as
+    # delete, different storage path — no data file rewritten
+    delete_dv = st.lists(KEYS, min_size=1, max_size=3, unique=True).map(
+        lambda k: ("delete_dv", sorted(k))
+    )
     compact = st.just(("compact", None))
-    return st.one_of(merge, append, delete, compact)
+    return st.one_of(merge, append, delete, delete_dv, compact)
 
 
 def _expected_feed(before: list, after: list) -> list:
@@ -116,6 +121,14 @@ def test_snapshot_table_matches_multiset_model(spark, tmp_path_factory, ops):
             new_version = t.delete_keys(
                 spark.createDataFrame([(k,) for k in arg], "k bigint")
             )
+            model = [r for r in model if r[0] not in set(arg)]
+        elif kind == "delete_dv":
+            new_version = t.delete_keys(
+                spark.createDataFrame([(k,) for k in arg], "k bigint"),
+                mode="dv",
+            )
+            if new_version == version:
+                continue  # no bucket held the keys: no commit (like compact)
             model = [r for r in model if r[0] not in set(arg)]
         else:  # compact — data must be unchanged
             new_version = t.compact()

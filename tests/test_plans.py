@@ -58,6 +58,7 @@ _PANDAS_QUERIES = {
     "embedding_neardup",    # numpy block-matmul kernel
     "ann_ivf_topk",         # numpy Lloyd-assignment kernel (broadcast k-means)
     "ann_recall_at_k",      # composes ann_cosine_topk's numpy kernel (by design)
+    "ann_pq_topk",          # numpy PQ encode/ADC-lookup kernels (by design)
     "image_features_stub",  # mapInPandas feature extraction
     "frame_sample_stub",    # mapInPandas 1->n frame rows
     "stream_sessionize_stateful",  # applyInPandasWithState

@@ -221,3 +221,90 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     got = spark.read.parquet(str(out)).select("event_id")
     assert got.count() == events.count()  # no loss
     assert got.distinct().count() == events.count()  # no duplicates
+
+
+def test_cdf_stream_source_matches_batch_changes(spark, tmp_path):
+    """Differential pin for the snapshot_cdf streaming source: the
+    streamed feed over versions 1..latest must equal the UNION of the
+    batch change feeds (SnapshotTable.changes) — the stream reader
+    restates the multiset-diff classification executor-side (pyarrow +
+    Counter), and this test is what keeps the two implementations from
+    drifting. Covers updates, deletes, duplicate-key appends and NULL
+    keys in one history."""
+    from mr_spark.acid import SnapshotTable
+    from mr_spark.sources.cdf_stream import register
+    from mr_spark.streaming import run_to_completion
+
+    t = SnapshotTable.create(
+        spark,
+        str(tmp_path / "cdfsrc"),
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (None, "n"), (3, "c")], "k bigint, v string"
+        ),
+        key="k",
+        n_buckets=2,
+    )
+    t.merge_upsert(spark.createDataFrame([(2, "B"), (9, "Z")], "k bigint, v string"))
+    t.delete_keys(spark.createDataFrame([(3,)], "k bigint"))
+    t.append(spark.createDataFrame([(1, "a")], "k bigint, v string"))  # dup row
+    t.append(spark.createDataFrame([(None, "n2")], "k bigint, v string"))
+    # merge-on-read delete: a DV-only commit changes no file list — the
+    # stream must still surface its dead row (DV-aware bucket diff)
+    t.delete_keys(spark.createDataFrame([(9,)], "k bigint"), mode="dv")
+
+    register(spark)
+    stream = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", t.path)
+        .option("start_version", 1)
+        .load()
+    )
+    # append mode, no agg: the memory sink accumulates the raw feed rows
+    got = sorted(
+        map(
+            tuple,
+            run_to_completion(
+                stream, name="cdf_stream_diff_test", output_mode="append"
+            ).collect(),
+        ),
+        key=str,
+    )
+    want = []
+    for v in range(2, t.latest_version() + 1):
+        want.extend(map(tuple, t.changes(v - 1, v).collect()))
+    assert got == sorted(want, key=str)
+    assert len(got) >= 6  # updates + delete + 2 inserts (incl. NULL key)
+
+
+def test_cdf_stream_source_resumes_from_start_version(spark, tmp_path):
+    """start_version skips history already reflected downstream — the
+    stream over (2, latest] must exclude the v1->v2 slice."""
+    from mr_spark.acid import SnapshotTable
+    from mr_spark.sources.cdf_stream import register
+    from mr_spark.streaming import run_to_completion
+
+    t = SnapshotTable.create(
+        spark,
+        str(tmp_path / "cdfsrc2"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"),
+        key="k",
+        n_buckets=1,
+    )
+    t.merge_upsert(spark.createDataFrame([(1, "A")], "k bigint, v string"))
+    t.append(spark.createDataFrame([(5, "e")], "k bigint, v string"))
+    register(spark)
+    stream = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", t.path)
+        .option("start_version", 2)
+        .load()
+    )
+    got = sorted(
+        map(
+            tuple,
+            run_to_completion(
+                stream, name="cdf_stream_resume_test", output_mode="append"
+            ).collect(),
+        )
+    )
+    assert got == [("insert", 5, "e")]

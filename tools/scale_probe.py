@@ -121,6 +121,14 @@ PROBES = [
     # round-5: multi-commit CDF replay + foreachBatch replication
     "matview_replay",
     "cdf_replication",
+    # round-5 late additions: delta-manifest log + checkpoint read path,
+    # bloom-index point lookup, product-quantization ANN
+    "snapshot_log_checkpoint",
+    "acid_bloom_skipping",
+    "ann_pq_topk",
+    "stream_cdf_source",
+    "acid_optimize_zorder",
+    "acid_deletion_vectors",
 ]
 
 KEY_SHIFTS = {
