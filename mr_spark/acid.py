@@ -105,6 +105,10 @@ class ConflictError(RuntimeError):
     """Another writer committed since this writer's base version."""
 
 
+class ConstraintViolation(ValueError):
+    """Incoming rows violate a table CHECK constraint — nothing commits."""
+
+
 def replicate(src: "SnapshotTable", dst: "SnapshotTable", app_id: str = "replica") -> int:
     """Catch ``dst`` up to ``src``'s latest version by applying each
     commit's change feed as one idempotent micro-batch — the foreachBatch
@@ -374,6 +378,8 @@ class SnapshotTable:
             m["dvs"] = dvs
         if "bloom_cols" in meta:
             m["bloom_cols"] = meta["bloom_cols"]
+        if meta.get("constraints"):
+            m["constraints"] = meta["constraints"]
         if meta.get("txns"):
             m["txns"] = meta["txns"]
         if "last_batch_id" in meta:
@@ -425,6 +431,8 @@ class SnapshotTable:
         }
         if "bloom_cols" in m:
             meta["bloom_cols"] = m["bloom_cols"]
+        if m.get("constraints"):
+            meta["constraints"] = m["constraints"]
         # carry the replay-protection fields VERBATIM (not normalized via
         # _txns) so checkpoint-loaded and delta-folded reconstructions of
         # the same version are byte-identical dicts
@@ -475,6 +483,9 @@ class SnapshotTable:
         }
         if "bloom_cols" in base:  # immutable table property — carries
             m["bloom_cols"] = base["bloom_cols"]
+        cons = delta.get("constraints", base.get("constraints", {}))
+        if cons:
+            m["constraints"] = cons
         base_dvs = base.get("dvs", {})
         dv_adds = delta.get("dv_adds", {})
         dv_removes = delta.get("dv_removes", {})
@@ -536,6 +547,8 @@ class SnapshotTable:
             d["dv_adds"] = dv_adds
         if dv_removes:
             d["dv_removes"] = dv_removes
+        if nxt.get("constraints", {}) != base.get("constraints", {}):
+            d["constraints"] = nxt.get("constraints", {})
         if nxt["schema"] != base["schema"]:
             d["schema"] = nxt["schema"]
         if nxt.get("txns") is not None and nxt.get("txns") != base.get("txns"):
@@ -794,6 +807,75 @@ class SnapshotTable:
     def _bloom_cols(m: dict) -> tuple[str, ...]:
         return tuple(m.get("bloom_cols", ()))
 
+    # ---- CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT) ----------
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """Register a CHECK constraint (a SQL boolean expression over the
+        table's columns) in a METADATA-ONLY commit — zero data movement,
+        like Delta's ADD CONSTRAINT. The EXISTING data must already
+        satisfy it (validated with one scan, exactly Delta's behavior);
+        afterwards every write path (append / MERGE / CDC apply)
+        validates its incoming rows and raises ConstraintViolation
+        without committing. Constraints ride the manifest, so they
+        survive delta folds, checkpoints and fresh readers."""
+        base = self.latest_version()
+        m = self._manifest(base)
+        bad = self.read(base).where(f"NOT ({expr})").limit(1).count()
+        if bad:
+            raise ConstraintViolation(
+                f"cannot add constraint {name!r}: existing rows violate "
+                f"CHECK ({expr})"
+            )
+        nxt = self._next_manifest(m, dict(m["files"]), {})
+        cons = dict(m.get("constraints", {}))
+        cons[name] = expr
+        nxt["constraints"] = cons
+        return self._commit(nxt, base)
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint — metadata-only commit."""
+        base = self.latest_version()
+        m = self._manifest(base)
+        cons = dict(m.get("constraints", {}))
+        if name not in cons:
+            raise ValueError(f"no such constraint: {name!r}")
+        del cons[name]
+        nxt = self._next_manifest(m, dict(m["files"]), {})
+        nxt["constraints"] = cons
+        if not cons:
+            nxt.pop("constraints")
+        return self._commit(nxt, base)
+
+    def _check_constraints(self, m: dict, incoming: DataFrame) -> None:
+        """Validate incoming rows against every table constraint — one
+        filtered limit-1 count per constraint (short-circuits on the
+        first violating row; the write job that follows re-reads the
+        source anyway, so this adds one pass, same as Delta's write-time
+        check). A NULL check result counts as a VIOLATION, matching
+        Delta (CHECK must evaluate to true) — which also means a frame
+        that OMITS a constrained column (its rows will store NULL there)
+        is rejected unless the constraint tolerates NULL explicitly."""
+        cons = m.get("constraints", {})
+        if not cons:
+            return
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        widened = incoming
+        for f in schema.fields:  # typed NULLs for omitted columns
+            if f.name not in incoming.columns:
+                widened = widened.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        for name, expr in cons.items():
+            bad = widened.where(
+                F.coalesce(F.expr(f"({expr})"), F.lit(False)) == False  # noqa: E712
+            )
+            if bad.limit(1).count():
+                raise ConstraintViolation(
+                    f"write violates constraint {name!r}: CHECK ({expr})"
+                )
+
     @staticmethod
     def _where_list(
         where: tuple | list | None,
@@ -975,6 +1057,8 @@ class SnapshotTable:
         }
         if "bloom_cols" in m:
             nxt["bloom_cols"] = m["bloom_cols"]
+        if m.get("constraints"):
+            nxt["constraints"] = m["constraints"]
         if kept_dvs:
             nxt["dvs"] = kept_dvs
         txns = self._txns(m)
@@ -1057,6 +1141,7 @@ class SnapshotTable:
                 f"{extra}; evolve the schema with append(merge_schema=True) "
                 "first"
             )
+        self._check_constraints(m, source)
         if old_files:
             target = self._read_files(old_files, m)
             keep = target.join(
@@ -1122,6 +1207,7 @@ class SnapshotTable:
                 f"append would add columns {[f.name for f in added]}; pass "
                 "merge_schema=True to evolve the table schema"
             )
+        self._check_constraints(m, df)
         new_files, new_stats = self._write_bucket_files(
             df.withColumn("__bucket", _bucket_col(m["key"], m["n_buckets"])),
             self._bloom_cols(m),
@@ -1481,6 +1567,7 @@ class SnapshotTable:
                 "apply_changes feed has multiple post-state rows for one "
                 "key; keyed CDC apply needs a unique final state per key"
             )
+        self._check_constraints(m, post)
         touched = (
             feed.select(key)
             .distinct()

@@ -78,13 +78,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver row yet — plus q12, red in r01 on a (now fixed) dtype artifact —
 # in the checked prefix, and rotate per round as driver rows accumulate.
 #
-# Round-5 prefix (VERDICT r4 #6): first the 16 queries new or changed
+# Round-5 prefix (VERDICT r4 #6): first the 17 queries new or changed
 # this round — snapshot_log_checkpoint (delta-manifest log + parquet
 # checkpoints), acid_bloom_skipping (per-file bloom index), ann_pq_topk
 # (product-quantization ANN), stream_cdf_source (streaming CDF read via
 # a custom Python streaming DataSource), acid_optimize_zorder (Delta's
 # OPTIMIZE ZORDER clustered rewrite), acid_deletion_vectors
-# (merge-on-read DELETE), the two new CDF queries (matview_replay,
+# (merge-on-read DELETE), acid_constraints (CHECK-constraint write
+# gate), the two new CDF queries (matview_replay,
 # cdf_replication), the upgraded two-column acid_data_skipping, the rest
 # of the ACID family (every commit/read now runs through the delta-log
 # protocol), bloom/dpp (cached child session, raise-based
@@ -106,6 +107,7 @@ _CHECK_PRIORITY = [
     # every commit/read path runs through the new log protocol
     "snapshot_log_checkpoint", "acid_bloom_skipping", "ann_pq_topk",
     "stream_cdf_source", "acid_optimize_zorder", "acid_deletion_vectors",
+    "acid_constraints",
     "matview_replay", "cdf_replication", "acid_data_skipping",
     "acid_merge_upsert", "snapshot_change_feed", "snapshot_schema_evolution",
     "matview_incremental", "dpp_partition_pruned_join",
@@ -121,12 +123,13 @@ _CHECK_PRIORITY = [
     # -- r02-evidence frontier (scale-critical dedup/ANN first) --
     "dedup_exact", "minhash_lsh_pairs", "simhash_buckets",
     "exact_substring_pairs", "embedding_neardup", "semantic_dedup",
-    "ann_cosine_topk", "ann_lsh_topk",
+    "ann_cosine_topk",
     # (kl_source_drift, lateral_topn, winnow_fingerprint, kcenter_coreset,
-    # heavy_hitters, ann_ivf_topk moved to overflow to make room for the
-    # six NEW round-5 queries — all re-verified by the judge's r4
-    # spot-check or plan/brute-force pinned, and every overflow query
-    # keeps its oracle-rehearsal pin in tests/test_queries_oracle.py)
+    # heavy_hitters, ann_ivf_topk, ann_lsh_topk moved to overflow to make
+    # room for the seven NEW round-5 queries — all re-verified by the
+    # judge's r4 spot-check or plan/brute-force pinned, and every
+    # overflow query keeps its oracle-rehearsal pin in
+    # tests/test_queries_oracle.py)
 ]
 
 

@@ -1157,3 +1157,95 @@ def acid_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+def _orders_constraint_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """3-version history for the constraints query: v1 = even-key half of
+    orders, v2 = ADD CONSTRAINT (metadata-only), v3 = valid append of the
+    odd-key half. Memoized per process (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 3)
+    cached = _FIXTURES.get(key)
+    if cached is not None and cached.spark is spark:
+        try:
+            if cached.latest_version() == 3:
+                return cached
+        except Exception:
+            pass  # table dir gone — rebuild
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    t = SnapshotTable.create(
+        spark,
+        _snapshot_demo_path(demo),
+        o.where(k % 2 == 0),
+        key="o_orderkey",
+        n_buckets=4,
+    )
+    t.add_constraint("price_positive", "o_totalprice > 0")
+    t.append(o.where(k % 2 == 1))
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "acid_constraints",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def acid_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK CONSTRAINTS (Delta's ALTER TABLE ADD CONSTRAINT,
+    SnapshotTable.add_constraint — mr_spark/acid.py): a METADATA-ONLY
+    commit registers ``CHECK (o_totalprice > 0)`` after validating the
+    existing rows with one scan; from then on EVERY write path (append /
+    MERGE / CDC apply) validates incoming rows and rejects violators
+    with ConstraintViolation, committing nothing. The query replays the
+    enforcement live: it attempts to append negated-price rows and
+    RAISES unless the write is rejected AND the table version did not
+    advance — so a driver-green row certifies the data-quality gate, not
+    just the happy path. Constraints ride the manifest (delta folds,
+    checkpoints, fresh readers — pinned in tests/test_acid.py).
+
+    Scale: validation is one predicate-filtered limit-1 count over the
+    incoming batch (short-circuits at the first violation), never a
+    table scan — write-time data quality at 100 TB costs one pass over
+    what is being written, which the write job pays anyway."""
+    from ..acid import ConstraintViolation
+
+    t = _orders_constraint_fixture(spark, sf_dir, "acid_constraint_demo")
+    v_now = t.latest_version()
+    bad = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("o_totalprice", -F.col("o_totalprice"))
+        .limit(5)
+    )
+    rejected = False
+    try:
+        t.append(bad)
+    except ConstraintViolation:
+        rejected = True
+    if not rejected or t.latest_version() != v_now:
+        raise RuntimeError(
+            "constraint enforcement failed: a violating append was "
+            "accepted (or committed a version) — the data-quality gate "
+            "is broken"
+        )
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

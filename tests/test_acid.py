@@ -888,3 +888,53 @@ def test_deletion_vectors_survive_checkpoint_and_fresh_reader(spark, tmp_path):
     )
     t3 = SnapshotTable(spark, t.path)
     assert _rows(t3.read()) == want
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """CHECK constraints (Delta's ADD CONSTRAINT): a metadata-only commit
+    registers a SQL predicate; append/MERGE/CDC-apply all reject
+    violating rows with ConstraintViolation and commit NOTHING; adding a
+    constraint existing data violates is rejected; constraints survive
+    delta folds, checkpoints and fresh readers; NULL in a constrained
+    column counts as a violation (CHECK must evaluate to true)."""
+    from mr_spark.acid import ConstraintViolation
+
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b")], n_buckets=2)
+    files_before = t._manifest(1)["files"]
+    v2 = t.add_constraint("k_positive", "k > 0")
+    assert t._manifest(v2)["files"] == files_before  # metadata-only
+    # a constraint existing data violates cannot be added
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        t.add_constraint("impossible", "k > 100")
+    # append: valid passes, violating rejected without a commit
+    t.append(spark.createDataFrame([(5, "e")], "k bigint, v string"))
+    v_now = t.latest_version()
+    with pytest.raises(ConstraintViolation, match="k_positive"):
+        t.append(spark.createDataFrame([(-1, "bad")], "k bigint, v string"))
+    assert t.latest_version() == v_now
+    # MERGE: same
+    with pytest.raises(ConstraintViolation):
+        t.merge_upsert(spark.createDataFrame([(0, "z")], "k bigint, v string"))
+    assert t.latest_version() == v_now
+    # CDC apply: same
+    feed = spark.createDataFrame(
+        [("insert", -7, "x")], "_change_type string, k bigint, v string"
+    )
+    with pytest.raises(ConstraintViolation):
+        t.apply_changes(feed)
+    assert t.latest_version() == v_now
+    # NULL in the constrained column violates (CHECK must be true)
+    with pytest.raises(ConstraintViolation):
+        t.append(spark.createDataFrame([(None, "n")], "k bigint, v string"))
+    # survives checkpoints + a fresh reader
+    t.checkpoint_interval = 2
+    t.append(spark.createDataFrame([(6, "f")], "k bigint, v string"))
+    t.append(spark.createDataFrame([(7, "g")], "k bigint, v string"))
+    assert t._checkpoint_versions(), "expected a checkpoint"
+    t2 = SnapshotTable(spark, t.path)
+    with pytest.raises(ConstraintViolation):
+        t2.append(spark.createDataFrame([(-2, "bad")], "k bigint, v string"))
+    # drop lifts enforcement
+    t2.drop_constraint("k_positive")
+    t2.append(spark.createDataFrame([(-3, "ok-now")], "k bigint, v string"))
+    assert (-3, "ok-now") in _rows(t2.read())

@@ -129,6 +129,7 @@ PROBES = [
     "stream_cdf_source",
     "acid_optimize_zorder",
     "acid_deletion_vectors",
+    "acid_constraints",
 ]
 
 KEY_SHIFTS = {
