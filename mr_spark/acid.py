@@ -380,6 +380,8 @@ class SnapshotTable:
             m["bloom_cols"] = meta["bloom_cols"]
         if meta.get("constraints"):
             m["constraints"] = meta["constraints"]
+        if meta.get("copy_ledger"):
+            m["copy_ledger"] = meta["copy_ledger"]
         if meta.get("txns"):
             m["txns"] = meta["txns"]
         if "last_batch_id" in meta:
@@ -433,6 +435,8 @@ class SnapshotTable:
             meta["bloom_cols"] = m["bloom_cols"]
         if m.get("constraints"):
             meta["constraints"] = m["constraints"]
+        if m.get("copy_ledger"):
+            meta["copy_ledger"] = m["copy_ledger"]
         # carry the replay-protection fields VERBATIM (not normalized via
         # _txns) so checkpoint-loaded and delta-folded reconstructions of
         # the same version are byte-identical dicts
@@ -506,6 +510,13 @@ class SnapshotTable:
                 m["txns"] = base["txns"]
             if "last_batch_id" in base:  # legacy single-slot tag carries
                 m["last_batch_id"] = base["last_batch_id"]
+        # COPY INTO's ingest ledger only ever GROWS (file-level
+        # idempotence), so the delta records additions only
+        ledger = list(base.get("copy_ledger", [])) + list(
+            delta.get("ledger_adds", [])
+        )
+        if ledger:
+            m["copy_ledger"] = ledger
         return m
 
     @staticmethod
@@ -553,6 +564,11 @@ class SnapshotTable:
             d["schema"] = nxt["schema"]
         if nxt.get("txns") is not None and nxt.get("txns") != base.get("txns"):
             d["txns"] = nxt["txns"]
+        old_ledger = base.get("copy_ledger", [])
+        new_ledger = nxt.get("copy_ledger", [])
+        if new_ledger != old_ledger:
+            seen = set(old_ledger)
+            d["ledger_adds"] = [x for x in new_ledger if x not in seen]
         return d
 
     def _manifest(self, version: int) -> dict:
@@ -807,6 +823,193 @@ class SnapshotTable:
     def _bloom_cols(m: dict) -> tuple[str, ...]:
         return tuple(m.get("bloom_cols", ()))
 
+    # ---- manifest entry <-> full path ------------------------------------
+    #
+    # Manifest file entries are RELATIVE to the table root — except in a
+    # SHALLOW CLONE, whose v1 references the source table's files by
+    # ABSOLUTE path (zero copy). os.path.join(self.path, entry) passes an
+    # absolute entry through unchanged, so every read site works on both;
+    # these two helpers are the inverse mapping and the entry-side join.
+
+    def _mkey(self, full: str) -> str:
+        """The manifest entry for a full path: relative if the file lives
+        under this table's root, the absolute path itself otherwise (a
+        shallow clone's external reference)."""
+        rel = os.path.relpath(full, self.path)
+        return full if rel.startswith("..") else rel
+
+    def _entry_full(self, entry: str) -> str:
+        """Full filesystem path of a manifest entry (relative or
+        absolute)."""
+        return os.path.join(self.path, entry)
+
+    # ---- RESTORE / SHALLOW CLONE / COPY INTO -----------------------------
+
+    def restore(self, version: int) -> int:
+        """Delta's ``RESTORE TABLE ... VERSION AS OF``: commit a NEW
+        version whose state (files, stats, DVs, schema, constraints)
+        equals the earlier ``version`` — METADATA-ONLY, zero data
+        movement, because data files are immutable and still on disk
+        until vacuum reclaims them. History is preserved: the rolled-back
+        versions remain time-travelable, and the restore commit itself
+        surfaces in the change feed as the row-level diff
+        latest → restored (a multiset diff like any other commit).
+
+        The per-writer txn map and the COPY INTO ledger are carried
+        FORWARD from the latest version, not rewound — replay protection
+        and file-level ingest idempotence must survive a restore, or a
+        replayed micro-batch / re-run COPY INTO from before the rollback
+        would double-apply (Delta's RESTORE keeps the log for the same
+        reason).
+
+        Raises if any file the restored version references has been
+        vacuumed (Delta errors identically — a restore past the retention
+        window is unrecoverable by design)."""
+        base = self.latest_version()
+        if not 1 <= version <= base:
+            raise ValueError(
+                f"restore target {version} outside committed range 1..{base}"
+            )
+        m_old = self._manifest(version)
+        m_cur = self._manifest(base)
+        missing = [
+            entry
+            for rels in m_old["files"].values()
+            for entry in rels
+            if not os.path.exists(self._entry_full(entry))
+        ] + [
+            dv
+            for lst in m_old.get("dvs", {}).values()
+            for dv in lst
+            if not os.path.exists(self._entry_full(dv))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to version {version}: {len(missing)} of its "
+                f"data files were vacuumed (first: {missing[0]!r}) — restores "
+                "reach only as far back as the vacuum retention window"
+            )
+        nxt = {
+            "key": m_old["key"],
+            "n_buckets": m_old["n_buckets"],
+            "schema": m_old["schema"],
+            "files": {b: list(rels) for b, rels in m_old["files"].items()},
+            "stats": dict(m_old.get("stats", {})),
+        }
+        if "bloom_cols" in m_old:
+            nxt["bloom_cols"] = m_old["bloom_cols"]
+        if m_old.get("constraints"):
+            nxt["constraints"] = m_old["constraints"]
+        if m_old.get("dvs"):
+            nxt["dvs"] = {k: list(v) for k, v in m_old["dvs"].items()}
+        # forward-carried, never rewound (see docstring)
+        txns = self._txns(m_cur)
+        if txns:
+            nxt["txns"] = txns
+        if m_cur.get("copy_ledger"):
+            nxt["copy_ledger"] = list(m_cur["copy_ledger"])
+        return self._commit(nxt, base)
+
+    def clone(self, dest_path: str, version: int | None = None) -> "SnapshotTable":
+        """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``): a
+        new independent table at ``dest_path`` whose v1 manifest
+        references this table's data files (and DV sidecars) by ABSOLUTE
+        path — the clone copies METADATA ONLY, zero data bytes, in O(live
+        files) manifest work. From then on the tables diverge like Delta
+        clones do: writes to the clone land in the CLONE's own data/ dir,
+        and a copy-on-write rewrite of a bucket drops that bucket's
+        external references — the clone gradually localizes exactly the
+        data it changes. The source is never touched.
+
+        Per Delta's documented CLONE semantics, the txn map and COPY INTO
+        ledger are NOT copied (a clone is a different table; inheriting
+        replay tags would silently skip the first micro-batches written
+        to it). Constraints, bloom-index config, schema and DVs carry.
+
+        CAVEAT (also Delta's): ``vacuum`` on the SOURCE does not know
+        about clones — expiring the source versions a clone references
+        and vacuuming can break the clone's unlocalized buckets. Keep
+        source retention longer than clone lifetimes, or use a deep copy
+        (``SnapshotTable.create(spark, dest, src.read(), ...)``)."""
+        v = self.latest_version() if version is None else version
+        m = self._manifest(v)
+        if os.path.exists(dest_path):
+            shutil.rmtree(dest_path)
+        os.makedirs(os.path.join(dest_path, "data"))
+        os.makedirs(os.path.join(dest_path, "versions"))
+        out = SnapshotTable(self.spark, dest_path)
+        ext = {}  # old entry -> absolute reference
+        for rels in m["files"].values():
+            for entry in rels:
+                ext[entry] = self._entry_full(entry)
+        for lst in m.get("dvs", {}).values():
+            for dv in lst:
+                ext[dv] = self._entry_full(dv)
+        manifest = {
+            "key": m["key"],
+            "n_buckets": m["n_buckets"],
+            "schema": m["schema"],
+            "files": {
+                b: [ext[e] for e in rels] for b, rels in m["files"].items()
+            },
+            "stats": {
+                ext[e]: s for e, s in m.get("stats", {}).items() if e in ext
+            },
+        }
+        if "bloom_cols" in m:
+            manifest["bloom_cols"] = m["bloom_cols"]
+        if m.get("constraints"):
+            manifest["constraints"] = m["constraints"]
+        if m.get("dvs"):
+            manifest["dvs"] = {
+                ext[e]: [ext[d] for d in lst] for e, lst in m["dvs"].items()
+            }
+        out._commit(manifest, base_version=0)
+        return out
+
+    def copy_into(self, paths: list[str]) -> tuple[int, int, int]:
+        """Delta's ``COPY INTO``: file-level IDEMPOTENT ingest of external
+        parquet files. Every source file ever loaded is recorded (by
+        absolute path) in the manifest's ingest ledger; a re-run with an
+        overlapping file list loads ONLY the not-yet-ingested files, and
+        a fully-replayed call commits NOTHING — so a scheduled "load
+        whatever is in the landing zone" job is exactly-once per file
+        even though it re-lists the same directory every run. Ledger
+        update and data-file adds land in ONE atomic commit (a crash
+        between them is impossible), and the ledger rides delta
+        manifests as O(newly-ingested) additions.
+
+        Files are read under the TABLE's schema (missing columns read as
+        NULL, extra columns are ignored — Delta's COPY INTO casts to the
+        table schema the same way), validated against CHECK constraints,
+        and bucketed like any append. Returns
+        ``(version, n_loaded, n_skipped)``."""
+        from pyspark.sql.types import StructType
+
+        base = self.latest_version()
+        m = self._manifest(base)
+        ledger = set(m.get("copy_ledger", []))
+        canon = [(p, os.path.abspath(p)) for p in paths]
+        todo = [(p, a) for p, a in canon if a not in ledger]
+        if not todo:
+            return base, 0, len(paths)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        df = self.spark.read.schema(schema).parquet(*[p for p, _ in todo])
+        self._check_constraints(m, df)
+        new_files, new_stats = self._write_bucket_files(
+            df.withColumn("__bucket", _bucket_col(m["key"], m["n_buckets"])),
+            self._bloom_cols(m),
+        )
+        files = {b: list(rels) for b, rels in m["files"].items()}
+        for b, rels in new_files.items():
+            files[b] = files.get(b, []) + rels
+        nxt = self._next_manifest(m, files, new_stats)
+        nxt["copy_ledger"] = list(m.get("copy_ledger", [])) + [
+            a for _, a in todo
+        ]
+        v = self._commit(nxt, base)
+        return v, len(todo), len(paths) - len(todo)
+
     # ---- CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT) ----------
 
     def add_constraint(self, name: str, expr: str) -> int:
@@ -989,11 +1192,7 @@ class SnapshotTable:
         if not dvs:
             return df
         needed = sorted(
-            {
-                dv
-                for p in paths
-                for dv in dvs.get(os.path.relpath(p, self.path), [])
-            }
+            {dv for p in paths for dv in dvs.get(self._mkey(p), [])}
         )
         if not needed:
             return df
@@ -1059,6 +1258,8 @@ class SnapshotTable:
             nxt["bloom_cols"] = m["bloom_cols"]
         if m.get("constraints"):
             nxt["constraints"] = m["constraints"]
+        if m.get("copy_ledger"):
+            nxt["copy_ledger"] = m["copy_ledger"]
         if kept_dvs:
             nxt["dvs"] = kept_dvs
         txns = self._txns(m)

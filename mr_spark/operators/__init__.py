@@ -101,10 +101,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # oracle-rehearsal pin in tests/test_queries_oracle.py.
 _CHECK_PRIORITY = [
     # -- implementation changed this round (round 5) --
-    # NEW round-5 queries first: the delta-manifest log + parquet
-    # checkpoint (snapshot_log_checkpoint) and the per-file bloom index
-    # (acid_bloom_skipping); then the rest of the ACID family, whose
-    # every commit/read path runs through the new log protocol
+    # NEWEST round-5 queries first: RESTORE (version rollback as a
+    # metadata-only commit), SHALLOW CLONE (zero-copy table fork via
+    # absolute-path manifest references) and COPY INTO (file-level
+    # idempotent ingest via a manifest ledger riding delta manifests);
+    # then the session's earlier additions — the delta-manifest log +
+    # parquet checkpoint (snapshot_log_checkpoint) and the per-file bloom
+    # index (acid_bloom_skipping) — then the rest of the ACID family,
+    # whose every commit/read path runs through the new log protocol
+    "snapshot_restore", "snapshot_clone_shallow", "copy_into_idempotent",
     "snapshot_log_checkpoint", "acid_bloom_skipping", "ann_pq_topk",
     "stream_cdf_source", "acid_optimize_zorder", "acid_deletion_vectors",
     "acid_constraints",

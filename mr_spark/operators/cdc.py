@@ -1249,3 +1249,319 @@ def acid_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+def _orders_restore_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """4-version history for the RESTORE query: v1 create (80% of
+    orders), v2 MERGE (update 30% / insert 20%), v3 keyed DELETE of
+    o_orderkey % 10 in (0, 1), v4 = restore(2) — the rollback that undoes
+    the delete. Memoized per process (see _FIXTURES)."""
+    key = (sf_dir, demo, 4)
+    cached = _FIXTURES.get(key)
+    if cached is not None and cached.spark is spark:
+        try:
+            if cached.latest_version() == 4:
+                return cached
+        except Exception:
+            pass  # table dir gone — rebuild
+    t = _orders_cdc_fixture(spark, sf_dir, demo, 3)
+    _FIXTURES.pop((sf_dir, demo, 3), None)
+    t.restore(2)
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "snapshot_restore",
+    # v4 == v2 == the plain merge result, so the oracle is the same
+    # relational MERGE replay acid_merge_upsert uses — restoring must make
+    # the delete invisible again
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 < 8
+    ),
+    source AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 10 >= 5
+    ),
+    merged AS (
+      SELECT * FROM target
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+      UNION ALL SELECT * FROM source
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM merged GROUP BY 1
+    """,
+)
+def snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE — version rollback as a commit (Delta's ``RESTORE TABLE
+    ... VERSION AS OF``, SnapshotTable.restore — mr_spark/acid.py): after
+    MERGE (v2) and a keyed DELETE (v3), ``restore(2)`` commits v4 whose
+    state equals v2 — METADATA-ONLY, zero data movement, because the
+    immutable v2 files are still on disk. The query RAISES unless
+    (a) v4's file lists are IDENTICAL to v2's, (b) the on-disk commit
+    record for v4 is a DELTA manifest (the rollback writes O(changes)
+    metadata, never a full file enumeration), and (c) the rolled-back v3
+    remains time-travelable — history is preserved, not erased — so a
+    driver-green row certifies the rollback mechanism, not just the
+    result. The oracle is the same relational MERGE replay as
+    acid_merge_upsert: restoring must make the delete invisible again.
+
+    Scale: the bad-deploy escape hatch every production lakehouse needs —
+    rolling a 100 TB table back to yesterday costs one manifest commit
+    (seconds), not a restore-from-backup copy; txn tags carry forward so
+    streaming writers' replay protection survives the rollback (pinned in
+    tests/test_acid.py::test_restore_is_metadata_only_and_preserves_history)."""
+    t = _orders_restore_fixture(spark, sf_dir, "acid_restore_demo")
+    if t._manifest(4)["files"] != t._manifest(2)["files"]:
+        raise RuntimeError(
+            "restore did not reproduce the target version's file lists — "
+            "the rollback rewrote or lost data"
+        )
+    raw = t._read_vfile(4)
+    if not raw.get("delta") or "files" in raw:
+        raise RuntimeError(
+            "restore's commit record is not a delta manifest — the "
+            "rollback degraded to an O(total-files) full-manifest write"
+        )
+    if not t.data_paths(3):
+        raise RuntimeError(
+            "rolled-back version 3 no longer readable — restore must "
+            "preserve history for time travel, not erase it"
+        )
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def _orders_clone_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """Shallow clone of the shared v2 merge fixture plus ONE divergent
+    commit: a single-row MERGE updating the minimum o_orderkey (price
+    +777) — narrow on purpose, so only that key's bucket localizes and
+    the other buckets keep their absolute references to the source.
+    Returns (clone, source). Memoized per process (see _FIXTURES)."""
+    key = (sf_dir, demo, 2)
+    cached = _FIXTURES.get(key)
+    if cached is not None and cached[0].spark is spark:
+        try:
+            if cached[0].latest_version() == 2 and cached[1].latest_version() == 2:
+                return cached
+        except Exception:
+            pass  # table dir gone — rebuild
+    src = _orders_merge_fixture(spark, sf_dir, "acid_cdc_base")
+    c = src.clone(_snapshot_demo_path(demo))
+    kmin = src.read().agg(F.min("o_orderkey")).collect()[0][0]
+    one = src.read().where(F.col("o_orderkey") == kmin).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 777
+    )
+    c.merge_upsert(one)
+    _FIXTURES[key] = (c, src)
+    return c, src
+
+
+@query(
+    "snapshot_clone_shallow",
+    # clone state = the v2 merge result with the min-key row's price +777
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 < 8
+    ),
+    source AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 10 >= 5
+    ),
+    merged AS (
+      SELECT * FROM target
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+      UNION ALL SELECT * FROM source
+    ),
+    diverged AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey = (SELECT MIN(o_orderkey) FROM merged)
+                  THEN o_totalprice + 777 ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM merged
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM diverged GROUP BY 1
+    """,
+)
+def snapshot_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``,
+    SnapshotTable.clone — mr_spark/acid.py): fork the committed merge
+    fixture into a second table by reference — the clone's v1 manifest
+    points at the SOURCE's immutable files by absolute path, copying
+    ZERO data bytes — then diverge it with a single-row MERGE. The query
+    RAISES unless (a) the clone's v1 references are ALL external (zero
+    copy), (b) after the divergent merge only the touched bucket
+    localized — external references remain alongside the clone's own
+    files (incremental localization, exactly Delta's clone-write
+    semantics), and (c) the SOURCE is untouched (same version, no new
+    files). The oracle replays merge + the min-key update relationally.
+
+    Scale: cloning a 100 TB table costs one manifest write — the
+    test-against-production, experiment-branch and dev-sandbox pattern —
+    and each clone write localizes only the buckets it rewrites, so a
+    clone that changes 1% of the data stores 1% of it."""
+    t, src = _orders_clone_fixture(spark, sf_dir, "acid_clone_demo")
+    import os as _os
+
+    v1_entries = [
+        e for rels in t._manifest(1)["files"].values() for e in rels
+    ]
+    if not v1_entries or not all(_os.path.isabs(e) for e in v1_entries):
+        raise RuntimeError(
+            "shallow clone copied data: v1 should reference the source "
+            "exclusively by absolute path"
+        )
+    v2_entries = [
+        e for rels in t._manifest(2)["files"].values() for e in rels
+    ]
+    if not any(_os.path.isabs(e) for e in v2_entries) or not any(
+        not _os.path.isabs(e) for e in v2_entries
+    ):
+        raise RuntimeError(
+            "divergent merge localized everything (or nothing) — expected "
+            "only the touched bucket to move into the clone"
+        )
+    if src.latest_version() != 2:
+        raise RuntimeError("clone write advanced the SOURCE table's version")
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def _orders_copy_into_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """Landing-zone fixture for COPY INTO: orders written once as parquet
+    files in four slices (o_orderkey % 4), then ingested through two
+    overlapping copy_into runs — run 1 loads slices 0-1, run 2 re-lists
+    everything and loads only slices 2-3. Returns (table, all_files).
+    Memoized per process (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 3)
+    cached = _FIXTURES.get(key)
+    if cached is not None and cached[0].spark is spark:
+        try:
+            if cached[0].latest_version() == 3:
+                return cached
+        except Exception:
+            pass  # table dir gone — rebuild
+    import os as _os
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    land = _snapshot_demo_path(demo + "_landing")
+    k = F.col("o_orderkey")
+    batches = []
+    for i in range(4):
+        d = _os.path.join(land, f"slice{i}")
+        o.where(k % 4 == i).repartition(2).write.mode("overwrite").parquet(d)
+        batches.append(
+            sorted(
+                _os.path.join(d, fn)
+                for fn in _os.listdir(d)
+                if fn.endswith(".parquet")
+            )
+        )
+    t = SnapshotTable.create(
+        spark, _snapshot_demo_path(demo), o.limit(0), key="o_orderkey",
+        n_buckets=4,
+    )
+    first = batches[0] + batches[1]
+    every = [p for b in batches for p in b]
+    _, loaded1, skipped1 = t.copy_into(first)
+    _, loaded2, skipped2 = t.copy_into(every)  # overlapping re-list
+    if (loaded1, skipped1) != (len(first), 0) or (loaded2, skipped2) != (
+        len(every) - len(first),
+        len(first),
+    ):
+        raise RuntimeError(
+            f"copy_into file accounting wrong: run1 ({loaded1}, {skipped1}), "
+            f"run2 ({loaded2}, {skipped2}) — files double-loaded or dropped"
+        )
+    cached = (t, every)
+    _FIXTURES[key] = cached
+    return cached
+
+
+@query(
+    "copy_into_idempotent",
+    # the four slices reassemble orders exactly — the oracle aggregates
+    # the source, certifying no file loaded twice or dropped
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def copy_into_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO — file-level idempotent ingest (Delta's COPY INTO,
+    SnapshotTable.copy_into — mr_spark/acid.py): orders lands in a
+    directory as four parquet slices; ingest run 1 loads two of them,
+    run 2 re-lists the WHOLE directory and loads only the other two —
+    every source file is recorded (by absolute path) in the manifest's
+    ingest ledger, which rides delta manifests as O(newly-ingested)
+    additions and survives checkpoints and fresh readers. The query
+    replays the full file list through a FRESH reader on every run and
+    RAISES unless the replay is a no-op (zero loaded, zero version
+    advance) — so a driver-green row certifies exactly-once-per-file
+    ingest under at-least-once scheduling, the property that makes a
+    cron'd "load the landing zone" job safe. The oracle aggregates
+    orders: the slices must reassemble the source exactly — nothing
+    double-loaded, nothing dropped.
+
+    Scale: the ingest edge of every 100 TB pipeline — files arrive
+    continuously, the loader re-lists and retries; ledger lookup is a
+    set-difference in manifest metadata, and each run's cost is
+    O(new files), never O(table) (protocol pinned in
+    tests/test_acid.py::test_copy_into_is_file_level_idempotent)."""
+    from ..acid import SnapshotTable
+
+    t, every = _orders_copy_into_fixture(spark, sf_dir, "acid_copyinto_demo")
+    fresh = SnapshotTable(spark, t.path)
+    v_before = fresh.latest_version()
+    v, loaded, skipped = fresh.copy_into(every)
+    if (v, loaded, skipped) != (v_before, 0, len(every)):
+        raise RuntimeError(
+            f"replayed COPY INTO was not a no-op: version {v_before} -> {v}, "
+            f"loaded {loaded}, skipped {skipped} of {len(every)} — the "
+            "ingest ledger failed and a scheduled loader would double-load"
+        )
+    return (
+        fresh.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

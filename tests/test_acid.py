@@ -10,7 +10,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from mr_spark.acid import ConflictError, SnapshotTable
+from mr_spark.acid import ConflictError, ConstraintViolation, SnapshotTable
 
 
 def _mk(spark, tmp_path, rows, n_buckets=4):
@@ -938,3 +938,173 @@ def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
     t2.drop_constraint("k_positive")
     t2.append(spark.createDataFrame([(-3, "ok-now")], "k bigint, v string"))
     assert (-3, "ok-now") in _rows(t2.read())
+
+
+def test_restore_is_metadata_only_and_preserves_history(spark, tmp_path):
+    """RESTORE commits a new version equal to an older one with ZERO data
+    movement; rolled-back versions stay time-travelable; txn tags carry
+    forward (replay protection survives the rollback)."""
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")])
+    t.merge_upsert(
+        spark.createDataFrame([(2, "B"), (9, "Z")], "k bigint, v string"),
+        batch_id=5,
+        app_id="writer1",
+    )
+    t.delete_keys(spark.createDataFrame([(1,)], "k bigint"))
+    v1_rows = _rows(t.read(1))
+    n_data_files = len(os.listdir(os.path.join(t.path, "data")))
+    v = t.restore(1)
+    assert v == 4
+    # metadata-only: not one data file written
+    assert len(os.listdir(os.path.join(t.path, "data"))) == n_data_files
+    assert _rows(t.read()) == v1_rows
+    assert t._manifest(4)["files"] == t._manifest(1)["files"]
+    # history intact: the rolled-back states still read
+    assert (1, "a") not in _rows(t.read(3))
+    assert (2, "B") in _rows(t.read(2))
+    # the restore is an ordinary commit: the change feed explains it
+    feed = {(r["_change_type"], r["k"], r["v"]) for r in t.changes(3, 4).collect()}
+    assert ("insert", 1, "a") in feed  # the deleted row comes back
+    assert ("delete", 9, "Z") in feed  # the merge's insert rolls away
+    # txn map carried FORWARD: writer1's batch 5 still recorded, so a
+    # replayed micro-batch from before the restore is a no-op
+    v_now = t.latest_version()
+    t.merge_upsert(
+        spark.createDataFrame([(2, "BOOM")], "k bigint, v string"),
+        batch_id=5,
+        app_id="writer1",
+    )
+    assert t.latest_version() == v_now
+    # out-of-range targets raise
+    with pytest.raises(ValueError, match="outside committed range"):
+        t.restore(99)
+
+
+def test_restore_past_vacuumed_files_raises(spark, tmp_path):
+    """A restore target whose files were reclaimed must fail loudly, not
+    commit a manifest pointing at nothing (Delta errors identically)."""
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b")], n_buckets=1)
+    t.merge_upsert(spark.createDataFrame([(1, "A")], "k bigint, v string"))
+    # v1's single bucket file was superseded by the merge rewrite —
+    # simulate a vacuum past the retention window taking it
+    only_v1 = set(t._manifest(1)["files"]["0"]) - set(
+        t._manifest(2)["files"]["0"]
+    )
+    for rel in only_v1:
+        os.unlink(os.path.join(t.path, rel))
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.restore(1)
+    assert t.latest_version() == 2  # nothing committed
+
+
+def test_shallow_clone_zero_copy_then_diverges(spark, tmp_path):
+    """CLONE copies metadata only (zero data files), reads equal to the
+    source, then diverges: clone writes land in the clone's dir and
+    localize only rewritten buckets; the source is never touched."""
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c"), (4, "d")])
+    t.merge_upsert(spark.createDataFrame([(2, "B")], "k bigint, v string"))
+    src_rows = _rows(t.read())
+    c = t.clone(str(tmp_path / "clone"))
+    # zero copy: the clone's own data dir is EMPTY at v1
+    assert os.listdir(os.path.join(c.path, "data")) == []
+    assert _rows(c.read()) == src_rows
+    # a FRESH reader of the clone path resolves the absolute references
+    fresh = SnapshotTable(spark, c.path)
+    assert _rows(fresh.read()) == src_rows
+    # divergence: write to the clone — source version/rows unchanged
+    c.merge_upsert(spark.createDataFrame([(3, "LOCAL"), (7, "N")], "k bigint, v string"))
+    assert t.latest_version() == 2
+    assert _rows(t.read()) == src_rows
+    assert (3, "LOCAL") in _rows(c.read()) and (7, "N") in _rows(c.read())
+    # the clone localized SOMETHING (rewritten buckets) but only what it
+    # touched: untouched buckets still reference the source absolutely
+    local = os.listdir(os.path.join(c.path, "data"))
+    assert local, "clone merge wrote no local files"
+    entries = [
+        e for rels in c._manifest(c.latest_version())["files"].values() for e in rels
+    ]
+    assert any(os.path.isabs(e) for e in entries), "all buckets localized?"
+    # writes to the SOURCE after cloning don't leak into the clone
+    t.merge_upsert(spark.createDataFrame([(4, "SRC")], "k bigint, v string"))
+    assert (4, "SRC") not in _rows(c.read())
+    # clone's vacuum never reaches across to source files
+    assert c.vacuum(min_age_seconds=0) == []
+    assert _rows(t.read(2)) == src_rows
+
+
+def test_shallow_clone_carries_deletion_vectors(spark, tmp_path):
+    """A clone of a table with merge-on-read DVs must keep filtering the
+    dead rows through its absolute-path DV references."""
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")])
+    t.delete_keys(spark.createDataFrame([(2,)], "k bigint"), mode="dv")
+    c = t.clone(str(tmp_path / "dvclone"))
+    assert os.listdir(os.path.join(c.path, "data")) == []
+    assert _rows(c.read()) == [(1, "a"), (3, "c")]
+
+
+def test_copy_into_is_file_level_idempotent(spark, tmp_path):
+    """COPY INTO loads each source file exactly once across overlapping
+    re-runs; a fully-replayed call commits nothing; the ledger survives
+    delta manifests, checkpoints and fresh readers."""
+    src = tmp_path / "landing"
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k bigint, v string"
+    )
+    df.where("k % 2 = 0").repartition(2).write.parquet(str(src / "b1"))
+    df.where("k % 2 = 1").repartition(2).write.parquet(str(src / "b2"))
+    batch1 = sorted(
+        str(p) for p in (src / "b1").glob("*.parquet")
+    )
+    batch2 = sorted(
+        str(p) for p in (src / "b2").glob("*.parquet")
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "tbl"), df.limit(0), key="k", n_buckets=2
+    )
+    v, loaded, skipped = t.copy_into(batch1)
+    assert (loaded, skipped) == (len(batch1), 0)
+    # overlapping re-list: only the new files load
+    v, loaded, skipped = t.copy_into(batch1 + batch2)
+    assert (loaded, skipped) == (len(batch2), len(batch1))
+    assert _rows(t.read()) == sorted((i, f"v{i}") for i in range(40))
+    # full replay: NOTHING commits
+    v_before = t.latest_version()
+    v, loaded, skipped = t.copy_into(batch1 + batch2)
+    assert (v, loaded, skipped) == (v_before, 0, len(batch1) + len(batch2))
+    assert t.latest_version() == v_before
+    # the commit record for the second load is a DELTA carrying only the
+    # newly-ingested entries — the ledger never re-serializes in full
+    raw = t._read_vfile(3)
+    assert raw.get("delta") and sorted(raw["ledger_adds"]) == [
+        os.path.abspath(p) for p in batch2
+    ]
+    # fresh reader (and checkpointed table) still skips
+    t.checkpoint_interval = 2
+    t.append(spark.createDataFrame([(100, "x")], "k bigint, v string"))
+    assert t._checkpoint_versions(), "expected a checkpoint"
+    fresh = SnapshotTable(spark, t.path)
+    v, loaded, skipped = fresh.copy_into(batch1)
+    assert (loaded, skipped) == (0, len(batch1))
+
+
+def test_copy_into_respects_constraints_and_schema(spark, tmp_path):
+    """COPY INTO validates CHECK constraints and reads under the table
+    schema (extra source columns ignored, missing ones NULL)."""
+    src = tmp_path / "landing2"
+    good = spark.createDataFrame([(1, "a", 9.9)], "k bigint, v string, extra double")
+    good.coalesce(1).write.parquet(str(src / "good"))
+    bad = spark.createDataFrame([(-5, "neg")], "k bigint, v string")
+    bad.coalesce(1).write.parquet(str(src / "bad"))
+    base = spark.createDataFrame([(10, "z")], "k bigint, v string")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "tbl2"), base, key="k", n_buckets=2
+    )
+    t.add_constraint("k_positive", "k > 0")
+    gfiles = sorted(str(p) for p in (src / "good").glob("*.parquet"))
+    bfiles = sorted(str(p) for p in (src / "bad").glob("*.parquet"))
+    t.copy_into(gfiles)  # extra column silently dropped
+    assert (1, "a") in _rows(t.read())
+    v_now = t.latest_version()
+    with pytest.raises(ConstraintViolation):
+        t.copy_into(bfiles)
+    assert t.latest_version() == v_now
