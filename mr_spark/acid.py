@@ -480,7 +480,8 @@ class SnapshotTable:
         m = {
             "version": delta["version"],
             "key": base["key"],
-            "n_buckets": base["n_buckets"],
+            # bucket-spec evolution (rebucket) rides deltas like schema
+            "n_buckets": delta.get("n_buckets", base["n_buckets"]),
             "schema": delta.get("schema", base["schema"]),
             "files": files,
             "stats": stats,
@@ -562,6 +563,8 @@ class SnapshotTable:
             d["constraints"] = nxt.get("constraints", {})
         if nxt["schema"] != base["schema"]:
             d["schema"] = nxt["schema"]
+        if nxt["n_buckets"] != base["n_buckets"]:
+            d["n_buckets"] = nxt["n_buckets"]
         if nxt.get("txns") is not None and nxt.get("txns") != base.get("txns"):
             d["txns"] = nxt["txns"]
         old_ledger = base.get("copy_ledger", [])
@@ -966,6 +969,48 @@ class SnapshotTable:
             }
         out._commit(manifest, base_version=0)
         return out
+
+    def rebucket(self, n_buckets: int) -> int:
+        """BUCKET-SPEC EVOLUTION (Iceberg's partition-spec evolution,
+        applied to this layer's hash bucketing): rewrite the table under
+        a NEW bucket count in one commit. The bucket count is a
+        PER-VERSION property — every manifest records its own, and every
+        reader/writer resolves key→bucket through the manifest it reads —
+        so old versions stay readable under their old layout and the
+        change needs no table-wide coordination beyond this one commit.
+
+        Why it matters at scale: bucket count fixes the granularity of
+        copy-on-write — a table that grew 10× since creation rewrites
+        10×-bigger buckets on every narrow MERGE until it re-buckets.
+        The rewrite costs one full shuffle of the CURRENT rows (the same
+        economics as OPTIMIZE), paid once, after which per-commit costs
+        shrink by the fan-out factor.
+
+        Deletion vectors are APPLIED during the rewrite (the new files
+        are clean). The change feed across a rebucket commit reads both
+        versions in full (every bucket's file list changes) and
+        correctly reports ZERO row changes — data movement, not data
+        change."""
+        base = self.latest_version()
+        m = self._manifest(base)
+        if n_buckets == m["n_buckets"]:
+            return base
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        rows = self._read_files(
+            [
+                self._entry_full(rel)
+                for rels in m["files"].values()
+                for rel in rels
+            ],
+            m,
+        ).withColumn("__bucket", _bucket_col(m["key"], n_buckets))
+        new_files, new_stats = self._write_bucket_files(
+            rows, self._bloom_cols(m)
+        )
+        nxt = self._next_manifest(m, new_files, new_stats, dvs={})
+        nxt["n_buckets"] = n_buckets
+        return self._commit(nxt, base)
 
     def copy_into(self, paths: list[str]) -> tuple[int, int, int]:
         """Delta's ``COPY INTO``: file-level IDEMPOTENT ingest of external

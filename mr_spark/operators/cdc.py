@@ -1565,3 +1565,100 @@ def copy_into_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+def _orders_rebucket_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """3-version history for the rebucket query: v1 = orders under 2
+    buckets, v2 = rebucket(16), v3 = a single-row MERGE (min o_orderkey,
+    price +777) under the evolved layout. Memoized per process (see
+    _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 3)
+    cached = _FIXTURES.get(key)
+    if cached is not None and cached.spark is spark:
+        try:
+            if cached.latest_version() == 3:
+                return cached
+        except Exception:
+            pass  # table dir gone — rebuild
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    t = SnapshotTable.create(
+        spark, _snapshot_demo_path(demo), o, key="o_orderkey", n_buckets=2
+    )
+    t.rebucket(16)
+    kmin = o.agg(F.min("o_orderkey")).collect()[0][0]
+    t.merge_upsert(
+        o.where(F.col("o_orderkey") == kmin).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 777
+        )
+    )
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "acid_rebucket",
+    # state = orders with the min-key row's price +777 (the rebucket
+    # itself moves data without changing it)
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(
+             CASE WHEN o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+                  THEN o_totalprice + 777 ELSE o_totalprice END
+             AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def acid_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET-SPEC EVOLUTION (Iceberg's partition-spec evolution applied
+    to hash bucketing, SnapshotTable.rebucket — mr_spark/acid.py): a
+    table created under 2 buckets is rewritten under 16 in one commit —
+    the bucket count is a PER-VERSION manifest property, so v1 stays
+    readable under its old layout and the new count rides the delta-
+    manifest log like a schema change. The query RAISES unless (a) the
+    manifests record the 2 → 16 evolution, (b) the evolved layout really
+    fans out (16 bucket groups), and (c) the single-row MERGE after the
+    evolution rewrote EXACTLY ONE of the 16 buckets — the point of the
+    operation: copy-on-write granularity follows the new spec
+    immediately. The oracle replays the min-key update over orders (the
+    rebucket moves rows without changing them — pinned with an empty
+    change feed in tests/test_acid.py::test_rebucket_evolves_layout...).
+
+    Scale: bucket count fixes MERGE economics — a table that grew 10×
+    since creation rewrites 10×-bigger buckets per narrow merge until it
+    re-buckets; the evolution costs one full shuffle (OPTIMIZE-sized),
+    paid once, and needs no table-wide coordination beyond one commit."""
+    t = _orders_rebucket_fixture(spark, sf_dir, "acid_rebucket_demo")
+    m1, m2, m3 = t._manifest(1), t._manifest(2), t._manifest(3)
+    if not (m1["n_buckets"] == 2 and m2["n_buckets"] == 16 == m3["n_buckets"]):
+        raise RuntimeError(
+            f"bucket-spec evolution not recorded: n_buckets "
+            f"{m1['n_buckets']} -> {m2['n_buckets']} -> {m3['n_buckets']}"
+        )
+    if len(m2["files"]) != 16:
+        raise RuntimeError(
+            f"rebucket(16) produced {len(m2['files'])} bucket groups — "
+            "the rewrite did not follow the new spec"
+        )
+    changed = [
+        b for b in m3["files"] if m3["files"][b] != m2["files"].get(b)
+    ]
+    if len(changed) != 1:
+        raise RuntimeError(
+            f"single-key merge after rebucket rewrote {len(changed)} "
+            "buckets — copy-on-write is not honoring the evolved spec"
+        )
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -28,6 +28,17 @@ tests/test_streaming.py (stream batch == union of changes() slices).
 Caveat (same as Spark's groupBy vs Python equality): float NaN columns
 would compare unequal row-to-row here; the CDF key/colums of the
 registered fixtures are int/str/double without NaNs.
+
+Known limitation — NO TRIGGER RATE LIMITING (Delta's maxFilesPerTrigger
+analog would be max-versions-per-batch): the Python
+``DataSourceStreamReader`` API's ``latestOffset()`` takes no start
+offset or ReadLimit, so capping a batch would require the reader to
+track its own progress, and on restart that private state can lag the
+engine's checkpointed offset — returning a lower "latest" than the
+committed offset would make the engine re-plan already-committed
+versions (duplicate feed rows downstream). Until the API grows
+admission control, every trigger drains all outstanding versions;
+each is still read changed-buckets-only.
 """
 
 from __future__ import annotations

@@ -1108,3 +1108,39 @@ def test_copy_into_respects_constraints_and_schema(spark, tmp_path):
     with pytest.raises(ConstraintViolation):
         t.copy_into(bfiles)
     assert t.latest_version() == v_now
+
+
+def test_rebucket_evolves_layout_and_narrows_cow(spark, tmp_path):
+    """Bucket-spec evolution: data identical before/after, old versions
+    keep their old layout, the new count rides delta manifests and
+    checkpoints, the change feed across the rewrite is EMPTY, and a
+    narrow merge afterwards rewrites a 1/new-count bucket."""
+    rows = [(i, f"v{i}") for i in range(64)]
+    t = _mk(spark, tmp_path, rows, n_buckets=2)
+    v = t.rebucket(8)
+    assert v == 2
+    assert t._manifest(2)["n_buckets"] == 8 and t._manifest(1)["n_buckets"] == 2
+    assert _rows(t.read()) == sorted(rows)          # data unchanged
+    assert _rows(t.read(1)) == sorted(rows)         # old version readable
+    assert len(t._manifest(2)["files"]) == 8        # real fan-out
+    assert t.changes(1, 2).count() == 0             # movement, not change
+    # no-op when the count already matches
+    assert t.rebucket(8) == 2
+    # the evolved count survives delta folds + a fresh reader
+    raw = t._read_vfile(2)
+    assert raw.get("delta") and raw["n_buckets"] == 8
+    fresh = SnapshotTable(spark, t.path)
+    assert fresh._manifest(2)["n_buckets"] == 8
+    # narrow merge now touches 1 of 8 buckets, not 1 of 2
+    m2 = t._manifest(2)
+    t.merge_upsert(spark.createDataFrame([(3, "NEW")], "k bigint, v string"))
+    m3 = t._manifest(3)
+    changed = [b for b in m3["files"] if m3["files"][b] != m2["files"].get(b)]
+    assert len(changed) == 1
+    # DVs are applied (not carried) through the rewrite
+    t.delete_keys(spark.createDataFrame([(5,)], "k bigint"), mode="dv")
+    assert t._manifest(t.latest_version()).get("dvs")
+    t.rebucket(4)
+    m_last = t._manifest(t.latest_version())
+    assert not m_last.get("dvs")
+    assert (5, "v5") not in _rows(t.read())

@@ -1,5 +1,5 @@
 """Model-based property test for SnapshotTable (mr_spark/acid.py):
-random operation sequences (merge / blind append / keyed delete /
+random operation sequences (merge / blind append / keyed delete / restore /
 compact) run both against the real table and an in-memory multiset
 model; after every op the table's read() must equal the model, and the
 per-commit change feed must equal the model's multiset diff under the
@@ -42,7 +42,13 @@ def _op():
         lambda k: ("delete_dv", sorted(k))
     )
     compact = st.just(("compact", None))
-    return st.one_of(merge, append, delete, delete_dv, compact)
+    # RESTORE to a random earlier version (index resolved mod the live
+    # version count at runtime) — the model rolls back to its recorded
+    # state at that version; the feed must explain the rollback
+    restore = st.integers(min_value=0, max_value=10).map(
+        lambda i: ("restore", i)
+    )
+    return st.one_of(merge, append, delete, delete_dv, compact, restore)
 
 
 def _expected_feed(before: list, after: list) -> list:
@@ -101,6 +107,7 @@ def test_snapshot_table_matches_multiset_model(spark, tmp_path_factory, ops):
     # 2nd commit checkpoints, so reads mix full/checkpoint/delta-fold bases
     t.checkpoint_interval = 2
     version = 1
+    history = {1: list(model)}  # committed state per version, for restore
     # maintained agg view (count, sum k per v) advanced ONLY by feed
     # folds — VERDICT r4 #5: the fold must compose across arbitrary
     # commit sequences, equal to the recompute after EVERY step
@@ -130,6 +137,10 @@ def test_snapshot_table_matches_multiset_model(spark, tmp_path_factory, ops):
             if new_version == version:
                 continue  # no bucket held the keys: no commit (like compact)
             model = [r for r in model if r[0] not in set(arg)]
+        elif kind == "restore":
+            target = 1 + (arg % version)
+            new_version = t.restore(target)
+            model = list(history[target])
         else:  # compact — data must be unchanged
             new_version = t.compact()
             if new_version == version:
@@ -152,3 +163,4 @@ def test_snapshot_table_matches_multiset_model(spark, tmp_path_factory, ops):
         }
         assert got_view == _view_of(model), f"view diverged after {kind}"
         version = new_version
+        history[version] = list(model)

@@ -130,6 +130,12 @@ PROBES = [
     "acid_optimize_zorder",
     "acid_deletion_vectors",
     "acid_constraints",
+    # round-5 third session: version rollback, zero-copy table fork,
+    # file-level idempotent ingest
+    "snapshot_restore",
+    "snapshot_clone_shallow",
+    "copy_into_idempotent",
+    "acid_rebucket",
 ]
 
 KEY_SHIFTS = {
