@@ -300,3 +300,167 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 2)
         .select("hour_start", "event_type", "n")
     )
+
+
+# per-process memo for the event-time-ordered replay dir (immutable once
+# written; pid-scoped via _demo.demo_path, cleaned at exit)
+_ORDERED_REPLAY: dict = {}
+
+
+def _ordered_events_replay(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """EVENT-TIME-ORDERED file replay of the events table: rows
+    range-partitioned on ``ts`` into ``n_files`` parquet files whose
+    modification times are forced ascending, so the file stream
+    (maxFilesPerTrigger=1) delivers micro-batches in event-time order —
+    batch i+1's earliest row is never older than batch i's watermark.
+    That makes a SMALL watermark sound for correctness tests: nothing is
+    ever late, yet the watermark genuinely advances between batches and
+    drives state eviction (the thing a 720-hour everything-is-early
+    watermark can never exercise). This is the streaming-test analog of
+    replaying a Kafka topic partitioned by time."""
+    import time as _time
+
+    key = (sf_dir, n_files)
+    path = _ORDERED_REPLAY.get(key)
+    if path and os.path.isdir(path):
+        return path
+    from ..sources import load_table
+    from ._demo import demo_path
+
+    # the dir name must carry the SOURCE identity too: the memo is keyed
+    # by (sf_dir, n_files), so a shared name would let a second sf_dir
+    # (scale probe, multi-SF test run) overwrite the first's files while
+    # the first's memo still points there
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = demo_path(f"events_ordered_{n_files}_{tag}")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    (
+        ev.repartitionByRange(n_files, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    # range partition i holds the i-th ts slice and lands as part-0000i-*;
+    # force mtimes ascending in that order so the file source (which
+    # sorts by modification time) picks them up oldest-slice first
+    parts = sorted(fn for fn in os.listdir(path) if fn.endswith(".parquet"))
+    base_t = _time.time() - 3600
+    for i, fn in enumerate(parts):
+        os.utime(os.path.join(path, fn), (base_t + i, base_t + i))
+    _ORDERED_REPLAY[key] = path
+    return path
+
+
+@query(
+    "stream_stream_left_join",
+    # unmatched purchases emit ONLY once the watermark proves no click
+    # can still arrive — the 2h cutoff keeps every retained purchase
+    # strictly below the final watermark (max ts - 1h), so the streaming
+    # result is exactly the relational left join the oracle computes
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    mx AS (SELECT MAX(ts) AS m FROM ev),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM ev, mx
+      WHERE event_type = 'purchase' AND ts <= m - INTERVAL 2 HOUR
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id AS c_user_id, ts AS c_ts
+      FROM ev WHERE event_type = 'click'
+    )
+    SELECT purchase_id, click_id, user_id
+    FROM p LEFT JOIN c
+      ON user_id = c_user_id
+     AND c_ts >= p_ts - INTERVAL 1 HOUR
+     AND c_ts <= p_ts
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join with WATERMARK STATE EVICTION — the
+    join mode the inner stream_stream_join cannot exercise: an unmatched
+    purchase is held in the state store until the watermark passes the
+    last instant a matching click could still arrive (here p_ts, the
+    range's upper bound), and only then emits with a NULL click — Spark's
+    outer-join eviction contract. The inner query's 720-hour watermark
+    would never evict, so this query replays events in EVENT-TIME ORDER
+    (range-partitioned files with ascending mtimes — see
+    _ordered_events_replay) and uses a 1-hour watermark: nothing is ever
+    late, yet the watermark advances every micro-batch and flushes each
+    resolved purchase. Purchases within 2 hours of the stream's end are
+    excluded from the RESULT (sink-side here, WHERE-clause in the
+    oracle) because their no-more-matches proof never arrives before a
+    finite stream ends; the final combined watermark (max ts − 1h) sits
+    strictly above every retained purchase, so the streaming result
+    equals the relational left join exactly.
+
+    Scale: outer-join state is bounded by the watermark horizon — each
+    side holds only rows younger than (watermark − join range), evicted
+    continuously; a day-long range over a year-long stream keeps a day
+    of state, not a year. State store partitions = shuffle partitions,
+    sized via run_to_completion(state_partitions=8)."""
+    from ..streaming import run_to_completion
+
+    replay = _ordered_events_replay(spark, sf_dir)
+    schema = spark.read.parquet(replay).schema
+    # the cutoff literal comes from a bounded 1-row batch aggregate of
+    # the same normalized data the oracle's MAX(ts) sees
+    from ..sources import load_table
+
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+
+    def side(event_type: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+            .where(F.col("event_type") == event_type)
+        )
+
+    # the 2h cutoff is applied to the SINK OUTPUT, not the input stream:
+    # filtering purchases before withWatermark would cap the purchase
+    # side's own watermark at (cutoff − 1h), and the no-more-matches
+    # proof uses the COMBINED (min) watermark — the last retained
+    # purchases could then never evict. Unfiltered, the final combined
+    # watermark is (max ts − 1h), strictly above every retained p_ts.
+    purchases = (
+        side("purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        side("click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "user_id", "p_ts")
+    out = run_to_completion(
+        joined,
+        name="mrspark_stream_left_join",
+        output_mode="append",
+        state_partitions=8,
+    )
+    return out.where(
+        F.col("p_ts") <= F.lit(mx) - F.expr("INTERVAL 2 HOUR")
+    ).select("purchase_id", "click_id", "user_id")

@@ -308,3 +308,45 @@ def test_cdf_stream_source_resumes_from_start_version(spark, tmp_path):
         )
     )
     assert got == [("insert", 5, "e")]
+
+
+def test_stream_left_outer_join_emits_unmatched_via_eviction(spark):
+    """The left-outer stream-stream join must equal the batch left join
+    on the retained window AND must actually exercise eviction: unmatched
+    purchases (NULL click) appear in the streaming output only because
+    the advancing watermark proved no click can still arrive."""
+    from pyspark.sql import functions as F
+
+    import mr_spark.operators as ops
+    from mr_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = ops.queries()["stream_stream_left_join"](spark, sf)
+    rows = {(r["purchase_id"], r["click_id"]) for r in got.collect()}
+    assert any(c is None for _, c in rows), "no unmatched purchase emitted"
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    p = ev.where(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") <= F.lit(mx) - F.expr("INTERVAL 2 HOUR"))
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    exp = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    exp_rows = {(r["purchase_id"], r["click_id"]) for r in exp.collect()}
+    assert rows == exp_rows

@@ -136,6 +136,7 @@ PROBES = [
     "snapshot_clone_shallow",
     "copy_into_idempotent",
     "acid_rebucket",
+    "stream_stream_left_join",
 ]
 
 KEY_SHIFTS = {
