@@ -1034,12 +1034,15 @@ class SnapshotTable:
         base = self.latest_version()
         m = self._manifest(base)
         ledger = set(m.get("copy_ledger", []))
-        canon = [(p, os.path.abspath(p)) for p in paths]
-        todo = [(p, a) for p, a in canon if a not in ledger]
+        # dedupe WITHIN the call on the canonical path too: a listing that
+        # yields the same file twice (overlapping globs, one relative +
+        # one absolute form) must still load it exactly once
+        canon = dict.fromkeys(os.path.abspath(p) for p in paths)
+        todo = [a for a in canon if a not in ledger]
         if not todo:
             return base, 0, len(paths)
         schema = StructType.fromJson(json.loads(m["schema"]))
-        df = self.spark.read.schema(schema).parquet(*[p for p, _ in todo])
+        df = self.spark.read.schema(schema).parquet(*todo)
         self._check_constraints(m, df)
         new_files, new_stats = self._write_bucket_files(
             df.withColumn("__bucket", _bucket_col(m["key"], m["n_buckets"])),
@@ -1049,9 +1052,7 @@ class SnapshotTable:
         for b, rels in new_files.items():
             files[b] = files.get(b, []) + rels
         nxt = self._next_manifest(m, files, new_stats)
-        nxt["copy_ledger"] = list(m.get("copy_ledger", [])) + [
-            a for _, a in todo
-        ]
+        nxt["copy_ledger"] = list(m.get("copy_ledger", [])) + todo
         v = self._commit(nxt, base)
         return v, len(todo), len(paths) - len(todo)
 

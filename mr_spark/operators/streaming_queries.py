@@ -366,7 +366,13 @@ def _ordered_events_replay(spark: SparkSession, sf_dir: str, n_files: int = 4) -
       SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
       FROM events
     ),
-    mx AS (SELECT MAX(ts) AS m FROM ev),
+    mx AS (
+      SELECT LEAST(
+        MAX(CASE WHEN event_type = 'purchase' THEN ts END),
+        MAX(CASE WHEN event_type = 'click' THEN ts END)
+      ) AS m
+      FROM ev
+    ),
     p AS (
       SELECT event_id AS purchase_id, user_id, ts AS p_ts
       FROM ev, mx
@@ -394,12 +400,15 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (range-partitioned files with ascending mtimes — see
     _ordered_events_replay) and uses a 1-hour watermark: nothing is ever
     late, yet the watermark advances every micro-batch and flushes each
-    resolved purchase. Purchases within 2 hours of the stream's end are
-    excluded from the RESULT (sink-side here, WHERE-clause in the
-    oracle) because their no-more-matches proof never arrives before a
-    finite stream ends; the final combined watermark (max ts − 1h) sits
-    strictly above every retained purchase, so the streaming result
-    equals the relational left join exactly.
+    resolved purchase. Purchases near the stream's end are excluded from
+    the RESULT (sink-side here, WHERE-clause in the oracle) because
+    their no-more-matches proof never arrives before a finite stream
+    ends — and the cutoff anchors to the COMBINED watermark, which is
+    the MIN over both sides' own event-time maxima (each side's
+    watermark sees only its event_type's rows; Spark's
+    multipleWatermarkPolicy=min), minus the 1h delay: every retained
+    purchase sits strictly below it, so the streaming result equals the
+    relational left join exactly.
 
     Scale: outer-join state is bounded by the watermark horizon — each
     side holds only rows younger than (watermark − join range), evicted
@@ -410,11 +419,26 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     replay = _ordered_events_replay(spark, sf_dir)
     schema = spark.read.parquet(replay).schema
-    # the cutoff literal comes from a bounded 1-row batch aggregate of
-    # the same normalized data the oracle's MAX(ts) sees
+    # the cutoff anchors to the COMBINED final watermark, which under the
+    # default multipleWatermarkPolicy=min is the MINIMUM over both sides'
+    # own event-time maxima (each side's watermark advances only on the
+    # rows that pass ITS event_type filter) minus the 1h delay — the
+    # global MAX(ts) would overshoot whenever one side's last event lags
+    # the other's by more than the margin, leaving unmatched purchases
+    # below the cutoff but above the real watermark stuck in state
+    # (1-row bounded batch aggregate, mirrored by the oracle's LEAST)
     from ..sources import load_table
 
-    mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    mx = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            )
+        )
+        .collect()[0][0]
+    )
 
     def side(event_type: str):
         return (
@@ -425,11 +449,12 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # the 2h cutoff is applied to the SINK OUTPUT, not the input stream:
-    # filtering purchases before withWatermark would cap the purchase
-    # side's own watermark at (cutoff − 1h), and the no-more-matches
-    # proof uses the COMBINED (min) watermark — the last retained
-    # purchases could then never evict. Unfiltered, the final combined
-    # watermark is (max ts − 1h), strictly above every retained p_ts.
+    # filtering purchases by the cutoff before withWatermark would cap
+    # the purchase side's own watermark at (cutoff − 1h), and the
+    # no-more-matches proof uses the COMBINED (min) watermark — the last
+    # retained purchases could then never evict. Uncapped, the combined
+    # watermark reaches min(side maxima) − 1h = cutoff + 1h, strictly
+    # above every retained p_ts.
     purchases = (
         side("purchase")
         .select(

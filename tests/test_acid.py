@@ -1144,3 +1144,22 @@ def test_rebucket_evolves_layout_and_narrows_cow(spark, tmp_path):
     m_last = t._manifest(t.latest_version())
     assert not m_last.get("dvs")
     assert (5, "v5") not in _rows(t.read())
+
+
+def test_copy_into_dedupes_within_one_call(spark, tmp_path):
+    """A listing that yields the same file twice in ONE call (overlapping
+    globs, relative + absolute forms of one path) must load it exactly
+    once — the within-call half of the exactly-once-per-file contract."""
+    src = tmp_path / "landing3"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    df.coalesce(1).write.parquet(str(src))
+    f = next(str(p) for p in src.glob("*.parquet"))
+    rel = os.path.relpath(f)
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "tbl"), df.limit(0), key="k", n_buckets=2
+    )
+    v, loaded, skipped = t.copy_into([f, f, rel])  # dup + mixed forms
+    assert loaded == 1
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]  # no double rows
+    m = t._manifest(v)
+    assert m["copy_ledger"] == [os.path.abspath(f)]  # one ledger entry

@@ -320,14 +320,22 @@ def test_stream_left_outer_join_emits_unmatched_via_eviction(spark):
     import mr_spark.operators as ops
     from mr_spark.sources import load_table
 
-    sf = "/root/testdata/sf0.001"
+    from conftest import SF_DIR as sf
+
     got = ops.queries()["stream_stream_left_join"](spark, sf)
     rows = {(r["purchase_id"], r["click_id"]) for r in got.collect()}
     assert any(c is None for _, c in rows), "no unmatched purchase emitted"
     ev = load_table(spark, sf, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
-    mx = ev.agg(F.max("ts")).collect()[0][0]
+    # same anchor as the query: the combined watermark is the MIN over
+    # both sides' own event-time maxima
+    mx = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        )
+    ).collect()[0][0]
     p = ev.where(
         (F.col("event_type") == "purchase")
         & (F.col("ts") <= F.lit(mx) - F.expr("INTERVAL 2 HOUR"))
