@@ -82,12 +82,14 @@ implemented round 5; this is Delta's _delta_log + checkpoint design):
   cleanup rule), so every retained version stays reconstructable.
 
 Remaining irreducible driver cost: data_paths() still RETURNS a Python
-list of O(live-files) paths because spark.read.parquet takes paths — the
-production step beyond (Delta's in-plan FileIndex: pruning pushed as a
-Spark filter over the checkpoint parquet, paths never materialized on
-the driver) needs a DataSource hook and is out of scope; at 10⁵ files
-the list is ~10 MB, acceptable, and pruning itself is already
-manifest-only.
+list of O(live-files) paths because spark.read.parquet takes paths; at
+10⁵ files the list is ~10 MB, acceptable, and pruning itself is already
+manifest-only. The DataSource-hook step beyond (Delta's in-plan
+FileIndex) EXISTS as of round 5: ``spark.read.format("snapshot")``
+(mr_spark/sources/snapshot_source.py) receives the scan's filters via
+``pushFilters`` during planning, prunes files from the manifest (ranges
++ blooms), and emits one input partition per surviving file — full DV +
+schema-evolution semantics through the standard reader API.
 """
 
 from __future__ import annotations

@@ -1662,3 +1662,67 @@ def acid_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "snapshot_batch_source",
+    # same 8-slice bloom fixture (reassembles orders + derived tag);
+    # the point lookup replayed relationally
+    oracle="""
+    WITH tagged AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority,
+             't' || CAST(o_orderkey % 97 AS VARCHAR) AS tag
+      FROM orders
+    )
+    SELECT CAST(o_orderkey % 3 AS BIGINT) AS key_mod,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM tagged WHERE tag = 't42' GROUP BY 1
+    """,
+)
+def snapshot_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT TABLE AS A SPARK DATASOURCE with filter pushdown into
+    manifest pruning (mr_spark/sources/snapshot_source.py — the
+    Delta-FileIndex shape, via Spark 4's DataSourceReader.pushFilters):
+    ``spark.read.format("snapshot")`` plans the scan by handing the
+    query's filters to the reader, which prunes files from the manifest
+    alone (footer ranges + per-file bloom probes for point predicates)
+    and emits ONE INPUT PARTITION PER SURVIVING FILE — executors then
+    read under the manifest schema with deletion vectors applied, so the
+    full table semantics flow through the standard reader API instead of
+    a path list materialized by data_paths(). The query RAISES unless
+    the REAL planned scan has strictly fewer partitions under the tag
+    point-lookup than unfiltered — certifying that Spark invoked
+    pushFilters and the manifest (bloom) pruning reached the physical
+    plan, not just that the row filter filtered. Pruning stays advisory:
+    every filter is returned unhandled and re-applied row-level.
+
+    Scale: this is how a 100 TB table should meet Spark — predicates
+    reach the metadata layer during planning (O(live-files) driver
+    memory, zero file opens), and the executor fan-out is exactly the
+    surviving file set; no intermediate path-list round trip."""
+    from ..sources.snapshot_source import register
+
+    t = _orders_bloom_fixture(spark, sf_dir, "acid_bloom_demo")
+    register(spark)
+    base = spark.read.format("snapshot").option("path", t.path).load()
+    n_all = base.rdd.getNumPartitions()
+    filtered = base.where(F.col("tag") == "t42")
+    n_pruned = filtered.rdd.getNumPartitions()
+    if not n_pruned < n_all:
+        raise RuntimeError(
+            f"pushFilters pruning did not reach the plan: {n_all} -> "
+            f"{n_pruned} input partitions for the point lookup — the "
+            "DataSource is scanning files the manifest can prove empty"
+        )
+    return (
+        filtered
+        .groupBy((F.col("o_orderkey") % 3).cast("bigint").alias("key_mod"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

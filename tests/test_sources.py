@@ -174,3 +174,100 @@ def test_binary_file_ingest(spark, tmp_path):
     for name, data in payloads.items():
         assert bytes(rows[name]["content"]) == data
         assert rows[name]["length"] == len(data)
+
+
+# ---- batch snapshot DataSource (sources/snapshot_source.py) -------------
+
+
+def _mk_snap(spark, tmp_path, rows, n_buckets=4, **kw):
+    from mr_spark.acid import SnapshotTable
+
+    df = spark.createDataFrame(rows, "k bigint, v string")
+    return SnapshotTable.create(
+        spark, str(tmp_path / "tbl"), df, key="k", n_buckets=n_buckets, **kw
+    )
+
+
+def test_snapshot_batch_source_reads_dvs_and_evolution(spark, tmp_path):
+    """format('snapshot') must honor full table semantics: DV-filtered
+    rows, manifest-schema NULL-fill for pre-evolution files, and the
+    version option for time travel."""
+    from pyspark.sql import functions as F
+
+    from mr_spark.sources.snapshot_source import register
+
+    t = _mk_snap(spark, tmp_path, [(i, f"v{i}") for i in range(20)])
+    t.delete_keys(spark.createDataFrame([(7,)], "k bigint"), mode="dv")
+    t.append(
+        spark.createDataFrame([(100, "x", 9)], "k bigint, v string, extra bigint"),
+        merge_schema=True,
+    )
+    register(spark)
+    out = spark.read.format("snapshot").option("path", t.path).load()
+    got = sorted((r["k"], r["v"], r["extra"]) for r in out.collect())
+    exp = sorted(
+        [(i, f"v{i}", None) for i in range(20) if i != 7] + [(100, "x", 9)]
+    )
+    assert got == exp
+    v1 = (
+        spark.read.format("snapshot")
+        .option("path", t.path)
+        .option("version", 1)
+        .load()
+    )
+    assert v1.count() == 20  # pre-delete, pre-evolution
+    assert "extra" not in v1.columns
+    # equals the native reader at every version
+    native = sorted(map(tuple, t.read().collect()))
+    assert sorted(map(tuple, out.collect())) == native
+
+
+def test_snapshot_batch_source_pushdown_prunes_partitions(spark, tmp_path):
+    """The REAL spark.read path must call pushFilters and plan fewer
+    input partitions under a prunable predicate — manifest pruning
+    through the standard reader API, no data_paths() involved."""
+    from pyspark.sql import functions as F
+
+    from mr_spark.sources.snapshot_source import register
+
+    t = _mk_snap(spark, tmp_path, [(i, f"v{i}") for i in range(40)])
+    register(spark)
+    base = spark.read.format("snapshot").option("path", t.path).load()
+    n_all = base.rdd.getNumPartitions()
+    n_pruned = base.where(F.col("k") == 3).rdd.getNumPartitions()
+    assert n_pruned < n_all, "no manifest pruning through pushFilters"
+    # pruning is advisory: the row filter still applies on survivors
+    assert [r["k"] for r in base.where(F.col("k") == 3).collect()] == [3]
+
+
+def test_snapshot_batch_source_bloom_point_lookup(spark, tmp_path):
+    """A point predicate on a bloom-indexed column prunes through the
+    source where [min,max] ranges cannot: an IN-RANGE but ABSENT value
+    survives every range check yet every file's bloom proves absence."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo
+
+    from mr_spark.sources.snapshot_source import SnapshotReader, register
+
+    # v-values hash-scatter: every file's [min, max] spans nearly the
+    # whole alphabet, so range stats keep everything
+    rows = [(i, f"t{i % 13}") for i in range(60)]
+    t = _mk_snap(spark, tmp_path, rows, n_buckets=2, bloom_cols=["v"])
+    r = SnapshotReader({"path": t.path})
+    n_all = len(r.partitions())
+    assert n_all >= 2
+    # "t5a" sorts between the stored "t5" and "t6": in-range for every
+    # file, absent from all of them
+    r2 = SnapshotReader({"path": t.path})
+    list(r2.pushFilters([EqualTo(("v",), "t5a")]))
+    parts = r2.partitions()
+    assert len(parts) == 1 and parts[0].file_path == ""  # bloom pruned all
+    # and the real read path returns empty, not an error
+    register(spark)
+    out = (
+        spark.read.format("snapshot")
+        .option("path", t.path)
+        .load()
+        .where(F.col("v") == "t5a")
+    )
+    assert out.count() == 0

@@ -137,6 +137,7 @@ PROBES = [
     "copy_into_idempotent",
     "acid_rebucket",
     "stream_stream_left_join",
+    "snapshot_batch_source",
 ]
 
 KEY_SHIFTS = {
