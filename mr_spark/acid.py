@@ -380,6 +380,10 @@ class SnapshotTable:
             m["dvs"] = dvs
         if "bloom_cols" in meta:
             m["bloom_cols"] = meta["bloom_cols"]
+        if meta.get("colmap"):
+            m["colmap"] = meta["colmap"]
+        if meta.get("phys_tombstones"):
+            m["phys_tombstones"] = meta["phys_tombstones"]
         if meta.get("constraints"):
             m["constraints"] = meta["constraints"]
         if meta.get("copy_ledger"):
@@ -439,6 +443,10 @@ class SnapshotTable:
             meta["constraints"] = m["constraints"]
         if m.get("copy_ledger"):
             meta["copy_ledger"] = m["copy_ledger"]
+        if m.get("colmap"):
+            meta["colmap"] = m["colmap"]
+        if m.get("phys_tombstones"):
+            meta["phys_tombstones"] = m["phys_tombstones"]
         # carry the replay-protection fields VERBATIM (not normalized via
         # _txns) so checkpoint-loaded and delta-folded reconstructions of
         # the same version are byte-identical dicts
@@ -481,15 +489,21 @@ class SnapshotTable:
                 stats.pop(rel, None)
         m = {
             "version": delta["version"],
-            "key": base["key"],
+            # key rename (column mapping) rides deltas like schema
+            "key": delta.get("key", base["key"]),
             # bucket-spec evolution (rebucket) rides deltas like schema
             "n_buckets": delta.get("n_buckets", base["n_buckets"]),
             "schema": delta.get("schema", base["schema"]),
             "files": files,
             "stats": stats,
         }
-        if "bloom_cols" in base:  # immutable table property — carries
-            m["bloom_cols"] = base["bloom_cols"]
+        # bloom_cols / colmap / phys_tombstones: an explicit delta entry
+        # wins even when EMPTY (rename/drop can clear them — "absent
+        # means carry" could resurrect a removed field), else carry
+        for fld in ("bloom_cols", "colmap", "phys_tombstones"):
+            val = delta[fld] if fld in delta else base.get(fld)
+            if val:
+                m[fld] = val
         cons = delta.get("constraints", base.get("constraints", {}))
         if cons:
             m["constraints"] = cons
@@ -567,6 +581,11 @@ class SnapshotTable:
             d["schema"] = nxt["schema"]
         if nxt["n_buckets"] != base["n_buckets"]:
             d["n_buckets"] = nxt["n_buckets"]
+        if nxt["key"] != base["key"]:
+            d["key"] = nxt["key"]
+        for fld in ("bloom_cols", "colmap", "phys_tombstones"):
+            if nxt.get(fld) != base.get(fld):
+                d[fld] = nxt.get(fld) or []  # explicit empty = cleared
         if nxt.get("txns") is not None and nxt.get("txns") != base.get("txns"):
             d["txns"] = nxt["txns"]
         old_ledger = base.get("copy_ledger", [])
@@ -733,6 +752,7 @@ class SnapshotTable:
         df: DataFrame,
         bloom_cols: tuple[str, ...] = (),
         arranged: bool = False,
+        colmap: dict | None = None,
     ) -> tuple[dict[str, list[str]], dict[str, dict]]:
         """Write df (which carries a __bucket column) as one immutable
         parquet file set per bucket; returns ({bucket: [relative paths]},
@@ -745,7 +765,19 @@ class SnapshotTable:
 
         ``arranged=True`` means the caller already partitioned/ordered the
         frame (e.g. compact(zorder_by=...)'s range partitioning) — the
-        default hash repartition would destroy that layout."""
+        default hash repartition would destroy that layout.
+
+        ``colmap`` renames the frame's LOGICAL columns to their PHYSICAL
+        in-file names just before the write (a narrow projection —
+        preserves any arranged layout); ``bloom_cols`` must then be the
+        PHYSICAL names."""
+        if colmap:
+            df = df.select(
+                *[
+                    F.col(c).alias(colmap.get(c, c)) if c != "__bucket" else F.col(c)
+                    for c in df.columns
+                ]
+            )
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         out_df = df if arranged else df.repartition("__bucket")
         (
@@ -828,6 +860,46 @@ class SnapshotTable:
     def _bloom_cols(m: dict) -> tuple[str, ...]:
         return tuple(m.get("bloom_cols", ()))
 
+    # ---- column mapping (Delta's RENAME/DROP COLUMN substrate) -----------
+    #
+    # Data files always store PHYSICAL column names, assigned when the
+    # column first materializes and NEVER changed afterwards; the manifest
+    # schema holds the LOGICAL names users see, and ``colmap`` maps
+    # logical -> physical where they differ (absent entry = identical).
+    # rename_column/drop_column are therefore METADATA-ONLY commits —
+    # exactly Delta's column-mapping design (name mode).
+
+    @staticmethod
+    def _colmap(m: dict) -> dict:
+        return m.get("colmap", {})
+
+    @classmethod
+    def _phys(cls, m: dict, col: str) -> str:
+        """Physical (in-file) name of a logical column."""
+        return cls._colmap(m).get(col, col)
+
+    @classmethod
+    def _physical_schema(cls, m: dict):
+        """The manifest schema with every field renamed to its physical
+        name — what the parquet scan must request."""
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        cmap = cls._colmap(m)
+        return StructType(
+            [
+                StructField(cmap.get(f.name, f.name), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+
+    @classmethod
+    def _bloom_cols_phys(cls, m: dict) -> tuple[str, ...]:
+        """Bloom-indexed columns under their PHYSICAL names (blooms are
+        built at write time over in-file columns and stored in the stats
+        under physical names)."""
+        return tuple(cls._phys(m, c) for c in cls._bloom_cols(m))
+
     # ---- manifest entry <-> full path ------------------------------------
     #
     # Manifest file entries are RELATIVE to the table root — except in a
@@ -847,6 +919,106 @@ class SnapshotTable:
         """Full filesystem path of a manifest entry (relative or
         absolute)."""
         return os.path.join(self.path, entry)
+
+    @staticmethod
+    def _constraint_mentions(m: dict, col: str) -> list[str]:
+        """Names of CHECK constraints whose expression references ``col``
+        as a word — the guard Delta applies before renaming/dropping a
+        constrained column."""
+        import re
+
+        pat = re.compile(rf"\b{re.escape(col)}\b")
+        return [n for n, expr in m.get("constraints", {}).items() if pat.search(expr)]
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — METADATA-ONLY (Delta's column
+        mapping, name mode): data files keep the column under its
+        PHYSICAL name forever; this commit only rebinds the LOGICAL name
+        in the manifest schema and records the mapping in ``colmap``.
+        Zero data movement at any table size. The bucket key and
+        bloom-index config follow the rename; a column referenced by a
+        CHECK constraint cannot be renamed (drop the constraint first —
+        Delta's rule, because the stored expression would dangle)."""
+        base = self.latest_version()
+        m = self._manifest(base)
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        cons = self._constraint_mentions(m, old)
+        if cons:
+            raise ValueError(
+                f"cannot rename {old!r}: referenced by CHECK constraint(s) "
+                f"{cons} — drop them first"
+            )
+        cmap = dict(self._colmap(m))
+        phys = cmap.pop(old, old)
+        if phys != new:
+            cmap[new] = phys
+        nxt = self._next_manifest(m, dict(m["files"]), {})
+        nxt["schema"] = StructType(
+            [
+                StructField(new, f.dataType, f.nullable) if f.name == old else f
+                for f in schema.fields
+            ]
+        ).json()
+        nxt["colmap"] = cmap
+        if not cmap:
+            nxt.pop("colmap")
+        if m["key"] == old:
+            nxt["key"] = new
+        if old in self._bloom_cols(m):
+            nxt["bloom_cols"] = [
+                new if c == old else c for c in self._bloom_cols(m)
+            ]
+        return self._commit(nxt, base)
+
+    def drop_column(self, col: str) -> int:
+        """ALTER TABLE DROP COLUMN — METADATA-ONLY (Delta's column-mapping
+        drop): the column leaves the manifest schema; data files are NOT
+        rewritten (readers simply never request the physical column) and
+        its physical name goes on the ``phys_tombstones`` list so a later
+        schema evolution re-adding the same logical name gets a FRESH
+        physical name instead of resurrecting the dropped bytes. The
+        bucket key cannot be dropped; constrained columns need their
+        constraints dropped first."""
+        base = self.latest_version()
+        m = self._manifest(base)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if col not in [f.name for f in schema.fields]:
+            raise ValueError(f"no such column: {col!r}")
+        if col == m["key"]:
+            raise ValueError(f"cannot drop the bucket key column {col!r}")
+        cons = self._constraint_mentions(m, col)
+        if cons:
+            raise ValueError(
+                f"cannot drop {col!r}: referenced by CHECK constraint(s) "
+                f"{cons} — drop them first"
+            )
+        cmap = dict(self._colmap(m))
+        phys = cmap.pop(col, col)
+        nxt = self._next_manifest(m, dict(m["files"]), {})
+        nxt["schema"] = StructType(
+            [f for f in schema.fields if f.name != col]
+        ).json()
+        nxt["colmap"] = cmap
+        if not cmap:
+            nxt.pop("colmap", None)
+        nxt["phys_tombstones"] = sorted(
+            set(m.get("phys_tombstones", [])) | {phys}
+        )
+        if col in self._bloom_cols(m):
+            bc = [c for c in self._bloom_cols(m) if c != col]
+            nxt["bloom_cols"] = bc
+            if not bc:
+                nxt.pop("bloom_cols", None)
+        return self._commit(nxt, base)
 
     # ---- RESTORE / SHALLOW CLONE / COPY INTO -----------------------------
 
@@ -907,6 +1079,21 @@ class SnapshotTable:
             nxt["constraints"] = m_old["constraints"]
         if m_old.get("dvs"):
             nxt["dvs"] = {k: list(v) for k, v in m_old["dvs"].items()}
+        # column mapping follows the restored schema; tombstones are the
+        # UNION of both versions' (a physical name once abandoned stays
+        # unreusable) minus any the restored schema actively maps again
+        if m_old.get("colmap"):
+            nxt["colmap"] = dict(m_old["colmap"])
+        used_phys = {
+            self._phys(m_old, f)
+            for f in self._schema_names(m_old)
+        }
+        tombs = (
+            set(m_cur.get("phys_tombstones", []))
+            | set(m_old.get("phys_tombstones", []))
+        ) - used_phys
+        if tombs:
+            nxt["phys_tombstones"] = sorted(tombs)
         # forward-carried, never rewound (see docstring)
         txns = self._txns(m_cur)
         if txns:
@@ -965,6 +1152,10 @@ class SnapshotTable:
             manifest["bloom_cols"] = m["bloom_cols"]
         if m.get("constraints"):
             manifest["constraints"] = m["constraints"]
+        if m.get("colmap"):
+            manifest["colmap"] = dict(m["colmap"])
+        if m.get("phys_tombstones"):
+            manifest["phys_tombstones"] = list(m["phys_tombstones"])
         if m.get("dvs"):
             manifest["dvs"] = {
                 ext[e]: [ext[d] for d in lst] for e, lst in m["dvs"].items()
@@ -1008,7 +1199,7 @@ class SnapshotTable:
             m,
         ).withColumn("__bucket", _bucket_col(m["key"], n_buckets))
         new_files, new_stats = self._write_bucket_files(
-            rows, self._bloom_cols(m)
+            rows, self._bloom_cols_phys(m), colmap=self._colmap(m)
         )
         nxt = self._next_manifest(m, new_files, new_stats, dvs={})
         nxt["n_buckets"] = n_buckets
@@ -1048,7 +1239,8 @@ class SnapshotTable:
         self._check_constraints(m, df)
         new_files, new_stats = self._write_bucket_files(
             df.withColumn("__bucket", _bucket_col(m["key"], m["n_buckets"])),
-            self._bloom_cols(m),
+            self._bloom_cols_phys(m),
+            colmap=self._colmap(m),
         )
         files = {b: list(rels) for b, rels in m["files"].items()}
         for b, rels in new_files.items():
@@ -1163,7 +1355,12 @@ class SnapshotTable:
         positives), so the caller applies the actual row filter too."""
         m = self._manifest(version if version is not None else self.latest_version())
         stats = m.get("stats", {})
-        preds = self._where_list(where)
+        # predicates arrive under LOGICAL names; stats/blooms are keyed by
+        # the PHYSICAL in-file names (column mapping)
+        preds = [
+            (self._phys(m, col), lo, hi)
+            for col, lo, hi in self._where_list(where)
+        ]
         paths = []
         for rels in m["files"].values():
             for rel in rels:
@@ -1229,21 +1426,38 @@ class SnapshotTable:
         an anti-join on ``_metadata.row_index`` — zero overhead when no
         DV touches the scanned files. ``dv_m`` lets the change feed apply
         each VERSION'S OWN deletion vectors while reading both slices
-        under the newer schema (default: same manifest as the schema)."""
+        under the newer schema (default: same manifest as the schema).
+
+        COLUMN MAPPING: the scan requests the PHYSICAL schema (what the
+        files store); the final projection renames to the manifest's
+        LOGICAL names — so a rename_column commit changes what callers
+        see without touching a single file."""
         from pyspark.sql.types import StructType
 
-        schema = StructType.fromJson(json.loads(m["schema"]))
+        logical = StructType.fromJson(json.loads(m["schema"]))
+        cmap = self._colmap(m)
         if not paths:
-            return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(*paths)
+            return self.spark.createDataFrame([], logical)
+        df = self.spark.read.schema(self._physical_schema(m)).parquet(*paths)
+
+        def to_logical(frame: DataFrame) -> DataFrame:
+            if not cmap:
+                return frame
+            return frame.select(
+                *[
+                    F.col(cmap.get(f.name, f.name)).alias(f.name)
+                    for f in logical.fields
+                ]
+            )
+
         dvs = (dv_m if dv_m is not None else m).get("dvs", {})
         if not dvs:
-            return df
+            return to_logical(df)
         needed = sorted(
             {dv for p in paths for dv in dvs.get(self._mkey(p), [])}
         )
         if not needed:
-            return df
+            return to_logical(df)
         cols = df.columns
         fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
         tagged = df.withColumn("__dv_file", fname).withColumn(
@@ -1259,8 +1473,10 @@ class SnapshotTable:
             )
             .distinct()
         )
-        return tagged.join(dead, ["__dv_file", "__dv_pos"], "left_anti").select(
-            *cols
+        return to_logical(
+            tagged.join(dead, ["__dv_file", "__dv_pos"], "left_anti").select(
+                *cols
+            )
         )
 
     def _next_manifest(
@@ -1308,6 +1524,10 @@ class SnapshotTable:
             nxt["constraints"] = m["constraints"]
         if m.get("copy_ledger"):
             nxt["copy_ledger"] = m["copy_ledger"]
+        if m.get("colmap"):
+            nxt["colmap"] = m["colmap"]
+        if m.get("phys_tombstones"):
+            nxt["phys_tombstones"] = m["phys_tombstones"]
         if kept_dvs:
             nxt["dvs"] = kept_dvs
         txns = self._txns(m)
@@ -1404,7 +1624,7 @@ class SnapshotTable:
         else:
             merged = src
         new_files, new_stats = self._write_bucket_files(
-            merged, self._bloom_cols(m)
+            merged, self._bloom_cols_phys(m), colmap=self._colmap(m)
         )
         files = {
             b: rels for b, rels in m["files"].items() if b not in set(affected)
@@ -1457,9 +1677,23 @@ class SnapshotTable:
                 "merge_schema=True to evolve the table schema"
             )
         self._check_constraints(m, df)
+        # column mapping: an added logical name whose physical slot is
+        # already taken — by a live column's physical name or by a
+        # DROPPED column's tombstone — gets a FRESH physical name, so
+        # re-adding a dropped column can never resurrect the old bytes
+        # still sitting in un-rewritten files
+        cmap = dict(self._colmap(m))
+        if added:
+            used_phys = {
+                cmap.get(f.name, f.name) for f in table_schema.fields
+            } | set(m.get("phys_tombstones", []))
+            for f in added:
+                if f.name in used_phys:
+                    cmap[f.name] = f"{f.name}_{uuid.uuid4().hex[:8]}"
         new_files, new_stats = self._write_bucket_files(
             df.withColumn("__bucket", _bucket_col(m["key"], m["n_buckets"])),
-            self._bloom_cols(m),
+            self._bloom_cols_phys(m),
+            colmap=cmap,
         )
         files = {b: list(rels) for b, rels in m["files"].items()}
         for b, rels in new_files.items():
@@ -1467,6 +1701,8 @@ class SnapshotTable:
         nxt = self._next_manifest(m, files, new_stats)
         if added:
             nxt["schema"] = StructType(table_schema.fields + added).json()
+            if cmap:
+                nxt["colmap"] = cmap
         return self._commit(nxt, base)
 
     def delete_keys(self, keys: DataFrame, mode: str = "cow") -> int:
@@ -1515,7 +1751,7 @@ class SnapshotTable:
                 .withColumn("__bucket", _bucket_col(key, n_buckets))
             )
             new_files, new_stats = self._write_bucket_files(
-                remaining, self._bloom_cols(m)
+                remaining, self._bloom_cols_phys(m), colmap=self._colmap(m)
             )
             files.update(new_files)
         else:
@@ -1545,15 +1781,14 @@ class SnapshotTable:
         rels = [rel for b in affected for rel in m["files"].get(b, [])]
         if not rels:
             return base  # no bucket holds these keys — nothing to delete
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(json.loads(m["schema"]))
+        # metadata-column scan reads the files directly, so it requests
+        # the PHYSICAL schema and the key's physical name (column mapping)
         fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
         scan = (
-            self.spark.read.schema(schema)
+            self.spark.read.schema(self._physical_schema(m))
             .parquet(*[os.path.join(self.path, rel) for rel in rels])
             .select(
-                F.col(key).alias("__k"),
+                F.col(self._phys(m, key)).alias("__k"),
                 fname.alias("data_file"),
                 F.col("_metadata.row_index").alias("pos"),
             )
@@ -1626,7 +1861,7 @@ class SnapshotTable:
         }
         if zorder_by is None:
             new_files, new_stats = self._write_bucket_files(
-                rows, self._bloom_cols(m)
+                rows, self._bloom_cols_phys(m), colmap=self._colmap(m)
             )
         else:
             from .operators.layout import with_normalized_zorder
@@ -1640,7 +1875,8 @@ class SnapshotTable:
                 .drop("__zval")
             )
             new_files, new_stats = self._write_bucket_files(
-                arranged, self._bloom_cols(m), arranged=True
+                arranged, self._bloom_cols_phys(m), arranged=True,
+                colmap=self._colmap(m)
             )
         files.update(new_files)
         return self._commit(self._next_manifest(m, files, new_stats), base)
@@ -1843,7 +2079,7 @@ class SnapshotTable:
                 "__bucket", _bucket_col(key, n_buckets)
             )
         new_files, new_stats = self._write_bucket_files(
-            merged, self._bloom_cols(m)
+            merged, self._bloom_cols_phys(m), colmap=self._colmap(m)
         )
         files = {
             b: rels for b, rels in m["files"].items() if b not in set(affected)

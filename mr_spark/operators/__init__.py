@@ -111,6 +111,7 @@ _CHECK_PRIORITY = [
     # whose every commit/read path runs through the new log protocol
     "snapshot_restore", "snapshot_clone_shallow", "copy_into_idempotent",
     "acid_rebucket", "stream_stream_left_join", "snapshot_batch_source",
+    "snapshot_column_mapping",
     "snapshot_log_checkpoint", "acid_bloom_skipping", "ann_pq_topk",
     "stream_cdf_source", "acid_optimize_zorder", "acid_deletion_vectors",
     "acid_constraints",

@@ -1726,3 +1726,105 @@ def snapshot_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+def _orders_colmap_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """3-version history for the column-mapping query: v1 = even-key half
+    of orders, v2 = RENAME COLUMN o_totalprice -> price_usd (metadata
+    only), v3 = append of the odd-key half under the NEW logical name.
+    Memoized per process (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 3)
+    cached = _FIXTURES.get(key)
+    if cached is not None and cached.spark is spark:
+        try:
+            if cached.latest_version() == 3:
+                return cached
+        except Exception:
+            pass  # table dir gone — rebuild
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    t = SnapshotTable.create(
+        spark,
+        _snapshot_demo_path(demo),
+        o.where(k % 2 == 0),
+        key="o_orderkey",
+        n_buckets=4,
+    )
+    t.rename_column("o_totalprice", "price_usd")
+    t.append(
+        o.where(k % 2 == 1).withColumnRenamed("o_totalprice", "price_usd")
+    )
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "snapshot_column_mapping",
+    # the two halves reassemble orders exactly; the rename changes only
+    # the LOGICAL name, so the oracle aggregates the source under an alias
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue_usd
+    FROM orders GROUP BY 1
+    """,
+)
+def snapshot_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING — metadata-only RENAME COLUMN (Delta's column
+    mapping name mode, SnapshotTable.rename_column — mr_spark/acid.py):
+    data files store PHYSICAL column names assigned at first write and
+    never changed; the manifest schema holds the LOGICAL names with a
+    ``colmap`` binding them, so ALTER TABLE RENAME COLUMN is one
+    O(metadata) commit at any table size. The fixture renames
+    o_totalprice -> price_usd between two half-table writes: files from
+    BOTH sides of the rename serve the same logical column. The query
+    RAISES unless (a) the rename commit's file lists are IDENTICAL to
+    its base (zero data movement), (b) its on-disk record is a delta
+    manifest, and (c) the pre-rename files genuinely store the OLD
+    physical name while the reader serves the new logical one — so a
+    driver-green row certifies the mapping, not just a lucky read. The
+    oracle aggregates orders under the new alias (the halves reassemble
+    the source exactly).
+
+    Scale: renames on 100 TB tables are instant and non-disruptive —
+    no rewrite, no reader downtime; DROP COLUMN additionally tombstones
+    the physical slot so a re-added column can never resurrect dropped
+    bytes (tests/test_acid.py::test_drop_column_tombstone_prevents_resurrection)."""
+    import pyarrow.parquet as pq
+
+    t = _orders_colmap_fixture(spark, sf_dir, "acid_colmap_demo")
+    m1, m2 = t._manifest(1), t._manifest(2)
+    if m2["files"] != m1["files"]:
+        raise RuntimeError(
+            "rename_column rewrote data files — column mapping degraded "
+            "to a table rewrite"
+        )
+    raw = t._read_vfile(2)
+    if not raw.get("delta") or "files" in raw:
+        raise RuntimeError(
+            "rename commit is not a delta manifest — metadata-only claim "
+            "is false"
+        )
+    # (c): a pre-rename file physically stores o_totalprice, not price_usd
+    first_rel = next(iter(sorted(m1["files"].values())))[0]
+    phys_names = pq.read_schema(t._entry_full(first_rel)).names
+    if "o_totalprice" not in phys_names or "price_usd" in phys_names:
+        raise RuntimeError(
+            f"pre-rename file stores {phys_names} — expected the OLD "
+            "physical name; the mapping test is vacuous"
+        )
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("price_usd").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue_usd"),
+        )
+    )

@@ -102,6 +102,7 @@ class _BucketSlicePartition(InputPartition):
         key: str,
         old_dvs: dict[str, list[str]] | None = None,
         new_dvs: dict[str, list[str]] | None = None,
+        colmap: dict | None = None,
     ) -> None:
         self.old_files = old_files
         self.new_files = new_files
@@ -111,6 +112,9 @@ class _BucketSlicePartition(InputPartition):
         # version's OWN DVs, so a DV-only commit surfaces its dead rows
         self.old_dvs = old_dvs or {}
         self.new_dvs = new_dvs or {}
+        # logical -> physical in-file names (column mapping); files on
+        # BOTH sides store physical names, which a rename never changes
+        self.colmap = colmap or {}
 
 
 class SnapshotCDFStreamReader(DataSourceStreamReader):
@@ -163,6 +167,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                         mt["key"],
                         absmap(mf, rf),
                         absmap(mt, rt),
+                        mt.get("colmap", {}),
                     )
                 )
         # an empty batch still needs >= 1 split
@@ -192,16 +197,21 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                         dead.add(pos)
             return dead
 
+        cmap = partition.colmap
+
         def rows(paths: list[str], dvs: dict[str, list[str]]) -> list[tuple]:
             out: list[tuple] = []
             for p in paths:
                 tbl = pq.read_table(p)
                 n = len(tbl)
                 data = [
-                    tbl.column(c).to_pylist() if c in tbl.column_names else [None] * n
+                    tbl.column(cmap.get(c, c)).to_pylist()
+                    if cmap.get(c, c) in tbl.column_names
+                    else [None] * n
                     for c in cols
                 ]  # evolved columns absent in old files read as NULL,
-                #    matching _read_files' manifest-schema scan
+                #    matching _read_files' manifest-schema scan; files
+                #    store PHYSICAL names (column mapping)
                 file_rows = list(zip(*data)) if data else []
                 dead = dead_positions(p, dvs.get(p, []))
                 if dead:  # parquet row order IS the row_index order

@@ -82,11 +82,17 @@ class SnapshotDataSource(DataSource):
 
 class _FilePartition(InputPartition):
     def __init__(
-        self, file_path: str, dv_paths: list[str], schema_json: str
+        self,
+        file_path: str,
+        dv_paths: list[str],
+        schema_json: str,
+        colmap: dict | None = None,
     ) -> None:
         self.file_path = file_path  # "" = empty-table sentinel
         self.dv_paths = dv_paths
         self.schema_json = schema_json
+        # logical -> physical in-file column names (column mapping)
+        self.colmap = colmap or {}
 
 
 # pushFilters translation: Spark filter class -> comparison op tag
@@ -152,7 +158,15 @@ class SnapshotReader(DataSourceReader):
         )
         stats = m.get("stats", {})
         dvs = m.get("dvs", {})
-        bloom_cols = tuple(m.get("bloom_cols", ()))
+        cmap = m.get("colmap", {})
+        # predicates arrive under LOGICAL names; stats and blooms are
+        # keyed by the PHYSICAL in-file names (column mapping)
+        self._preds = [
+            (cmap.get(col, col), op, val) for col, op, val in self._preds
+        ]
+        bloom_cols = tuple(
+            cmap.get(c, c) for c in m.get("bloom_cols", ())
+        )
         parts: list[InputPartition] = []
         for rels in m["files"].values():
             for rel in rels:
@@ -166,10 +180,11 @@ class SnapshotReader(DataSourceReader):
                             for d in dvs.get(rel, [])
                         ],
                         m["schema"],
+                        cmap,
                     )
                 )
         # an empty table still needs >= 1 partition
-        return parts or [_FilePartition("", [], m["schema"])]
+        return parts or [_FilePartition("", [], m["schema"], cmap)]
 
     # ---- execution (executor): pyarrow scan + DV anti-filter ----------
 
@@ -182,10 +197,14 @@ class SnapshotReader(DataSourceReader):
         cols = [f.name for f in schema.fields]
         tbl = pq.read_table(partition.file_path)
         n = len(tbl)
+        cmap = partition.colmap
         data = [
-            tbl.column(c).to_pylist() if c in tbl.column_names else [None] * n
+            tbl.column(cmap.get(c, c)).to_pylist()
+            if cmap.get(c, c) in tbl.column_names
+            else [None] * n
             for c in cols
-        ]  # evolved columns absent in old files read as NULL
+        ]  # evolved columns absent in old files read as NULL; files
+        #    store PHYSICAL names (column mapping)
         rows = list(zip(*data)) if data else []
         if partition.dv_paths:
             base = os.path.basename(partition.file_path)

@@ -1163,3 +1163,131 @@ def test_copy_into_dedupes_within_one_call(spark, tmp_path):
     assert _rows(t.read()) == [(1, "a"), (2, "b")]  # no double rows
     m = t._manifest(v)
     assert m["copy_ledger"] == [os.path.abspath(f)]  # one ledger entry
+
+
+def test_rename_column_is_metadata_only(spark, tmp_path):
+    """RENAME COLUMN: zero data movement, old versions keep old names,
+    every path (read/stats-pruning/merge/feed/fresh reader/checkpoint)
+    speaks the new logical name while files keep the physical one."""
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")], n_buckets=2)
+    t.merge_upsert(spark.createDataFrame([(2, "B")], "k bigint, v string"))
+    n_files = len(os.listdir(os.path.join(t.path, "data")))
+    v = t.rename_column("v", "val")
+    assert v == 3
+    assert t._manifest(3)["files"] == t._manifest(2)["files"]  # no rewrite
+    assert len(os.listdir(os.path.join(t.path, "data"))) == n_files
+    assert t.read().columns == ["k", "val"]
+    assert sorted((r["k"], r["val"]) for r in t.read().collect()) == [
+        (1, "a"), (2, "B"), (3, "c"),
+    ]
+    assert t.read(2).columns == ["k", "v"]  # time travel keeps old name
+    # writes speak the NEW name; the physical in-file name stays "v"
+    t.merge_upsert(spark.createDataFrame([(9, "Z")], "k bigint, val string"))
+    assert (9, "Z") in sorted((r["k"], r["val"]) for r in t.read().collect())
+    # the feed across the post-rename commit uses the new logical name
+    feed = t.changes(3, 4)
+    assert "val" in feed.columns
+    # stats pruning maps the logical predicate to the physical stats key
+    pruned = t.data_paths(where=("k", 999, 1000))
+    assert len(pruned) < len(t.data_paths())
+    # fresh reader + checkpoint carry the mapping
+    t.checkpoint_interval = 2
+    t.append(spark.createDataFrame([(20, "x")], "k bigint, val string"))
+    t.append(spark.createDataFrame([(21, "y")], "k bigint, val string"))
+    assert t._checkpoint_versions()
+    fresh = SnapshotTable(spark, t.path)
+    assert fresh.read().columns == ["k", "val"]
+    assert (9, "Z") in sorted((r["k"], r["val"]) for r in fresh.read().collect())
+
+
+def test_rename_key_and_guards(spark, tmp_path):
+    """Renaming the bucket key rebinds the manifest key; constrained
+    columns refuse rename/drop until the constraint is dropped."""
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b")], n_buckets=2)
+    t.rename_column("k", "id")
+    assert t._manifest(t.latest_version())["key"] == "id"
+    t.merge_upsert(spark.createDataFrame([(2, "B"), (5, "e")], "id bigint, v string"))
+    assert sorted((r["id"], r["v"]) for r in t.read().collect()) == [
+        (1, "a"), (2, "B"), (5, "e"),
+    ]
+    t.add_constraint("v_nonempty", "length(v) > 0")
+    with pytest.raises(ValueError, match="constraint"):
+        t.rename_column("v", "w")
+    with pytest.raises(ValueError, match="constraint"):
+        t.drop_column("v")
+    with pytest.raises(ValueError, match="key"):
+        t.drop_column("id")
+    t.drop_constraint("v_nonempty")
+    t.rename_column("v", "w")  # now allowed
+    assert t.read().columns == ["id", "w"]
+
+
+def test_drop_column_tombstone_prevents_resurrection(spark, tmp_path):
+    """DROP COLUMN is metadata-only; re-adding the same logical name via
+    schema evolution must NOT resurrect the dropped bytes still sitting
+    in un-rewritten files — the tombstoned physical slot forces a fresh
+    physical name."""
+    rows = [(1, "a", 10), (2, "b", 20)]
+    df = spark.createDataFrame(rows, "k bigint, v string, extra bigint")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "tbl"), df, key="k", n_buckets=2
+    )
+    v = t.drop_column("extra")
+    assert t._manifest(v)["files"] == t._manifest(1)["files"]  # no rewrite
+    assert t.read().columns == ["k", "v"]
+    # re-add "extra" with different values for a new row only
+    t.append(
+        spark.createDataFrame([(3, "c", 99)], "k bigint, v string, extra bigint"),
+        merge_schema=True,
+    )
+    got = {r["k"]: r["extra"] for r in t.read().collect()}
+    # old rows: NULL (their files' old "extra" bytes must NOT come back)
+    assert got == {1: None, 2: None, 3: 99}
+    # physical name diverged from the logical
+    m = t._manifest(t.latest_version())
+    assert m.get("colmap", {}).get("extra", "extra") != "extra"
+    # survives a fresh reader
+    fresh = SnapshotTable(spark, t.path)
+    got2 = {r["k"]: r["extra"] for r in fresh.read().collect()}
+    assert got2 == got
+
+
+def test_rename_flows_through_batch_source_and_cdf_stream(spark, tmp_path):
+    """The batch DataSource and the streaming CDF source must map
+    logical names to the physical in-file names after a rename."""
+    from pyspark.sql import functions as F
+
+    from mr_spark.sources.snapshot_source import register as reg_batch
+
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b")], n_buckets=2)
+    t.rename_column("v", "val")
+    t.merge_upsert(spark.createDataFrame([(2, "B")], "k bigint, val string"))
+    reg_batch(spark)
+    out = spark.read.format("snapshot").option("path", t.path).load()
+    assert out.columns == ["k", "val"]
+    assert sorted((r["k"], r["val"]) for r in out.collect()) == [
+        (1, "a"), (2, "B"),
+    ]  # pre-rename file contributes "a" under the new name — no NULLs
+    from mr_spark.sources.cdf_stream import register as reg_cdf
+    from mr_spark.streaming import run_to_completion
+
+    reg_cdf(spark)
+    feed = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", t.path)
+        .option("start_version", 1)
+        .load()
+    )
+    res = run_to_completion(
+        feed.groupBy("_change_type").agg(
+            F.count("*").alias("n"),
+            F.count("val").alias("n_val"),  # non-null val per change row
+        ),
+        name="mrspark_cdf_rename_test",
+        output_mode="complete",
+        state_partitions=2,
+    )
+    got = {r["_change_type"]: (r["n"], r["n_val"]) for r in res.collect()}
+    # v2→v3 merge: update of k=2 — both images carry a NON-NULL val read
+    # from the physical column
+    assert got == {"update_preimage": (1, 1), "update_postimage": (1, 1)}

@@ -138,6 +138,7 @@ PROBES = [
     "acid_rebucket",
     "stream_stream_left_join",
     "snapshot_batch_source",
+    "snapshot_column_mapping",
 ]
 
 KEY_SHIFTS = {
