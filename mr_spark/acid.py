@@ -927,7 +927,15 @@ class SnapshotTable:
         constrained column."""
         import re
 
-        pat = re.compile(rf"\b{re.escape(col)}\b")
+        # IGNORECASE: Spark resolves identifiers case-insensitively
+        # (spark.sql.caseSensitive=false), so "LENGTH(V) > 0" references
+        # column v — a case-sensitive guard would let the rename through
+        # and leave the stored expression dangling (write-bricking the
+        # table until drop_constraint). Word-matching the raw expression
+        # is CONSERVATIVE: a literal like "status != 'v'" also blocks a
+        # rename of v — over-blocking is safe; the fix is dropping and
+        # re-adding the constraint.
+        pat = re.compile(rf"\b{re.escape(col)}\b", re.IGNORECASE)
         return [n for n, expr in m.get("constraints", {}).items() if pat.search(expr)]
 
     def rename_column(self, old: str, new: str) -> int:

@@ -127,16 +127,22 @@ _CHECK_PRIORITY = [
     "pivot_event_counts", "q13_order_distribution", "q18_large_orders",
     "range_join", "rollup_agg", "scalar_subquery", "sessionization",
     "sort_limit_offset", "string_funcs", "unpivot_metrics",
-    # -- r02-evidence frontier (scale-critical dedup/ANN first) --
+    # -- r02-evidence frontier (now positions 50+ = OVERFLOW) --
+    # The third session's seven NEW queries (snapshot_restore,
+    # snapshot_clone_shallow, copy_into_idempotent, acid_rebucket,
+    # stream_stream_left_join, snapshot_batch_source,
+    # snapshot_column_mapping) take the top of the prefix — never
+    # driver-checked queries outrank re-confirmations — which pushes
+    # these seven r02-evidence dedup/ANN names past position 50. Each
+    # keeps its oracle-rehearsal pin in tests/test_queries_oracle.py
+    # and its original driver-green row; they lead the r06 rotation.
     "dedup_exact", "minhash_lsh_pairs", "simhash_buckets",
     "exact_substring_pairs", "embedding_neardup", "semantic_dedup",
     "ann_cosine_topk",
     # (kl_source_drift, lateral_topn, winnow_fingerprint, kcenter_coreset,
-    # heavy_hitters, ann_ivf_topk, ann_lsh_topk moved to overflow to make
-    # room for the seven NEW round-5 queries — all re-verified by the
-    # judge's r4 spot-check or plan/brute-force pinned, and every
-    # overflow query keeps its oracle-rehearsal pin in
-    # tests/test_queries_oracle.py)
+    # heavy_hitters, ann_ivf_topk, ann_lsh_topk moved to overflow in the
+    # first session for the same reason — all re-verified by the judge's
+    # r4 spot-check or plan/brute-force pinned)
 ]
 
 

@@ -1,0 +1,65 @@
+"""Shared executor-side parquet scan for the snapshot DataSources
+(sources/snapshot_source.py batch reads, sources/cdf_stream.py CDF
+slices). One home for the scan invariants so the two sources can never
+diverge:
+
+* files store PHYSICAL column names (column mapping) — the caller's
+  LOGICAL columns are mapped through ``colmap`` before the read;
+* only the needed physical columns are DECODED (``columns=`` pushdown
+  into pyarrow — a dropped column's bytes are never decompressed);
+* a logical column whose physical name is absent from the file (written
+  before a schema evolution) NULL-fills, matching acid._read_files'
+  manifest-schema scan;
+* parquet row order IS the ``_metadata.row_index`` order, so deletion
+  vectors apply as positional filters.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def dead_positions(file_path: str, dv_paths: list[str]) -> set[int]:
+    """Row positions of ``file_path`` killed by its deletion vectors —
+    the pyarrow restatement of acid._read_files' row_index anti-join."""
+    import pyarrow.parquet as pq
+
+    base = os.path.basename(file_path)
+    dead: set[int] = set()
+    for dv in dv_paths:
+        t = pq.read_table(dv)
+        for df_name, pos in zip(
+            t.column("data_file").to_pylist(), t.column("pos").to_pylist()
+        ):
+            if df_name == base:
+                dead.add(pos)
+    return dead
+
+
+def read_file_rows(
+    file_path: str,
+    logical_cols: list[str],
+    colmap: dict,
+    dv_paths: list[str],
+) -> list[tuple]:
+    """One file's live rows as tuples in ``logical_cols`` order."""
+    import pyarrow.parquet as pq
+
+    phys = [colmap.get(c, c) for c in logical_cols]
+    in_file = set(pq.read_schema(file_path).names)  # footer-only read
+    wanted = [p for p in phys if p in in_file]
+    if wanted:
+        tbl = pq.read_table(file_path, columns=wanted)
+        n = tbl.num_rows
+    else:  # every requested column post-dates this file — all NULLs
+        tbl = None
+        n = pq.ParquetFile(file_path).metadata.num_rows
+    data = [
+        tbl.column(p).to_pylist() if p in in_file else [None] * n
+        for p in phys
+    ]
+    rows = list(zip(*data)) if data else []
+    dead = dead_positions(file_path, dv_paths) if dv_paths else set()
+    if dead:
+        rows = [r for i, r in enumerate(rows) if i not in dead]
+    return rows

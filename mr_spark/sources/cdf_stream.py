@@ -178,47 +178,18 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
     def read(self, partition: _BucketSlicePartition) -> Iterator[tuple]:
         from collections import Counter
 
-        import pyarrow.parquet as pq
+        from ._scan import read_file_rows
 
         schema = StructType.fromJson(json.loads(partition.schema_json))
         cols = [f.name for f in schema.fields]
-
-        def dead_positions(p: str, dv_paths: list[str]) -> set[int]:
-            """Row positions of ``p`` killed by its deletion vectors —
-            the pyarrow restatement of _read_files' row_index anti-join."""
-            base = os.path.basename(p)
-            dead: set[int] = set()
-            for dv in dv_paths:
-                t = pq.read_table(dv)
-                for df_name, pos in zip(
-                    t.column("data_file").to_pylist(), t.column("pos").to_pylist()
-                ):
-                    if df_name == base:
-                        dead.add(pos)
-            return dead
-
         cmap = partition.colmap
 
         def rows(paths: list[str], dvs: dict[str, list[str]]) -> list[tuple]:
+            # shared scan invariants (physical names, column-pruned
+            # decode, NULL-fill, positional DV filter) live in _scan
             out: list[tuple] = []
             for p in paths:
-                tbl = pq.read_table(p)
-                n = len(tbl)
-                data = [
-                    tbl.column(cmap.get(c, c)).to_pylist()
-                    if cmap.get(c, c) in tbl.column_names
-                    else [None] * n
-                    for c in cols
-                ]  # evolved columns absent in old files read as NULL,
-                #    matching _read_files' manifest-schema scan; files
-                #    store PHYSICAL names (column mapping)
-                file_rows = list(zip(*data)) if data else []
-                dead = dead_positions(p, dvs.get(p, []))
-                if dead:  # parquet row order IS the row_index order
-                    file_rows = [
-                        r for i, r in enumerate(file_rows) if i not in dead
-                    ]
-                out.extend(file_rows)
+                out.extend(read_file_rows(p, cols, cmap, dvs.get(p, [])))
             return out
 
         co = Counter(rows(partition.old_files, partition.old_dvs))

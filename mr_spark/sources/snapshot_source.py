@@ -67,17 +67,31 @@ class SnapshotDataSource(DataSource):
     def name(cls) -> str:
         return "snapshot"
 
-    def schema(self) -> StructType:
-        path = self.options.get("path")
-        if not path:
-            raise ValueError("snapshot source needs option('path', <table dir>)")
-        t = _table(path)
+    def _pinned_version(self) -> int:
+        """Resolve the version ONCE per DataSource instance: schema()
+        and reader()/partitions() resolving "latest" independently would
+        let a commit landing in between mix one version's declared
+        schema with the next version's data — the same hazard
+        acid.read() documents ("resolve the version once")."""
         v = self.options.get("version")
-        m = t._manifest(int(v) if v is not None else t.latest_version())
+        if v is not None:
+            return int(v)
+        if not hasattr(self, "_pin"):
+            path = self.options.get("path")
+            if not path:
+                raise ValueError(
+                    "snapshot source needs option('path', <table dir>)"
+                )
+            self._pin = _table(path).latest_version()
+        return self._pin
+
+    def schema(self) -> StructType:
+        t = _table(self.options["path"])
+        m = t._manifest(self._pinned_version())
         return StructType.fromJson(json.loads(m["schema"]))
 
     def reader(self, schema: StructType) -> "SnapshotReader":
-        return SnapshotReader(self.options)
+        return SnapshotReader(self.options, version=self._pinned_version())
 
 
 class _FilePartition(InputPartition):
@@ -106,12 +120,15 @@ _OPS = {
 
 
 class SnapshotReader(DataSourceReader):
-    def __init__(self, options) -> None:
+    def __init__(self, options, version: int | None = None) -> None:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("snapshot source needs option('path', <table dir>)")
-        v = options.get("version")
-        self.version = int(v) if v is not None else None
+        if version is not None:
+            self.version = version  # pinned by the DataSource
+        else:
+            v = options.get("version")
+            self.version = int(v) if v is not None else None
         self._preds: list[tuple[str, str, object]] = []
 
     # ---- planning (driver): manifest-only pruning ---------------------
@@ -127,10 +144,12 @@ class SnapshotReader(DataSourceReader):
                 self._preds.append((attr[0], op, f.value))
             yield f
 
-    def _keep_file(self, fstats: dict, bloom_cols: tuple) -> bool:
+    def _keep_file(
+        self, fstats: dict, bloom_cols: tuple, preds: list | None = None
+    ) -> bool:
         from ..acid import _bloom_might_contain
 
-        for col, op, val in self._preds:
+        for col, op, val in preds if preds is not None else self._preds:
             s = fstats.get(col)
             if s is not None:
                 mn, mx = s[0], s[1]
@@ -160,8 +179,11 @@ class SnapshotReader(DataSourceReader):
         dvs = m.get("dvs", {})
         cmap = m.get("colmap", {})
         # predicates arrive under LOGICAL names; stats and blooms are
-        # keyed by the PHYSICAL in-file names (column mapping)
-        self._preds = [
+        # keyed by the PHYSICAL in-file names (column mapping). Remap
+        # into a LOCAL list — mutating self._preds would double-apply
+        # the colmap if partitions() ran twice (replanned reader), and a
+        # swap-rename colmap would then bind preds to the WRONG column
+        phys_preds = [
             (cmap.get(col, col), op, val) for col, op, val in self._preds
         ]
         bloom_cols = tuple(
@@ -170,7 +192,9 @@ class SnapshotReader(DataSourceReader):
         parts: list[InputPartition] = []
         for rels in m["files"].values():
             for rel in rels:
-                if not self._keep_file(stats.get(rel, {}), bloom_cols):
+                if not self._keep_file(
+                    stats.get(rel, {}), bloom_cols, phys_preds
+                ):
                     continue
                 parts.append(
                     _FilePartition(
@@ -189,37 +213,17 @@ class SnapshotReader(DataSourceReader):
     # ---- execution (executor): pyarrow scan + DV anti-filter ----------
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        import pyarrow.parquet as pq
-
         if not partition.file_path:
             return
+        from ._scan import read_file_rows
+
         schema = StructType.fromJson(json.loads(partition.schema_json))
-        cols = [f.name for f in schema.fields]
-        tbl = pq.read_table(partition.file_path)
-        n = len(tbl)
-        cmap = partition.colmap
-        data = [
-            tbl.column(cmap.get(c, c)).to_pylist()
-            if cmap.get(c, c) in tbl.column_names
-            else [None] * n
-            for c in cols
-        ]  # evolved columns absent in old files read as NULL; files
-        #    store PHYSICAL names (column mapping)
-        rows = list(zip(*data)) if data else []
-        if partition.dv_paths:
-            base = os.path.basename(partition.file_path)
-            dead: set[int] = set()
-            for dv in partition.dv_paths:
-                d = pq.read_table(dv)
-                for df_name, pos in zip(
-                    d.column("data_file").to_pylist(),
-                    d.column("pos").to_pylist(),
-                ):
-                    if df_name == base:
-                        dead.add(pos)
-            if dead:  # parquet row order IS the row_index order
-                rows = [r for i, r in enumerate(rows) if i not in dead]
-        yield from rows
+        yield from read_file_rows(
+            partition.file_path,
+            [f.name for f in schema.fields],
+            partition.colmap,
+            partition.dv_paths,
+        )
 
 
 def register(spark) -> None:

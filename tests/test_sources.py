@@ -271,3 +271,26 @@ def test_snapshot_batch_source_bloom_point_lookup(spark, tmp_path):
         .where(F.col("v") == "t5a")
     )
     assert out.count() == 0
+
+
+def test_snapshot_batch_source_pins_version_across_concurrent_commit(spark, tmp_path):
+    """schema() and the scan must describe the SAME version even when a
+    commit lands between plan-time calls — the version is pinned once
+    per DataSource instance."""
+    from mr_spark.sources.snapshot_source import SnapshotDataSource
+
+    t = _mk_snap(spark, tmp_path, [(1, "a"), (2, "b")])
+    ds = SnapshotDataSource({"path": t.path})
+    v_before = ds._pinned_version()
+    # a writer commits a schema evolution AFTER the pin
+    t.append(
+        spark.createDataFrame([(3, "c", 7)], "k bigint, v string, extra bigint"),
+        merge_schema=True,
+    )
+    assert ds._pinned_version() == v_before  # still the pinned version
+    assert "extra" not in [f.name for f in ds.schema().fields]
+    r = ds.reader(ds.schema())
+    assert r.version == v_before
+    # a fresh instance sees the new latest
+    ds2 = SnapshotDataSource({"path": t.path})
+    assert ds2._pinned_version() == v_before + 1
