@@ -111,7 +111,7 @@ _CHECK_PRIORITY = [
     # whose every commit/read path runs through the new log protocol
     "snapshot_restore", "snapshot_clone_shallow", "copy_into_idempotent",
     "acid_rebucket", "stream_stream_left_join", "snapshot_batch_source",
-    "snapshot_column_mapping",
+    "snapshot_column_mapping", "snapshot_sink_roundtrip",
     "snapshot_log_checkpoint", "acid_bloom_skipping", "ann_pq_topk",
     "stream_cdf_source", "acid_optimize_zorder", "acid_deletion_vectors",
     "acid_constraints",
@@ -126,7 +126,12 @@ _CHECK_PRIORITY = [
     "in_subquery", "json_extract", "map_funcs", "min_cost_supplier",
     "pivot_event_counts", "q13_order_distribution", "q18_large_orders",
     "range_join", "rollup_agg", "scalar_subquery", "sessionization",
-    "sort_limit_offset", "string_funcs", "unpivot_metrics",
+    "sort_limit_offset", "string_funcs",
+    # unpivot_metrics is position 51 — the eight never-checked
+    # third-session queries push ONE r01 re-confirmation past the
+    # 50-row window; it keeps its r01 driver-green row + oracle-
+    # rehearsal pin and leads the r06 re-confirmation rotation
+    "unpivot_metrics",
     # -- r02-evidence frontier (now positions 50+ = OVERFLOW) --
     # The third session's seven NEW queries (snapshot_restore,
     # snapshot_clone_shallow, copy_into_idempotent, acid_rebucket,

@@ -1828,3 +1828,111 @@ def snapshot_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_usd"),
         )
     )
+
+
+def _orders_sink_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """3-version history for the V2-sink query: v1 = even-key half of
+    orders, v2 = the odd-key half written through
+    ``df.write.format("snapshot")`` (the standard Spark writer API),
+    v3 = single-row MERGE of the minimum odd key (price +777) — the
+    bucket-consistency certification: if the sink had mis-bucketed any
+    row, the bucket-pruned merge would leave a duplicate behind.
+    Memoized per process (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+    from ..sources.snapshot_source import register
+
+    key = (sf_dir, demo, 3)
+    cached = _FIXTURES.get(key)
+    if cached is not None and cached.spark is spark:
+        try:
+            if cached.latest_version() == 3:
+                return cached
+        except Exception:
+            pass  # table dir gone — rebuild
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    t = SnapshotTable.create(
+        spark,
+        _snapshot_demo_path(demo),
+        o.where(k % 2 == 0),
+        key="o_orderkey",
+        n_buckets=8,
+    )
+    register(spark)
+    (
+        o.where(k % 2 == 1)
+        .write.format("snapshot")
+        .mode("append")
+        .option("path", t.path)
+        .save()
+    )
+    kmin = o.where(k % 2 == 1).agg(F.min("o_orderkey")).collect()[0][0]
+    t.merge_upsert(
+        o.where(k == kmin).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 777
+        )
+    )
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "snapshot_sink_roundtrip",
+    # final state = orders with the minimum ODD key's price +777
+    oracle="""
+    WITH kmin AS (
+      SELECT MIN(o_orderkey) AS mk FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(
+             CASE WHEN o_orderkey = (SELECT mk FROM kmin)
+                  THEN o_totalprice + 777 ELSE o_totalprice END
+             AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def snapshot_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT TABLE AS A SPARK WRITE TARGET — the V2 writer protocol
+    mapped onto the atomic commit protocol (mr_spark/sources/
+    snapshot_sink.py): ``df.write.format("snapshot").mode("append")``
+    hash-buckets rows EXECUTOR-SIDE with a pure-Python Murmur3 whose
+    parity with ``F.hash`` is pinned in tests (a mismatched hash would
+    scatter rows into wrong buckets), stages per-bucket parquet under
+    physical column names, and publishes everything in ONE atomic
+    manifest link on the driver — all-tasks-succeed-or-nothing, exactly
+    the semantics Spark's commit-message protocol promises. The query
+    certifies bucket consistency END TO END: after sinking the odd half
+    of orders, a single-key MERGE must rewrite EXACTLY ONE bucket and
+    leave no duplicate — a mis-bucketed row would escape the pruned
+    rewrite and double the key (raised on below via file-list diff +
+    the count embedded in the oracle comparison).
+
+    Scale: the sink is how Spark-native pipelines feed the table — each
+    executor writes only its partition's buckets, the driver does
+    O(new files) metadata work, and a concurrent-writer race fails the
+    job cleanly via the same optimistic EEXIST commit as every other
+    writer."""
+    t = _orders_sink_fixture(spark, sf_dir, "acid_sink_demo")
+    m2, m3 = t._manifest(2), t._manifest(3)
+    changed = [
+        b for b in m3["files"] if m3["files"][b] != m2["files"].get(b)
+    ]
+    if len(changed) != 1:
+        raise RuntimeError(
+            f"single-key merge after the sink append rewrote "
+            f"{len(changed)} buckets — the sink's executor-side hash "
+            "disagrees with Spark's bucketing"
+        )
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

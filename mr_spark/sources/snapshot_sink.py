@@ -1,0 +1,290 @@
+"""Batch WRITE path for snapshot tables through the standard Spark
+writer API — ``df.write.format("snapshot").mode("append").option("path",
+tbl).save()`` (Spark 4 Python ``DataSourceWriter``).
+
+The V2 writer protocol maps ONE-TO-ONE onto the snapshot commit
+protocol, which is what makes this correct under failure:
+
+* ``write()`` runs once per input partition on executors: it hashes each
+  row's key into its BUCKET (a pure-Python port of Spark's
+  Murmur3_x86_32 — parity with ``F.hash`` is pinned in
+  tests/test_sources.py, because a mismatched hash would scatter rows
+  into wrong buckets and silently break every bucket-pruned MERGE that
+  follows), buffers rows per bucket, writes them as parquet into a
+  task-private staging dir under PHYSICAL column names, and returns the
+  staged file list as its commit message;
+* ``commit()`` runs once on the driver ONLY IF every task succeeded:
+  it publishes the staged files into data/, collects footer stats (+
+  blooms) with the same pure-pyarrow reader the table uses, folds the
+  new files into an append manifest, and links the commit — the same
+  atomic create-if-absent point as every other write, so a concurrent
+  writer race surfaces as ConflictError and the Spark job fails cleanly
+  with nothing published;
+* ``abort()`` deletes the staging debris (and retention-gated vacuum
+  would collect anything a crashed driver leaves).
+
+Limitations (raise, never silently mis-write): append mode only; tables
+with CHECK constraints refuse this sink (constraint expressions need a
+SparkSession to evaluate — use ``SnapshotTable.append``); bucket keys
+must be int/bigint/string (the types the hash port covers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructType,
+    TimestampType,
+)
+
+_MASK = 0xFFFFFFFF
+
+
+def _mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & _MASK
+    k1 = ((k1 << 15) | (k1 >> 17)) & _MASK
+    return (k1 * 0x1B873593) & _MASK
+
+
+def _mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & _MASK
+    return (h1 * 5 + 0xE6546B64) & _MASK
+
+
+def _fmix(h1: int, length: int) -> int:
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _MASK
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _MASK
+    h1 ^= h1 >> 16
+    return h1
+
+
+def _signed32(x: int) -> int:
+    x &= _MASK
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+def spark_hash(value, dtype, seed: int = 42) -> int:
+    """Pure-Python Murmur3_x86_32 matching Spark's ``F.hash`` for the
+    key types this sink supports (the published MurmurHash3 algorithm,
+    with Spark's documented type-to-bytes conventions: int/long hashed
+    as 4/8-byte words, strings as UTF-8 bytes with 4-byte-word + signed
+    tail processing, NULL returning the seed). Parity is pinned against
+    ``F.hash`` itself in tests."""
+    if value is None:
+        return _signed32(seed)
+    if isinstance(dtype, LongType):
+        v = int(value) & 0xFFFFFFFFFFFFFFFF
+        low = v & _MASK
+        high = (v >> 32) & _MASK
+        h1 = _mix_h1(seed & _MASK, _mix_k1(low))
+        h1 = _mix_h1(h1, _mix_k1(high))
+        return _signed32(_fmix(h1, 8))
+    if isinstance(dtype, IntegerType):  # 4-byte word (Spark's hashInt)
+        h1 = _mix_h1(seed & _MASK, _mix_k1(int(value) & _MASK))
+        return _signed32(_fmix(h1, 4))
+    if isinstance(dtype, StringType):
+        data = value.encode("utf-8")
+        n = len(data)
+        h1 = seed & _MASK
+        for i in range(0, n - n % 4, 4):
+            word = int.from_bytes(data[i : i + 4], "little")
+            h1 = _mix_h1(h1, _mix_k1(word))
+        for i in range(n - n % 4, n):
+            b = data[i]
+            b = b - 256 if b >= 128 else b  # SIGNED byte, like the JVM
+            h1 = _mix_h1(h1, _mix_k1(b & _MASK))
+        return _signed32(_fmix(h1, n))
+    raise NotImplementedError(
+        f"snapshot sink supports int/bigint/string bucket keys, not "
+        f"{dtype.simpleString()}"
+    )
+
+
+def bucket_of(value, dtype, n_buckets: int) -> int:
+    """``pmod(spark_hash(key), n_buckets)`` — the sink-side twin of
+    acid._bucket_col."""
+    return spark_hash(value, dtype) % n_buckets
+
+
+def _arrow_type(dt):
+    import pyarrow as pa
+
+    if isinstance(dt, LongType):
+        return pa.int64()
+    if isinstance(dt, IntegerType):
+        return pa.int32()
+    if isinstance(dt, DoubleType):
+        return pa.float64()
+    if isinstance(dt, FloatType):
+        return pa.float32()
+    if isinstance(dt, StringType):
+        return pa.string()
+    if isinstance(dt, BooleanType):
+        return pa.bool_()
+    if isinstance(dt, TimestampType):
+        return pa.timestamp("us")
+    if isinstance(dt, DateType):
+        return pa.date32()
+    raise NotImplementedError(
+        f"snapshot sink does not map {dt.simpleString()} to parquet"
+    )
+
+
+class _SinkCommit(WriterCommitMessage):
+    def __init__(self, staged: list[tuple[str, str]], staging_dir: str) -> None:
+        self.staged = staged  # [(bucket, staged file path)]
+        self.staging_dir = staging_dir
+
+
+class SnapshotWriter(DataSourceWriter):
+    def __init__(self, options, schema: StructType, overwrite: bool) -> None:
+        if overwrite:
+            raise NotImplementedError(
+                "snapshot sink supports mode('append') only — overwrite "
+                "would need the full table rewrite path; use "
+                "SnapshotTable.create"
+            )
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("snapshot sink needs option('path', <table dir>)")
+        from .snapshot_source import _table
+
+        t = _table(self.path)
+        m = t._manifest(t.latest_version())
+        if m.get("constraints"):
+            raise NotImplementedError(
+                "table has CHECK constraints; the V2 sink cannot evaluate "
+                "them without a SparkSession — use SnapshotTable.append"
+            )
+        table_schema = StructType.fromJson(json.loads(m["schema"]))
+        table_fields = {f.name: f for f in table_schema.fields}
+        for f in schema.fields:
+            have = table_fields.get(f.name)
+            if have is None:
+                raise ValueError(
+                    f"sink dataframe has column {f.name!r} not in the table "
+                    "schema; evolve the schema with append(merge_schema=True)"
+                )
+            if have.dataType != f.dataType:
+                raise ValueError(
+                    f"sink column {f.name!r} has type "
+                    f"{f.dataType.simpleString()} but the table stores "
+                    f"{have.dataType.simpleString()}"
+                )
+        self.schema = schema
+        self.key = m["key"]
+        if self.key not in [f.name for f in schema.fields]:
+            raise ValueError(
+                f"sink dataframe must carry the bucket key {self.key!r}"
+            )
+        self.n_buckets = m["n_buckets"]
+        self.colmap = m.get("colmap", {})
+        self.bloom_cols_phys = tuple(
+            self.colmap.get(c, c) for c in m.get("bloom_cols", ())
+        )
+        # schema identity snapshot, re-validated at commit: a concurrent
+        # evolution/rename between planning and commit must fail the
+        # job, not write files the new schema misreads
+        self._schema_fingerprint = (m["schema"], json.dumps(self.colmap, sort_keys=True))
+
+    # ---- executor side ---------------------------------------------------
+
+    def write(self, iterator) -> _SinkCommit:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        names = [f.name for f in self.schema.fields]
+        types = [f.dataType for f in self.schema.fields]
+        key_idx = names.index(self.key)
+        key_type = types[key_idx]
+        buckets: dict[int, list[tuple]] = {}
+        for row in iterator:
+            vals = tuple(row)
+            b = bucket_of(vals[key_idx], key_type, self.n_buckets)
+            buckets.setdefault(b, []).append(vals)
+        staging = os.path.join(
+            self.path, f"_staging_sink_{uuid.uuid4().hex}"
+        )
+        if buckets:
+            os.makedirs(staging, exist_ok=True)
+        arrow_schema = pa.schema(
+            [
+                (self.colmap.get(n, n), _arrow_type(t))
+                for n, t in zip(names, types)
+            ]
+        )
+        staged: list[tuple[str, str]] = []
+        for b, rows in sorted(buckets.items()):
+            cols = list(zip(*rows))
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array(list(col), type=arrow_schema.field(i).type)
+                    for i, col in enumerate(cols)
+                ],
+                schema=arrow_schema,
+            )
+            fp = os.path.join(staging, f"b{b}_{uuid.uuid4().hex}.parquet")
+            pq.write_table(tbl, fp)
+            staged.append((str(b), fp))
+        return _SinkCommit(staged, staging if buckets else "")
+
+    # ---- driver side -----------------------------------------------------
+
+    def commit(self, messages) -> None:
+        from ..acid import SnapshotTable, _footer_stats
+
+        t = SnapshotTable(None, self.path)
+        base = t.latest_version()
+        m = t._manifest(base)
+        if (
+            m["schema"],
+            json.dumps(m.get("colmap", {}), sort_keys=True),
+        ) != self._schema_fingerprint:
+            self.abort(messages)
+            raise RuntimeError(
+                "table schema changed between sink planning and commit — "
+                "aborting the write (staged files were removed)"
+            )
+        new_files: dict[str, list[str]] = {}
+        new_stats: dict[str, dict] = {}
+        staging_dirs = set()
+        for msg in messages:
+            if msg is None:
+                continue
+            staging_dirs.add(msg.staging_dir)
+            for b, staged_path in msg.staged:
+                rel = os.path.join("data", f"{uuid.uuid4().hex}.parquet")
+                full = os.path.join(self.path, rel)
+                os.rename(staged_path, full)
+                new_files.setdefault(b, []).append(rel)
+                new_stats[rel] = _footer_stats(full, self.bloom_cols_phys)
+        for d in staging_dirs:
+            if d and os.path.isdir(d):
+                shutil.rmtree(d)
+        files = {b: list(rels) for b, rels in m["files"].items()}
+        for b, rels in new_files.items():
+            files[b] = files.get(b, []) + rels
+        t._commit(t._next_manifest(m, files, new_stats), base)
+
+    def abort(self, messages) -> None:
+        for msg in messages:
+            if msg is None:
+                continue
+            if msg.staging_dir and os.path.isdir(msg.staging_dir):
+                shutil.rmtree(msg.staging_dir)

@@ -93,6 +93,11 @@ class SnapshotDataSource(DataSource):
     def reader(self, schema: StructType) -> "SnapshotReader":
         return SnapshotReader(self.options, version=self._pinned_version())
 
+    def writer(self, schema: StructType, overwrite: bool):
+        from .snapshot_sink import SnapshotWriter
+
+        return SnapshotWriter(self.options, schema, overwrite)
+
 
 class _FilePartition(InputPartition):
     def __init__(

@@ -294,3 +294,107 @@ def test_snapshot_batch_source_pins_version_across_concurrent_commit(spark, tmp_
     # a fresh instance sees the new latest
     ds2 = SnapshotDataSource({"path": t.path})
     assert ds2._pinned_version() == v_before + 1
+
+
+# ---- snapshot sink (sources/snapshot_sink.py) ---------------------------
+
+
+def test_spark_hash_parity_murmur3(spark):
+    """The sink's pure-Python Murmur3 must equal F.hash for every
+    supported key type — a mismatch would scatter sink rows into wrong
+    buckets and silently break every bucket-pruned MERGE after."""
+    import random
+
+    from pyspark.sql.types import IntegerType, LongType, StringType
+
+    from mr_spark.sources.snapshot_sink import spark_hash
+
+    rng = random.Random(7)
+    longs = [0, 1, -1, 2**62, -(2**62), None] + [
+        rng.randint(-(2**63), 2**63 - 1) for _ in range(100)
+    ]
+    df = spark.createDataFrame([(v,) for v in longs], "x bigint")
+    for r in df.select("x", F.hash("x").alias("h")).collect():
+        assert spark_hash(r["x"], LongType()) == r["h"], r["x"]
+    ints = [0, -1, 2**31 - 1, -(2**31), None] + [
+        rng.randint(-(2**31), 2**31 - 1) for _ in range(100)
+    ]
+    df = spark.createDataFrame([(v,) for v in ints], "i int")
+    for r in df.select("i", F.hash("i").alias("h")).collect():
+        assert spark_hash(r["i"], IntegerType()) == r["h"], r["i"]
+    strs = ["", "a", "ab", "abc", "abcd", "ünïcødé ✓", None] + [
+        "".join(rng.choice("abcxyz09 é¢") for _ in range(rng.randint(1, 30)))
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame([(v,) for v in strs], "s string")
+    for r in df.select("s", F.hash("s").alias("h")).collect():
+        assert spark_hash(r["s"], StringType()) == r["h"], repr(r["s"])
+
+
+def test_snapshot_sink_appends_with_consistent_buckets(spark, tmp_path):
+    """df.write.format('snapshot') lands rows in the SAME buckets
+    Spark-side hashing would — certified by merging one sink-written key
+    afterwards: exactly one bucket rewrites and no duplicate survives
+    (a mis-bucketed row would escape the merge's bucket-pruned rewrite
+    and duplicate the key)."""
+    from mr_spark.sources.snapshot_source import register
+
+    t = _mk_snap(spark, tmp_path, [(i, f"v{i}") for i in range(20)])
+    register(spark)
+    extra = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(100, 112)], "k bigint, v string"
+    )
+    extra.write.format("snapshot").mode("append").option("path", t.path).save()
+    assert t.latest_version() == 2
+    exp = sorted(
+        [(i, f"v{i}") for i in range(20)]
+        + [(i, f"n{i}") for i in range(100, 112)]
+    )
+    assert _rows_kv(t.read()) == exp
+    m_pre = t._manifest(2)
+    t.merge_upsert(spark.createDataFrame([(105, "M")], "k bigint, v string"))
+    m_post = t._manifest(3)
+    changed = [
+        b for b in m_post["files"] if m_post["files"][b] != m_pre["files"].get(b)
+    ]
+    assert len(changed) == 1
+    rows = _rows_kv(t.read())
+    assert len(rows) == len(exp) and (105, "M") in rows
+    # no stray staging debris after a successful commit
+    assert not [e for e in os.listdir(t.path) if e.startswith("_staging_sink_")]
+
+
+def _rows_kv(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def test_snapshot_sink_guards(spark, tmp_path):
+    """Misuse fails loudly: overwrite mode, constrained tables, unknown
+    columns, and type mismatches all raise instead of mis-writing."""
+    import pytest
+
+    from mr_spark.sources.snapshot_source import register
+
+    t = _mk_snap(spark, tmp_path, [(1, "a")])
+    register(spark)
+    df = spark.createDataFrame([(2, "b")], "k bigint, v string")
+    with pytest.raises(Exception, match="append"):
+        df.write.format("snapshot").mode("overwrite").option(
+            "path", t.path
+        ).save()
+    bad_col = spark.createDataFrame([(2, "b", 1)], "k bigint, v string, z bigint")
+    with pytest.raises(Exception, match="not in the table"):
+        bad_col.write.format("snapshot").mode("append").option(
+            "path", t.path
+        ).save()
+    bad_type = spark.createDataFrame([(2, 3.5)], "k bigint, v double")
+    with pytest.raises(Exception, match="type"):
+        bad_type.write.format("snapshot").mode("append").option(
+            "path", t.path
+        ).save()
+    t.add_constraint("v_nonempty", "length(v) > 0")
+    with pytest.raises(Exception, match="constraint"):
+        df.write.format("snapshot").mode("append").option(
+            "path", t.path
+        ).save()
+    assert t.latest_version() == 2  # nothing committed by any attempt

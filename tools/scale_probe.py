@@ -139,6 +139,7 @@ PROBES = [
     "stream_stream_left_join",
     "snapshot_batch_source",
     "snapshot_column_mapping",
+    "snapshot_sink_roundtrip",
 ]
 
 KEY_SHIFTS = {
