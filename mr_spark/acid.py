@@ -700,8 +700,15 @@ class SnapshotTable:
             self._mcache[new_version] = folded
             self._dist[new_version] = self._dist.get(base_version, 0) + 1
             if self._dist[new_version] >= self.checkpoint_interval:
-                self._write_checkpoint(new_version, folded)
-                self._dist[new_version] = 0
+                # checkpoints are DERIVED and best-effort: a spark-less
+                # handle (V2 sink commit, streaming planner) cannot run
+                # the distributed checkpoint write — DEFER it by leaving
+                # the chain length as-is, so the next spark-ful committer
+                # (or any reader-side fold) triggers it; readers just
+                # fold a longer delta chain until then
+                if self.spark is not None:
+                    self._write_checkpoint(new_version, folded)
+                    self._dist[new_version] = 0
         return new_version
 
     # ---- data-file plumbing ---------------------------------------------
@@ -726,7 +733,9 @@ class SnapshotTable:
         and keeps the write path format-agnostic."""
         if not rel_full:
             return {}
-        if len(rel_full) <= _DRIVER_STATS_MAX_FILES:
+        # a spark-less handle (V2 sink commit) always takes the
+        # thread-pool path — footer reads are I/O-bound metadata ops
+        if len(rel_full) <= _DRIVER_STATS_MAX_FILES or self.spark is None:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(min(16, len(rel_full))) as ex:

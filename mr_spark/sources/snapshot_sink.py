@@ -23,10 +23,18 @@ protocol, which is what makes this correct under failure:
 * ``abort()`` deletes the staging debris (and retention-gated vacuum
   would collect anything a crashed driver leaves).
 
-Limitations (raise, never silently mis-write): append mode only; tables
-with CHECK constraints refuse this sink (constraint expressions need a
-SparkSession to evaluate — use ``SnapshotTable.append``); bucket keys
-must be int/bigint/string (the types the hash port covers).
+Limitations (raise at PLANNING time, never silently mis-write): append
+mode only; tables with CHECK constraints refuse this sink (constraint
+expressions need a SparkSession to evaluate — use
+``SnapshotTable.append``); bucket keys must be int/bigint/string (the
+types the hash port covers); timestamp columns are unsupported (PySpark
+hands the writer session-local naive datetimes and the session zone is
+unknowable here — writing them would shift instants). Commit re-checks
+the table identity (schema/colmap/n_buckets/key/constraints) captured
+at planning and aborts on any concurrent change — staged rows were
+bucketed and validated against the old state. A sink commit that lands
+on a checkpoint boundary DEFERS the checkpoint (it needs a distributed
+write); the next spark-ful committer rolls it.
 """
 
 from __future__ import annotations
@@ -138,7 +146,15 @@ def _arrow_type(dt):
     if isinstance(dt, BooleanType):
         return pa.bool_()
     if isinstance(dt, TimestampType):
-        return pa.timestamp("us")
+        # PySpark hands write() SESSION-LOCAL naive datetimes; writing
+        # them as naive micros would read back shifted by the session
+        # timezone (every other write path stores UTC-adjusted parquet
+        # timestamps). The executor has no way to learn the session zone
+        # through this API — refuse rather than silently shift.
+        raise NotImplementedError(
+            "timestamp columns are unsupported in the V2 sink (timezone "
+            "adjustment needs the session zone); use SnapshotTable.append"
+        )
     if isinstance(dt, DateType):
         return pa.date32()
     raise NotImplementedError(
@@ -193,15 +209,40 @@ class SnapshotWriter(DataSourceWriter):
             raise ValueError(
                 f"sink dataframe must carry the bucket key {self.key!r}"
             )
+        # fail at PLANNING time, not on executors mid-job: the key type
+        # must be hashable by the Murmur3 port and every column mappable
+        # to parquet (this also rejects timestamp columns up front)
+        key_type = next(
+            f.dataType for f in schema.fields if f.name == self.key
+        )
+        if not isinstance(key_type, (LongType, IntegerType, StringType)):
+            raise NotImplementedError(
+                f"snapshot sink supports int/bigint/string bucket keys, "
+                f"not {key_type.simpleString()}"
+            )
+        for f in schema.fields:
+            _arrow_type(f.dataType)
         self.n_buckets = m["n_buckets"]
         self.colmap = m.get("colmap", {})
         self.bloom_cols_phys = tuple(
             self.colmap.get(c, c) for c in m.get("bloom_cols", ())
         )
-        # schema identity snapshot, re-validated at commit: a concurrent
-        # evolution/rename between planning and commit must fail the
-        # job, not write files the new schema misreads
-        self._schema_fingerprint = (m["schema"], json.dumps(self.colmap, sort_keys=True))
+        # table-identity snapshot, re-validated at commit: a concurrent
+        # schema evolution / rename / REBUCKET / constraint add between
+        # planning and commit must fail the job — staged rows were
+        # bucketed under THIS n_buckets and validated (not at all)
+        # against THESE constraints
+        self._fingerprint = self._identity(m)
+
+    @staticmethod
+    def _identity(m: dict) -> tuple:
+        return (
+            m["schema"],
+            json.dumps(m.get("colmap", {}), sort_keys=True),
+            m["n_buckets"],
+            m["key"],
+            json.dumps(m.get("constraints", {}), sort_keys=True),
+        )
 
     # ---- executor side ---------------------------------------------------
 
@@ -247,22 +288,26 @@ class SnapshotWriter(DataSourceWriter):
     # ---- driver side -----------------------------------------------------
 
     def commit(self, messages) -> None:
-        from ..acid import SnapshotTable, _footer_stats
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..acid import SnapshotTable
 
         t = SnapshotTable(None, self.path)
         base = t.latest_version()
         m = t._manifest(base)
-        if (
-            m["schema"],
-            json.dumps(m.get("colmap", {}), sort_keys=True),
-        ) != self._schema_fingerprint:
+        if self._identity(m) != self._fingerprint:
             self.abort(messages)
             raise RuntimeError(
-                "table schema changed between sink planning and commit — "
-                "aborting the write (staged files were removed)"
+                "table identity (schema/colmap/buckets/constraints) "
+                "changed between sink planning and commit — aborting the "
+                "write (staged files were removed); rows were bucketed "
+                "and validated against the old state"
             )
+        # publish staged files with BATCHED renames + the table's own
+        # pooled/distributed stats collector — never a serial per-file
+        # driver loop (the repo-wide rule from the stats rework)
+        renames: list[tuple[str, str, str]] = []  # (src, full, rel)
         new_files: dict[str, list[str]] = {}
-        new_stats: dict[str, dict] = {}
         staging_dirs = set()
         for msg in messages:
             if msg is None:
@@ -270,10 +315,14 @@ class SnapshotWriter(DataSourceWriter):
             staging_dirs.add(msg.staging_dir)
             for b, staged_path in msg.staged:
                 rel = os.path.join("data", f"{uuid.uuid4().hex}.parquet")
-                full = os.path.join(self.path, rel)
-                os.rename(staged_path, full)
+                renames.append((staged_path, os.path.join(self.path, rel), rel))
                 new_files.setdefault(b, []).append(rel)
-                new_stats[rel] = _footer_stats(full, self.bloom_cols_phys)
+        if renames:
+            with ThreadPoolExecutor(min(16, len(renames))) as ex:
+                list(ex.map(lambda r: os.rename(r[0], r[1]), renames))
+        new_stats = t._collect_stats(
+            [(rel, full) for _, full, rel in renames], self.bloom_cols_phys
+        )
         for d in staging_dirs:
             if d and os.path.isdir(d):
                 shutil.rmtree(d)

@@ -398,3 +398,47 @@ def test_snapshot_sink_guards(spark, tmp_path):
             "path", t.path
         ).save()
     assert t.latest_version() == 2  # nothing committed by any attempt
+
+
+def test_snapshot_sink_defers_checkpoint_and_rejects_identity_drift(spark, tmp_path):
+    """A sink commit landing on the checkpoint boundary must not crash
+    (the spark-less handle DEFERS the checkpoint; the next spark-ful
+    committer rolls it), and a concurrent rebucket/constraint change
+    between planning and commit must abort the sink."""
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from mr_spark.sources.snapshot_sink import SnapshotWriter
+    from mr_spark.sources.snapshot_source import register
+
+    t = _mk_snap(spark, tmp_path, [(1, "a")], n_buckets=2)
+    t.checkpoint_interval = 10**9  # keep the instance from checkpointing
+    register(spark)
+    # 9 sink appends: v10's delta chain reaches the DEFAULT interval (8)
+    # inside the sink's spark-less handle — must defer, not crash
+    for i in range(9):
+        spark.createDataFrame(
+            [(10 + i, f"s{i}")], "k bigint, v string"
+        ).write.format("snapshot").mode("append").option("path", t.path).save()
+    assert t.latest_version() == 10
+    from mr_spark.acid import SnapshotTable
+
+    fresh = SnapshotTable(spark, t.path)
+    assert len(_rows_kv(fresh.read())) == 10  # all appends landed
+    # a spark-ful commit right after rolls the deferred checkpoint
+    fresh.append(spark.createDataFrame([(99, "z")], "k bigint, v string"))
+    assert fresh._checkpoint_versions(), "deferred checkpoint never rolled"
+    # identity drift: plan a writer, rebucket concurrently, commit fails
+    schema = spark.createDataFrame([(1, "x")], "k bigint, v string").schema
+    w = SnapshotWriter({"path": t.path}, schema, overwrite=False)
+    fresh.rebucket(4)
+    with pytest.raises(RuntimeError, match="identity"):
+        w.commit([])
+    # timestamp columns rejected at PLANNING time (the writer cannot
+    # learn the session zone; naive micros would read back shifted)
+    from mr_spark.acid import SnapshotTable as ST
+
+    ts_df = spark.sql("SELECT 1L AS k, timestamp'2024-01-01 00:00:00' AS ts")
+    t2 = ST.create(spark, str(tmp_path / "ts_tbl"), ts_df, key="k", n_buckets=2)
+    with pytest.raises(Exception, match="timestamp"):
+        SnapshotWriter({"path": t2.path}, ts_df.schema, overwrite=False)
