@@ -1222,7 +1222,12 @@ class SnapshotTable:
         nxt["n_buckets"] = n_buckets
         return self._commit(nxt, base)
 
-    def copy_into(self, paths: list[str]) -> tuple[int, int, int]:
+    def copy_into(
+        self,
+        paths: list[str],
+        source_format: str = "parquet",
+        options: dict | None = None,
+    ) -> tuple[int, int, int]:
         """Delta's ``COPY INTO``: file-level IDEMPOTENT ingest of external
         parquet files. Every source file ever loaded is recorded (by
         absolute path) in the manifest's ingest ledger; a re-run with an
@@ -1237,8 +1242,12 @@ class SnapshotTable:
         Files are read under the TABLE's schema (missing columns read as
         NULL, extra columns are ignored — Delta's COPY INTO casts to the
         table schema the same way), validated against CHECK constraints,
-        and bucketed like any append. Returns
-        ``(version, n_loaded, n_skipped)``."""
+        and bucketed like any append. ``source_format`` extends the
+        landing zone beyond parquet (``"csv"``/``"json"`` with explicit
+        table-schema reads — never schema inference, which would be a
+        second full pass; pass reader options like ``{"header": "true"}``
+        via ``options``), matching Delta's multi-format COPY INTO.
+        Returns ``(version, n_loaded, n_skipped)``."""
         from pyspark.sql.types import StructType
 
         base = self.latest_version()
@@ -1252,7 +1261,10 @@ class SnapshotTable:
         if not todo:
             return base, 0, len(paths)
         schema = StructType.fromJson(json.loads(m["schema"]))
-        df = self.spark.read.schema(schema).parquet(*todo)
+        reader = self.spark.read.schema(schema).format(source_format)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        df = reader.load(todo)
         self._check_constraints(m, df)
         new_files, new_stats = self._write_bucket_files(
             df.withColumn("__bucket", _bucket_col(m["key"], m["n_buckets"])),
@@ -1839,24 +1851,26 @@ class SnapshotTable:
 
     def compact(
         self,
-        zorder_by: tuple[str, str] | None = None,
+        zorder_by: tuple | None = None,
         files_per_bucket: int = 4,
     ) -> int:
         """OPTIMIZE: rewrite every multi-file bucket (append debris) into
         one file; single-file buckets carry by reference. Data unchanged —
         read(version_before) == read(version_after).
 
-        ``zorder_by=(xcol, ycol)`` is OPTIMIZE ZORDER (Delta's clustered
-        rewrite): EVERY bucket is rewritten with rows range-partitioned
-        and sorted along the normalized Morton curve of the two columns,
-        split into ~``files_per_bucket`` z-contiguous files per bucket —
-        so each file covers a NARROW (x, y) rectangle and the manifest's
-        per-file [min, max] stats turn multi-predicate range reads into
-        genuine file skipping. Scattered writes (each file spanning the
-        whole domain of every column) prune nothing however good the
-        stats are; clustering is what gives the stats their power. One
-        extra shuffle (the range partition) over exactly the rows being
-        rewritten — the same cost Delta's OPTIMIZE ZORDER pays."""
+        ``zorder_by=(col, col, ...)`` — TWO OR MORE columns, like Delta's
+        OPTIMIZE ZORDER — is the clustered rewrite: EVERY bucket is
+        rewritten with rows range-partitioned and sorted along the
+        normalized N-dimensional Morton curve (one bit per dimension per
+        level), split into ~``files_per_bucket`` z-contiguous files per
+        bucket — so each file covers a NARROW N-dimensional box and the
+        manifest's per-file [min, max] stats turn multi-predicate range
+        reads into genuine file skipping. Scattered writes (each file
+        spanning the whole domain of every column) prune nothing however
+        good the stats are; clustering is what gives the stats their
+        power. One extra shuffle (the range partition) over exactly the
+        rows being rewritten — the same cost Delta's OPTIMIZE ZORDER
+        pays."""
         base = self.latest_version()
         m = self._manifest(base)
         if zorder_by is None:
@@ -1881,12 +1895,11 @@ class SnapshotTable:
                 rows, self._bloom_cols_phys(m), colmap=self._colmap(m)
             )
         else:
-            from .operators.layout import with_normalized_zorder
+            from .operators.layout import with_normalized_zorder_n
 
-            xcol, ycol = zorder_by
             n_parts = max(1, m["n_buckets"] * files_per_bucket)
             arranged = (
-                with_normalized_zorder(rows, xcol, ycol, out="__zval")
+                with_normalized_zorder_n(rows, list(zorder_by), out="__zval")
                 .repartitionByRange(n_parts, "__bucket", "__zval")
                 .sortWithinPartitions("__bucket", "__zval")
                 .drop("__zval")

@@ -91,6 +91,45 @@ def with_normalized_zorder(
     )
 
 
+def with_normalized_zorder_n(
+    df: DataFrame, cols: list[str], *, bits: int = 8, out: str = "zval"
+) -> DataFrame:
+    """N-DIMENSIONAL generalization of :func:`with_normalized_zorder`:
+    every column normalizes to [0, 2^bits) and the Morton key
+    round-robins one bit from each dimension per level —
+    ``bit (i*N + d)`` of the key is bit ``i`` of dimension ``d`` — so
+    the curve alternates ALL dimensions and a clustered file covers a
+    narrow N-dimensional box (Delta's OPTIMIZE ZORDER takes any number
+    of columns for the same reason). Same one-pass broadcast bounds as
+    the 2-column version."""
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs at least two columns")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_{c}_min"), F.max(c).alias(f"_{c}_max")]
+    bounds = df.agg(*aggs)
+    scale = float(1 << bits)
+
+    def _norm(col: str) -> F.Column:
+        lo, hi = F.col(f"_{col}_min"), F.col(f"_{col}_max")
+        rng = (hi - lo + 1).cast("double")
+        return F.floor(
+            (F.col(col) - lo).cast("double") * scale / rng
+        ).cast("bigint")
+
+    n = len(cols)
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for d, c in enumerate(cols):
+            z = z + F.shiftleft(
+                F.shiftright(_norm(c), i).bitwiseAND(F.lit(1)), i * n + d
+            )
+    drop = [f"_{c}_{side}" for c in cols for side in ("min", "max")]
+    return (
+        df.crossJoin(F.broadcast(bounds)).withColumn(out, z).drop(*drop)
+    )
+
+
 _QBITS = 8  # normalized per-dimension width for the registered query
 
 

@@ -71,6 +71,11 @@ class SnapshotCDFDataSource(DataSource):
     * ``path``: the snapshot table directory (required)
     * ``start_version``: first version already reflected downstream
       (default 1 — the stream begins with the v1→v2 feed)
+    * ``end_version``: optional BOUNDED replay ceiling (inclusive) —
+      the stream never advances past this version, so a backfill can
+      consume an exact commit range and stop; commits after it are
+      ignored even if they land mid-run (Delta's
+      ``endingVersion`` for readChangeFeed)
     """
 
     @classmethod
@@ -123,6 +128,8 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("snapshot_cdf needs option('path', <table dir>)")
         self.start = int(options.get("start_version", 1))
+        end = options.get("end_version")
+        self.end = int(end) if end is not None else None
 
     # ---- offset protocol ---------------------------------------------
 
@@ -130,7 +137,10 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         return {"version": self.start}
 
     def latestOffset(self) -> dict:
-        return {"version": _table(self.path).latest_version()}
+        latest = _table(self.path).latest_version()
+        if self.end is not None:
+            latest = min(latest, self.end)
+        return {"version": latest}
 
     def commit(self, end: dict) -> None:
         pass  # versions are immutable; nothing to acknowledge

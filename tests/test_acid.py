@@ -1291,3 +1291,47 @@ def test_rename_flows_through_batch_source_and_cdf_stream(spark, tmp_path):
     # v2→v3 merge: update of k=2 — both images carry a NON-NULL val read
     # from the physical column
     assert got == {"update_preimage": (1, 1), "update_postimage": (1, 1)}
+
+
+def test_compact_zorder_three_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER over THREE columns: data unchanged, and a
+    3-conjunct octant read prunes strictly after clustering (Delta's
+    ZORDER takes any number of columns; ours must too)."""
+    rows = [
+        (i, (i * 7) % 64, (i * 13) % 64, (i * 29) % 64) for i in range(512)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, x bigint, y bigint, z bigint")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "tbl"), df.where("k % 4 = 0"), key="k", n_buckets=2
+    )
+    for i in (1, 2, 3):  # scattered appends: every file spans everything
+        t.append(df.where(f"k % 4 = {i}"))
+    before = sorted(map(tuple, t.read().collect()))
+    preds = [("x", 0, 15), ("y", 0, 15), ("z", 0, 15)]
+    v_pre = t.latest_version()
+    assert len(t.data_paths(v_pre, where=preds)) == len(t.data_paths(v_pre))
+    t.compact(zorder_by=("x", "y", "z"), files_per_bucket=8)
+    assert sorted(map(tuple, t.read().collect())) == before  # data unchanged
+    v = t.latest_version()
+    assert len(t.data_paths(v, where=preds)) < len(t.data_paths(v))
+
+
+def test_copy_into_csv_landing_zone(spark, tmp_path):
+    """COPY INTO from a CSV landing zone: explicit table-schema read
+    (never inference), same ledger idempotence as parquet."""
+    src = tmp_path / "csv_land"
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k bigint, v string")
+    df.coalesce(1).write.option("header", "true").csv(str(src))
+    files = sorted(str(p) for p in src.glob("*.csv"))
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "tbl2"), df.limit(0), key="k", n_buckets=2
+    )
+    v, loaded, skipped = t.copy_into(
+        files, source_format="csv", options={"header": "true"}
+    )
+    assert (loaded, skipped) == (len(files), 0)
+    assert _rows(t.read()) == sorted((i, f"v{i}") for i in range(10))
+    v2, loaded, skipped = t.copy_into(
+        files, source_format="csv", options={"header": "true"}
+    )
+    assert (v2, loaded, skipped) == (v, 0, len(files))

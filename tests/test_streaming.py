@@ -358,3 +358,36 @@ def test_stream_left_outer_join_emits_unmatched_via_eviction(spark):
     )
     exp_rows = {(r["purchase_id"], r["click_id"]) for r in exp.collect()}
     assert rows == exp_rows
+
+
+def test_cdf_stream_end_version_bounds_replay(spark, tmp_path):
+    """end_version caps the stream: a bounded backfill consumes exactly
+    the requested commit range and ignores later commits."""
+    from pyspark.sql import functions as F
+
+    from mr_spark.acid import SnapshotTable
+    from mr_spark.sources.cdf_stream import register
+    from mr_spark.streaming import run_to_completion
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    t = SnapshotTable.create(spark, str(tmp_path / "tbl"), df, key="k", n_buckets=2)
+    t.append(spark.createDataFrame([(3, "c")], "k bigint, v string"))  # v2
+    t.append(spark.createDataFrame([(4, "d")], "k bigint, v string"))  # v3
+    t.append(spark.createDataFrame([(5, "e")], "k bigint, v string"))  # v4
+    register(spark)
+    feed = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", t.path)
+        .option("start_version", 1)
+        .option("end_version", 3)
+        .load()
+    )
+    res = run_to_completion(
+        feed.groupBy("_change_type").agg(F.collect_set("k").alias("ks")),
+        name="mrspark_cdf_bounded",
+        output_mode="complete",
+        state_partitions=2,
+    )
+    got = {r["_change_type"]: sorted(r["ks"]) for r in res.collect()}
+    # v1→v3 inserts only keys 3 and 4; v4's key 5 is past the bound
+    assert got == {"insert": [3, 4]}
