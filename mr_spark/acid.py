@@ -1663,6 +1663,236 @@ class SnapshotTable:
             self._next_manifest(m, files, new_stats, batch_id, app_id), base
         )
 
+    def merge(
+        self,
+        source: DataFrame,
+        *,
+        matched_update: dict | str | None = None,
+        matched_update_condition: str | None = None,
+        matched_delete: bool = False,
+        matched_delete_condition: str | None = None,
+        not_matched_insert: dict | str | None = None,
+        not_matched_insert_condition: str | None = None,
+        not_matched_by_source_update: dict | None = None,
+        not_matched_by_source_update_condition: str | None = None,
+        not_matched_by_source_delete: bool = False,
+        not_matched_by_source_delete_condition: str | None = None,
+        batch_id: int | None = None,
+        app_id: str = "default",
+    ) -> int:
+        """Full multi-clause MERGE — Delta's ``whenMatchedUpdate`` /
+        ``whenMatchedDelete`` / ``whenNotMatchedInsert`` /
+        ``whenNotMatchedBySourceUpdate`` / ``whenNotMatchedBySourceDelete``
+        with per-clause conditions, committed ATOMICALLY as one version
+        (``merge_upsert`` is the plain-upsert fast path and stays as-is).
+
+        Expressions (clause conditions and SET/VALUES values) are SQL
+        strings over two struct aliases: ``s.<col>`` is the source row,
+        ``t.<col>`` the target row (Delta's ``source.``/``target.``).
+        ``"*"`` means update-all / insert-all by column name: every table
+        column present in the source takes ``s.<col>``; for updates the
+        remaining columns keep ``t.<col>``, for inserts they become NULL.
+        Clause evaluation order is fixed and documented: for a matched
+        pair the UPDATE clause's condition is tried first, then DELETE,
+        else the row is kept unchanged; unmatched source rows INSERT only
+        if the insert clause's condition holds, else they are dropped;
+        target-only rows try BY-SOURCE UPDATE then BY-SOURCE DELETE, else
+        keep. An omitted condition means "always" for that clause.
+
+        The bucket key cannot be assigned by an update/insert expression
+        (inserted rows always take ``s.<key>``): a key rewrite could move
+        a row into a bucket this merge does not rewrite, breaking the
+        bucket layout invariant — Delta tracks this with a full-file
+        rewrite; here it is simply refused.
+
+        Scale: without by-source clauses this is the same bucket-pruned
+        copy-on-write as ``merge_upsert`` — only buckets holding source
+        keys rewrite, everything else carries by reference. By-source
+        clauses must examine EVERY target row (their predicate is "no
+        source row matches"), so they rewrite all buckets — exactly the
+        cost Delta pays for ``whenNotMatchedBySource``.
+
+        ``(app_id, batch_id)`` is the same per-writer idempotence tag as
+        ``merge_upsert``."""
+        from pyspark.sql.types import StructType
+
+        has_matched = matched_update is not None or matched_delete
+        has_by_source = (
+            not_matched_by_source_update is not None
+            or not_matched_by_source_delete
+        )
+        if not (has_matched or not_matched_insert is not None or has_by_source):
+            raise ValueError("merge needs at least one WHEN clause")
+        base = self.latest_version()
+        m = self._manifest(base)
+        recorded = self._txns(m).get(app_id)
+        if batch_id is not None and recorded is not None and recorded >= batch_id:
+            return base  # replayed micro-batch: already committed
+        key, n_buckets = m["key"], m["n_buckets"]
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        table_cols = [f.name for f in schema.fields]
+        for clause, d in (
+            ("matched_update", matched_update),
+            ("not_matched_insert", not_matched_insert),
+            ("not_matched_by_source_update", not_matched_by_source_update),
+        ):
+            if isinstance(d, dict):
+                if key in d:
+                    raise ValueError(
+                        f"{clause} cannot assign the bucket key {key!r} — a "
+                        "key rewrite could move rows into buckets this merge "
+                        "does not rewrite"
+                    )
+                unknown = [c for c in d if c not in table_cols]
+                if unknown:
+                    raise ValueError(
+                        f"{clause} assigns columns not in the table schema: "
+                        f"{unknown}"
+                    )
+        extra = [c for c in source.columns if c not in table_cols]
+        if extra:
+            raise ValueError(
+                f"merge source has columns not in the table schema: {extra}; "
+                "evolve the schema with append(merge_schema=True) first"
+            )
+        # same contract as merge_upsert: two source rows for one key have
+        # no defined winner for the matched clauses (Delta raises too)
+        dup = (
+            source.groupBy(key)
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "merge source has multiple rows for the same key; "
+                "deduplicate the source first"
+            )
+        src = source.withColumn("__bucket", _bucket_col(key, n_buckets))
+        if has_by_source:
+            # "no source row matches" must examine every target row
+            affected = sorted(m["files"])
+        else:
+            affected = sorted(
+                str(r["__bucket"])
+                for r in src.select("__bucket").distinct().collect()
+            )  # ≤ n_buckets rows — bounded driver collect
+        old_files = [
+            os.path.join(self.path, rel)
+            for b in affected
+            for rel in m["files"].get(b, [])
+        ]
+        target = self._read_files(old_files, m)
+        t_row = target.select(
+            F.col(key).alias("__tk"),
+            F.struct(*[F.col(c) for c in target.columns]).alias("t"),
+        )
+        s_row = src.drop("__bucket").select(
+            F.col(key).alias("__sk"),
+            F.struct(*[F.col(c) for c in src.columns if c != "__bucket"]).alias(
+                "s"
+            ),
+        )
+        j = t_row.join(s_row, F.col("__tk") == F.col("__sk"), "full_outer")
+        is_matched = F.col("t").isNotNull() & F.col("s").isNotNull()
+        s_only = F.col("t").isNull() & F.col("s").isNotNull()
+        t_only = F.col("t").isNotNull() & F.col("s").isNull()
+
+        def cond(expr: str | None) -> F.Column:
+            if expr is None:
+                return F.lit(True)
+            return F.coalesce(F.expr(f"({expr})"), F.lit(False))
+
+        action = F.lit("keep")
+        branches = []
+        if matched_update is not None:
+            branches.append((is_matched & cond(matched_update_condition), "update"))
+        if matched_delete:
+            branches.append((is_matched & cond(matched_delete_condition), "delete"))
+        branches.append((is_matched, "keep"))
+        if not_matched_insert is not None:
+            branches.append(
+                (s_only & cond(not_matched_insert_condition), "insert")
+            )
+        branches.append((s_only, "drop"))
+        if not_matched_by_source_update is not None:
+            branches.append(
+                (
+                    t_only & cond(not_matched_by_source_update_condition),
+                    "bs_update",
+                )
+            )
+        if not_matched_by_source_delete:
+            branches.append(
+                (
+                    t_only & cond(not_matched_by_source_delete_condition),
+                    "delete",
+                )
+            )
+        act = None
+        for c, label in branches:
+            act = F.when(c, label) if act is None else act.when(c, label)
+        action = act.otherwise("keep")
+        src_cols = set(source.columns)
+
+        def value_for(c: str, spec: dict | str, from_source_only: bool):
+            """The clause's value for column ``c``: dict = SQL expr,
+            '*' = s.<col> when present (else t.<col> for updates, NULL
+            for inserts)."""
+            if isinstance(spec, dict):
+                if c in spec:
+                    return F.expr(f"({spec[c]})")
+                return (
+                    F.lit(None) if from_source_only else F.col(f"t.{c}")
+                )
+            if c in src_cols:
+                return F.col(f"s.{c}")
+            return F.lit(None) if from_source_only else F.col(f"t.{c}")
+
+        out_cols = []
+        for f in schema.fields:
+            c = f.name
+            expr = F.col(f"t.{c}")
+            if matched_update is not None:
+                expr = F.when(
+                    F.col("__action") == "update",
+                    value_for(c, matched_update, False),
+                ).otherwise(expr)
+            if not_matched_by_source_update is not None:
+                expr = F.when(
+                    F.col("__action") == "bs_update",
+                    value_for(c, not_matched_by_source_update, False),
+                ).otherwise(expr)
+            if not_matched_insert is not None:
+                ins = (
+                    F.col(f"s.{c}")
+                    if c == key
+                    else value_for(c, not_matched_insert, True)
+                )
+                expr = F.when(F.col("__action") == "insert", ins).otherwise(
+                    expr
+                )
+            out_cols.append(expr.cast(f.dataType).alias(c))
+        merged = (
+            j.withColumn("__action", action)
+            .where(~F.col("__action").isin("delete", "drop"))
+            .select(*out_cols)
+        )
+        self._check_constraints(m, merged)
+        new_files, new_stats = self._write_bucket_files(
+            merged.withColumn("__bucket", _bucket_col(key, n_buckets)),
+            self._bloom_cols_phys(m),
+            colmap=self._colmap(m),
+        )
+        files = {
+            b: rels for b, rels in m["files"].items() if b not in set(affected)
+        }
+        files.update(new_files)
+        return self._commit(
+            self._next_manifest(m, files, new_stats, batch_id, app_id), base
+        )
+
     @staticmethod
     def _schema_names(m: dict) -> list[str]:
         from pyspark.sql.types import StructType

@@ -182,6 +182,147 @@ def acid_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_clauses_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """Target = 80% of orders; v2 = ONE atomic multi-clause MERGE:
+    non-urgent matched rows UPDATE to the source price, urgent matched
+    rows with o_custkey % 3 = 0 DELETE, unmatched source rows INSERT only
+    when o_orderkey % 10 = 8, and target-only rows with o_custkey % 10 = 0
+    are swept by WHEN NOT MATCHED BY SOURCE DELETE. The oracle replays
+    exactly these fractions. Memoized per process (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 2)
+    cached = _FIXTURES.get(key)
+    if cached is not None and cached.spark is spark:
+        try:
+            if cached.latest_version() == 2:
+                return cached
+        except Exception:
+            pass
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    target = o.where(F.col("o_orderkey") % 10 < 8)
+    source = o.where(F.col("o_orderkey") % 10 >= 5).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    t = SnapshotTable.create(
+        spark, _snapshot_demo_path(demo), target, key="o_orderkey", n_buckets=8
+    )
+    t.merge(
+        source,
+        matched_update={"o_totalprice": "s.o_totalprice"},
+        matched_update_condition="t.o_orderpriority <> '1-URGENT'",
+        matched_delete=True,
+        matched_delete_condition="t.o_custkey % 3 = 0",
+        not_matched_insert="*",
+        not_matched_insert_condition="s.o_orderkey % 10 = 8",
+        not_matched_by_source_delete=True,
+        not_matched_by_source_delete_condition="t.o_custkey % 10 = 0",
+        batch_id=1,
+        app_id="clauses_demo",
+    )
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "acid_merge_clauses",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 < 8
+    ),
+    source AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 10 >= 5
+    ),
+    merged AS (
+      SELECT t.o_orderkey, t.o_custkey,
+             CASE WHEN t.o_orderpriority <> '1-URGENT'
+                  THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+             t.o_orderpriority
+      FROM target t JOIN source s ON t.o_orderkey = s.o_orderkey
+      WHERE NOT (t.o_orderpriority = '1-URGENT' AND t.o_custkey % 3 = 0)
+      UNION ALL
+      SELECT t.* FROM target t
+      WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM source)
+        AND t.o_custkey % 10 <> 0
+      UNION ALL
+      SELECT s.* FROM source s
+      WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM target)
+        AND s.o_orderkey % 10 = 8
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM merged GROUP BY 1
+    """,
+)
+def acid_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL multi-clause MERGE on the snapshot table — Delta's
+    whenMatchedUpdate / whenMatchedDelete / whenNotMatchedInsert /
+    whenNotMatchedBySourceDelete with PER-CLAUSE CONDITIONS, committed as
+    ONE atomic version (acid.py merge(); acid_merge_upsert certifies the
+    plain-upsert fast path). Conditions are SQL over ``s.``/``t.`` struct
+    aliases; clause order is fixed update-before-delete. The oracle
+    replays every clause relationally (join + 3-way union with the same
+    CASE/condition logic).
+
+    In-query certifications (RuntimeError, -O safe):
+    * the 4-clause merge landed as exactly one commit (v2);
+    * a REPLAY of the same merge under the same (app_id, batch_id) tag
+      is a no-op — multi-clause merges carry the same per-writer
+      idempotence protection as the streaming sink path.
+
+    Scale: without by-source clauses this merge is bucket-pruned
+    copy-on-write; the by-source sweep here must examine every target
+    row (its predicate is "no source row matches") and rewrites all
+    buckets — exactly Delta's whenNotMatchedBySource cost."""
+    t = _orders_clauses_fixture(spark, sf_dir, "acid_clauses")
+    if t.latest_version() != 2:
+        raise RuntimeError(
+            "multi-clause merge must land as ONE atomic commit (v2), got "
+            f"v{t.latest_version()}"
+        )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    source = o.where(F.col("o_orderkey") % 10 >= 5).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    v_replay = t.merge(
+        source,
+        matched_update={"o_totalprice": "s.o_totalprice"},
+        matched_update_condition="t.o_orderpriority <> '1-URGENT'",
+        matched_delete=True,
+        matched_delete_condition="t.o_custkey % 3 = 0",
+        not_matched_insert="*",
+        not_matched_insert_condition="s.o_orderkey % 10 = 8",
+        not_matched_by_source_delete=True,
+        not_matched_by_source_delete_condition="t.o_custkey % 10 = 0",
+        batch_id=1,
+        app_id="clauses_demo",
+    )
+    if v_replay != 2:
+        raise RuntimeError(
+            "replayed multi-clause merge with the same (app_id, batch_id) "
+            f"tag must be a no-op at v2, got v{v_replay}"
+        )
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 @query(
     "snapshot_change_feed",
     oracle="""

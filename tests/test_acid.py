@@ -1335,3 +1335,191 @@ def test_copy_into_csv_landing_zone(spark, tmp_path):
         files, source_format="csv", options={"header": "true"}
     )
     assert (v2, loaded, skipped) == (v, 0, len(files))
+
+
+# ---- multi-clause MERGE ---------------------------------------------------
+
+
+def _mk_merge_table(spark, tmp_path, name="mtbl"):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, "d")],
+        "k bigint, qty bigint, tag string",
+    )
+    return SnapshotTable.create(
+        spark, str(tmp_path / name), df, key="k", n_buckets=4
+    )
+
+
+def _mrows(df):
+    return sorted((r["k"], r["qty"], r["tag"]) for r in df.collect())
+
+
+def test_merge_clauses_update_delete_insert_conditions(spark, tmp_path):
+    """All three classic clause types with conditions, one atomic commit:
+    matched+cond -> update expr over s and t; matched+delete cond ->
+    gone; unmatched source + cond -> insert; unmatched source without
+    cond -> dropped; untouched matched rows keep."""
+    t = _mk_merge_table(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, 5, "A"), (2, 99, "B"), (3, 1, "C"), (8, 80, "H"), (9, 90, "I")],
+        "k bigint, qty bigint, tag string",
+    )
+    v = t.merge(
+        src,
+        matched_update={"qty": "t.qty + s.qty", "tag": "s.tag"},
+        matched_update_condition="s.qty < 50",
+        matched_delete=True,
+        matched_delete_condition="s.qty = 99",
+        not_matched_insert="*",
+        not_matched_insert_condition="s.k % 2 = 0",
+    )
+    assert v == 2
+    # k=1: update cond holds (5<50)  -> qty 15, tag A
+    # k=2: update cond fails, delete cond holds (99) -> gone
+    # k=3: update cond holds (1<50)  -> qty 31, tag C
+    # k=4: matched?? no — k=4 not in source -> target-only, no by-source
+    #      clause -> keep
+    # k=8: insert cond holds (even)  -> inserted
+    # k=9: insert cond fails         -> dropped
+    assert _mrows(t.read()) == [
+        (1, 15, "A"),
+        (3, 31, "C"),
+        (4, 40, "d"),
+        (8, 80, "H"),
+    ]
+
+
+def test_merge_clause_order_update_before_delete(spark, tmp_path):
+    """A matched row satisfying BOTH conditions takes the UPDATE clause —
+    clause order is fixed (update first), like Delta's in-order clause
+    evaluation."""
+    t = _mk_merge_table(spark, tmp_path)
+    src = spark.createDataFrame([(1, 100, "X")], "k bigint, qty bigint, tag string")
+    t.merge(
+        src,
+        matched_update={"qty": "s.qty"},
+        matched_update_condition="s.qty > 0",
+        matched_delete=True,
+        matched_delete_condition="s.qty > 0",
+    )
+    assert _mrows(t.read()) == [
+        (1, 100, "a"),
+        (2, 20, "b"),
+        (3, 30, "c"),
+        (4, 40, "d"),
+    ]
+
+
+def test_merge_by_source_clauses(spark, tmp_path):
+    """whenNotMatchedBySource: target-only rows try UPDATE then DELETE;
+    matched rows are untouched when no matched clause is given."""
+    t = _mk_merge_table(spark, tmp_path)
+    src = spark.createDataFrame([(1, 0, "z")], "k bigint, qty bigint, tag string")
+    t.merge(
+        src,
+        not_matched_by_source_update={"tag": "concat(t.tag, '!')"},
+        not_matched_by_source_update_condition="t.qty <= 20",
+        not_matched_by_source_delete=True,
+        not_matched_by_source_delete_condition="t.qty = 40",
+    )
+    # k=1 matched: no matched clause -> keep; k=2 qty20 -> tag b!;
+    # k=3 qty30: neither by-source cond -> keep; k=4 qty40 -> deleted
+    assert _mrows(t.read()) == [
+        (1, 10, "a"),
+        (2, 20, "b!"),
+        (3, 30, "c"),
+    ]
+
+
+def test_merge_insert_all_null_fills_missing_source_columns(spark, tmp_path):
+    """insert-all from a source missing a table column writes NULL there;
+    update-all keeps the target's value for missing source columns."""
+    t = _mk_merge_table(spark, tmp_path)
+    src = spark.createDataFrame([(1, 77), (9, 99)], "k bigint, qty bigint")
+    t.merge(src, matched_update="*", not_matched_insert="*")
+    assert _mrows(t.read()) == [
+        (1, 77, "a"),  # update-all: tag not in source -> keeps target's
+        (2, 20, "b"),
+        (3, 30, "c"),
+        (4, 40, "d"),
+        (9, 99, None),  # insert-all: tag not in source -> NULL
+    ]
+
+
+def test_merge_bucket_pruning_without_by_source(spark, tmp_path):
+    """Without by-source clauses only buckets holding source keys
+    rewrite; with them, every bucket must be examined (the predicate is
+    'no source row matches')."""
+    t = _mk_merge_table(spark, tmp_path)
+    m1 = t._manifest(t.latest_version())
+    src = spark.createDataFrame([(1, 0, "u")], "k bigint, qty bigint, tag string")
+    t.merge(src, matched_update={"qty": "s.qty"})
+    m2 = t._manifest(t.latest_version())
+    carried = [b for b in m1["files"] if m2["files"].get(b) == m1["files"][b]]
+    assert carried, "a 1-key merge should carry untouched buckets by reference"
+    t.merge(src, matched_update={"qty": "s.qty + 1"}, not_matched_by_source_delete=True,
+            not_matched_by_source_delete_condition="false")
+    m3 = t._manifest(t.latest_version())
+    assert all(
+        m3["files"].get(b) != m2["files"][b] for b in m2["files"] if m2["files"][b]
+    ), "by-source clauses must rewrite every non-empty bucket"
+    assert _mrows(t.read()) == [
+        (1, 1, "a"),
+        (2, 20, "b"),
+        (3, 30, "c"),
+        (4, 40, "d"),
+    ]
+
+
+def test_merge_guards(spark, tmp_path):
+    t = _mk_merge_table(spark, tmp_path)
+    src = spark.createDataFrame([(1, 0, "u")], "k bigint, qty bigint, tag string")
+    with pytest.raises(ValueError, match="at least one WHEN clause"):
+        t.merge(src)
+    with pytest.raises(ValueError, match="bucket key"):
+        t.merge(src, matched_update={"k": "s.k + 1000"})
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.merge(src, matched_update={"nope": "1"})
+    dup = spark.createDataFrame(
+        [(1, 0, "u"), (1, 1, "v")], "k bigint, qty bigint, tag string"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        t.merge(dup, matched_update="*")
+
+
+def test_merge_replay_tag_skips(spark, tmp_path):
+    t = _mk_merge_table(spark, tmp_path)
+    src = spark.createDataFrame([(1, 1, "u")], "k bigint, qty bigint, tag string")
+    v = t.merge(src, matched_update={"qty": "t.qty + s.qty"},
+                batch_id=7, app_id="merge_writer")
+    v2 = t.merge(src, matched_update={"qty": "t.qty + s.qty"},
+                 batch_id=7, app_id="merge_writer")
+    assert v2 == v  # replay: no double-apply
+    assert _mrows(t.read())[0] == (1, 11, "a")
+
+
+def test_merge_respects_constraints_and_feeds_cdf(spark, tmp_path):
+    """A merge whose updated rows violate a CHECK constraint commits
+    NOTHING; the change feed across a multi-clause merge classifies
+    update/insert/delete like any other commit."""
+    t = _mk_merge_table(spark, tmp_path)
+    t.add_constraint("qty_pos", "qty >= 0")
+    src = spark.createDataFrame([(1, -5, "u")], "k bigint, qty bigint, tag string")
+    base = t.latest_version()
+    with pytest.raises(ConstraintViolation):
+        t.merge(src, matched_update={"qty": "s.qty"})
+    assert t.latest_version() == base
+    ok = spark.createDataFrame(
+        [(1, 5, "u"), (9, 9, "i")], "k bigint, qty bigint, tag string"
+    )
+    t.merge(ok, matched_update={"qty": "s.qty"}, not_matched_insert="*",
+            matched_delete=True, matched_delete_condition="false")
+    feed = t.changes(base)
+    got = {
+        (r["_change_type"], r["k"]) for r in feed.collect()
+    }
+    assert got == {
+        ("update_preimage", 1),
+        ("update_postimage", 1),
+        ("insert", 9),
+    }

@@ -140,6 +140,8 @@ PROBES = [
     "snapshot_batch_source",
     "snapshot_column_mapping",
     "snapshot_sink_roundtrip",
+    # round-5 fourth session: full multi-clause MERGE
+    "acid_merge_clauses",
 ]
 
 KEY_SHIFTS = {
