@@ -658,7 +658,45 @@ class SnapshotTable:
             )
         return best
 
-    def _commit(self, manifest: dict, base_version: int) -> int:
+    def history(self, limit: int | None = None) -> list[dict]:
+        """DESCRIBE HISTORY (Delta): one dict per commit, NEWEST first —
+        ``version``, ``timestamp`` (the version record's mtime: the
+        commit instant IS the manifest link), ``operation`` (the commit's
+        op descriptor — CREATE / MERGE / APPEND / DELETE / OPTIMIZE /
+        RESTORE / …) and ``params`` (operation-specific detail such as
+        MERGE clause names or RESTORE's target version).
+
+        Retention-bounded exactly like Delta's: the walk stops at the
+        first version whose log record expire_versions() has removed —
+        those commits still READ fine (via checkpoints) but their
+        operation info is gone with the log. Commits written by code
+        predating op descriptors report operation "UNKNOWN". Driver-side
+        O(retained-versions) metadata work, like every log walk."""
+        out: list[dict] = []
+        v = self.latest_version()
+        while v >= 1 and (limit is None or len(out) < limit):
+            path = os.path.join(self._versions_dir(), f"v{v}.json")
+            try:
+                raw = self._read_vfile(v)
+            except FileNotFoundError:
+                break  # expired log records: history ends here
+            op = raw.get("op") or {}
+            out.append(
+                {
+                    "version": v,
+                    "timestamp": os.path.getmtime(path),
+                    "operation": op.get("operation", "UNKNOWN"),
+                    "params": {
+                        k: val for k, val in op.items() if k != "operation"
+                    },
+                }
+            )
+            v -= 1
+        return out
+
+    def _commit(
+        self, manifest: dict, base_version: int, op: dict | None = None
+    ) -> int:
         """Atomically create versions/v{base+1}.json — the commit point.
         ``manifest`` is the intended FULL successor state; what lands on
         disk is a DELTA manifest (O(changes), computed against the base's
@@ -668,14 +706,22 @@ class SnapshotTable:
         another writer committed this version first (or the base was stale
         — versions are contiguous, so any staleness surfaces as EEXIST).
         After the link, the committer rolls a parquet CHECKPOINT when the
-        new version's delta chain reaches ``checkpoint_interval``."""
+        new version's delta chain reaches ``checkpoint_interval``.
+
+        ``op`` is the commit's OPERATION descriptor ({"operation": name,
+        **params}) — Delta's commitInfo action, read back by history().
+        It rides the on-disk record only: _fold ignores it, so it never
+        leaks into reconstructed manifests, and a checkpoint doesn't
+        carry it (history is log-retention-bounded, exactly Delta)."""
         new_version = base_version + 1
         manifest["version"] = new_version
         if base_version == 0:
-            record = manifest
+            record = dict(manifest)
         else:
             record = self._delta_of(self._manifest(base_version), manifest)
             record["version"] = new_version
+        if op is not None:
+            record["op"] = op
         mpath = os.path.join(self._versions_dir(), f"v{new_version}.json")
         tmp = mpath + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -862,7 +908,7 @@ class SnapshotTable:
         }
         if bloom_cols:
             manifest["bloom_cols"] = list(bloom_cols)
-        t._commit(manifest, base_version=0)
+        t._commit(manifest, base_version=0, op={"operation": "CREATE"})
         return t
 
     @staticmethod
@@ -992,7 +1038,7 @@ class SnapshotTable:
             nxt["bloom_cols"] = [
                 new if c == old else c for c in self._bloom_cols(m)
             ]
-        return self._commit(nxt, base)
+        return self._commit(nxt, base, op={"operation": "RENAME COLUMN", "from": old, "to": new})
 
     def drop_column(self, col: str) -> int:
         """ALTER TABLE DROP COLUMN — METADATA-ONLY (Delta's column-mapping
@@ -1035,7 +1081,7 @@ class SnapshotTable:
             nxt["bloom_cols"] = bc
             if not bc:
                 nxt.pop("bloom_cols", None)
-        return self._commit(nxt, base)
+        return self._commit(nxt, base, op={"operation": "DROP COLUMN", "column": col})
 
     # ---- RESTORE / SHALLOW CLONE / COPY INTO -----------------------------
 
@@ -1117,7 +1163,7 @@ class SnapshotTable:
             nxt["txns"] = txns
         if m_cur.get("copy_ledger"):
             nxt["copy_ledger"] = list(m_cur["copy_ledger"])
-        return self._commit(nxt, base)
+        return self._commit(nxt, base, op={"operation": "RESTORE", "to_version": version})
 
     def clone(self, dest_path: str, version: int | None = None) -> "SnapshotTable":
         """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``): a
@@ -1177,7 +1223,7 @@ class SnapshotTable:
             manifest["dvs"] = {
                 ext[e]: [ext[d] for d in lst] for e, lst in m["dvs"].items()
             }
-        out._commit(manifest, base_version=0)
+        out._commit(manifest, base_version=0, op={"operation": "CLONE", "source": self.path, "source_version": version})
         return out
 
     def rebucket(self, n_buckets: int) -> int:
@@ -1220,7 +1266,7 @@ class SnapshotTable:
         )
         nxt = self._next_manifest(m, new_files, new_stats, dvs={})
         nxt["n_buckets"] = n_buckets
-        return self._commit(nxt, base)
+        return self._commit(nxt, base, op={"operation": "REBUCKET", "n_buckets": n_buckets})
 
     def copy_into(
         self,
@@ -1276,7 +1322,7 @@ class SnapshotTable:
             files[b] = files.get(b, []) + rels
         nxt = self._next_manifest(m, files, new_stats)
         nxt["copy_ledger"] = list(m.get("copy_ledger", [])) + todo
-        v = self._commit(nxt, base)
+        v = self._commit(nxt, base, op={"operation": "COPY INTO", "loaded": len(todo), "skipped": len(paths) - len(todo)})
         return v, len(todo), len(paths) - len(todo)
 
     # ---- CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT) ----------
@@ -1302,7 +1348,7 @@ class SnapshotTable:
         cons = dict(m.get("constraints", {}))
         cons[name] = expr
         nxt["constraints"] = cons
-        return self._commit(nxt, base)
+        return self._commit(nxt, base, op={"operation": "ADD CONSTRAINT", "name": name})
 
     def drop_constraint(self, name: str) -> int:
         """Remove a CHECK constraint — metadata-only commit."""
@@ -1316,7 +1362,7 @@ class SnapshotTable:
         nxt["constraints"] = cons
         if not cons:
             nxt.pop("constraints")
-        return self._commit(nxt, base)
+        return self._commit(nxt, base, op={"operation": "DROP CONSTRAINT", "name": name})
 
     def _check_constraints(self, m: dict, incoming: DataFrame) -> None:
         """Validate incoming rows against every table constraint — one
@@ -1660,7 +1706,8 @@ class SnapshotTable:
         }
         files.update(new_files)
         return self._commit(
-            self._next_manifest(m, files, new_stats, batch_id, app_id), base
+            self._next_manifest(m, files, new_stats, batch_id, app_id), base,
+            op={"operation": "MERGE", "clauses": ["upsert"]},
         )
 
     def merge(
@@ -1723,6 +1770,20 @@ class SnapshotTable:
         )
         if not (has_matched or not_matched_insert is not None or has_by_source):
             raise ValueError("merge needs at least one WHEN clause")
+        clause_names = [
+            name
+            for name, on in (
+                ("matched_update", matched_update is not None),
+                ("matched_delete", matched_delete),
+                ("not_matched_insert", not_matched_insert is not None),
+                (
+                    "not_matched_by_source_update",
+                    not_matched_by_source_update is not None,
+                ),
+                ("not_matched_by_source_delete", not_matched_by_source_delete),
+            )
+            if on
+        ]
         base = self.latest_version()
         m = self._manifest(base)
         recorded = self._txns(m).get(app_id)
@@ -1890,7 +1951,8 @@ class SnapshotTable:
         }
         files.update(new_files)
         return self._commit(
-            self._next_manifest(m, files, new_stats, batch_id, app_id), base
+            self._next_manifest(m, files, new_stats, batch_id, app_id), base,
+            op={"operation": "MERGE", "clauses": clause_names},
         )
 
     @staticmethod
@@ -1962,7 +2024,7 @@ class SnapshotTable:
             nxt["schema"] = StructType(table_schema.fields + added).json()
             if cmap:
                 nxt["colmap"] = cmap
-        return self._commit(nxt, base)
+        return self._commit(nxt, base, op={"operation": "APPEND", "schema_evolved": bool(added)})
 
     def delete_keys(self, keys: DataFrame, mode: str = "cow") -> int:
         """Keyed DELETE. ``mode="cow"`` (default): copy-on-write rewrite
@@ -2015,7 +2077,7 @@ class SnapshotTable:
             files.update(new_files)
         else:
             new_stats = {}
-        return self._commit(self._next_manifest(m, files, new_stats), base)
+        return self._commit(self._next_manifest(m, files, new_stats), base, op={"operation": "DELETE", "mode": "cow"})
 
     def _delete_keys_dv(self, keys: DataFrame) -> int:
         """The merge-on-read DELETE (see :meth:`delete_keys`): locate the
@@ -2076,7 +2138,8 @@ class SnapshotTable:
         for rel in rels:
             dvs[rel] = dvs.get(rel, []) + [dv_rel]
         return self._commit(
-            self._next_manifest(m, dict(m["files"]), {}, dvs=dvs), base
+            self._next_manifest(m, dict(m["files"]), {}, dvs=dvs), base,
+            op={"operation": "DELETE", "mode": "dv"},
         )
 
     def compact(
@@ -2139,7 +2202,7 @@ class SnapshotTable:
                 colmap=self._colmap(m)
             )
         files.update(new_files)
-        return self._commit(self._next_manifest(m, files, new_stats), base)
+        return self._commit(self._next_manifest(m, files, new_stats), base, op={"operation": "OPTIMIZE", "zorder": list(zorder_by) if zorder_by else []})
 
     def _changed_buckets(self, m_from: dict, m_to: dict) -> list[str]:
         """Buckets whose FILE LISTS — or any file's DELETION-VECTOR list —
@@ -2346,7 +2409,8 @@ class SnapshotTable:
         }
         files.update(new_files)
         return self._commit(
-            self._next_manifest(m, files, new_stats, batch_id, app_id), base
+            self._next_manifest(m, files, new_stats, batch_id, app_id), base,
+            op={"operation": "CDC APPLY"},
         )
 
     def expire_versions(self, min_age_seconds: float = 3600.0) -> list[int]:

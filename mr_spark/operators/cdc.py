@@ -182,6 +182,134 @@ def acid_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_sink_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """v1 = 30% of orders; a 2-file parquet landing zone holds the other
+    70%, streamed in through ``writeStream.format("snapshot")`` with
+    maxFilesPerTrigger=1 + availableNow — TWO micro-batch commits (v2,
+    v3), each recording {app_id: epoch} in the txn map. Final state =
+    ALL orders, which is exactly what the oracle recomputes. Memoized
+    per process (see _FIXTURES); a rebuild clears the landing zone and
+    the stream checkpoint so offsets can never go stale against a fresh
+    table."""
+    import shutil
+
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 3)
+    cached = _FIXTURES.get(key)
+    if cached is not None and cached.spark is spark:
+        try:
+            if cached.latest_version() == 3:
+                return cached
+        except Exception:
+            pass
+    from ..sources.snapshot_source import register
+
+    register(spark)
+    tbl_path = _snapshot_demo_path(demo)
+    land = _snapshot_demo_path(demo + "_land")
+    cp = _snapshot_demo_path(demo + "_cp")
+    for p in (tbl_path, land, cp):
+        shutil.rmtree(p, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    t = SnapshotTable.create(
+        spark,
+        tbl_path,
+        o.where(F.col("o_orderkey") % 10 < 3),
+        key="o_orderkey",
+        n_buckets=8,
+    )
+    for lo, hi in ((3, 6), (6, 10)):
+        o.where(
+            (F.col("o_orderkey") % 10 >= lo) & (F.col("o_orderkey") % 10 < hi)
+        ).coalesce(1).write.mode("append").parquet(land)
+    q = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+        .writeStream.format("snapshot")
+        .option("path", t.path)
+        .option("checkpointLocation", cp)
+        .option("app_id", "orders_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "snapshot_stream_sink",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def snapshot_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING write path for the snapshot table —
+    ``df.writeStream.format("snapshot")`` (Spark 4 Python
+    DataSourceStreamWriter, sources/snapshot_sink.py): a 2-file landing
+    zone streamed with availableNow lands as TWO exactly-once micro-batch
+    commits, each publishing its staged bucket files and recording
+    {app_id: epoch} in the manifest txn map IN THE SAME atomic commit —
+    Delta's txn-by-appId idempotent streaming sink, now end-to-end
+    through the standard writeStream API rather than foreachBatch.
+
+    In-query certifications (RuntimeError, -O safe):
+    * the stream landed as one commit per micro-batch (v3 = create + 2);
+    * the txn map records the last epoch (1) for this writer;
+    * a live REPLAY of the last epoch through the stream writer commits
+      NOTHING — the staged replay files are cleaned, the version does
+      not advance (engine-restart replay safety, the exactly-once core).
+
+    The oracle is the full orders aggregate: v1 (30%) ⊕ stream (70%)
+    must equal ALL of orders — any lost or doubled micro-batch shifts
+    the counts. Scale: each micro-batch writes only its own bucket
+    files + one O(changes) delta manifest; stream throughput is bounded
+    by executor parquet writes, not driver work."""
+    t = _stream_sink_fixture(spark, sf_dir, "acid_stream_sink")
+    if t.latest_version() != 3:
+        raise RuntimeError(
+            "availableNow stream over a 2-file landing zone must land as "
+            f"exactly 2 commits (v3), got v{t.latest_version()}"
+        )
+    m = t._manifest(3)
+    if t._txns(m).get("orders_stream") != 1:
+        raise RuntimeError(
+            "txn map must record the last committed epoch (1) for "
+            f"'orders_stream', got {t._txns(m)!r}"
+        )
+    from ..sources.snapshot_sink import SnapshotStreamWriter
+
+    w = SnapshotStreamWriter(
+        {"path": t.path, "app_id": "orders_stream"},
+        t.read().schema,
+    )
+    msg = w.write(iter([(1, 1, 1.0, "1-URGENT")]))
+    w.commit([msg], 1)  # replay of epoch 1: must be a no-op
+    if t.latest_version() != 3:
+        raise RuntimeError(
+            "replayed epoch 1 must not commit — the txn map should have "
+            "skipped it"
+        )
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 def _orders_clauses_fixture(spark: SparkSession, sf_dir: str, demo: str):
     """Target = 80% of orders; v2 = ONE atomic multi-clause MERGE:
     non-urgent matched rows UPDATE to the source price, urgent matched
@@ -564,6 +692,71 @@ def _orders_cdc_fixture(spark: SparkSession, sf_dir: str, demo: str, n_commits: 
         )
     _FIXTURES[key] = t
     return t
+
+
+@query(
+    "snapshot_history",
+    oracle="""
+    WITH c AS (SELECT o_orderkey % 10 AS d FROM orders),
+    n1 AS (SELECT COUNT(*) AS n FROM c WHERE d < 8),
+    ni AS (SELECT COUNT(*) AS n FROM c WHERE d IN (8, 9)),
+    nd AS (SELECT COUNT(*) AS n FROM c WHERE d IN (0, 1)),
+    n0 AS (SELECT COUNT(*) AS n FROM c WHERE d = 0)
+    SELECT CAST(1 AS BIGINT) AS version, 'CREATE' AS operation,
+           (SELECT n FROM n1) AS n_rows
+    UNION ALL
+    SELECT 2, 'MERGE', (SELECT n FROM n1) + (SELECT n FROM ni)
+    UNION ALL
+    SELECT 3, 'DELETE',
+           (SELECT n FROM n1) + (SELECT n FROM ni) - (SELECT n FROM nd)
+    UNION ALL
+    SELECT 4, 'APPEND',
+           (SELECT n FROM n1) + (SELECT n FROM ni) - (SELECT n FROM nd)
+             + (SELECT n FROM n0)
+    """,
+)
+def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY — the table's commit log as data (Delta's
+    commitInfo): every commit records its operation descriptor
+    ({"operation", **params}) in the on-disk version record; history()
+    walks the log newest-first, retention-bounded exactly like Delta
+    (expired records still READ via checkpoints but their op info is
+    gone with the log). The query emits (version, operation, n_rows)
+    for the 4-commit CDC fixture, where n_rows is each version's TIME
+    TRAVEL row count — so one green row certifies op descriptors AND
+    per-version reads against an oracle that recomputes every state
+    from the base tables.
+
+    In-query certification (RuntimeError, -O safe): the recorded op
+    sequence must be exactly CREATE → MERGE(upsert) → DELETE(cow) →
+    APPEND — a commit path that forgot (or mislabeled) its descriptor
+    fails the query even if row counts happen to match.
+
+    Scale: history() is a driver-side log walk over O(retained
+    versions) records — metadata, not data; the 4 per-version counts
+    are distributed manifest-pruned reads."""
+    t = _orders_cdc_fixture(spark, sf_dir, "acid_history_demo", 4)
+    h = t.history()
+    got = [
+        (e["version"], e["operation"], e["params"]) for e in reversed(h)
+    ]
+    exp = [
+        (1, "CREATE", {}),
+        (2, "MERGE", {"clauses": ["upsert"]}),
+        (3, "DELETE", {"mode": "cow"}),
+        (4, "APPEND", {"schema_evolved": False}),
+    ]
+    if got != exp:
+        raise RuntimeError(
+            f"history must record the fixture's op sequence; got {got!r}"
+        )
+    rows = [
+        (e["version"], e["operation"], t.read(e["version"]).count())
+        for e in reversed(h)
+    ]  # 4 rows — bounded driver work; counts are distributed reads
+    return spark.createDataFrame(
+        rows, "version bigint, operation string, n_rows bigint"
+    )
 
 
 # full recompute of the fixture's state after v3 (merge then delete)

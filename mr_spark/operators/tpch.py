@@ -572,6 +572,92 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q8_market_share",
+    oracle=f"""
+    WITH sales AS (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS yr,
+             n2.n_name AS supp_nation,
+             {_SQL_DISC_PRICE} AS volume
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT yr,
+           CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(12,4)) END), 2) AS DOUBLE)
+             AS nation_revenue,
+           CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS total_revenue,
+           CAST(ROUND(
+             CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                 ELSE CAST(0 AS DECIMAL(12,4)) END), 2) AS DOUBLE)
+             * 100.0
+             / CAST(ROUND(SUM(volume), 2) AS DOUBLE), 4) AS DOUBLE)
+             AS mkt_share_pct
+    FROM sales GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share) — the last of the 22 TPC-H
+    queries without an analog here: one nation's share of PROMO-part
+    revenue sold into the AMERICA region per order year. The dim chain
+    (customer→nation→region for the market, supplier→nation for the
+    share) broadcasts end to end; lineitem⋈orders is the only shuffle;
+    the conditional share numerator folds inside the same partial agg as
+    the denominator (one pass, no second scan). Money stays decimal
+    until the final cents round; the share division happens on the two
+    EXACT rounded doubles (one IEEE division, order-independent in both
+    engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _disc_price()
+    num = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast(DECM)
+    )
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rkey") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(dsum(num, "nation_revenue"), dsum(vol, "total_revenue"))
+    )
+    return agg.select(
+        "yr",
+        "nation_revenue",
+        "total_revenue",
+        F.round(
+            F.col("nation_revenue") * 100.0 / F.col("total_revenue"), 4
+        ).alias("mkt_share_pct"),
+    )
+
+
+@query(
     "q12_priority_shipping",
     oracle="""
     SELECT l.l_linestatus AS linestatus,

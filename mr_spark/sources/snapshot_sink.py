@@ -44,7 +44,11 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import (
     BooleanType,
     DateType,
@@ -287,7 +291,9 @@ class SnapshotWriter(DataSourceWriter):
 
     # ---- driver side -----------------------------------------------------
 
-    def commit(self, messages) -> None:
+    def commit(
+        self, messages, batch_id: int | None = None, app_id: str = "default"
+    ) -> None:
         from concurrent.futures import ThreadPoolExecutor
 
         from ..acid import SnapshotTable
@@ -295,6 +301,13 @@ class SnapshotWriter(DataSourceWriter):
         t = SnapshotTable(None, self.path)
         base = t.latest_version()
         m = t._manifest(base)
+        if batch_id is not None:
+            recorded = t._txns(m).get(app_id)
+            if recorded is not None and recorded >= batch_id:
+                # replayed micro-batch: the table already holds this
+                # epoch's rows — the staged files are debris, not data
+                self.abort(messages)
+                return
         if self._identity(m) != self._fingerprint:
             self.abort(messages)
             raise RuntimeError(
@@ -329,7 +342,15 @@ class SnapshotWriter(DataSourceWriter):
         files = {b: list(rels) for b, rels in m["files"].items()}
         for b, rels in new_files.items():
             files[b] = files.get(b, []) + rels
-        t._commit(t._next_manifest(m, files, new_stats), base)
+        t._commit(
+            t._next_manifest(m, files, new_stats, batch_id, app_id),
+            base,
+            op=(
+                {"operation": "STREAMING UPDATE", "epoch": batch_id}
+                if batch_id is not None
+                else {"operation": "WRITE"}
+            ),
+        )
 
     def abort(self, messages) -> None:
         for msg in messages:
@@ -337,3 +358,40 @@ class SnapshotWriter(DataSourceWriter):
                 continue
             if msg.staging_dir and os.path.isdir(msg.staging_dir):
                 shutil.rmtree(msg.staging_dir)
+
+
+class SnapshotStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("snapshot")`` — the STREAMING write path
+    (Spark 4 Python ``DataSourceStreamWriter``), composing the V2 sink's
+    executor-side bucketing with the table's per-writer transaction map
+    for EXACTLY-ONCE micro-batch commits:
+
+    * ``write()`` is the batch sink's write — per-partition bucket +
+      stage (same Murmur3 parity, same physical-name parquet);
+    * ``commit(messages, batchId)`` publishes the staged files atomically
+      AND records ``{app_id: batchId}`` in the manifest's txn map in the
+      SAME commit — Delta's txn-by-appId. A replayed epoch (engine
+      restart re-running a batch whose commit already landed) finds
+      ``recorded >= batchId`` and cleans its staging instead of
+      double-appending; a concurrent table change still aborts via the
+      identity fingerprint.
+    * ``abort(messages, batchId)`` removes staging debris.
+
+    ``option("app_id", ...)`` names the writer (default
+    ``snapshot_stream_sink``); two streams writing one table keep
+    separate replay protection. The same planning-time guards as the
+    batch sink apply (append-only, no constraints, hashable key types,
+    no timestamp columns)."""
+
+    def __init__(self, options, schema: StructType) -> None:
+        self._inner = SnapshotWriter(options, schema, overwrite=False)
+        self.app_id = options.get("app_id", "snapshot_stream_sink")
+
+    def write(self, iterator):
+        return self._inner.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        self._inner.commit(messages, batch_id=batchId, app_id=self.app_id)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._inner.abort(messages)

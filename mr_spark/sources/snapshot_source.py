@@ -98,6 +98,15 @@ class SnapshotDataSource(DataSource):
 
         return SnapshotWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise NotImplementedError(
+                "snapshot stream sink supports outputMode('append') only"
+            )
+        from .snapshot_sink import SnapshotStreamWriter
+
+        return SnapshotStreamWriter(self.options, schema)
+
 
 class _FilePartition(InputPartition):
     def __init__(

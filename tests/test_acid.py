@@ -1523,3 +1523,35 @@ def test_merge_respects_constraints_and_feeds_cdf(spark, tmp_path):
         ("update_postimage", 1),
         ("insert", 9),
     }
+
+
+def test_history_records_operations_newest_first(spark, tmp_path):
+    """DESCRIBE HISTORY: every commit carries its operation descriptor
+    (Delta's commitInfo), newest first, with op-specific params; the
+    walk is bounded by log retention — expired records end the history
+    (the versions still READ via checkpoints, their op info is gone with
+    the log, exactly Delta)."""
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    t.append(spark.createDataFrame([(3, "c")], "k bigint, v string"))
+    t.merge_upsert(spark.createDataFrame([(1, "A")], "k bigint, v string"))
+    t.merge(
+        spark.createDataFrame([(2, "B")], "k bigint, v string"),
+        matched_delete=True,
+    )
+    h = t.history()
+    assert [(e["version"], e["operation"]) for e in h] == [
+        (4, "MERGE"),
+        (3, "MERGE"),
+        (2, "APPEND"),
+        (1, "CREATE"),
+    ]
+    assert h[0]["params"]["clauses"] == ["matched_delete"]
+    assert h[1]["params"]["clauses"] == ["upsert"]
+    assert all(e["timestamp"] > 0 for e in h)
+    assert len(t.history(limit=2)) == 2
+    # retention-bounded: expire old log records, history stops at the gap
+    t.expire_versions(min_age_seconds=0.0)
+    h2 = t.history()
+    assert h2, "latest version's record must survive expire"
+    assert h2[0]["version"] == 4
+    assert len(h2) < 4

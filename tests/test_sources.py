@@ -442,3 +442,75 @@ def test_snapshot_sink_defers_checkpoint_and_rejects_identity_drift(spark, tmp_p
     t2 = ST.create(spark, str(tmp_path / "ts_tbl"), ts_df, key="k", n_buckets=2)
     with pytest.raises(Exception, match="timestamp"):
         SnapshotWriter({"path": t2.path}, ts_df.schema, overwrite=False)
+
+
+def test_snapshot_stream_sink_exactly_once(spark, tmp_path):
+    """writeStream.format('snapshot'): each micro-batch lands as ONE
+    atomic commit carrying {app_id: batchId} in the txn map; a replayed
+    epoch is a no-op (staging cleaned, nothing double-appended); a
+    restart against the same checkpoint appends only NEW source files."""
+    from mr_spark.sources.snapshot_sink import SnapshotStreamWriter
+    from mr_spark.sources.snapshot_source import register
+
+    t = _mk_snap(spark, tmp_path, [(i, f"v{i}") for i in range(5)])
+    register(spark)
+    land = tmp_path / "land"
+    for lo, hi in ((100, 105), (105, 110)):
+        spark.createDataFrame(
+            [(i, f"s{i}") for i in range(lo, hi)], "k bigint, v string"
+        ).coalesce(1).write.mode("append").parquet(str(land))
+    stream = (
+        spark.readStream.schema("k bigint, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    q = (
+        stream.writeStream.format("snapshot")
+        .option("path", t.path)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .option("app_id", "s1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    exp = sorted(
+        [(i, f"v{i}") for i in range(5)]
+        + [(i, f"s{i}") for i in range(100, 110)]
+    )
+    assert _rows_kv(t.read()) == exp
+    v = t.latest_version()
+    assert v == 3  # create + one commit per micro-batch (2 files)
+    m = t._manifest(v)
+    last_epoch = t._txns(m)["s1"]
+    assert last_epoch == 1  # epochs 0 and 1 committed
+    # manual REPLAY of the last epoch: engine restarts re-run a batch
+    # whose commit already landed — must be a no-op
+    w = SnapshotStreamWriter(
+        {"path": t.path, "app_id": "s1"},
+        spark.createDataFrame([], "k bigint, v string").schema,
+    )
+    msg = w.write(iter([(100, "s100"), (101, "s101")]))
+    w.commit([msg], last_epoch)
+    assert t.latest_version() == v  # no new commit
+    assert _rows_kv(t.read()) == exp  # no duplicates
+    assert not [
+        e for e in os.listdir(t.path) if e.startswith("_staging_sink_")
+    ]
+    # restart with one NEW landing file: only it is appended, once
+    spark.createDataFrame(
+        [(200, "s200")], "k bigint, v string"
+    ).coalesce(1).write.mode("append").parquet(str(land))
+    q2 = (
+        spark.readStream.schema("k bigint, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+        .writeStream.format("snapshot")
+        .option("path", t.path)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .option("app_id", "s1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert t.latest_version() == v + 1
+    assert _rows_kv(t.read()) == sorted(exp + [(200, "s200")])

@@ -140,8 +140,11 @@ PROBES = [
     "snapshot_batch_source",
     "snapshot_column_mapping",
     "snapshot_sink_roundtrip",
-    # round-5 fourth session: full multi-clause MERGE
+    # round-5 fourth session: full multi-clause MERGE, streaming V2 sink
     "acid_merge_clauses",
+    "snapshot_stream_sink",
+    "snapshot_history",
+    "q8_market_share",
 ]
 
 KEY_SHIFTS = {
