@@ -299,6 +299,13 @@ class SnapshotTable:
         #:  "deltas_folded": int}; queries use it to CERTIFY that reads go
         #: through the checkpoint path (snapshot_log_checkpoint)
         self.last_resolution: dict | None = None
+        #: rebases performed by the most recent _commit_rebased call —
+        #: queries certify the OCC retry actually exercised
+        self.last_commit_retries: int = 0
+        #: test/demo hook fired ONCE before the first commit attempt of
+        #: the next _commit_rebased call — the injection point for a
+        #: real mid-write concurrent commit
+        self._pre_commit_hook = None
 
     # ---- paths -----------------------------------------------------------
 
@@ -693,6 +700,105 @@ class SnapshotTable:
             )
             v -= 1
         return out
+
+    @staticmethod
+    def _table_identity(m: dict) -> tuple:
+        """The metadata a writer's staged work depends on: rows were
+        bucketed under this n_buckets/key, validated against these
+        constraints, written under this schema/colmap (+ tombstones,
+        which decide fresh physical names). Any concurrent change to
+        these makes staged files unpublishable — the sink fingerprint
+        and the rebase conflict check both compare exactly this."""
+        return (
+            m["schema"],
+            json.dumps(m.get("colmap", {}), sort_keys=True),
+            json.dumps(sorted(m.get("phys_tombstones", [])), sort_keys=True),
+            m["n_buckets"],
+            m["key"],
+            json.dumps(m.get("constraints", {}), sort_keys=True),
+        )
+
+    def _commit_rebased(
+        self,
+        m0: dict,
+        base0: int,
+        assemble,
+        *,
+        op: dict | None = None,
+        touched: list | None = None,
+        batch_id: int | None = None,
+        app_id: str = "default",
+        max_retries: int = 3,
+    ) -> int:
+        """Optimistic commit with AUTOMATIC REBASE — Delta's logical
+        conflict detection: a ConflictError (another writer won the
+        version race) does NOT have to fail the job, because data files
+        are immutable and already staged; only the MANIFEST work needs
+        redoing. On conflict, re-resolve the latest manifest and retry
+        ``assemble(m_latest)`` — IF the concurrent commits were logically
+        disjoint from this write:
+
+        * the table identity (schema/colmap/tombstones/buckets/key/
+          constraints) must be unchanged — staged rows were bucketed and
+          validated under it;
+        * every ``touched`` bucket's file list AND deletion-vector state
+          must be unchanged from ``m0`` — a copy-on-write rewrite read
+          those files, so a concurrent change there means lost updates
+          (``touched=None`` marks a purely ADDITIVE commit — blind
+          append / COPY INTO — which commutes with any data change).
+
+        Anything else re-raises ConflictError, exactly Delta's rule
+        (blind appends almost never conflict; overlapping merges do).
+        ``batch_id``/``app_id`` replay tags are re-checked against the
+        rebased manifest so two handles replaying one micro-batch can
+        race safely. ``last_commit_retries`` records how many rebases
+        the last call performed (certified in-query); a test hook
+        (``_pre_commit_hook``, fired once before the first attempt) lets
+        tests and the demo query inject a real mid-write conflict."""
+        self.last_commit_retries = 0
+        m, base = m0, base0
+        ident0 = self._table_identity(m0)
+        while True:
+            hook, self._pre_commit_hook = self._pre_commit_hook, None
+            if hook is not None:
+                hook()
+            # assemble() runs OUTSIDE the retry guard: a conflict it
+            # raises itself (e.g. COPY INTO ledger overlap) is a real
+            # logical conflict, not a version race — propagate
+            nxt = assemble(m)
+            try:
+                return self._commit(nxt, base, op=op)
+            except ConflictError:
+                if self.last_commit_retries >= max_retries:
+                    raise
+                self.last_commit_retries += 1
+                base = self.latest_version()
+                m = self._manifest(base)
+                if batch_id is not None:
+                    recorded = self._txns(m).get(app_id)
+                    if recorded is not None and recorded >= batch_id:
+                        return base  # the race WAS our replay — done
+                if self._table_identity(m) != ident0:
+                    raise ConflictError(
+                        "concurrent commit changed the table identity "
+                        "(schema/colmap/buckets/key/constraints) — staged "
+                        "rows were written under the old state"
+                    ) from None
+                for b in touched or []:
+                    if m["files"].get(b) != m0["files"].get(b):
+                        raise ConflictError(
+                            f"concurrent commit rewrote bucket {b}, which "
+                            "this write read — rebasing would lose its "
+                            "update"
+                        ) from None
+                    rels = m0["files"].get(b, [])
+                    dv0 = {r: m0.get("dvs", {}).get(r) for r in rels}
+                    dv1 = {r: m.get("dvs", {}).get(r) for r in rels}
+                    if dv0 != dv1:
+                        raise ConflictError(
+                            f"concurrent commit changed deletion vectors in "
+                            f"bucket {b}, which this write read"
+                        ) from None
 
     def _commit(
         self, manifest: dict, base_version: int, op: dict | None = None
@@ -1317,12 +1423,33 @@ class SnapshotTable:
             self._bloom_cols_phys(m),
             colmap=self._colmap(m),
         )
-        files = {b: list(rels) for b, rels in m["files"].items()}
-        for b, rels in new_files.items():
-            files[b] = files.get(b, []) + rels
-        nxt = self._next_manifest(m, files, new_stats)
-        nxt["copy_ledger"] = list(m.get("copy_ledger", [])) + todo
-        v = self._commit(nxt, base, op={"operation": "COPY INTO", "loaded": len(todo), "skipped": len(paths) - len(todo)})
+        def assemble(mb: dict) -> dict:
+            # a concurrent COPY INTO may have loaded some of OUR files —
+            # committing their rows again would double-load; that race
+            # cannot rebase (the staged data files mix overlapping and
+            # fresh sources), so it must surface as a conflict
+            if any(p in set(mb.get("copy_ledger", [])) for p in todo):
+                raise ConflictError(
+                    "concurrent COPY INTO loaded an overlapping source "
+                    "file — re-run to load only the remainder"
+                )
+            files = {b: list(rels) for b, rels in mb["files"].items()}
+            for b, rels in new_files.items():
+                files[b] = files.get(b, []) + rels
+            nxt = self._next_manifest(mb, files, new_stats)
+            nxt["copy_ledger"] = list(mb.get("copy_ledger", [])) + todo
+            return nxt
+
+        v = self._commit_rebased(
+            m,
+            base,
+            assemble,
+            op={
+                "operation": "COPY INTO",
+                "loaded": len(todo),
+                "skipped": len(paths) - len(todo),
+            },
+        )
         return v, len(todo), len(paths) - len(todo)
 
     # ---- CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT) ----------
@@ -1701,13 +1828,23 @@ class SnapshotTable:
         new_files, new_stats = self._write_bucket_files(
             merged, self._bloom_cols_phys(m), colmap=self._colmap(m)
         )
-        files = {
-            b: rels for b, rels in m["files"].items() if b not in set(affected)
-        }
-        files.update(new_files)
-        return self._commit(
-            self._next_manifest(m, files, new_stats, batch_id, app_id), base,
+        def assemble(mb: dict) -> dict:
+            files = {
+                b: rels
+                for b, rels in mb["files"].items()
+                if b not in set(affected)
+            }
+            files.update(new_files)
+            return self._next_manifest(mb, files, new_stats, batch_id, app_id)
+
+        return self._commit_rebased(
+            m,
+            base,
+            assemble,
             op={"operation": "MERGE", "clauses": ["upsert"]},
+            touched=affected,
+            batch_id=batch_id,
+            app_id=app_id,
         )
 
     def merge(
@@ -1946,13 +2083,23 @@ class SnapshotTable:
             self._bloom_cols_phys(m),
             colmap=self._colmap(m),
         )
-        files = {
-            b: rels for b, rels in m["files"].items() if b not in set(affected)
-        }
-        files.update(new_files)
-        return self._commit(
-            self._next_manifest(m, files, new_stats, batch_id, app_id), base,
+        def assemble(mb: dict) -> dict:
+            files = {
+                b: rels
+                for b, rels in mb["files"].items()
+                if b not in set(affected)
+            }
+            files.update(new_files)
+            return self._next_manifest(mb, files, new_stats, batch_id, app_id)
+
+        return self._commit_rebased(
+            m,
+            base,
+            assemble,
             op={"operation": "MERGE", "clauses": clause_names},
+            touched=affected,
+            batch_id=batch_id,
+            app_id=app_id,
         )
 
     @staticmethod
@@ -2016,15 +2163,26 @@ class SnapshotTable:
             self._bloom_cols_phys(m),
             colmap=cmap,
         )
-        files = {b: list(rels) for b, rels in m["files"].items()}
-        for b, rels in new_files.items():
-            files[b] = files.get(b, []) + rels
-        nxt = self._next_manifest(m, files, new_stats)
-        if added:
-            nxt["schema"] = StructType(table_schema.fields + added).json()
-            if cmap:
-                nxt["colmap"] = cmap
-        return self._commit(nxt, base, op={"operation": "APPEND", "schema_evolved": bool(added)})
+        def assemble(mb: dict) -> dict:
+            files = {b: list(rels) for b, rels in mb["files"].items()}
+            for b, rels in new_files.items():
+                files[b] = files.get(b, []) + rels
+            nxt = self._next_manifest(mb, files, new_stats)
+            if added:
+                nxt["schema"] = StructType(table_schema.fields + added).json()
+                if cmap:
+                    nxt["colmap"] = cmap
+            return nxt
+
+        # a blind append is purely ADDITIVE (touched=None): it read no
+        # table data, so it commutes with ANY concurrent data commit and
+        # rebases across it — Delta's appends-never-conflict rule
+        return self._commit_rebased(
+            m,
+            base,
+            assemble,
+            op={"operation": "APPEND", "schema_evolved": bool(added)},
+        )
 
     def delete_keys(self, keys: DataFrame, mode: str = "cow") -> int:
         """Keyed DELETE. ``mode="cow"`` (default): copy-on-write rewrite
@@ -2062,9 +2220,6 @@ class SnapshotTable:
             for b in affected
             for rel in m["files"].get(b, [])
         ]
-        files = {
-            b: rels for b, rels in m["files"].items() if b not in set(affected)
-        }
         if old_files:
             remaining = (
                 self._read_files(old_files, m)
@@ -2074,10 +2229,25 @@ class SnapshotTable:
             new_files, new_stats = self._write_bucket_files(
                 remaining, self._bloom_cols_phys(m), colmap=self._colmap(m)
             )
-            files.update(new_files)
         else:
-            new_stats = {}
-        return self._commit(self._next_manifest(m, files, new_stats), base, op={"operation": "DELETE", "mode": "cow"})
+            new_files, new_stats = {}, {}
+
+        def assemble(mb: dict) -> dict:
+            files = {
+                b: rels
+                for b, rels in mb["files"].items()
+                if b not in set(affected)
+            }
+            files.update(new_files)
+            return self._next_manifest(mb, files, new_stats)
+
+        return self._commit_rebased(
+            m,
+            base,
+            assemble,
+            op={"operation": "DELETE", "mode": "cow"},
+            touched=affected,
+        )
 
     def _delete_keys_dv(self, keys: DataFrame) -> int:
         """The merge-on-read DELETE (see :meth:`delete_keys`): locate the
@@ -2135,11 +2305,23 @@ class SnapshotTable:
         dv_rel = os.path.join("data", f"dv_{uuid.uuid4().hex}.parquet")
         os.rename(os.path.join(staging, part), os.path.join(self.path, dv_rel))
         shutil.rmtree(staging)
-        for rel in rels:
-            dvs[rel] = dvs.get(rel, []) + [dv_rel]
-        return self._commit(
-            self._next_manifest(m, dict(m["files"]), {}, dvs=dvs), base,
+        def assemble(mb: dict) -> dict:
+            # re-derive from the (possibly rebased) manifest: OTHER
+            # buckets' DV state may have changed; ours is conflict-checked
+            dvs_b = dict(mb.get("dvs", {}))
+            for rel in rels:
+                dvs_b[rel] = dvs_b.get(rel, []) + [dv_rel]
+            return self._next_manifest(mb, dict(mb["files"]), {}, dvs=dvs_b)
+
+        # touched = the buckets whose files this DV scan read: a
+        # concurrent rewrite of (or DV attach to) those files would make
+        # the recorded (file, pos) pairs stale
+        return self._commit_rebased(
+            m,
+            base,
+            assemble,
             op={"operation": "DELETE", "mode": "dv"},
+            touched=affected,
         )
 
     def compact(
@@ -2180,9 +2362,6 @@ class SnapshotTable:
         rows = self._read_files(old_files, m).withColumn(
             "__bucket", _bucket_col(m["key"], m["n_buckets"])
         )
-        files = {
-            b: rels for b, rels in m["files"].items() if b not in set(targets)
-        }
         if zorder_by is None:
             new_files, new_stats = self._write_bucket_files(
                 rows, self._bloom_cols_phys(m), colmap=self._colmap(m)
@@ -2201,8 +2380,25 @@ class SnapshotTable:
                 arranged, self._bloom_cols_phys(m), arranged=True,
                 colmap=self._colmap(m)
             )
-        files.update(new_files)
-        return self._commit(self._next_manifest(m, files, new_stats), base, op={"operation": "OPTIMIZE", "zorder": list(zorder_by) if zorder_by else []})
+        def assemble(mb: dict) -> dict:
+            files = {
+                b: rels
+                for b, rels in mb["files"].items()
+                if b not in set(targets)
+            }
+            files.update(new_files)
+            return self._next_manifest(mb, files, new_stats)
+
+        return self._commit_rebased(
+            m,
+            base,
+            assemble,
+            op={
+                "operation": "OPTIMIZE",
+                "zorder": list(zorder_by) if zorder_by else [],
+            },
+            touched=targets,
+        )
 
     def _changed_buckets(self, m_from: dict, m_to: dict) -> list[str]:
         """Buckets whose FILE LISTS — or any file's DELETION-VECTOR list —
@@ -2404,13 +2600,23 @@ class SnapshotTable:
         new_files, new_stats = self._write_bucket_files(
             merged, self._bloom_cols_phys(m), colmap=self._colmap(m)
         )
-        files = {
-            b: rels for b, rels in m["files"].items() if b not in set(affected)
-        }
-        files.update(new_files)
-        return self._commit(
-            self._next_manifest(m, files, new_stats, batch_id, app_id), base,
+        def assemble(mb: dict) -> dict:
+            files = {
+                b: rels
+                for b, rels in mb["files"].items()
+                if b not in set(affected)
+            }
+            files.update(new_files)
+            return self._next_manifest(mb, files, new_stats, batch_id, app_id)
+
+        return self._commit_rebased(
+            m,
+            base,
+            assemble,
             op={"operation": "CDC APPLY"},
+            touched=affected,
+            batch_id=batch_id,
+            app_id=app_id,
         )
 
     def expire_versions(self, min_age_seconds: float = 3600.0) -> list[int]:

@@ -694,6 +694,100 @@ def _orders_cdc_fixture(spark: SparkSession, sf_dir: str, demo: str, n_commits: 
     return t
 
 
+def _concurrent_writers_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """TWO writers racing one table: writer A creates v1 (50% of orders)
+    and starts an append of the last 30%; writer B's append of the
+    middle 20% COMMITS FIRST (injected through the pre-commit hook — a
+    real interleave, not a simulation: A's commit attempt genuinely
+    loses the version race and rebases). Final state must be ALL orders;
+    the rebase evidence (1 retry, A landing at v3 after basing on v1)
+    is stored on the fixture for the query's certification. Memoized per
+    process (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 3)
+    cached = _FIXTURES.get(key)
+    if cached is not None and cached.spark is spark:
+        try:
+            if cached.latest_version() == 3:
+                return cached
+        except Exception:
+            pass
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    t = SnapshotTable.create(
+        spark,
+        _snapshot_demo_path(demo),
+        o.where(k % 10 < 5),
+        key="o_orderkey",
+        n_buckets=8,
+    )
+    t2 = SnapshotTable(spark, t.path)
+    t._pre_commit_hook = lambda: t2.append(o.where((k % 10).isin(5, 6)))
+    t.append(o.where(k % 10 >= 7))
+    t._demo_rebase = (t.last_commit_retries, t.latest_version())
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "acid_concurrent_writers",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def acid_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMISTIC CONCURRENCY with AUTOMATIC REBASE — Delta's logical
+    conflict detection (acid.py _commit_rebased): two writers race one
+    table; the loser of the version race does NOT fail — its staged
+    data files are immutable, so only the manifest work is redone
+    against the new base, PROVIDED the concurrent commit was logically
+    disjoint (identity unchanged; for copy-on-write, no touched bucket
+    rewritten — blind appends commute with everything). The fixture
+    injects a REAL mid-write commit through the pre-commit hook: writer
+    A's append genuinely loses the race to writer B and rebases.
+
+    In-query certifications (RuntimeError, -O safe):
+    * writer A performed exactly ONE rebase and landed at v3 (base v1 +
+      B's v2 + A's rebased commit);
+    * history records CREATE then BOTH appends — nothing lost, nothing
+      doubled (the oracle's full-orders aggregate seals the values).
+
+    Conflict rules are pinned in tests/test_acid.py (merge rebases
+    across disjoint buckets, raises on overlap / identity change /
+    concurrent DVs on read buckets). Scale: a rebase costs one manifest
+    resolve + one delta write — no data movement; at 1000 writers the
+    retry loop is the same O(changes) metadata work Delta's commit
+    service performs."""
+    t = _concurrent_writers_fixture(spark, sf_dir, "acid_occ_demo")
+    if getattr(t, "_demo_rebase", None) != (1, 3):
+        raise RuntimeError(
+            "writer A must land via exactly one rebase at v3, got "
+            f"{getattr(t, '_demo_rebase', None)!r}"
+        )
+    ops = [e["operation"] for e in t.history()]
+    if ops != ["APPEND", "APPEND", "CREATE"]:
+        raise RuntimeError(
+            f"history must show CREATE then both racing appends, got {ops!r}"
+        )
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 @query(
     "snapshot_history",
     oracle="""

@@ -240,13 +240,9 @@ class SnapshotWriter(DataSourceWriter):
 
     @staticmethod
     def _identity(m: dict) -> tuple:
-        return (
-            m["schema"],
-            json.dumps(m.get("colmap", {}), sort_keys=True),
-            m["n_buckets"],
-            m["key"],
-            json.dumps(m.get("constraints", {}), sort_keys=True),
-        )
+        from ..acid import SnapshotTable
+
+        return SnapshotTable._table_identity(m)
 
     # ---- executor side ---------------------------------------------------
 
@@ -339,17 +335,25 @@ class SnapshotWriter(DataSourceWriter):
         for d in staging_dirs:
             if d and os.path.isdir(d):
                 shutil.rmtree(d)
-        files = {b: list(rels) for b, rels in m["files"].items()}
-        for b, rels in new_files.items():
-            files[b] = files.get(b, []) + rels
-        t._commit(
-            t._next_manifest(m, files, new_stats, batch_id, app_id),
+        def assemble(mb: dict) -> dict:
+            files = {b: list(rels) for b, rels in mb["files"].items()}
+            for b, rels in new_files.items():
+                files[b] = files.get(b, []) + rels
+            return t._next_manifest(mb, files, new_stats, batch_id, app_id)
+
+        # purely additive (touched=None): the sink append rebases across
+        # any concurrent DATA commit; an identity change still aborts
+        t._commit_rebased(
+            m,
             base,
+            assemble,
             op=(
                 {"operation": "STREAMING UPDATE", "epoch": batch_id}
                 if batch_id is not None
                 else {"operation": "WRITE"}
             ),
+            batch_id=batch_id,
+            app_id=app_id,
         )
 
     def abort(self, messages) -> None:

@@ -1555,3 +1555,101 @@ def test_history_records_operations_newest_first(spark, tmp_path):
     assert h2, "latest version's record must survive expire"
     assert h2[0]["version"] == 4
     assert len(h2) < 4
+
+
+# ---- optimistic-commit auto-rebase (logical conflict detection) ----------
+
+
+def _bucket_of_key(k: int, n_buckets: int = 4) -> int:
+    from pyspark.sql.types import LongType
+
+    from mr_spark.sources.snapshot_sink import bucket_of
+
+    return bucket_of(k, LongType(), n_buckets)
+
+
+def test_append_rebases_across_concurrent_append(spark, tmp_path):
+    """Blind appends COMMUTE: a concurrent commit landing between an
+    append's manifest read and its commit triggers an automatic rebase
+    (staged files are reused — only manifest work is redone), exactly
+    Delta's appends-never-conflict rule."""
+    t = _mk(spark, tmp_path, [(1, "a")])
+    t2 = SnapshotTable(spark, t.path)
+    t._pre_commit_hook = lambda: t2.append(
+        spark.createDataFrame([(2, "other")], "k bigint, v string")
+    )
+    t.append(spark.createDataFrame([(3, "mine")], "k bigint, v string"))
+    assert t.last_commit_retries == 1
+    assert t.latest_version() == 3
+    assert _rows(t.read()) == [(1, "a"), (2, "other"), (3, "mine")]
+    ops = [e["operation"] for e in t.history()]
+    assert ops == ["APPEND", "APPEND", "CREATE"]
+
+
+def test_merge_rebases_when_buckets_disjoint_conflicts_on_overlap(spark, tmp_path):
+    """A bucket-pruned MERGE rebases across a concurrent commit that
+    touched ONLY other buckets; a concurrent rewrite of a bucket the
+    merge read is a real lost-update hazard and must raise."""
+    keys = list(range(100))
+    by_bucket = {}
+    for k in keys:
+        by_bucket.setdefault(_bucket_of_key(k), []).append(k)
+    b_a, b_b = sorted(by_bucket)[:2]
+    ka, kb = by_bucket[b_a][0], by_bucket[b_b][0]
+    t = _mk(spark, tmp_path, [(k, f"v{k}") for k in keys])
+    t2 = SnapshotTable(spark, t.path)
+    # disjoint: t2 merges a key in bucket b_b while t merges bucket b_a
+    t._pre_commit_hook = lambda: t2.merge_upsert(
+        spark.createDataFrame([(kb, "theirs")], "k bigint, v string")
+    )
+    t.merge_upsert(
+        spark.createDataFrame([(ka, "mine")], "k bigint, v string")
+    )
+    assert t.last_commit_retries == 1
+    rows = dict(_rows(t.read()))
+    assert rows[ka] == "mine" and rows[kb] == "theirs"
+    # overlap: t2 rewrites the SAME bucket (another key hashing there)
+    ka2 = by_bucket[b_a][1]
+    t._pre_commit_hook = lambda: t2.merge_upsert(
+        spark.createDataFrame([(ka2, "theirs2")], "k bigint, v string")
+    )
+    with pytest.raises(ConflictError, match="rewrote bucket"):
+        t.merge_upsert(
+            spark.createDataFrame([(ka, "mine2")], "k bigint, v string")
+        )
+    # the concurrent writer's commit survives; ours never landed
+    rows = dict(_rows(t.read()))
+    assert rows[ka2] == "theirs2" and rows[ka] == "mine"
+
+
+def test_rebase_aborts_on_concurrent_identity_change(spark, tmp_path):
+    """An append cannot rebase across a constraint add (its rows were
+    validated — not at all — against the OLD constraint set)."""
+    t = _mk(spark, tmp_path, [(1, "a")])
+    t2 = SnapshotTable(spark, t.path)
+    t._pre_commit_hook = lambda: t2.add_constraint("v_set", "v IS NOT NULL")
+    with pytest.raises(ConflictError, match="identity"):
+        t.append(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    assert t.latest_version() == 2  # only the constraint commit landed
+
+
+def test_delete_conflicts_with_concurrent_dv_on_read_bucket(spark, tmp_path):
+    """A copy-on-write DELETE that read a bucket conflicts with a
+    concurrent DV attach to that bucket's files (the rewrite would
+    resurrect the DV-deleted rows by dropping the sidecar reference)."""
+    keys = list(range(40))
+    by_bucket = {}
+    for k in keys:
+        by_bucket.setdefault(_bucket_of_key(k), []).append(k)
+    b = sorted(by_bucket)[0]
+    k1, k2 = by_bucket[b][0], by_bucket[b][1]
+    t = _mk(spark, tmp_path, [(k, f"v{k}") for k in keys])
+    t2 = SnapshotTable(spark, t.path)
+    t._pre_commit_hook = lambda: t2.delete_keys(
+        spark.createDataFrame([(k2,)], "k bigint"), mode="dv"
+    )
+    with pytest.raises(ConflictError):
+        t.delete_keys(spark.createDataFrame([(k1,)], "k bigint"))
+    # the DV delete survived untouched
+    assert k2 not in dict(_rows(t.read()))
+    assert k1 in dict(_rows(t.read()))

@@ -145,6 +145,7 @@ PROBES = [
     "snapshot_stream_sink",
     "snapshot_history",
     "q8_market_share",
+    "acid_concurrent_writers",
 ]
 
 KEY_SHIFTS = {
