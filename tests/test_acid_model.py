@@ -41,6 +41,13 @@ def _op():
     delete_dv = st.lists(KEYS, min_size=1, max_size=3, unique=True).map(
         lambda k: ("delete_dv", sorted(k))
     )
+    # multi-clause MERGE with conditions: update where the value differs,
+    # DELETE matched rows whose value already equals the source's, insert
+    # only even keys — every clause + condition exercised, and the model
+    # replays the same rules row by row (duplicate target keys each match)
+    merge_cl = st.dictionaries(KEYS, VALS, min_size=1, max_size=3).map(
+        lambda d: ("merge_cl", sorted(d.items()))
+    )
     compact = st.just(("compact", None))
     # RESTORE to a random earlier version (index resolved mod the live
     # version count at runtime) — the model rolls back to its recorded
@@ -48,7 +55,9 @@ def _op():
     restore = st.integers(min_value=0, max_value=10).map(
         lambda i: ("restore", i)
     )
-    return st.one_of(merge, append, delete, delete_dv, compact, restore)
+    return st.one_of(
+        merge, merge_cl, append, delete, delete_dv, compact, restore
+    )
 
 
 def _expected_feed(before: list, after: list) -> list:
@@ -121,6 +130,32 @@ def test_snapshot_table_matches_multiset_model(spark, tmp_path_factory, ops):
             new_version = t.merge_upsert(src)
             keys = {k for k, _ in arg}
             model = [r for r in model if r[0] not in keys] + list(arg)
+        elif kind == "merge_cl":
+            src = dict(arg)
+            new_version = t.merge(
+                spark.createDataFrame(arg, "k bigint, v string"),
+                matched_update={"v": "s.v"},
+                matched_update_condition="s.v <> t.v",
+                matched_delete=True,
+                matched_delete_condition="s.v = t.v",
+                not_matched_insert="*",
+                not_matched_insert_condition="s.k % 2 = 0",
+            )
+            target_keys = {k for k, _ in model}
+            nm = []
+            for k, v in model:
+                if k in src:
+                    if src[k] != v:
+                        nm.append((k, src[k]))  # conditional update
+                    # else: matched_delete (s.v = t.v) drops the row
+                else:
+                    nm.append((k, v))
+            nm += [
+                (k, v)
+                for k, v in src.items()
+                if k not in target_keys and k % 2 == 0  # conditional insert
+            ]
+            model = nm
         elif kind == "append":
             new_version = t.append(spark.createDataFrame(arg, "k bigint, v string"))
             model = model + list(arg)
