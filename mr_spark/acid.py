@@ -393,6 +393,8 @@ class SnapshotTable:
             m["phys_tombstones"] = meta["phys_tombstones"]
         if meta.get("constraints"):
             m["constraints"] = meta["constraints"]
+        if meta.get("generated"):
+            m["generated"] = meta["generated"]
         if meta.get("copy_ledger"):
             m["copy_ledger"] = meta["copy_ledger"]
         if meta.get("txns"):
@@ -448,6 +450,8 @@ class SnapshotTable:
             meta["bloom_cols"] = m["bloom_cols"]
         if m.get("constraints"):
             meta["constraints"] = m["constraints"]
+        if m.get("generated"):
+            meta["generated"] = m["generated"]
         if m.get("copy_ledger"):
             meta["copy_ledger"] = m["copy_ledger"]
         if m.get("colmap"):
@@ -514,6 +518,9 @@ class SnapshotTable:
         cons = delta.get("constraints", base.get("constraints", {}))
         if cons:
             m["constraints"] = cons
+        gen = delta.get("generated", base.get("generated", {}))
+        if gen:
+            m["generated"] = gen
         base_dvs = base.get("dvs", {})
         dv_adds = delta.get("dv_adds", {})
         dv_removes = delta.get("dv_removes", {})
@@ -584,6 +591,8 @@ class SnapshotTable:
             d["dv_removes"] = dv_removes
         if nxt.get("constraints", {}) != base.get("constraints", {}):
             d["constraints"] = nxt.get("constraints", {})
+        if nxt.get("generated", {}) != base.get("generated", {}):
+            d["generated"] = nxt.get("generated", {})
         if nxt["schema"] != base["schema"]:
             d["schema"] = nxt["schema"]
         if nxt["n_buckets"] != base["n_buckets"]:
@@ -716,6 +725,7 @@ class SnapshotTable:
             m["n_buckets"],
             m["key"],
             json.dumps(m.get("constraints", {}), sort_keys=True),
+            json.dumps(m.get("generated", {}), sort_keys=True),
         )
 
     def _commit_rebased(
@@ -982,6 +992,7 @@ class SnapshotTable:
         key: str,
         n_buckets: int = 8,
         bloom_cols: list[str] | None = None,
+        generated: dict | None = None,
     ) -> "SnapshotTable":
         """Materialize version 1 from ``df``, hash-bucketed on ``key``.
 
@@ -993,12 +1004,28 @@ class SnapshotTable:
         reads on high-cardinality columns whose values hash-scatter
         across files and defeat [min, max] range pruning. int/str columns
         (values are canonicalized as text for cross-process-stable
-        hashing)."""
+        hashing).
+
+        ``generated`` declares GENERATED COLUMNS (Delta's
+        ``GENERATED ALWAYS AS``): ``{col: sql_expr}`` — on every write a
+        frame that OMITS the column gets it computed from the expression;
+        a frame that PROVIDES it is validated value-by-value against the
+        recomputation and rejected on any mismatch (null-safe equality, so
+        an explicit wrong NULL is a violation too — exactly Delta). The
+        map rides the manifest like constraints (delta folds, checkpoints,
+        restore, clone); MERGE recomputes generated columns and refuses
+        them as clause-assignment targets, Delta's merge rule."""
         if os.path.exists(path):
             shutil.rmtree(path)
         os.makedirs(os.path.join(path, "data"))
         os.makedirs(os.path.join(path, "versions"))
         t = cls(spark, path)
+        if generated:
+            if key in generated:
+                raise ValueError("the bucket key cannot be a generated column")
+            # a frame omitting a generated column gets it computed here,
+            # which also fixes the column's TYPE in the v1 schema
+            df = t._apply_generated({"generated": generated}, df)
         files, stats = t._write_bucket_files(
             df.withColumn("__bucket", _bucket_col(key, n_buckets)),
             tuple(bloom_cols or ()),
@@ -1014,8 +1041,43 @@ class SnapshotTable:
         }
         if bloom_cols:
             manifest["bloom_cols"] = list(bloom_cols)
+        if generated:
+            manifest["generated"] = dict(generated)
         t._commit(manifest, base_version=0, op={"operation": "CREATE"})
         return t
+
+    def _apply_generated(self, m: dict, df: DataFrame) -> DataFrame:
+        """Enforce GENERATED column semantics on an incoming frame: a
+        column absent from ``df`` is COMPUTED from its expression; a
+        column present is VALIDATED against the recomputation with
+        null-safe equality (one limit-1 count per generated column, the
+        same write-time pattern as CHECK constraints) and any mismatch
+        rejects the whole write — Delta's generated-column contract."""
+        gen = m.get("generated", {})
+        for col, expr in gen.items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(f"({expr})"))
+            else:
+                bad = df.where(
+                    ~F.col(col).eqNullSafe(F.expr(f"({expr})"))
+                )
+                if bad.limit(1).count():
+                    raise ConstraintViolation(
+                        f"write provides generated column {col!r} with "
+                        f"values that do not match GENERATED ALWAYS AS "
+                        f"({expr})"
+                    )
+        return df
+
+    @staticmethod
+    def _recompute_generated(m: dict, df: DataFrame) -> DataFrame:
+        """MERGE-path generated-column rule (Delta's): generated columns
+        are always RECOMPUTED on the merged rows — they cannot be clause
+        targets, and a source that omitted them (reading NULL through the
+        missing-column union) gets the true value, not a violation."""
+        for col, expr in m.get("generated", {}).items():
+            df = df.withColumn(col, F.expr(f"({expr})"))
+        return df
 
     @staticmethod
     def _bloom_cols(m: dict) -> tuple[str, ...]:
@@ -1099,6 +1161,22 @@ class SnapshotTable:
         pat = re.compile(rf"\b{re.escape(col)}\b", re.IGNORECASE)
         return [n for n, expr in m.get("constraints", {}).items() if pat.search(expr)]
 
+    @staticmethod
+    def _generated_mentions(m: dict, col: str) -> list[str]:
+        """Generated columns that ARE ``col`` or whose expression
+        references it — same conservative word-match (and the same
+        case-insensitivity rationale) as :meth:`_constraint_mentions`."""
+        import re
+
+        pat = re.compile(rf"\b{re.escape(col)}\b", re.IGNORECASE)
+        return sorted(
+            {
+                g
+                for g, expr in m.get("generated", {}).items()
+                if g == col or pat.search(expr)
+            }
+        )
+
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN — METADATA-ONLY (Delta's column
         mapping, name mode): data files keep the column under its
@@ -1123,6 +1201,12 @@ class SnapshotTable:
             raise ValueError(
                 f"cannot rename {old!r}: referenced by CHECK constraint(s) "
                 f"{cons} — drop them first"
+            )
+        gens = self._generated_mentions(m, old)
+        if gens:
+            raise ValueError(
+                f"cannot rename {old!r}: it is (or is referenced by) "
+                f"generated column(s) {gens}"
             )
         cmap = dict(self._colmap(m))
         phys = cmap.pop(old, old)
@@ -1170,6 +1254,12 @@ class SnapshotTable:
                 f"cannot drop {col!r}: referenced by CHECK constraint(s) "
                 f"{cons} — drop them first"
             )
+        gens = self._generated_mentions(m, col)
+        if gens and gens != [col]:
+            raise ValueError(
+                f"cannot drop {col!r}: referenced by generated column(s) "
+                f"{[g for g in gens if g != col]}"
+            )
         cmap = dict(self._colmap(m))
         phys = cmap.pop(col, col)
         nxt = self._next_manifest(m, dict(m["files"]), {})
@@ -1187,6 +1277,12 @@ class SnapshotTable:
             nxt["bloom_cols"] = bc
             if not bc:
                 nxt.pop("bloom_cols", None)
+        if col in m.get("generated", {}):
+            gen = {c: e for c, e in m["generated"].items() if c != col}
+            if gen:
+                nxt["generated"] = gen
+            else:
+                nxt.pop("generated", None)
         return self._commit(nxt, base, op={"operation": "DROP COLUMN", "column": col})
 
     # ---- RESTORE / SHALLOW CLONE / COPY INTO -----------------------------
@@ -1246,6 +1342,8 @@ class SnapshotTable:
             nxt["bloom_cols"] = m_old["bloom_cols"]
         if m_old.get("constraints"):
             nxt["constraints"] = m_old["constraints"]
+        if m_old.get("generated"):
+            nxt["generated"] = m_old["generated"]
         if m_old.get("dvs"):
             nxt["dvs"] = {k: list(v) for k, v in m_old["dvs"].items()}
         # column mapping follows the restored schema; tombstones are the
@@ -1321,6 +1419,8 @@ class SnapshotTable:
             manifest["bloom_cols"] = m["bloom_cols"]
         if m.get("constraints"):
             manifest["constraints"] = m["constraints"]
+        if m.get("generated"):
+            manifest["generated"] = m["generated"]
         if m.get("colmap"):
             manifest["colmap"] = dict(m["colmap"])
         if m.get("phys_tombstones"):
@@ -1417,6 +1517,11 @@ class SnapshotTable:
         for k, v in (options or {}).items():
             reader = reader.option(k, v)
         df = reader.load(todo)
+        # the landing files carry the generated column (it is part of the
+        # table schema the read is pinned to) — validate it; a landing
+        # zone written without it reads NULL there, which the null-safe
+        # validation rejects exactly like Delta's COPY INTO
+        df = self._apply_generated(m, df)
         self._check_constraints(m, df)
         new_files, new_stats = self._write_bucket_files(
             df.withColumn("__bucket", _bucket_col(m["key"], m["n_buckets"])),
@@ -1724,6 +1829,8 @@ class SnapshotTable:
             nxt["bloom_cols"] = m["bloom_cols"]
         if m.get("constraints"):
             nxt["constraints"] = m["constraints"]
+        if m.get("generated"):
+            nxt["generated"] = m["generated"]
         if m.get("copy_ledger"):
             nxt["copy_ledger"] = m["copy_ledger"]
         if m.get("colmap"):
@@ -1825,6 +1932,7 @@ class SnapshotTable:
             ).withColumn("__bucket", _bucket_col(key, n_buckets))
         else:
             merged = src
+        merged = self._recompute_generated(m, merged)
         new_files, new_stats = self._write_bucket_files(
             merged, self._bloom_cols_phys(m), colmap=self._colmap(m)
         )
@@ -1940,6 +2048,13 @@ class SnapshotTable:
                         f"{clause} cannot assign the bucket key {key!r} — a "
                         "key rewrite could move rows into buckets this merge "
                         "does not rewrite"
+                    )
+                gen_hit = [c for c in d if c in m.get("generated", {})]
+                if gen_hit:
+                    raise ValueError(
+                        f"{clause} cannot assign generated column(s) "
+                        f"{gen_hit} — they are always recomputed "
+                        "(GENERATED ALWAYS AS)"
                     )
                 unknown = [c for c in d if c not in table_cols]
                 if unknown:
@@ -2072,10 +2187,11 @@ class SnapshotTable:
                     expr
                 )
             out_cols.append(expr.cast(f.dataType).alias(c))
-        merged = (
+        merged = self._recompute_generated(
+            m,
             j.withColumn("__action", action)
             .where(~F.col("__action").isin("delete", "drop"))
-            .select(*out_cols)
+            .select(*out_cols),
         )
         self._check_constraints(m, merged)
         new_files, new_stats = self._write_bucket_files(
@@ -2144,6 +2260,7 @@ class SnapshotTable:
                 f"append would add columns {[f.name for f in added]}; pass "
                 "merge_schema=True to evolve the table schema"
             )
+        df = self._apply_generated(m, df)
         self._check_constraints(m, df)
         # column mapping: an added logical name whose physical slot is
         # already taken — by a live column's physical name or by a
@@ -2597,6 +2714,7 @@ class SnapshotTable:
             merged = post_rows.withColumn(
                 "__bucket", _bucket_col(key, n_buckets)
             )
+        merged = self._recompute_generated(m, merged)
         new_files, new_stats = self._write_bucket_files(
             merged, self._bloom_cols_phys(m), colmap=self._colmap(m)
         )

@@ -110,7 +110,7 @@ _CHECK_PRIORITY = [
     # index (acid_bloom_skipping) — then the rest of the ACID family,
     # whose every commit/read path runs through the new log protocol
     "acid_merge_clauses", "snapshot_stream_sink", "snapshot_history",
-    "q8_market_share", "acid_concurrent_writers",
+    "q8_market_share", "acid_concurrent_writers", "acid_generated_columns",
     "snapshot_restore", "snapshot_clone_shallow", "copy_into_idempotent",
     "acid_rebucket", "stream_stream_left_join", "snapshot_batch_source",
     "snapshot_column_mapping", "snapshot_sink_roundtrip",

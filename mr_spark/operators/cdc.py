@@ -694,6 +694,112 @@ def _orders_cdc_fixture(spark: SparkSession, sf_dir: str, demo: str, n_commits: 
     return t
 
 
+def _generated_cols_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """Orders table with a GENERATED column (o_cents = the price in
+    integer cents): v1 = create from 70% of orders with the column
+    OMITTED (computed at write); v2 = append the other 30% PROVIDING the
+    column correctly (validated, not recomputed). Memoized per process
+    (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 2)
+    cached = _FIXTURES.get(key)
+    if cached is not None and cached.spark is spark:
+        try:
+            if cached.latest_version() == 2:
+                return cached
+        except Exception:
+            pass
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    t = SnapshotTable.create(
+        spark,
+        _snapshot_demo_path(demo),
+        o.where(k % 10 < 7),  # omits o_cents — computed at create
+        key="o_orderkey",
+        n_buckets=8,
+        generated={"o_cents": "CAST(ROUND(o_totalprice * 100) AS BIGINT)"},
+    )
+    t.append(
+        o.where(k % 10 >= 7).withColumn(
+            "o_cents",
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"),
+        )
+    )
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "acid_generated_columns",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def acid_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS (Delta's ``GENERATED ALWAYS AS`` — acid.py):
+    the table declares o_cents as a generated expression; a write that
+    OMITS the column gets it computed (v1 here), one that PROVIDES it is
+    validated value-by-value with null-safe equality (v2), and MERGE
+    always recomputes it (clause assignment refused). The rule rides the
+    manifest like constraints — delta folds, checkpoints, restore,
+    clone — and rename/drop of a referenced column is blocked while the
+    rule lives.
+
+    In-query certifications (RuntimeError, -O safe):
+    * the committed schema CONTAINS o_cents even though v1's frame
+      omitted it (generation really ran at write);
+    * a live append providing WRONG cents is rejected with
+      ConstraintViolation and commits nothing (version unchanged).
+
+    The oracle recomputes the expression over ALL of orders and sums
+    the integer cents — any row whose stored generated value deviated
+    from the expression shifts the exact BIGINT total. Scale: generation
+    is one JVM-side projection per write; validation is a limit-1
+    count, the same write-time cost as a CHECK constraint."""
+    from ..acid import ConstraintViolation
+
+    t = _generated_cols_fixture(spark, sf_dir, "acid_gen_demo")
+    if "o_cents" not in t.read().columns:
+        raise RuntimeError(
+            "generated column must be materialized into the table schema"
+        )
+    base = t.latest_version()
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    bad = (
+        o.where(F.col("o_orderkey") % 97 == 3)
+        .limit(5)
+        .withColumn("o_cents", F.lit(-1).cast("bigint"))
+    )
+    try:
+        t.append(bad)
+        raise RuntimeError(
+            "append with wrong generated values must be rejected"
+        )
+    except ConstraintViolation:
+        pass
+    if t.latest_version() != base:
+        raise RuntimeError(
+            "rejected generated-column write must commit NOTHING"
+        )
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_cents").cast("bigint").alias("total_cents"),
+        )
+    )
+
+
 def _concurrent_writers_fixture(spark: SparkSession, sf_dir: str, demo: str):
     """TWO writers racing one table: writer A creates v1 (50% of orders)
     and starts an append of the last 30%; writer B's append of the

@@ -192,6 +192,12 @@ class SnapshotWriter(DataSourceWriter):
                 "table has CHECK constraints; the V2 sink cannot evaluate "
                 "them without a SparkSession — use SnapshotTable.append"
             )
+        if m.get("generated"):
+            raise NotImplementedError(
+                "table has GENERATED columns; the V2 sink cannot compute "
+                "or validate their expressions without a SparkSession — "
+                "use SnapshotTable.append"
+            )
         table_schema = StructType.fromJson(json.loads(m["schema"]))
         table_fields = {f.name: f for f in table_schema.fields}
         for f in schema.fields:

@@ -61,6 +61,9 @@ class SnapshotDataSource(DataSource):
 
     * ``path``: the snapshot table directory (required)
     * ``version``: version to read (default: latest) — time travel
+    * ``timestamp_as_of``: unix seconds — Delta's ``timestampAsOf``:
+      read the latest version committed at or before the instant
+      (mutually exclusive with ``version``)
     """
 
     @classmethod
@@ -74,6 +77,12 @@ class SnapshotDataSource(DataSource):
         schema with the next version's data — the same hazard
         acid.read() documents ("resolve the version once")."""
         v = self.options.get("version")
+        ts = self.options.get("timestamp_as_of")
+        if v is not None and ts is not None:
+            raise ValueError(
+                "pass either option('version') or "
+                "option('timestamp_as_of'), not both"
+            )
         if v is not None:
             return int(v)
         if not hasattr(self, "_pin"):
@@ -82,7 +91,11 @@ class SnapshotDataSource(DataSource):
                 raise ValueError(
                     "snapshot source needs option('path', <table dir>)"
                 )
-            self._pin = _table(path).latest_version()
+            self._pin = (
+                _table(path).version_at(float(ts))
+                if ts is not None
+                else _table(path).latest_version()
+            )
         return self._pin
 
     def schema(self) -> StructType:

@@ -1653,3 +1653,78 @@ def test_delete_conflicts_with_concurrent_dv_on_read_bucket(spark, tmp_path):
     # the DV delete survived untouched
     assert k2 not in dict(_rows(t.read()))
     assert k1 in dict(_rows(t.read()))
+
+
+# ---- generated columns (GENERATED ALWAYS AS) -----------------------------
+
+
+def test_generated_columns_compute_validate_and_merge_recompute(spark, tmp_path):
+    """Delta's generated-column contract: omitted -> computed; provided
+    -> validated null-safely (wrong values reject the whole write,
+    nothing commits); MERGE recomputes them and refuses them as clause
+    targets; the map rides folds/checkpoints and clears on DROP COLUMN."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.5)], "k bigint, price double"
+    )
+    t = SnapshotTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df,  # omits 'cents' — computed at create
+        key="k",
+        n_buckets=2,
+        generated={"cents": "CAST(ROUND(price * 100) AS BIGINT)"},
+    )
+    t.checkpoint_interval = 2
+    rows = {r["k"]: (r["price"], r["cents"]) for r in t.read().collect()}
+    assert rows == {1: (10.0, 1000), 2: (20.5, 2050)}
+    # append PROVIDING the correct value passes
+    t.append(
+        spark.createDataFrame(
+            [(3, 1.25, 125)], "k bigint, price double, cents bigint"
+        )
+    )
+    # append with a WRONG value (or NULL) rejects atomically
+    base = t.latest_version()
+    with pytest.raises(ConstraintViolation, match="generated column"):
+        t.append(
+            spark.createDataFrame(
+                [(4, 2.0, 999)], "k bigint, price double, cents bigint"
+            )
+        )
+    with pytest.raises(ConstraintViolation, match="generated column"):
+        t.append(
+            spark.createDataFrame(
+                [(4, 2.0, None)], "k bigint, price double, cents bigint"
+            )
+        )
+    assert t.latest_version() == base
+    # merge_upsert with a source OMITTING the column recomputes it
+    t.merge_upsert(
+        spark.createDataFrame([(1, 99.0)], "k bigint, price double")
+    )
+    rows = {r["k"]: r["cents"] for r in t.read().collect()}
+    assert rows[1] == 9900
+    # multi-clause merge: generated column is not a legal clause target,
+    # and updates recompute it
+    src = spark.createDataFrame([(2, 40.0, 0)], "k bigint, price double, cents bigint")
+    with pytest.raises(ValueError, match="generated"):
+        t.merge(src, matched_update={"cents": "s.cents"})
+    t.merge(src.drop("cents"), matched_update={"price": "s.price"})
+    rows = {r["k"]: r["cents"] for r in t.read().collect()}
+    assert rows[2] == 4000
+    # the map survives checkpointed reconstruction in a FRESH handle
+    t2 = SnapshotTable(spark, t.path)
+    with pytest.raises(ConstraintViolation, match="generated column"):
+        t2.append(
+            spark.createDataFrame(
+                [(9, 1.0, 7)], "k bigint, price double, cents bigint"
+            )
+        )
+    # rename of the referenced column is blocked; dropping the generated
+    # column clears the rule
+    with pytest.raises(ValueError, match="generated"):
+        t.rename_column("price", "p2")
+    t.drop_column("cents")
+    v = t.append(spark.createDataFrame([(5, 3.0)], "k bigint, price double"))
+    assert "cents" not in t.read().columns
+    assert t.latest_version() == v

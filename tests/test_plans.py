@@ -358,3 +358,15 @@ def test_matview_delta_join_is_view_sized(spark):
     df = QUERIES["matview_incremental"](spark, SF_DIR)
     plan = plans.formatted(df)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_q8_all_dims_broadcast_no_cartesian(spark):
+    """Q8's 7-table dim chain must broadcast end to end: the only
+    allowed shuffles are lineitem⋈orders and the year aggregation — a
+    dim falling back to SortMergeJoin (or a cartesian) would shuffle the
+    fact table once per dim at scale."""
+    df = QUERIES["q8_market_share"](spark, SF_DIR)
+    p = plans.formatted(df)
+    assert plans.uses_broadcast_join(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("SortMergeJoin") <= 1  # at most the fact-fact join

@@ -514,3 +514,32 @@ def test_snapshot_stream_sink_exactly_once(spark, tmp_path):
     q2.awaitTermination(120)
     assert t.latest_version() == v + 1
     assert _rows_kv(t.read()) == sorted(exp + [(200, "s200")])
+
+
+def test_snapshot_batch_source_timestamp_as_of(spark, tmp_path):
+    """option('timestamp_as_of', unix_seconds) — Delta's timestampAsOf
+    through the batch DataSource: reads the latest version committed at
+    or before the instant; mutually exclusive with 'version'."""
+    import time
+
+    import pytest
+
+    from mr_spark.sources.snapshot_source import register
+
+    t = _mk_snap(spark, tmp_path, [(1, "a")])
+    time.sleep(0.1)
+    between = time.time()
+    time.sleep(0.1)
+    t.append(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    register(spark)
+    got = (
+        spark.read.format("snapshot")
+        .option("path", t.path)
+        .option("timestamp_as_of", str(between))
+        .load()
+    )
+    assert _rows_kv(got) == [(1, "a")]  # v1 only — v2 came after
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("snapshot").option("path", t.path).option(
+            "timestamp_as_of", str(between)
+        ).option("version", "2").load().collect()

@@ -146,6 +146,7 @@ PROBES = [
     "snapshot_history",
     "q8_market_share",
     "acid_concurrent_writers",
+    "acid_generated_columns",
 ]
 
 KEY_SHIFTS = {
