@@ -107,6 +107,12 @@ class ConflictError(RuntimeError):
     """Another writer committed since this writer's base version."""
 
 
+class UnsupportedTableFeature(RuntimeError):
+    """The manifest requires a table feature this reader does not
+    implement — refusing beats silently misreading (Delta's
+    readerFeatures contract)."""
+
+
 class ConstraintViolation(ValueError):
     """Incoming rows violate a table CHECK constraint — nothing commits."""
 
@@ -395,6 +401,8 @@ class SnapshotTable:
             m["constraints"] = meta["constraints"]
         if meta.get("generated"):
             m["generated"] = meta["generated"]
+        if meta.get("features"):
+            m["features"] = meta["features"]
         if meta.get("copy_ledger"):
             m["copy_ledger"] = meta["copy_ledger"]
         if meta.get("txns"):
@@ -452,6 +460,8 @@ class SnapshotTable:
             meta["constraints"] = m["constraints"]
         if m.get("generated"):
             meta["generated"] = m["generated"]
+        if m.get("features"):
+            meta["features"] = m["features"]
         if m.get("copy_ledger"):
             meta["copy_ledger"] = m["copy_ledger"]
         if m.get("colmap"):
@@ -508,10 +518,10 @@ class SnapshotTable:
             "files": files,
             "stats": stats,
         }
-        # bloom_cols / colmap / phys_tombstones: an explicit delta entry
-        # wins even when EMPTY (rename/drop can clear them — "absent
-        # means carry" could resurrect a removed field), else carry
-        for fld in ("bloom_cols", "colmap", "phys_tombstones"):
+        # bloom_cols / colmap / phys_tombstones / features: an explicit
+        # delta entry wins even when EMPTY (rename/drop can clear them —
+        # "absent means carry" could resurrect a removed field), else carry
+        for fld in ("bloom_cols", "colmap", "phys_tombstones", "features"):
             val = delta[fld] if fld in delta else base.get(fld)
             if val:
                 m[fld] = val
@@ -599,7 +609,7 @@ class SnapshotTable:
             d["n_buckets"] = nxt["n_buckets"]
         if nxt["key"] != base["key"]:
             d["key"] = nxt["key"]
-        for fld in ("bloom_cols", "colmap", "phys_tombstones"):
+        for fld in ("bloom_cols", "colmap", "phys_tombstones", "features"):
             if nxt.get(fld) != base.get(fld):
                 d[fld] = nxt.get(fld) or []  # explicit empty = cleared
         if nxt.get("txns") is not None and nxt.get("txns") != base.get("txns"):
@@ -652,7 +662,58 @@ class SnapshotTable:
         self.last_resolution = {
             "base_kind": kind, "base_version": cur, "deltas_folded": len(chain),
         }
+        # forward-compat gate: refuse manifests whose features this
+        # reader doesn't implement (checked once per resolution; cached
+        # reconstructions were checked when first resolved)
+        self._check_features(m)
         return m
+
+    #: table features this implementation can read correctly — the
+    #: manifest lists the features its state USES (Delta's
+    #: readerFeatures); a reader seeing an unknown one must refuse
+    #: rather than silently misread (e.g. ignoring deletion vectors
+    #: would resurrect deleted rows)
+    SUPPORTED_FEATURES = frozenset(
+        {
+            "column_mapping",
+            "deletion_vectors",
+            "generated_columns",
+            "check_constraints",
+            "copy_into_ledger",
+            "bloom_index",
+        }
+    )
+
+    @classmethod
+    def _features_of(cls, m: dict) -> set:
+        """Features the manifest's state uses, UNIONED with whatever the
+        log already listed — features only ever accumulate (a cleared
+        field doesn't retract the feature; supporting readers are
+        unaffected and retraction would need Delta's explicit protocol
+        downgrade, which this class does not model)."""
+        f = set(m.get("features", []))
+        if m.get("colmap") or m.get("phys_tombstones"):
+            f.add("column_mapping")
+        if m.get("dvs"):
+            f.add("deletion_vectors")
+        if m.get("generated"):
+            f.add("generated_columns")
+        if m.get("constraints"):
+            f.add("check_constraints")
+        if m.get("copy_ledger"):
+            f.add("copy_into_ledger")
+        if m.get("bloom_cols"):
+            f.add("bloom_index")
+        return f
+
+    def _check_features(self, m: dict) -> None:
+        unknown = sorted(set(m.get("features", [])) - self.SUPPORTED_FEATURES)
+        if unknown:
+            raise UnsupportedTableFeature(
+                f"table version {m.get('version')} requires feature(s) "
+                f"{unknown} this reader does not implement — upgrade the "
+                "reader; refusing beats misreading"
+            )
 
     def version_at(self, timestamp: float) -> int:
         """Timestamp time travel (Delta's ``timestampAsOf``): the latest
@@ -831,6 +892,12 @@ class SnapshotTable:
         carry it (history is log-retention-bounded, exactly Delta)."""
         new_version = base_version + 1
         manifest["version"] = new_version
+        # record the feature set the successor state USES (accumulating —
+        # see _features_of); derived BEFORE the delta diff so folds and
+        # fresh readers reconstruct the same list
+        feats = sorted(self._features_of(manifest))
+        if feats:
+            manifest["features"] = feats
         if base_version == 0:
             record = dict(manifest)
         else:
@@ -1344,6 +1411,8 @@ class SnapshotTable:
             nxt["constraints"] = m_old["constraints"]
         if m_old.get("generated"):
             nxt["generated"] = m_old["generated"]
+        if m_old.get("features"):
+            nxt["features"] = list(m_old["features"])
         if m_old.get("dvs"):
             nxt["dvs"] = {k: list(v) for k, v in m_old["dvs"].items()}
         # column mapping follows the restored schema; tombstones are the
@@ -1421,6 +1490,8 @@ class SnapshotTable:
             manifest["constraints"] = m["constraints"]
         if m.get("generated"):
             manifest["generated"] = m["generated"]
+        if m.get("features"):
+            manifest["features"] = list(m["features"])
         if m.get("colmap"):
             manifest["colmap"] = dict(m["colmap"])
         if m.get("phys_tombstones"):
@@ -1831,6 +1902,8 @@ class SnapshotTable:
             nxt["constraints"] = m["constraints"]
         if m.get("generated"):
             nxt["generated"] = m["generated"]
+        if m.get("features"):
+            nxt["features"] = list(m["features"])
         if m.get("copy_ledger"):
             nxt["copy_ledger"] = m["copy_ledger"]
         if m.get("colmap"):
@@ -2208,12 +2281,20 @@ class SnapshotTable:
             files.update(new_files)
             return self._next_manifest(mb, files, new_stats, batch_id, app_id)
 
+        # by-source clauses READ every target row, so the conflict check
+        # must cover every POSSIBLE bucket — a concurrent append creating
+        # a brand-new bucket holds rows this merge never examined (the
+        # clause predicate is "no source row matches"); `affected` alone
+        # would let it slip through the rebase as a lost update
+        read_set = (
+            [str(b) for b in range(n_buckets)] if has_by_source else affected
+        )
         return self._commit_rebased(
             m,
             base,
             assemble,
             op={"operation": "MERGE", "clauses": clause_names},
-            touched=affected,
+            touched=read_set,
             batch_id=batch_id,
             app_id=app_id,
         )

@@ -1728,3 +1728,75 @@ def test_generated_columns_compute_validate_and_merge_recompute(spark, tmp_path)
     v = t.append(spark.createDataFrame([(5, 3.0)], "k bigint, price double"))
     assert "cents" not in t.read().columns
     assert t.latest_version() == v
+
+
+# ---- table features (forward-compat protocol gate) -----------------------
+
+
+def test_features_recorded_and_unknown_feature_refuses_reads(spark, tmp_path):
+    """The manifest lists the table features its state uses (Delta's
+    readerFeatures); they accumulate across commits, survive checkpoints
+    and restore, and a manifest requiring an UNKNOWN feature makes the
+    reader refuse loudly instead of silently misreading — while versions
+    before the unknown feature stay readable."""
+    import json as _json
+
+    from mr_spark.acid import UnsupportedTableFeature
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), df, key="k", n_buckets=2,
+        bloom_cols=["v"],
+    )
+    t.add_constraint("v_set", "v IS NOT NULL")
+    t.delete_keys(spark.createDataFrame([(2,)], "k bigint"), mode="dv")
+    m = t._manifest(t.latest_version())
+    assert set(m["features"]) >= {
+        "bloom_index", "check_constraints", "deletion_vectors"
+    }
+    # features survive a fresh reader and accumulate monotonically
+    t2 = SnapshotTable(spark, t.path)
+    assert set(t2._manifest(t2.latest_version())["features"]) == set(
+        m["features"]
+    )
+    # forge a FUTURE feature into a new commit record
+    t.append(spark.createDataFrame([(3, "c")], "k bigint, v string"))
+    v = t.latest_version()
+    vpath = f"{t.path}/versions/v{v}.json"
+    raw = _json.load(open(vpath))
+    raw["features"] = sorted(set(m["features"]) | {"future_magic"})
+    _json.dump(raw, open(vpath, "w"))
+    fresh = SnapshotTable(spark, t.path)
+    with pytest.raises(UnsupportedTableFeature, match="future_magic"):
+        fresh.read()
+    # versions BEFORE the unknown feature still read fine
+    assert fresh.read(v - 1).count() == 1  # k=1 lives, k=2 DV-deleted
+
+
+def test_by_source_merge_conflicts_with_new_bucket_append(spark, tmp_path):
+    """A whenNotMatchedBySource merge reads EVERY target row — a
+    concurrent append landing in a bucket that was EMPTY at merge start
+    holds rows the merge never examined, so the rebase must refuse (the
+    clause predicate is 'no source row matches')."""
+    # keys 0..9: find one whose bucket differs from all others' so the
+    # initial table leaves that bucket empty
+    buckets = {k: _bucket_of_key(k) for k in range(40)}
+    target_b = buckets[0]
+    init = [k for k in buckets if buckets[k] != target_b][:5]
+    newcomer = 0  # lands in the bucket the initial table leaves empty
+    t = _mk(spark, tmp_path, [(k, f"v{k}") for k in init])
+    assert str(target_b) not in t._manifest(1)["files"]
+    t2 = SnapshotTable(spark, t.path)
+    t._pre_commit_hook = lambda: t2.append(
+        spark.createDataFrame([(newcomer, "new")], "k bigint, v string")
+    )
+    src = spark.createDataFrame([(init[0], "u")], "k bigint, v string")
+    with pytest.raises(ConflictError):
+        t.merge(
+            src,
+            matched_update="*",
+            not_matched_by_source_delete=True,
+            not_matched_by_source_delete_condition="false",
+        )
+    # the concurrent append survives; the merge never landed
+    assert (newcomer, "new") in _rows(t.read())
