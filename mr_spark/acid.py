@@ -652,20 +652,24 @@ class SnapshotTable:
                 break
             chain.append(raw)
             cur -= 1
+        # forward-compat gate: refuse manifests whose features this reader
+        # doesn't implement — checked BEFORE each version enters the cache
+        # (a refused manifest must never be cached: the cache-hit fast
+        # path doesn't re-check, so caching first would let a caller that
+        # catches the error and retries on the same handle silently read
+        # past the gate)
+        self._check_features(base)
         self._mcache[cur] = base
         m, v = base, cur
         for d in reversed(chain):
             m = self._fold(m, d)
             v += 1
+            self._check_features(m)
             self._mcache[v] = m
             self._dist[v] = self._dist.get(v - 1, 0) + 1
         self.last_resolution = {
             "base_kind": kind, "base_version": cur, "deltas_folded": len(chain),
         }
-        # forward-compat gate: refuse manifests whose features this
-        # reader doesn't implement (checked once per resolution; cached
-        # reconstructions were checked when first resolved)
-        self._check_features(m)
         return m
 
     #: table features this implementation can read correctly — the
@@ -755,13 +759,16 @@ class SnapshotTable:
             path = os.path.join(self._versions_dir(), f"v{v}.json")
             try:
                 raw = self._read_vfile(v)
+                ts = os.path.getmtime(path)  # in the try: a concurrent
+                # expire_versions may unlink between read and stat — the
+                # retention-bounded contract says the walk just ends
             except FileNotFoundError:
                 break  # expired log records: history ends here
             op = raw.get("op") or {}
             out.append(
                 {
                     "version": v,
-                    "timestamp": os.path.getmtime(path),
+                    "timestamp": ts,
                     "operation": op.get("operation", "UNKNOWN"),
                     "params": {
                         k: val for k, val in op.items() if k != "operation"
@@ -2115,6 +2122,13 @@ class SnapshotTable:
             ("not_matched_insert", not_matched_insert),
             ("not_matched_by_source_update", not_matched_by_source_update),
         ):
+            if d is not None and not isinstance(d, dict) and d != "*":
+                # a stray string like "qty = s.qty" must not silently
+                # become update-all — the one non-dict spelling is "*"
+                raise ValueError(
+                    f"{clause} must be a {{col: sql_expr}} dict or '*' "
+                    f"(update-all/insert-all), got {d!r}"
+                )
             if isinstance(d, dict):
                 if key in d:
                     raise ValueError(
@@ -2190,7 +2204,6 @@ class SnapshotTable:
                 return F.lit(True)
             return F.coalesce(F.expr(f"({expr})"), F.lit(False))
 
-        action = F.lit("keep")
         branches = []
         if matched_update is not None:
             branches.append((is_matched & cond(matched_update_condition), "update"))
@@ -2266,12 +2279,22 @@ class SnapshotTable:
             .where(~F.col("__action").isin("delete", "drop"))
             .select(*out_cols),
         )
-        self._check_constraints(m, merged)
-        new_files, new_stats = self._write_bucket_files(
-            merged.withColumn("__bucket", _bucket_col(key, n_buckets)),
-            self._bloom_cols_phys(m),
-            colmap=self._colmap(m),
-        )
+        # constraint validation runs one limit-1 count PER constraint and
+        # the write is another action — without a persist each would
+        # re-execute the full-outer-join/clause plan from scratch
+        multi_pass = bool(m.get("constraints"))
+        if multi_pass:
+            merged = merged.persist()
+        try:
+            self._check_constraints(m, merged)
+            new_files, new_stats = self._write_bucket_files(
+                merged.withColumn("__bucket", _bucket_col(key, n_buckets)),
+                self._bloom_cols_phys(m),
+                colmap=self._colmap(m),
+            )
+        finally:
+            if multi_pass:
+                merged.unpersist()
         def assemble(mb: dict) -> dict:
             files = {
                 b: rels

@@ -64,31 +64,14 @@ def with_normalized_zorder(
     dimensions — what any real layout writer does before Z-ordering.
 
     The bounds come from one tiny min/max agg broadcast back (an exact,
-    one-pass stand-in for the stats a table catalog already holds)."""
-    bounds = df.agg(
-        F.min(xcol).alias("_xmin"),
-        F.max(xcol).alias("_xmax"),
-        F.min(ycol).alias("_ymin"),
-        F.max(ycol).alias("_ymax"),
-    )
-    scale = float(1 << bits)
+    one-pass stand-in for the stats a table catalog already holds).
 
-    def _norm(col: str, lo: str, hi: str) -> F.Column:
-        rng = (F.col(hi) - F.col(lo) + 1).cast("double")
-        return F.floor(
-            (F.col(col) - F.col(lo)).cast("double") * scale / rng
-        ).cast("bigint")
-
-    return (
-        df.crossJoin(F.broadcast(bounds))
-        .withColumn(
-            out,
-            zorder_key(
-                _norm(xcol, "_xmin", "_xmax"), _norm(ycol, "_ymin", "_ymax"), bits=bits
-            ),
-        )
-        .drop("_xmin", "_xmax", "_ymin", "_ymax")
-    )
+    For two columns the N-dimensional round-robin interleave produces
+    bit-for-bit the same key (x → bit 2i, y → bit 2i+1), so this is a
+    thin delegate — one copy of the normalize-and-interleave logic to
+    keep correct (re-verified bit-identical when the N-column path
+    landed)."""
+    return with_normalized_zorder_n(df, [xcol, ycol], bits=bits, out=out)
 
 
 def with_normalized_zorder_n(

@@ -1800,3 +1800,26 @@ def test_by_source_merge_conflicts_with_new_bucket_append(spark, tmp_path):
         )
     # the concurrent append survives; the merge never landed
     assert (newcomer, "new") in _rows(t.read())
+
+
+def test_unknown_feature_refusal_survives_retry_on_same_handle(spark, tmp_path):
+    """The feature gate must fire on EVERY read, not just the first: a
+    refused manifest may never enter the reconstruction cache (a caller
+    catching the error and retrying on the same handle would otherwise
+    silently read past the gate)."""
+    import json as _json
+
+    from mr_spark.acid import UnsupportedTableFeature
+
+    t = _mk(spark, tmp_path, [(1, "a")])
+    t.append(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    v = t.latest_version()
+    vpath = f"{t.path}/versions/v{v}.json"
+    raw = _json.load(open(vpath))
+    raw["features"] = ["future_magic"]
+    _json.dump(raw, open(vpath, "w"))
+    fresh = SnapshotTable(spark, t.path)
+    for _ in range(2):  # second attempt must refuse too (no cache leak)
+        with pytest.raises(UnsupportedTableFeature, match="future_magic"):
+            fresh.read()
+    assert _rows(fresh.read(v - 1)) == [(1, "a")]  # pre-feature version ok
