@@ -489,3 +489,145 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(
         F.col("p_ts") <= F.lit(mx) - F.expr("INTERVAL 2 HOUR")
     ).select("purchase_id", "click_id", "user_id")
+
+
+@query(
+    "stream_stream_full_join",
+    # BOTH unmatched sides emit only once the combined watermark proves
+    # no partner can still arrive: purchases evict past p_ts (the range's
+    # upper bound for clicks), clicks past c_ts + 1h (the last purchase
+    # instant that could still match) — so the symmetric 2h cutoff keeps
+    # every retained row's eviction point strictly below the final
+    # combined watermark (min of both sides' maxima − 1h), and the
+    # streaming result equals the relational FULL OUTER join exactly
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    mx AS (
+      SELECT LEAST(
+        MAX(CASE WHEN event_type = 'purchase' THEN ts END),
+        MAX(CASE WHEN event_type = 'click' THEN ts END)
+      ) AS m
+      FROM ev
+    ),
+    p_all AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    c_all AS (
+      SELECT event_id AS click_id, user_id AS c_user_id, ts AS c_ts
+      FROM ev WHERE event_type = 'click'
+    ),
+    p_cut AS (
+      SELECT * FROM p_all, mx WHERE p_ts <= m - INTERVAL 2 HOUR
+    ),
+    c_cut AS (
+      SELECT * FROM c_all, mx WHERE c_ts <= m - INTERVAL 2 HOUR
+    )
+    SELECT purchase_id, click_id, user_id
+    FROM p_cut LEFT JOIN c_all
+      ON user_id = c_user_id
+     AND c_ts >= p_ts - INTERVAL 1 HOUR
+     AND c_ts <= p_ts
+    UNION ALL
+    SELECT NULL AS purchase_id, click_id, c_user_id AS user_id
+    FROM c_cut
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p_all
+      WHERE p_all.user_id = c_cut.c_user_id
+        AND p_all.p_ts >= c_cut.c_ts
+        AND p_all.p_ts <= c_cut.c_ts + INTERVAL 1 HOUR
+    )
+    """,
+)
+def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM FULL OUTER join — the last join mode in the matrix
+    (inner: stream_stream_join; left: stream_stream_left_join): BOTH
+    sides hold unmatched rows in state until the combined watermark
+    proves no partner can still arrive, then emit with a NULL other
+    side. A purchase's proof point is p_ts itself (clicks match in
+    [p_ts − 1h, p_ts]); a click's is c_ts + 1h (purchases match in
+    [c_ts, c_ts + 1h]) — so the SYMMETRIC sink-side 2h cutoff keeps
+    every retained row's eviction point strictly below the final
+    combined watermark (min over both sides' own event-time maxima,
+    multipleWatermarkPolicy=min, minus the 1h delay), making the finite
+    stream's output exactly the relational FULL OUTER join the oracle
+    computes (left part ∪ never-matched clicks, matched-pair rows
+    keyed by the purchase cutoff exactly like the left-join query).
+
+    Same ordered replay + uncapped-input discipline as the left join:
+    cutoffs apply to the SINK OUTPUT only — pre-filtering either input
+    would cap that side's watermark below what the eviction proofs
+    need.
+
+    Scale: state on EACH side is bounded by the watermark horizon
+    (rows younger than watermark − range), evicted continuously — the
+    same bound as the left join, now paid symmetrically."""
+    from ..sources import load_table
+    from ..streaming import run_to_completion
+
+    replay = _ordered_events_replay(spark, sf_dir)
+    schema = spark.read.parquet(replay).schema
+    mx = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            )
+        )
+        .collect()[0][0]
+    )
+
+    def side(event_type: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+            .where(F.col("event_type") == event_type)
+        )
+
+    purchases = (
+        side("purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        side("click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "full_outer",
+    ).select(
+        "purchase_id", "click_id", "user_id", "c_user_id", "p_ts", "c_ts"
+    )
+    out = run_to_completion(
+        joined,
+        name="mrspark_stream_full_join",
+        output_mode="append",
+        state_partitions=8,
+    )
+    cutoff = F.lit(mx) - F.expr("INTERVAL 2 HOUR")
+    return out.where(
+        F.when(F.col("purchase_id").isNotNull(), F.col("p_ts") <= cutoff)
+        .otherwise(F.col("c_ts") <= cutoff)
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce(F.col("user_id"), F.col("c_user_id")).alias("user_id"),
+    )

@@ -391,3 +391,70 @@ def test_cdf_stream_end_version_bounds_replay(spark, tmp_path):
     got = {r["_change_type"]: sorted(r["ks"]) for r in res.collect()}
     # v1→v3 inserts only keys 3 and 4; v4's key 5 is past the bound
     assert got == {"insert": [3, 4]}
+
+
+def test_stream_full_outer_join_evicts_both_sides(spark):
+    """The full-outer stream-stream join must equal the batch full outer
+    join on the retained window and must exercise BOTH eviction
+    directions: NULL-click rows (unmatched purchases) AND NULL-purchase
+    rows (never-matched clicks) appear only because the watermark proved
+    no partner can still arrive."""
+    from pyspark.sql import functions as F
+
+    import mr_spark.operators as ops
+    from mr_spark.sources import load_table
+
+    from conftest import SF_DIR as sf
+
+    got = ops.queries()["stream_stream_full_join"](spark, sf)
+    rows = {(r["purchase_id"], r["click_id"]) for r in got.collect()}
+    assert any(c is None for p, c in rows if p is not None), (
+        "no unmatched purchase emitted"
+    )
+    assert any(p is None for p, c in rows if c is not None), (
+        "no never-matched click emitted"
+    )
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    mx = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        )
+    ).collect()[0][0]
+    cutoff = F.lit(mx) - F.expr("INTERVAL 2 HOUR")
+    p_all = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c_all = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    on = (
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    left_part = p_all.where(F.col("p_ts") <= cutoff).join(
+        c_all, on, "left_outer"
+    ).select("purchase_id", "click_id")
+    click_only = (
+        c_all.where(F.col("c_ts") <= cutoff)
+        .join(
+            p_all,
+            (F.col("c_user_id") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_anti",
+        )
+        .select(F.lit(None).cast("long").alias("purchase_id"), "click_id")
+    )
+    exp = {
+        (r["purchase_id"], r["click_id"])
+        for r in left_part.unionByName(click_only).collect()
+    }
+    assert rows == exp

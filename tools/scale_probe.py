@@ -147,6 +147,7 @@ PROBES = [
     "q8_market_share",
     "acid_concurrent_writers",
     "acid_generated_columns",
+    "stream_stream_full_join",
 ]
 
 KEY_SHIFTS = {
