@@ -111,7 +111,7 @@ _CHECK_PRIORITY = [
     # whose every commit/read path runs through the new log protocol
     "acid_merge_clauses", "snapshot_stream_sink", "snapshot_history",
     "q8_market_share", "acid_concurrent_writers", "acid_generated_columns",
-    "stream_stream_full_join",
+    "stream_stream_full_join", "snapshot_stream_source",
     "snapshot_restore", "snapshot_clone_shallow", "copy_into_idempotent",
     "acid_rebucket", "stream_stream_left_join", "snapshot_batch_source",
     "snapshot_column_mapping", "snapshot_sink_roundtrip",

@@ -694,6 +694,87 @@ def _orders_cdc_fixture(spark: SparkSession, sf_dir: str, demo: str, n_commits: 
     return t
 
 
+def _append_only_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """Append-only 3-version orders table (40% ⊕ 30% ⊕ 30%) for the
+    table-as-stream read — every commit is insert-only, so the plain
+    streaming source can represent the whole history. Memoized per
+    process (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 3)
+    cached = _FIXTURES.get(key)
+    if cached is not None and cached.spark is spark:
+        try:
+            if cached.latest_version() == 3:
+                return cached
+        except Exception:
+            pass
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    t = SnapshotTable.create(
+        spark,
+        _snapshot_demo_path(demo),
+        o.where(k % 10 < 4),
+        key="o_orderkey",
+        n_buckets=8,
+    )
+    t.append(o.where((k % 10 >= 4) & (k % 10 < 7)))
+    t.append(o.where(k % 10 >= 7))
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "snapshot_stream_source",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def snapshot_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-AS-STREAM read — ``spark.readStream.format("snapshot")``
+    (sources/snapshot_source.py SnapshotStreamReader), Delta's standard
+    streaming read of a table: offsets are versions, the first batch is
+    the FULL v1 snapshot (initial-snapshot semantics), each later batch
+    emits exactly the files its commit ADDED — planned from pure
+    manifest diffs, one input partition per added file, no data read at
+    planning. Non-append commits fail the stream by default or are
+    skipped entirely under skip_change_commits (Delta's rule; pinned in
+    tests/test_sources.py). Composes with the CDF source (row-level
+    changes) and the streaming sink (exactly-once writes) into the full
+    streaming lakehouse surface.
+
+    The oracle is the full orders aggregate: v1 ⊕ v2 ⊕ v3 slices must
+    reassemble ALL of orders through the stream — a dropped or doubled
+    batch shifts the exact counts. Scale: per-batch work is
+    O(files added by that commit); the initial snapshot streams the
+    table once, then incremental batches stay narrow."""
+    from ..sources.snapshot_source import register
+    from ..streaming import run_to_completion
+
+    t = _append_only_fixture(spark, sf_dir, "acid_streamsrc_demo")
+    register(spark)
+    feed = (
+        spark.readStream.format("snapshot").option("path", t.path).load()
+    )
+    return run_to_completion(
+        feed.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        ),
+        name="mrspark_snapshot_stream_source",
+        output_mode="complete",
+        state_partitions=8,
+    )
+
+
 def _generated_cols_fixture(spark: SparkSession, sf_dir: str, demo: str):
     """Orders table with a GENERATED column (o_cents = the price in
     integer cents): v1 = create from 70% of orders with the column

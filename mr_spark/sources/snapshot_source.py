@@ -37,6 +37,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -119,6 +120,9 @@ class SnapshotDataSource(DataSource):
         from .snapshot_sink import SnapshotStreamWriter
 
         return SnapshotStreamWriter(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> "SnapshotStreamReader":
+        return SnapshotStreamReader(self.options, schema)
 
 
 class _FilePartition(InputPartition):
@@ -238,6 +242,128 @@ class SnapshotReader(DataSourceReader):
         return parts or [_FilePartition("", [], m["schema"], cmap)]
 
     # ---- execution (executor): pyarrow scan + DV anti-filter ----------
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        if not partition.file_path:
+            return
+        from ._scan import read_file_rows
+
+        schema = StructType.fromJson(json.loads(partition.schema_json))
+        yield from read_file_rows(
+            partition.file_path,
+            [f.name for f in schema.fields],
+            partition.colmap,
+            partition.dv_paths,
+        )
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("snapshot")`` — Delta's TABLE-AS-STREAM
+    read: offsets are table versions; each micro-batch emits the rows of
+    the files ADDED by the commits in (start, end], so an append-only
+    table streams exactly its inserts (and ``start_version=0``, the
+    default, makes the first batch the full v1 contents — Delta's
+    initial-snapshot semantics).
+
+    NON-APPEND commits (copy-on-write rewrites, deletion-vector
+    attaches) change or remove existing rows, which an insert-only
+    stream cannot represent — by default the stream FAILS on one,
+    exactly like Delta ("Detected a data update... set
+    skipChangeCommits"); ``option("skip_change_commits", "true")`` skips
+    such commits ENTIRELY (their adds too — Delta's rule: the commit's
+    rewritten files largely re-carry old rows, so emitting them would
+    duplicate). For row-level change semantics use
+    ``format("snapshot_cdf")`` instead.
+
+    A schema evolution mid-stream also fails the run (the declared
+    schema was pinned at stream start); restart the stream to pick up
+    the new schema — Delta's behavior.
+
+    Planning is pure manifest-diff metadata on the driver (no data
+    read); one input partition per added file. ``end_version`` bounds a
+    backfill like the CDF source's."""
+
+    def __init__(self, options, schema: StructType) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("snapshot source needs option('path', <table dir>)")
+        self.start = int(options.get("start_version", 0))
+        end = options.get("end_version")
+        self.end = int(end) if end is not None else None
+        self.skip_change_commits = (
+            str(options.get("skip_change_commits", "false")).lower() == "true"
+        )
+        self._declared_schema_json = schema.json()
+
+    # ---- offset protocol ---------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start}
+
+    def latestOffset(self) -> dict:
+        latest = _table(self.path).latest_version()
+        if self.end is not None:
+            latest = min(latest, self.end)
+        return {"version": latest}
+
+    def commit(self, end: dict) -> None:
+        pass  # versions are immutable; nothing to acknowledge
+
+    def stop(self) -> None:
+        pass
+
+    # ---- planning (driver): manifest diff, no data read ---------------
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        t = _table(self.path)
+        parts: list[InputPartition] = []
+        declared = StructType.fromJson(json.loads(self._declared_schema_json))
+        for v in range(start["version"] + 1, end["version"] + 1):
+            mt = t._manifest(v)
+            if StructType.fromJson(json.loads(mt["schema"])) != declared:
+                raise RuntimeError(
+                    f"table schema changed at version {v} — the stream "
+                    "pinned its schema at start; restart the stream to "
+                    "pick up the evolution"
+                )
+            mf = t._manifest(v - 1) if v > 1 else {"files": {}, "dvs": {}}
+            added: list[str] = []
+            changed = False
+            for b in set(mf["files"]) | set(mt["files"]):
+                old = mf["files"].get(b, [])
+                new = mt["files"].get(b, [])
+                oset = set(old)
+                if any(r not in set(new) for r in old):
+                    changed = True  # a file was rewritten/removed
+                added += [r for r in new if r not in oset]
+            # DV changes delete rows without touching file lists
+            if mf.get("dvs", {}) != mt.get("dvs", {}):
+                changed = True
+            if changed:
+                if self.skip_change_commits:
+                    continue  # skip the WHOLE commit, adds included
+                raise RuntimeError(
+                    f"version {v} is not append-only (copy-on-write "
+                    "rewrite or deletion vectors) — an insert-only "
+                    "stream cannot represent it; set "
+                    "option('skip_change_commits', 'true') to skip such "
+                    "commits, or read format('snapshot_cdf') for "
+                    "row-level changes"
+                )
+            parts += [
+                _FilePartition(
+                    os.path.join(self.path, rel),
+                    [],  # append-only commit: no DVs on its new files
+                    mt["schema"],
+                    mt.get("colmap", {}),
+                )
+                for rel in added
+            ]
+        return parts or [
+            _FilePartition("", [], self._declared_schema_json, {})
+        ]
+
+    # ---- execution (executor) ----------------------------------------
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
         if not partition.file_path:

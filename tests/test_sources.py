@@ -543,3 +543,71 @@ def test_snapshot_batch_source_timestamp_as_of(spark, tmp_path):
         spark.read.format("snapshot").option("path", t.path).option(
             "timestamp_as_of", str(between)
         ).option("version", "2").load().collect()
+
+
+def test_snapshot_stream_source_appends_and_change_commit_semantics(spark, tmp_path):
+    """readStream.format('snapshot') — the table-as-stream read: the
+    first batch is the full v1 snapshot, later batches are each commit's
+    added files; a copy-on-write MERGE fails the stream by default
+    (insert-only streams cannot represent updates) and is skipped
+    entirely under skip_change_commits — Delta's semantics."""
+    import pytest
+
+    from mr_spark.sources.snapshot_source import register
+    from mr_spark.streaming import run_to_completion
+
+    t = _mk_snap(spark, tmp_path, [(i, f"v{i}") for i in range(6)])
+    t.append(spark.createDataFrame([(10, "x"), (11, "y")], "k bigint, v string"))
+    register(spark)
+    feed = (
+        spark.readStream.format("snapshot").option("path", t.path).load()
+    )
+    res = run_to_completion(
+        feed.groupBy().count(),
+        name="mrspark_snap_stream_1",
+        output_mode="complete",
+        state_partitions=2,
+    )
+    assert res.collect()[0]["count"] == 8  # v1 snapshot + v2 appends
+    # a merge (CoW rewrite) must fail the default stream...
+    t.merge_upsert(spark.createDataFrame([(1, "M")], "k bigint, v string"))
+    t.append(spark.createDataFrame([(12, "z")], "k bigint, v string"))
+    with pytest.raises(Exception, match="not append-only"):
+        run_to_completion(
+            spark.readStream.format("snapshot")
+            .option("path", t.path)
+            .load()
+            .groupBy()
+            .count(),
+            name="mrspark_snap_stream_2",
+            output_mode="complete",
+            state_partitions=2,
+        )
+    # ...and be skipped ENTIRELY (its rewritten files too) under
+    # skip_change_commits: v3's bucket rewrite does not re-emit, v4's
+    # append does
+    res = run_to_completion(
+        spark.readStream.format("snapshot")
+        .option("path", t.path)
+        .option("skip_change_commits", "true")
+        .load()
+        .groupBy()
+        .count(),
+        name="mrspark_snap_stream_3",
+        output_mode="complete",
+        state_partitions=2,
+    )
+    assert res.collect()[0]["count"] == 9  # 8 + v4's one append
+    # bounded backfill: end_version=2 ignores later commits
+    res = run_to_completion(
+        spark.readStream.format("snapshot")
+        .option("path", t.path)
+        .option("end_version", "2")
+        .load()
+        .groupBy()
+        .count(),
+        name="mrspark_snap_stream_4",
+        output_mode="complete",
+        state_partitions=2,
+    )
+    assert res.collect()[0]["count"] == 8

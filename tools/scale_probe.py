@@ -148,6 +148,7 @@ PROBES = [
     "acid_concurrent_writers",
     "acid_generated_columns",
     "stream_stream_full_join",
+    "snapshot_stream_source",
 ]
 
 KEY_SHIFTS = {
