@@ -739,12 +739,15 @@ def _append_only_fixture(spark: SparkSession, sf_dir: str, demo: str):
 def snapshot_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TABLE-AS-STREAM read — ``spark.readStream.format("snapshot")``
     (sources/snapshot_source.py SnapshotStreamReader), Delta's standard
-    streaming read of a table: offsets are versions, the first batch is
-    the FULL v1 snapshot (initial-snapshot semantics), each later batch
-    emits exactly the files its commit ADDED — planned from pure
-    manifest diffs, one input partition per added file, no data read at
-    planning. Non-append commits fail the stream by default or are
-    skipped entirely under skip_change_commits (Delta's rule; pinned in
+    streaming read of a table: offsets are versions; the DEFAULT mode's
+    first batch is the table's CURRENT SNAPSHOT (Delta's
+    initial-snapshot semantics, DVs applied, no history replay), while
+    ``start_version=N`` — used here — is Delta's ``startingVersion``
+    per-commit REPLAY: each batch emits exactly the files its commit
+    added, planned from pure manifest diffs, one input partition per
+    file, no data read at planning. Non-append commits fail a replay by
+    default or are skipped entirely under skip_change_commits (Delta's
+    rule; both modes + the as-written-replay distinction pinned in
     tests/test_sources.py). Composes with the CDF source (row-level
     changes) and the streaming sink (exactly-once writes) into the full
     streaming lakehouse surface.
@@ -760,7 +763,10 @@ def snapshot_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _append_only_fixture(spark, sf_dir, "acid_streamsrc_demo")
     register(spark)
     feed = (
-        spark.readStream.format("snapshot").option("path", t.path).load()
+        spark.readStream.format("snapshot")
+        .option("path", t.path)
+        .option("start_version", "1")  # replay all three append commits
+        .load()
     )
     return run_to_completion(
         feed.groupBy(F.col("o_orderpriority").alias("priority")).agg(

@@ -524,7 +524,11 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM p_all, mx WHERE p_ts <= m - INTERVAL 2 HOUR
     ),
     c_cut AS (
-      SELECT * FROM c_all, mx WHERE c_ts <= m - INTERVAL 2 HOUR
+      -- STRICT: a click at exactly m - 2h has eviction point c_ts + 1h
+      -- equal to (not strictly below) the final combined watermark
+      -- m - 1h, so its NULL-purchase row may never emit — the click
+      -- side has no slack at the boundary (the purchase side has 1h)
+      SELECT * FROM c_all, mx WHERE c_ts < m - INTERVAL 2 HOUR
     )
     SELECT purchase_id, click_id, user_id
     FROM p_cut LEFT JOIN c_all
@@ -623,9 +627,12 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions=8,
     )
     cutoff = F.lit(mx) - F.expr("INTERVAL 2 HOUR")
+    # click-only rows use STRICT < : their eviction point is c_ts + 1h,
+    # which at c_ts == cutoff only EQUALS the final combined watermark —
+    # no slack, so the emission proof is missing exactly at the boundary
     return out.where(
         F.when(F.col("purchase_id").isNotNull(), F.col("p_ts") <= cutoff)
-        .otherwise(F.col("c_ts") <= cutoff)
+        .otherwise(F.col("c_ts") < cutoff)
     ).select(
         "purchase_id",
         "click_id",

@@ -244,50 +244,60 @@ class SnapshotReader(DataSourceReader):
     # ---- execution (executor): pyarrow scan + DV anti-filter ----------
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        if not partition.file_path:
-            return
-        from ._scan import read_file_rows
+        yield from _read_file_partition(partition)
 
-        schema = StructType.fromJson(json.loads(partition.schema_json))
-        yield from read_file_rows(
-            partition.file_path,
-            [f.name for f in schema.fields],
-            partition.colmap,
-            partition.dv_paths,
-        )
+
+def _read_file_partition(partition: _FilePartition) -> Iterator[tuple]:
+    """ONE executor-side file read under full snapshot semantics
+    (physical names via colmap, NULL-fill for pre-evolution files,
+    positional DV filter) — shared by the batch reader and the
+    table-as-stream reader so the semantics cannot drift apart."""
+    if not partition.file_path:
+        return
+    from ._scan import read_file_rows
+
+    schema = StructType.fromJson(json.loads(partition.schema_json))
+    yield from read_file_rows(
+        partition.file_path,
+        [f.name for f in schema.fields],
+        partition.colmap,
+        partition.dv_paths,
+    )
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
     """``spark.readStream.format("snapshot")`` — Delta's TABLE-AS-STREAM
-    read: offsets are table versions; each micro-batch emits the rows of
-    the files ADDED by the commits in (start, end], so an append-only
-    table streams exactly its inserts (and ``start_version=0``, the
-    default, makes the first batch the full v1 contents — Delta's
-    initial-snapshot semantics).
+    read. Two modes, exactly Delta's:
 
-    NON-APPEND commits (copy-on-write rewrites, deletion-vector
-    attaches) change or remove existing rows, which an insert-only
-    stream cannot represent — by default the stream FAILS on one,
-    exactly like Delta ("Detected a data update... set
-    skipChangeCommits"); ``option("skip_change_commits", "true")`` skips
-    such commits ENTIRELY (their adds too — Delta's rule: the commit's
-    rewritten files largely re-carry old rows, so emitting them would
-    duplicate). For row-level change semantics use
-    ``format("snapshot_cdf")`` instead.
+    * DEFAULT (no ``start_version``): the first batch is the TABLE'S
+      CURRENT SNAPSHOT (the latest version's full file list, deletion
+      vectors applied) — Delta's initial-snapshot semantics; later
+      batches emit each subsequent commit's ADDED files. A table whose
+      HISTORY contains rewrites streams fine: history is never replayed.
+    * ``start_version=N``: per-commit REPLAY from version N inclusive
+      (Delta's ``startingVersion``) — each batch emits the files the
+      commit added. A NON-APPEND commit in the replayed range (CoW
+      rewrite, DV attach) FAILS the stream by default ("Detected a data
+      update… set skipChangeCommits"); ``skip_change_commits=true``
+      skips such commits ENTIRELY, adds included (Delta's rule: a
+      rewrite's files mostly re-carry old rows — emitting them would
+      duplicate). Replayed rows reflect each commit AS WRITTEN, not the
+      current state — startingVersion semantics, use the CDF source for
+      row-level changes.
 
-    A schema evolution mid-stream also fails the run (the declared
-    schema was pinned at stream start); restart the stream to pick up
-    the new schema — Delta's behavior.
+    A schema evolution AFTER stream start fails the run; a restart
+    re-pins the schema and (in default mode) recovers via a fresh
+    initial snapshot — Delta's behavior.
 
-    Planning is pure manifest-diff metadata on the driver (no data
-    read); one input partition per added file. ``end_version`` bounds a
-    backfill like the CDF source's."""
+    Planning is pure manifest metadata on the driver (no data read);
+    one input partition per file. ``end_version`` bounds a backfill."""
 
     def __init__(self, options, schema: StructType) -> None:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("snapshot source needs option('path', <table dir>)")
-        self.start = int(options.get("start_version", 0))
+        sv = options.get("start_version")
+        self.start_version = int(sv) if sv is not None else None
         end = options.get("end_version")
         self.end = int(end) if end is not None else None
         self.skip_change_commits = (
@@ -298,7 +308,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
     # ---- offset protocol ---------------------------------------------
 
     def initialOffset(self) -> dict:
-        return {"version": self.start}
+        if self.start_version is not None:
+            # replay mode: batches cover [start_version .. latest]
+            return {"version": self.start_version - 1}
+        # snapshot mode: version 0 + the marker makes the first batch
+        # the CURRENT snapshot instead of a history replay
+        return {"version": 0, "snapshot": True}
 
     def latestOffset(self) -> dict:
         latest = _table(self.path).latest_version()
@@ -312,19 +327,38 @@ class SnapshotStreamReader(DataSourceStreamReader):
     def stop(self) -> None:
         pass
 
-    # ---- planning (driver): manifest diff, no data read ---------------
+    # ---- planning (driver): manifest metadata, no data read -----------
+
+    def _snapshot_parts(self, m: dict) -> list[InputPartition]:
+        dvs = m.get("dvs", {})
+        return [
+            _FilePartition(
+                os.path.join(self.path, rel),
+                [os.path.join(self.path, d) for d in dvs.get(rel, [])],
+                m["schema"],
+                m.get("colmap", {}),
+            )
+            for rels in m["files"].values()
+            for rel in rels
+        ]
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         t = _table(self.path)
         parts: list[InputPartition] = []
         declared = StructType.fromJson(json.loads(self._declared_schema_json))
-        for v in range(start["version"] + 1, end["version"] + 1):
+        from_v = start["version"] + 1
+        if start.get("snapshot"):
+            # initial batch = the CURRENT state at end.version — DVs
+            # applied, no history replay (Delta's initial snapshot)
+            parts += self._snapshot_parts(t._manifest(end["version"]))
+            from_v = end["version"] + 1  # nothing incremental this batch
+        for v in range(from_v, end["version"] + 1):
             mt = t._manifest(v)
             if StructType.fromJson(json.loads(mt["schema"])) != declared:
                 raise RuntimeError(
                     f"table schema changed at version {v} — the stream "
-                    "pinned its schema at start; restart the stream to "
-                    "pick up the evolution"
+                    "pinned its schema at start; restart the stream "
+                    "(default mode recovers via a fresh initial snapshot)"
                 )
             mf = t._manifest(v - 1) if v > 1 else {"files": {}, "dvs": {}}
             added: list[str] = []
@@ -332,8 +366,8 @@ class SnapshotStreamReader(DataSourceStreamReader):
             for b in set(mf["files"]) | set(mt["files"]):
                 old = mf["files"].get(b, [])
                 new = mt["files"].get(b, [])
-                oset = set(old)
-                if any(r not in set(new) for r in old):
+                oset, nset = set(old), set(new)
+                if any(r not in nset for r in old):
                     changed = True  # a file was rewritten/removed
                 added += [r for r in new if r not in oset]
             # DV changes delete rows without touching file lists
@@ -363,20 +397,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
             _FilePartition("", [], self._declared_schema_json, {})
         ]
 
-    # ---- execution (executor) ----------------------------------------
+    # ---- execution (executor): same path as the batch reader ----------
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        if not partition.file_path:
-            return
-        from ._scan import read_file_rows
-
-        schema = StructType.fromJson(json.loads(partition.schema_json))
-        yield from read_file_rows(
-            partition.file_path,
-            [f.name for f in schema.fields],
-            partition.colmap,
-            partition.dv_paths,
-        )
+        yield from _read_file_partition(partition)
 
 
 def register(spark) -> None:

@@ -568,45 +568,59 @@ def test_snapshot_stream_source_appends_and_change_commit_semantics(spark, tmp_p
         output_mode="complete",
         state_partitions=2,
     )
-    assert res.collect()[0]["count"] == 8  # v1 snapshot + v2 appends
-    # a merge (CoW rewrite) must fail the default stream...
+    assert res.collect()[0]["count"] == 8  # initial snapshot at v2
+    # a merge (CoW rewrite) in the history: a FRESH default stream reads
+    # the CURRENT snapshot (no history replay) and sees the post-merge
+    # value — Delta's initial-snapshot semantics
     t.merge_upsert(spark.createDataFrame([(1, "M")], "k bigint, v string"))
     t.append(spark.createDataFrame([(12, "z")], "k bigint, v string"))
+    res = run_to_completion(
+        spark.readStream.format("snapshot").option("path", t.path).load(),
+        name="mrspark_snap_stream_2",
+        output_mode="append",
+        state_partitions=2,
+    )
+    rows = {(r["k"], r["v"]) for r in res.collect()}
+    assert len(rows) == 9 and (1, "M") in rows  # current state, not v1's
+    # EXPLICIT start_version replay (Delta's startingVersion): the CoW
+    # commit in the replayed range fails the stream by default...
     with pytest.raises(Exception, match="not append-only"):
         run_to_completion(
             spark.readStream.format("snapshot")
             .option("path", t.path)
+            .option("start_version", "1")
             .load()
             .groupBy()
             .count(),
-            name="mrspark_snap_stream_2",
+            name="mrspark_snap_stream_3",
             output_mode="complete",
             state_partitions=2,
         )
-    # ...and be skipped ENTIRELY (its rewritten files too) under
-    # skip_change_commits: v3's bucket rewrite does not re-emit, v4's
-    # append does
+    # ...and is skipped ENTIRELY under skip_change_commits: the replay
+    # emits each commit AS WRITTEN, so k=1 keeps its PRE-merge value
     res = run_to_completion(
         spark.readStream.format("snapshot")
         .option("path", t.path)
+        .option("start_version", "1")
         .option("skip_change_commits", "true")
-        .load()
-        .groupBy()
-        .count(),
-        name="mrspark_snap_stream_3",
-        output_mode="complete",
+        .load(),
+        name="mrspark_snap_stream_4",
+        output_mode="append",
         state_partitions=2,
     )
-    assert res.collect()[0]["count"] == 9  # 8 + v4's one append
+    rows = {(r["k"], r["v"]) for r in res.collect()}
+    assert (1, "v1") in rows and (1, "M") not in rows  # as-written replay
+    assert (12, "z") in rows  # v4's append still streams
     # bounded backfill: end_version=2 ignores later commits
     res = run_to_completion(
         spark.readStream.format("snapshot")
         .option("path", t.path)
+        .option("start_version", "1")
         .option("end_version", "2")
         .load()
         .groupBy()
         .count(),
-        name="mrspark_snap_stream_4",
+        name="mrspark_snap_stream_5",
         output_mode="complete",
         state_partitions=2,
     )

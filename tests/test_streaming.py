@@ -443,7 +443,7 @@ def test_stream_full_outer_join_evicts_both_sides(spark):
         c_all, on, "left_outer"
     ).select("purchase_id", "click_id")
     click_only = (
-        c_all.where(F.col("c_ts") <= cutoff)
+        c_all.where(F.col("c_ts") < cutoff)  # strict: zero slack at ==
         .join(
             p_all,
             (F.col("c_user_id") == F.col("user_id"))
