@@ -2905,6 +2905,7 @@ class SnapshotTable:
         self,
         min_age_seconds: float = 3600.0,
         version_retention_seconds: float | None = None,
+        dry_run: bool = False,
     ) -> list[str]:
         """Delete data files referenced by NO manifest, plus dead writers'
         abandoned ``_staging_*`` directories. ``min_age_seconds`` is the
@@ -2919,10 +2920,15 @@ class SnapshotTable:
         are dropped (latest always kept), which releases the files they
         alone referenced for collection in the same pass — without it,
         copy-on-write debris is retained forever for time travel.
-        Returns the deleted relative paths."""
+
+        ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) reports what
+        WOULD be deleted — same liveness walk, same retention gate, zero
+        deletions (and no log expiration either, since expiring records
+        is itself destructive). Returns the (to-be-)deleted relative
+        paths."""
         import time
 
-        if version_retention_seconds is not None:
+        if version_retention_seconds is not None and not dry_run:
             self.expire_versions(version_retention_seconds)
         # live = every file referenced by ANY reconstructable retained
         # version (manifests are deltas now — reconstruct, don't parse
@@ -2953,13 +2959,15 @@ class SnapshotTable:
             rel = os.path.join("data", fn)
             full = os.path.join(self.path, rel)
             if rel not in live and now - os.path.getmtime(full) >= min_age_seconds:
-                os.unlink(full)
+                if not dry_run:
+                    os.unlink(full)
                 dead.append(rel)
         for entry in sorted(os.listdir(self.path)):
             if entry.startswith("_staging_"):
                 full = os.path.join(self.path, entry)
                 if now - os.path.getmtime(full) >= min_age_seconds:
-                    shutil.rmtree(full)
+                    if not dry_run:
+                        shutil.rmtree(full)
                     dead.append(entry)
         # crashed checkpointers leave _tmp_cp_* dirs (pre-rename) — same
         # retention-gated collection as staging dirs
@@ -2969,6 +2977,7 @@ class SnapshotTable:
                 if entry.startswith("_tmp_cp_"):
                     full = os.path.join(cpd, entry)
                     if now - os.path.getmtime(full) >= min_age_seconds:
-                        shutil.rmtree(full)
+                        if not dry_run:
+                            shutil.rmtree(full)
                         dead.append(os.path.join("checkpoints", entry))
         return dead

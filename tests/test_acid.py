@@ -1823,3 +1823,20 @@ def test_unknown_feature_refusal_survives_retry_on_same_handle(spark, tmp_path):
         with pytest.raises(UnsupportedTableFeature, match="future_magic"):
             fresh.read()
     assert _rows(fresh.read(v - 1)) == [(1, "a")]  # pre-feature version ok
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    """VACUUM DRY RUN: same liveness walk and retention gate, zero
+    deletions — a second real vacuum then collects exactly the reported
+    set (and dry_run never expires log records either)."""
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    t.merge_upsert(spark.createDataFrame([(1, "A")], "k bigint, v string"))
+    t.expire_versions(min_age_seconds=0.0)  # v1-only files become dead
+    would = t.vacuum(min_age_seconds=0.0, dry_run=True)
+    assert would, "expected reclaimable copy-on-write debris"
+    for rel in would:  # nothing actually deleted
+        assert os.path.exists(os.path.join(t.path, rel))
+    assert _rows(t.read()) == [(1, "A"), (2, "b")]
+    assert t.vacuum(min_age_seconds=0.0) == would  # real run matches
+    for rel in would:
+        assert not os.path.exists(os.path.join(t.path, rel))
