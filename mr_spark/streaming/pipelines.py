@@ -168,7 +168,16 @@ def run_to_completion(
     streaming query: the state store creates one instance per shuffle
     partition and each pays per-batch maintenance — at local test volume 8
     beats 32 by ~2×; on a cluster size it to cores (it is fixed for the
-    checkpoint's lifetime)."""
+    checkpoint's lifetime).
+
+    The memory-sink temp view is registered for deferred dropTempView at
+    the next top-level query's release (session.register_sink_view) — the
+    returned DataFrame's analyzed plan holds the sink relation directly,
+    and every harness collects a query's result before invoking the next,
+    so the drop never races a live read. Without it, sink views accumulate
+    for the life of the session (VERDICT r5 #2)."""
+    from ..session import register_sink_view
+
     spark = agg.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions:
@@ -186,7 +195,9 @@ def run_to_completion(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    result = spark.table(name)
+    register_sink_view(spark, name)
+    return result
 
 
 # ---- transformWithState (Spark 4 successor of applyInPandasWithState) ------

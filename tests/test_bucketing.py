@@ -76,22 +76,32 @@ def test_bucketed_catalog_reuse_and_invalidation(spark, tmp_path):
     shutil.copy(f"{SF_DIR}/orders.parquet", sf_copy / "orders.parquet")
     sf_dir = str(sf_copy)
 
-    n0 = {t.name for t in spark.catalog.listTables(_BUCKET_DB)} if any(
+    def _tables():
+        # listTables(db) also returns session temp views regardless of
+        # database — filter them so a temp view leaked by an unrelated
+        # test earlier in the suite can't pollute the catalog diff
+        return {
+            t.name
+            for t in spark.catalog.listTables(_BUCKET_DB)
+            if t.tableType != "TEMPORARY"
+        }
+
+    n0 = _tables() if any(
         db.name == _BUCKET_DB for db in spark.catalog.listDatabases()
     ) else set()
     df1 = bucketed_table(spark, sf_dir, "orders", "o_orderkey", n_buckets=4)
     assert df1.count() == load_table(spark, SF_DIR, "orders").count()
-    made = {t.name for t in spark.catalog.listTables(_BUCKET_DB)} - n0
+    made = _tables() - n0
     assert len(made) == 1
     # second call resolves to the SAME table (no new snapshot)
     bucketed_table(spark, sf_dir, "orders", "o_orderkey", n_buckets=4)
-    assert {t.name for t in spark.catalog.listTables(_BUCKET_DB)} - n0 == made
+    assert _tables() - n0 == made
 
     # source regenerated -> old snapshot dropped, new one created
     import os
     os.utime(sf_copy / "orders.parquet", (1_800_000_000, 1_800_000_000))
     bucketed_table(spark, sf_dir, "orders", "o_orderkey", n_buckets=4)
-    now = {t.name for t in spark.catalog.listTables(_BUCKET_DB)} - n0
+    now = _tables() - n0
     assert len(now) == 1 and now != made
 
     for t in now:

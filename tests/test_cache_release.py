@@ -75,6 +75,31 @@ def test_no_bare_persist_in_operator_modules():
         )
 
 
+def test_sink_views_dropped_on_next_top_level_query(spark):
+    """VERDICT r5 #1/#2: run_to_completion's memory-sink temp views were
+    never dropped — ~15 views accumulated per full registry session and a
+    leaked view broke test_bucketing's catalog diff in full-suite order.
+    Now every sink view registers via session.register_sink_view and the
+    same depth-0 release that frees caches drops it: after a streaming
+    query's result is consumed and the NEXT top-level query runs, no temp
+    view from the streaming query may survive."""
+    qs = ops.queries()
+    temp_views = lambda: {
+        t.name for t in spark.catalog.listTables() if t.tableType == "TEMPORARY"
+    }
+    S.release_tracked_caches()
+    before = temp_views()
+    rows = qs["stream_hourly_agg"](spark, SF_DIR).collect()
+    assert rows  # result consumable while the view is still registered
+    made = temp_views() - before
+    assert made, "streaming query registered no memory-sink view"
+    assert S._TRACKED_VIEWS, "sink view not tracked for deferred release"
+    qs["dedup_exact"](spark, SF_DIR).count()  # next top-level query → release
+    leaked = temp_views() - before
+    assert not leaked, f"memory-sink temp views leaked past release: {leaked}"
+    assert not S._TRACKED_VIEWS
+
+
 def test_composed_query_keeps_outer_caches(spark):
     """split_leakage_audit invokes the registered ngram_jaccard_pairs
     while building its own plan; the inner wrapper call must not flush
