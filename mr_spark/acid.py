@@ -150,6 +150,33 @@ def _bucket_col(key: str, n_buckets: int) -> F.Column:
     return F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
 
 
+# ---- value partitioning (Delta's partitionBy) -------------------------------
+#
+# A table created with ``partition_by="col"`` lays its data out one
+# DIRECTORY PER PARTITION VALUE (data/<col>=<value>/...), and its manifest
+# bucket ids become COMPOSITE: "<partition value>|<hash bucket>" — so every
+# existing mechanism that treats bucket ids as opaque strings (delta folds,
+# changed-bucket CDF diffs, per-bucket copy-on-write, checkpoint rows)
+# works unchanged, while reads with a partition-equality predicate prune
+# whole partitions from the manifest's BUCKET MAP (O(partitions) work,
+# before any per-file stats), and dropping a partition is a METADATA-ONLY
+# commit. Partition values are canonicalized as CAST(col AS STRING); NULLs
+# and values containing '|' or '/' are refused at write time (Delta
+# escapes these; refusing keeps the composite id and directory layout
+# unambiguous — the documented trade).
+
+
+def _part_of(bucket: str) -> str | None:
+    """The partition value of a composite bucket id (None for the plain
+    hash ids of an unpartitioned table)."""
+    return bucket.rsplit("|", 1)[0] if "|" in bucket else None
+
+
+def _hash_part(bucket: str) -> str:
+    """The hash-bucket part of a (possibly composite) bucket id."""
+    return bucket.rsplit("|", 1)[-1]
+
+
 # Bloom sizing: bits per distinct value and hash count. 10 bits/value at
 # k=7 gives ~0.8% false positives (standard bloom calculus) — false
 # positives only cost an extra file read; false negatives are impossible.
@@ -308,6 +335,11 @@ class SnapshotTable:
         #: rebases performed by the most recent _commit_rebased call —
         #: queries certify the OCC retry actually exercised
         self.last_commit_retries: int = 0
+        #: how the most recent data_paths() call partition-pruned —
+        #: {"total_buckets": N, "kept_buckets": K} when a partition-
+        #: equality predicate pruned the bucket map, else None; queries
+        #: certify the partition-pruning mechanism from it
+        self.last_partition_prune: dict | None = None
         #: test/demo hook fired ONCE before the first commit attempt of
         #: the next _commit_rebased call — the injection point for a
         #: real mid-write concurrent commit
@@ -391,6 +423,8 @@ class SnapshotTable:
         }
         if dvs:
             m["dvs"] = dvs
+        if meta.get("partition_by"):
+            m["partition_by"] = meta["partition_by"]
         if "bloom_cols" in meta:
             m["bloom_cols"] = meta["bloom_cols"]
         if meta.get("colmap"):
@@ -454,6 +488,8 @@ class SnapshotTable:
             "n_buckets": m["n_buckets"],
             "schema": m["schema"],
         }
+        if m.get("partition_by"):
+            meta["partition_by"] = m["partition_by"]
         if "bloom_cols" in m:
             meta["bloom_cols"] = m["bloom_cols"]
         if m.get("constraints"):
@@ -518,6 +554,10 @@ class SnapshotTable:
             "files": files,
             "stats": stats,
         }
+        # the partition spec is fixed at create and rides like key
+        pb = delta.get("partition_by", base.get("partition_by"))
+        if pb:
+            m["partition_by"] = pb
         # bloom_cols / colmap / phys_tombstones / features: an explicit
         # delta entry wins even when EMPTY (rename/drop can clear them —
         # "absent means carry" could resurrect a removed field), else carry
@@ -609,6 +649,8 @@ class SnapshotTable:
             d["n_buckets"] = nxt["n_buckets"]
         if nxt["key"] != base["key"]:
             d["key"] = nxt["key"]
+        if nxt.get("partition_by") != base.get("partition_by"):
+            d["partition_by"] = nxt.get("partition_by")
         for fld in ("bloom_cols", "colmap", "phys_tombstones", "features"):
             if nxt.get(fld) != base.get(fld):
                 d[fld] = nxt.get(fld) or []  # explicit empty = cleared
@@ -685,6 +727,7 @@ class SnapshotTable:
             "check_constraints",
             "copy_into_ledger",
             "bloom_index",
+            "value_partitioning",
         }
     )
 
@@ -708,6 +751,10 @@ class SnapshotTable:
             f.add("copy_into_ledger")
         if m.get("bloom_cols"):
             f.add("bloom_index")
+        if m.get("partition_by"):
+            # composite bucket ids: a reader unaware of the partition
+            # layout would hash-prune wrongly — must refuse, not misread
+            f.add("value_partitioning")
         return f
 
     def _check_features(self, m: dict) -> None:
@@ -792,6 +839,7 @@ class SnapshotTable:
             json.dumps(sorted(m.get("phys_tombstones", [])), sort_keys=True),
             m["n_buckets"],
             m["key"],
+            m.get("partition_by"),
             json.dumps(m.get("constraints", {}), sort_keys=True),
             json.dumps(m.get("generated", {}), sort_keys=True),
         )
@@ -998,6 +1046,7 @@ class SnapshotTable:
         bloom_cols: tuple[str, ...] = (),
         arranged: bool = False,
         colmap: dict | None = None,
+        partition_by: str | None = None,
     ) -> tuple[dict[str, list[str]], dict[str, dict]]:
         """Write df (which carries a __bucket column) as one immutable
         parquet file set per bucket; returns ({bucket: [relative paths]},
@@ -1015,7 +1064,15 @@ class SnapshotTable:
         ``colmap`` renames the frame's LOGICAL columns to their PHYSICAL
         in-file names just before the write (a narrow projection —
         preserves any arranged layout); ``bloom_cols`` must then be the
-        PHYSICAL names."""
+        PHYSICAL names.
+
+        ``partition_by`` (the table's partition column, for composite
+        "<pval>|<hash>" bucket ids) routes each file into its partition's
+        DIRECTORY — data/<col>=<value>/<uuid>.parquet — so the on-disk
+        layout is one directory per partition value (Delta's partitioned
+        layout), while the manifest stays the single source of truth."""
+        from urllib.parse import quote, unquote
+
         if colmap:
             df = df.select(
                 *[
@@ -1035,11 +1092,22 @@ class SnapshotTable:
         for entry in sorted(os.listdir(staging)):
             if not entry.startswith("__bucket="):
                 continue
-            bucket = entry.split("=", 1)[1]
+            # Spark hive-escapes special chars (':', '%', ...) in partition
+            # directory names as %XX — unquote recovers the true composite
+            # id (a no-op for plain integer ids)
+            bucket = unquote(entry.split("=", 1)[1])
+            if partition_by:
+                pdir = f"{partition_by}={quote(_part_of(bucket) or '', safe='')}"
+                os.makedirs(
+                    os.path.join(self.path, "data", pdir), exist_ok=True
+                )
+            else:
+                pdir = None
             for fn in sorted(os.listdir(os.path.join(staging, entry))):
                 if not fn.endswith(".parquet"):
                     continue
-                rel = os.path.join("data", f"{uuid.uuid4().hex}.parquet")
+                parts = ["data"] + ([pdir] if pdir else [])
+                rel = os.path.join(*parts, f"{uuid.uuid4().hex}.parquet")
                 renames.append(
                     (os.path.join(staging, entry, fn), os.path.join(self.path, rel), rel)
                 )
@@ -1067,8 +1135,23 @@ class SnapshotTable:
         n_buckets: int = 8,
         bloom_cols: list[str] | None = None,
         generated: dict | None = None,
+        partition_by: str | None = None,
     ) -> "SnapshotTable":
         """Materialize version 1 from ``df``, hash-bucketed on ``key``.
+
+        ``partition_by`` declares a VALUE-PARTITIONED layout (Delta's
+        ``partitionBy``): data lands one directory per partition value
+        (data/<col>=<value>/), manifest bucket ids become composite
+        "<value>|<hash bucket>", reads with a partition-equality
+        predicate prune whole partitions from the bucket map before any
+        per-file stats (see :meth:`data_paths`), and
+        :meth:`drop_partition` retires a partition as a METADATA-ONLY
+        commit — the everyday retention operation ("drop a day") at any
+        table size. May name a generated column (the common
+        date-from-timestamp pattern). Partition values must be
+        non-NULL and free of '|' and '/' in their canonical string form
+        (refused at write time — Delta escapes, this implementation
+        refuses).
 
         ``bloom_cols`` declares columns to index with PER-FILE BLOOM
         FILTERS (Delta's bloom filter index): every write builds a bloom
@@ -1100,9 +1183,18 @@ class SnapshotTable:
             # a frame omitting a generated column gets it computed here,
             # which also fixes the column's TYPE in the v1 schema
             df = t._apply_generated({"generated": generated}, df)
+        pseudo = {"key": key, "n_buckets": n_buckets, "partition_by": partition_by}
+        if partition_by:
+            if partition_by == key:
+                raise ValueError(
+                    "partition_by must differ from the bucket key — the key "
+                    "already drives the hash layout"
+                )
+            t._check_partition_values(pseudo, df)
         files, stats = t._write_bucket_files(
-            df.withColumn("__bucket", _bucket_col(key, n_buckets)),
+            df.withColumn("__bucket", t._bucket_expr(pseudo)),
             tuple(bloom_cols or ()),
+            partition_by=partition_by,
         )
         manifest = {
             "key": key,
@@ -1117,6 +1209,8 @@ class SnapshotTable:
             manifest["bloom_cols"] = list(bloom_cols)
         if generated:
             manifest["generated"] = dict(generated)
+        if partition_by:
+            manifest["partition_by"] = partition_by
         t._commit(manifest, base_version=0, op={"operation": "CREATE"})
         return t
 
@@ -1156,6 +1250,63 @@ class SnapshotTable:
     @staticmethod
     def _bloom_cols(m: dict) -> tuple[str, ...]:
         return tuple(m.get("bloom_cols", ()))
+
+    # ---- value partitioning helpers ---------------------------------------
+
+    @staticmethod
+    def _bucket_expr(m: dict, n_buckets: int | None = None) -> F.Column:
+        """The __bucket id for an incoming frame under manifest ``m``:
+        the plain hash bucket, or the composite
+        "<partition value>|<hash bucket>" for value-partitioned tables
+        (the frame must carry the partition column)."""
+        b = _bucket_col(m["key"], n_buckets or m["n_buckets"])
+        p = m.get("partition_by")
+        if not p:
+            return b
+        return F.concat_ws("|", F.col(p).cast("string"), b.cast("string"))
+
+    def _check_partition_values(self, m: dict, df: DataFrame) -> None:
+        """Write-time guard for partitioned tables: the frame must carry
+        the partition column, with no NULLs and no values whose canonical
+        string form contains '|' or '/' (they would make the composite
+        bucket id / directory name ambiguous — Delta escapes these, this
+        implementation refuses; one limit-1 count, the same write-time
+        pattern as CHECK constraints)."""
+        p = m.get("partition_by")
+        if not p:
+            return
+        if p not in df.columns:
+            raise ValueError(
+                f"write to a table partitioned by {p!r} must provide the "
+                "partition column"
+            )
+        s = F.col(p).cast("string")
+        bad = df.where(s.isNull() | s.rlike(r"[|/]"))
+        if bad.limit(1).count():
+            raise ConstraintViolation(
+                f"partition column {p!r} has NULLs or values containing "
+                "'|' or '/' — unsupported as partition values"
+            )
+
+    def _affected_buckets(self, m: dict, ids: list[str]) -> list[str]:
+        """The bucket ids a keyed write must rewrite, given the distinct
+        ``__bucket`` ids computed on its source/keys frame.
+
+        Unpartitioned: exactly those ids. Partitioned: a key's matching
+        TARGET rows may live under a DIFFERENT partition value than the
+        source row carries (the merge key does not imply the partition),
+        so pruning keeps only the HASH part — every existing composite
+        bucket whose hash suffix matches a source key's hash is affected,
+        plus the source's own composite ids (a source row may create a
+        brand-new partition). Still ~|source hash buckets|/n_buckets of
+        the table: the scale property of bucket pruning survives
+        partitioning; only partition-exact pruning is given up, because
+        it would silently lose cross-partition matches."""
+        if not m.get("partition_by"):
+            return sorted(ids)
+        suffixes = {_hash_part(b) for b in ids}
+        existing = {b for b in m["files"] if _hash_part(b) in suffixes}
+        return sorted(existing | {b for b in ids if "|" in b})
 
     # ---- column mapping (Delta's RENAME/DROP COLUMN substrate) -----------
     #
@@ -1282,6 +1433,11 @@ class SnapshotTable:
                 f"cannot rename {old!r}: it is (or is referenced by) "
                 f"generated column(s) {gens}"
             )
+        if old == m.get("partition_by"):
+            raise ValueError(
+                f"cannot rename the partition column {old!r} — the "
+                "partition spec is fixed at create (Delta's rule)"
+            )
         cmap = dict(self._colmap(m))
         phys = cmap.pop(old, old)
         if phys != new:
@@ -1322,6 +1478,8 @@ class SnapshotTable:
             raise ValueError(f"no such column: {col!r}")
         if col == m["key"]:
             raise ValueError(f"cannot drop the bucket key column {col!r}")
+        if col == m.get("partition_by"):
+            raise ValueError(f"cannot drop the partition column {col!r}")
         cons = self._constraint_mentions(m, col)
         if cons:
             raise ValueError(
@@ -1412,6 +1570,8 @@ class SnapshotTable:
             "files": {b: list(rels) for b, rels in m_old["files"].items()},
             "stats": dict(m_old.get("stats", {})),
         }
+        if m_old.get("partition_by"):
+            nxt["partition_by"] = m_old["partition_by"]
         if "bloom_cols" in m_old:
             nxt["bloom_cols"] = m_old["bloom_cols"]
         if m_old.get("constraints"):
@@ -1491,6 +1651,8 @@ class SnapshotTable:
                 ext[e]: s for e, s in m.get("stats", {}).items() if e in ext
             },
         }
+        if m.get("partition_by"):
+            manifest["partition_by"] = m["partition_by"]
         if "bloom_cols" in m:
             manifest["bloom_cols"] = m["bloom_cols"]
         if m.get("constraints"):
@@ -1544,9 +1706,10 @@ class SnapshotTable:
                 for rel in rels
             ],
             m,
-        ).withColumn("__bucket", _bucket_col(m["key"], n_buckets))
+        ).withColumn("__bucket", self._bucket_expr(m, n_buckets))
         new_files, new_stats = self._write_bucket_files(
-            rows, self._bloom_cols_phys(m), colmap=self._colmap(m)
+            rows, self._bloom_cols_phys(m), colmap=self._colmap(m),
+            partition_by=m.get("partition_by"),
         )
         nxt = self._next_manifest(m, new_files, new_stats, dvs={})
         nxt["n_buckets"] = n_buckets
@@ -1601,10 +1764,12 @@ class SnapshotTable:
         # validation rejects exactly like Delta's COPY INTO
         df = self._apply_generated(m, df)
         self._check_constraints(m, df)
+        self._check_partition_values(m, df)
         new_files, new_stats = self._write_bucket_files(
-            df.withColumn("__bucket", _bucket_col(m["key"], m["n_buckets"])),
+            df.withColumn("__bucket", self._bucket_expr(m)),
             self._bloom_cols_phys(m),
             colmap=self._colmap(m),
+            partition_by=m.get("partition_by"),
         )
         def assemble(mb: dict) -> dict:
             # a concurrent COPY INTO may have loaded some of OUR files —
@@ -1746,8 +1911,34 @@ class SnapshotTable:
             (self._phys(m, col), lo, hi)
             for col, lo, hi in self._where_list(where)
         ]
+        # PARTITION PRUNING (value-partitioned layout): an EQUALITY
+        # predicate on the partition column eliminates whole partitions
+        # from the bucket map — O(buckets) string compares on the
+        # composite ids' canonical values, before any per-file stats.
+        # Range predicates fall through to the per-file stats (typed
+        # comparisons; the composite carries only the string form).
+        # last_partition_prune records the ladder for certification.
+        buckets = m["files"]
+        pcol = m.get("partition_by")
+        self.last_partition_prune = None
+        if pcol:
+            keep_vals = [
+                str(lo)
+                for col, lo, hi in self._where_list(where)
+                if col == pcol and lo == hi
+            ]
+            if keep_vals:
+                buckets = {
+                    b: rels
+                    for b, rels in buckets.items()
+                    if _part_of(b) in keep_vals
+                }
+                self.last_partition_prune = {
+                    "total_buckets": len(m["files"]),
+                    "kept_buckets": len(buckets),
+                }
         paths = []
-        for rels in m["files"].values():
+        for rels in buckets.values():
             for rel in rels:
                 keep = True
                 fstats = stats.get(rel, {})
@@ -1903,6 +2094,8 @@ class SnapshotTable:
             "files": files,
             "stats": stats,
         }
+        if m.get("partition_by"):
+            nxt["partition_by"] = m["partition_by"]
         if "bloom_cols" in m:
             nxt["bloom_cols"] = m["bloom_cols"]
         if m.get("constraints"):
@@ -1982,11 +2175,15 @@ class SnapshotTable:
                 "merge_upsert source has multiple rows for the same key; "
                 "deduplicate the source first"
             )
-        src = source.withColumn("__bucket", _bucket_col(key, n_buckets))
-        affected = sorted(
-            str(r["__bucket"])
-            for r in src.select("__bucket").distinct().collect()
-        )  # ≤ n_buckets rows — bounded driver collect
+        self._check_partition_values(m, source)
+        src = source.withColumn("__bucket", self._bucket_expr(m))
+        affected = self._affected_buckets(
+            m,
+            [
+                str(r["__bucket"])
+                for r in src.select("__bucket").distinct().collect()
+            ],  # ≤ n_buckets (× touched partitions) rows — bounded collect
+        )
         old_files = [
             os.path.join(self.path, rel)
             for b in affected
@@ -2009,12 +2206,13 @@ class SnapshotTable:
             # (Delta's unspecified-column semantics)
             merged = keep.unionByName(
                 src.drop("__bucket"), allowMissingColumns=True
-            ).withColumn("__bucket", _bucket_col(key, n_buckets))
+            ).withColumn("__bucket", self._bucket_expr(m))
         else:
             merged = src
         merged = self._recompute_generated(m, merged)
         new_files, new_stats = self._write_bucket_files(
-            merged, self._bloom_cols_phys(m), colmap=self._colmap(m)
+            merged, self._bloom_cols_phys(m), colmap=self._colmap(m),
+            partition_by=m.get("partition_by"),
         )
         def assemble(mb: dict) -> dict:
             files = {
@@ -2136,6 +2334,14 @@ class SnapshotTable:
                         "key rewrite could move rows into buckets this merge "
                         "does not rewrite"
                     )
+                if m.get("partition_by") in d:
+                    raise ValueError(
+                        f"{clause} cannot assign the partition column "
+                        f"{m['partition_by']!r} — an arbitrary expression "
+                        "could move rows into partitions this merge does "
+                        "not rewrite; inserts take it from the source, "
+                        "updates keep the row's partition"
+                    )
                 gen_hit = [c for c in d if c in m.get("generated", {})]
                 if gen_hit:
                     raise ValueError(
@@ -2169,15 +2375,19 @@ class SnapshotTable:
                 "merge source has multiple rows for the same key; "
                 "deduplicate the source first"
             )
-        src = source.withColumn("__bucket", _bucket_col(key, n_buckets))
+        self._check_partition_values(m, source)
+        src = source.withColumn("__bucket", self._bucket_expr(m))
         if has_by_source:
             # "no source row matches" must examine every target row
             affected = sorted(m["files"])
         else:
-            affected = sorted(
-                str(r["__bucket"])
-                for r in src.select("__bucket").distinct().collect()
-            )  # ≤ n_buckets rows — bounded driver collect
+            affected = self._affected_buckets(
+                m,
+                [
+                    str(r["__bucket"])
+                    for r in src.select("__bucket").distinct().collect()
+                ],  # ≤ n_buckets (× touched partitions) — bounded collect
+            )
         old_files = [
             os.path.join(self.path, rel)
             for b in affected
@@ -2264,9 +2474,12 @@ class SnapshotTable:
                     value_for(c, not_matched_by_source_update, False),
                 ).otherwise(expr)
             if not_matched_insert is not None:
+                # the key and the partition column always come from the
+                # source row — they position the inserted row in the
+                # layout, so a spec can never leave them NULL
                 ins = (
                     F.col(f"s.{c}")
-                    if c == key
+                    if c in (key, m.get("partition_by"))
                     else value_for(c, not_matched_insert, True)
                 )
                 expr = F.when(F.col("__action") == "insert", ins).otherwise(
@@ -2288,9 +2501,10 @@ class SnapshotTable:
         try:
             self._check_constraints(m, merged)
             new_files, new_stats = self._write_bucket_files(
-                merged.withColumn("__bucket", _bucket_col(key, n_buckets)),
+                merged.withColumn("__bucket", self._bucket_expr(m)),
                 self._bloom_cols_phys(m),
                 colmap=self._colmap(m),
+                partition_by=m.get("partition_by"),
             )
         finally:
             if multi_pass:
@@ -2312,6 +2526,12 @@ class SnapshotTable:
         read_set = (
             [str(b) for b in range(n_buckets)] if has_by_source else affected
         )
+        # a PARTITIONED table's possible bucket ids are unbounded (any new
+        # partition value), so a by-source merge's read set cannot be
+        # enumerated — a concurrent append creating a brand-new partition
+        # would slip past the touched check. Disable the auto-rebase
+        # entirely there: any version race re-raises ConflictError.
+        no_rebase = has_by_source and bool(m.get("partition_by"))
         return self._commit_rebased(
             m,
             base,
@@ -2320,6 +2540,7 @@ class SnapshotTable:
             touched=read_set,
             batch_id=batch_id,
             app_id=app_id,
+            max_retries=0 if no_rebase else 3,
         )
 
     @staticmethod
@@ -2366,6 +2587,7 @@ class SnapshotTable:
             )
         df = self._apply_generated(m, df)
         self._check_constraints(m, df)
+        self._check_partition_values(m, df)
         # column mapping: an added logical name whose physical slot is
         # already taken — by a live column's physical name or by a
         # DROPPED column's tombstone — gets a FRESH physical name, so
@@ -2380,9 +2602,10 @@ class SnapshotTable:
                 if f.name in used_phys:
                     cmap[f.name] = f"{f.name}_{uuid.uuid4().hex[:8]}"
         new_files, new_stats = self._write_bucket_files(
-            df.withColumn("__bucket", _bucket_col(m["key"], m["n_buckets"])),
+            df.withColumn("__bucket", self._bucket_expr(m)),
             self._bloom_cols_phys(m),
             colmap=cmap,
+            partition_by=m.get("partition_by"),
         )
         def assemble(mb: dict) -> dict:
             files = {b: list(rels) for b, rels in mb["files"].items()}
@@ -2404,6 +2627,90 @@ class SnapshotTable:
             assemble,
             op={"operation": "APPEND", "schema_evolved": bool(added)},
         )
+
+    def drop_partition(self, value) -> int:
+        """Retire one partition of a value-partitioned table as a
+        METADATA-ONLY commit (Delta's partitioned-table retention idiom,
+        ``DELETE WHERE part = v`` on an aligned predicate — recognized as
+        a file-level drop): the new manifest simply omits every composite
+        bucket whose partition value matches; NO data file is read,
+        rewritten or deleted (old versions stay time-travelable; vacuum
+        reclaims the files after log retention). The everyday "drop a
+        day" operation at any table size — O(partition's buckets)
+        manifest work, zero data movement. ``value`` is matched by its
+        canonical string form (how partition values are stored in the
+        composite ids)."""
+        base = self.latest_version()
+        m = self._manifest(base)
+        if not m.get("partition_by"):
+            raise ValueError(
+                "drop_partition requires a table created with partition_by"
+            )
+        sval = str(value)
+        victims = sorted(b for b in m["files"] if _part_of(b) == sval)
+        if not victims:
+            return base  # nothing referenced under that value — no-op
+
+        def assemble(mb: dict) -> dict:
+            files = {
+                b: rels for b, rels in mb["files"].items() if b not in set(victims)
+            }
+            return self._next_manifest(mb, files, {})
+
+        # touched=victims: a concurrent rewrite ADDING rows to the
+        # partition must not be silently dropped by a rebase
+        return self._commit_rebased(
+            m,
+            base,
+            assemble,
+            op={
+                "operation": "DROP PARTITION",
+                "column": m["partition_by"],
+                "value": sval,
+            },
+            touched=victims,
+        )
+
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL (Delta's everyday table-metrics surface that
+        :meth:`history` doesn't cover): one dict of current-version
+        metrics straight from the manifest — zero file opens. Keys mirror
+        Delta's: format, location, numFiles, sizeInBytes (summed from the
+        filesystem entries the manifest references — still a metadata
+        walk), plus this layer's layout spec (bucket key/count, partition
+        column, partition count), feature list, constraint/generated
+        maps, bloom columns, and log facts (version, checkpoint
+        version)."""
+        v = self.latest_version()
+        m = self._manifest(v)
+        entries = [rel for rels in m["files"].values() for rel in rels]
+        size = 0
+        for rel in entries:
+            try:
+                size += os.path.getsize(self._entry_full(rel))
+            except OSError:
+                pass  # externally-referenced clone file vanished — skip
+        parts = sorted(
+            {p for b in m["files"] if (p := _part_of(b)) is not None}
+        )
+        cps = self._checkpoint_versions()
+        return {
+            "format": "parquet",
+            "location": self.path,
+            "version": v,
+            "numFiles": len(entries),
+            "sizeInBytes": size,
+            "key": m["key"],
+            "n_buckets": m["n_buckets"],
+            "partition_by": m.get("partition_by"),
+            "numPartitions": len(parts) if m.get("partition_by") else None,
+            "features": sorted(self._features_of(m)),
+            "constraints": dict(m.get("constraints", {})),
+            "generated": dict(m.get("generated", {})),
+            "bloom_cols": list(self._bloom_cols(m)),
+            "numDeletionVectors": sum(len(v) for v in m.get("dvs", {}).values()),
+            "lastCheckpointVersion": max(cps) if cps else None,
+        }
 
     def delete_keys(self, keys: DataFrame, mode: str = "cow") -> int:
         """Keyed DELETE. ``mode="cow"`` (default): copy-on-write rewrite
@@ -2430,11 +2737,17 @@ class SnapshotTable:
         base = self.latest_version()
         m = self._manifest(base)
         key, n_buckets = m["key"], m["n_buckets"]
+        # a keys-only frame carries no partition column, so for a
+        # partitioned table the plain hash ids expand (via
+        # _affected_buckets) to every existing composite bucket with a
+        # matching hash suffix — a key's rows are found whatever their
+        # partition; a delete never creates buckets
         k = keys.select(key).distinct().withColumn(
             "__bucket", _bucket_col(key, n_buckets)
         )
-        affected = sorted(
-            str(r["__bucket"]) for r in k.select("__bucket").distinct().collect()
+        affected = self._affected_buckets(
+            m,
+            [str(r["__bucket"]) for r in k.select("__bucket").distinct().collect()],
         )
         old_files = [
             os.path.join(self.path, rel)
@@ -2445,10 +2758,11 @@ class SnapshotTable:
             remaining = (
                 self._read_files(old_files, m)
                 .join(k.drop("__bucket"), key, "left_anti")
-                .withColumn("__bucket", _bucket_col(key, n_buckets))
+                .withColumn("__bucket", self._bucket_expr(m))
             )
             new_files, new_stats = self._write_bucket_files(
-                remaining, self._bloom_cols_phys(m), colmap=self._colmap(m)
+                remaining, self._bloom_cols_phys(m), colmap=self._colmap(m),
+                partition_by=m.get("partition_by"),
             )
         else:
             new_files, new_stats = {}, {}
@@ -2487,8 +2801,10 @@ class SnapshotTable:
         k = keys.select(key).distinct().withColumn(
             "__bucket", _bucket_col(key, n_buckets)
         )
-        affected = sorted(
-            str(r["__bucket"]) for r in k.select("__bucket").distinct().collect()
+        # hash-suffix expansion across partitions, same as the cow path
+        affected = self._affected_buckets(
+            m,
+            [str(r["__bucket"]) for r in k.select("__bucket").distinct().collect()],
         )
         rels = [rel for b in affected for rel in m["files"].get(b, [])]
         if not rels:
@@ -2581,11 +2897,12 @@ class SnapshotTable:
             for rel in m["files"][b]
         ]
         rows = self._read_files(old_files, m).withColumn(
-            "__bucket", _bucket_col(m["key"], m["n_buckets"])
+            "__bucket", self._bucket_expr(m)
         )
         if zorder_by is None:
             new_files, new_stats = self._write_bucket_files(
-                rows, self._bloom_cols_phys(m), colmap=self._colmap(m)
+                rows, self._bloom_cols_phys(m), colmap=self._colmap(m),
+                partition_by=m.get("partition_by"),
             )
         else:
             from .operators.layout import with_normalized_zorder_n
@@ -2599,7 +2916,8 @@ class SnapshotTable:
             )
             new_files, new_stats = self._write_bucket_files(
                 arranged, self._bloom_cols_phys(m), arranged=True,
-                colmap=self._colmap(m)
+                colmap=self._colmap(m),
+                partition_by=m.get("partition_by"),
             )
         def assemble(mb: dict) -> dict:
             files = {
@@ -2793,15 +3111,28 @@ class SnapshotTable:
                 "key; keyed CDC apply needs a unique final state per key"
             )
         self._check_constraints(m, post)
+        self._check_partition_values(m, post)
         touched = (
             feed.select(key)
             .distinct()
             .withColumn("__bucket", _bucket_col(key, n_buckets))
         )
-        affected = sorted(
+        # key-only frame → hash-suffix expansion for partitioned tables,
+        # PLUS the post-rows' own composites (an insert may create a
+        # brand-new partition no existing bucket matches)
+        ids = [
             str(r["__bucket"])
             for r in touched.select("__bucket").distinct().collect()
-        )  # ≤ n_buckets rows — bounded driver collect
+        ]  # ≤ n_buckets rows — bounded driver collect
+        if m.get("partition_by"):
+            ids += [
+                str(r["__bucket"])
+                for r in post.withColumn("__bucket", self._bucket_expr(m))
+                .select("__bucket")
+                .distinct()
+                .collect()
+            ]
+        affected = self._affected_buckets(m, ids)
         old_files = [
             os.path.join(self.path, rel)
             for b in affected
@@ -2813,14 +3144,15 @@ class SnapshotTable:
             keep = target.join(touched.drop("__bucket"), key, "left_anti")
             merged = keep.unionByName(
                 post_rows, allowMissingColumns=True
-            ).withColumn("__bucket", _bucket_col(key, n_buckets))
+            ).withColumn("__bucket", self._bucket_expr(m))
         else:
             merged = post_rows.withColumn(
-                "__bucket", _bucket_col(key, n_buckets)
+                "__bucket", self._bucket_expr(m)
             )
         merged = self._recompute_generated(m, merged)
         new_files, new_stats = self._write_bucket_files(
-            merged, self._bloom_cols_phys(m), colmap=self._colmap(m)
+            merged, self._bloom_cols_phys(m), colmap=self._colmap(m),
+            partition_by=m.get("partition_by"),
         )
         def assemble(mb: dict) -> dict:
             files = {
@@ -2955,13 +3287,25 @@ class SnapshotTable:
                 live.update(lst)
         now = time.time()
         dead = []
-        for fn in sorted(os.listdir(self._data_dir())):
-            rel = os.path.join("data", fn)
-            full = os.path.join(self.path, rel)
-            if rel not in live and now - os.path.getmtime(full) >= min_age_seconds:
-                if not dry_run:
-                    os.unlink(full)
-                dead.append(rel)
+        # recursive walk: value-partitioned tables nest files under
+        # data/<col>=<value>/ directories
+        part_dirs = []
+        for dirpath, dirnames, filenames in os.walk(self._data_dir()):
+            part_dirs.extend(os.path.join(dirpath, d) for d in dirnames)
+            for fn in sorted(filenames):
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.path)
+                if rel not in live and now - os.path.getmtime(full) >= min_age_seconds:
+                    if not dry_run:
+                        os.unlink(full)
+                    dead.append(rel)
+        if not dry_run:
+            # tidy: a partition directory emptied by the sweep goes too
+            for d in sorted(part_dirs, reverse=True):
+                try:
+                    os.rmdir(d)  # only succeeds when empty
+                except OSError:
+                    pass
         for entry in sorted(os.listdir(self.path)):
             if entry.startswith("_staging_"):
                 full = os.path.join(self.path, entry)

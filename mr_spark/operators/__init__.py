@@ -78,79 +78,51 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver row yet — plus q12, red in r01 on a (now fixed) dtype artifact —
 # in the checked prefix, and rotate per round as driver rows accumulate.
 #
-# Round-5 prefix (VERDICT r4 #6): first the 17 queries new or changed
-# this round — snapshot_log_checkpoint (delta-manifest log + parquet
-# checkpoints), acid_bloom_skipping (per-file bloom index), ann_pq_topk
-# (product-quantization ANN), stream_cdf_source (streaming CDF read via
-# a custom Python streaming DataSource), acid_optimize_zorder (Delta's
-# OPTIMIZE ZORDER clustered rewrite), acid_deletion_vectors
-# (merge-on-read DELETE), acid_constraints (CHECK-constraint write
-# gate), the two new CDF queries (matview_replay,
-# cdf_replication), the upgraded two-column acid_data_skipping, the rest
-# of the ACID family (every commit/read now runs through the delta-log
-# protocol), bloom/dpp (cached child session, raise-based
-# certification), and neardup_components (persist_tracked rewrite).
-# Then ALL 26 queries whose latest driver evidence is still r01 (incl.
-# the r4-overflowed set_ops, distinct_agg, window_running_sum,
-# lag_lead_delta, top_k_per_group the judge named). The remaining slots
-# advance the r02-evidence frontier, preferring scale-critical dedup/ANN.
-# Overflow (r02-evidence, unchanged, independently pinned): the
-# streaming battery (tests/test_streaming.py replays each), text/quality
-# stats (brute-force tests), and the remaining r02 names — full list
-# derivable as r02-evidence minus the 14 below; each keeps its
-# oracle-rehearsal pin in tests/test_queries_oracle.py.
+# Round-6 prefix (VERDICT r5 #6): first the 3 NEW queries
+# (value-partitioned layout: partition-pruned read, metadata-only
+# DROP PARTITION, DESCRIBE DETAIL). Then every query whose
+# implementation changed this round: the whole ACID/snapshot family
+# (acid.py's write paths now route through composite-bucket-aware
+# _bucket_expr/_affected_buckets and a recursive vacuum walk — behavior
+# -preserving for unpartitioned tables, but changed code is changed
+# code) and the streaming battery (run_to_completion now registers its
+# memory-sink view for deferred dropTempView — the r5 leak fix). The
+# remaining slots finally advance the r02-evidence frontier the r5
+# verdict named: the dedup/ANN set plus kl_source_drift, lateral_topn,
+# winnow_fingerprint, kcenter_coreset, heavy_hitters.
+# Overflow (all driver-green at their latest check, each with an
+# oracle-rehearsal pin in tests/test_queries_oracle.py): ann_ivf_topk,
+# ann_lsh_topk, unpivot_metrics lead the r07 rotation, then the
+# remaining r02/r03 text/quality stats.
 _CHECK_PRIORITY = [
-    # -- implementation changed this round (round 5) --
-    # NEWEST round-5 queries first: RESTORE (version rollback as a
-    # metadata-only commit), SHALLOW CLONE (zero-copy table fork via
-    # absolute-path manifest references) and COPY INTO (file-level
-    # idempotent ingest via a manifest ledger riding delta manifests);
-    # then the session's earlier additions — the delta-manifest log +
-    # parquet checkpoint (snapshot_log_checkpoint) and the per-file bloom
-    # index (acid_bloom_skipping) — then the rest of the ACID family,
-    # whose every commit/read path runs through the new log protocol
-    "acid_merge_clauses", "snapshot_stream_sink", "snapshot_history",
-    "q8_market_share", "acid_concurrent_writers", "acid_generated_columns",
-    "stream_stream_full_join", "snapshot_stream_source",
-    "snapshot_restore", "snapshot_clone_shallow", "copy_into_idempotent",
-    "acid_rebucket", "stream_stream_left_join", "snapshot_batch_source",
-    "snapshot_column_mapping", "snapshot_sink_roundtrip",
-    "snapshot_log_checkpoint", "acid_bloom_skipping", "ann_pq_topk",
-    "stream_cdf_source", "acid_optimize_zorder", "acid_deletion_vectors",
-    "acid_constraints",
-    "matview_replay", "cdf_replication", "acid_data_skipping",
-    "acid_merge_upsert", "snapshot_change_feed", "snapshot_schema_evolution",
-    "matview_incremental", "dpp_partition_pruned_join",
-    "bloom_runtime_filter_join", "neardup_components",
-    # -- oldest-evidence re-confirmation (all remaining r01 rows) --
-    "set_ops", "distinct_agg", "window_running_sum", "lag_lead_delta",
-    "top_k_per_group", "anti_semi_join", "array_funcs", "asof_join",
-    "cube_agg", "events_per_day", "exact_percentiles", "grouping_sets",
-    "in_subquery", "json_extract", "map_funcs", "min_cost_supplier",
-    "pivot_event_counts", "q13_order_distribution", "q18_large_orders",
-    "range_join", "rollup_agg", "scalar_subquery", "sessionization",
-    "sort_limit_offset", "string_funcs",
-    # unpivot_metrics is position 51 — the eight never-checked
-    # third-session queries push ONE r01 re-confirmation past the
-    # 50-row window; it keeps its r01 driver-green row + oracle-
-    # rehearsal pin and leads the r06 re-confirmation rotation
-    "unpivot_metrics",
-    # -- r02-evidence frontier (now positions 50+ = OVERFLOW) --
-    # The third session's seven NEW queries (snapshot_restore,
-    # snapshot_clone_shallow, copy_into_idempotent, acid_rebucket,
-    # stream_stream_left_join, snapshot_batch_source,
-    # snapshot_column_mapping) take the top of the prefix — never
-    # driver-checked queries outrank re-confirmations — which pushes
-    # these seven r02-evidence dedup/ANN names past position 50. Each
-    # keeps its oracle-rehearsal pin in tests/test_queries_oracle.py
-    # and its original driver-green row; they lead the r06 rotation.
+    # -- NEW this round (round 6): value-partitioned lakehouse layout --
+    "snapshot_partitioned_prune", "snapshot_drop_partition",
+    "snapshot_describe_detail",
+    # -- ACID family: every commit/read path runs through the
+    #    partition-aware bucket plumbing added this round --
+    "acid_merge_upsert", "acid_merge_clauses", "acid_data_skipping",
+    "acid_deletion_vectors", "acid_constraints", "acid_generated_columns",
+    "acid_concurrent_writers", "acid_rebucket", "acid_optimize_zorder",
+    "acid_bloom_skipping", "snapshot_log_checkpoint", "snapshot_restore",
+    "snapshot_clone_shallow", "copy_into_idempotent",
+    "snapshot_column_mapping", "snapshot_history",
+    "snapshot_schema_evolution", "snapshot_change_feed",
+    "snapshot_batch_source", "snapshot_sink_roundtrip",
+    "matview_incremental", "matview_replay", "cdf_replication",
+    # -- streaming battery: memory-sink deferred-release change --
+    "stream_hourly_agg", "stream_stream_join", "stream_session_window",
+    "stream_static_join", "stream_dedup_events", "stream_trending_topk",
+    "stream_stream_left_join", "stream_stream_full_join",
+    "snapshot_stream_source", "stream_cdf_source",
+    "stream_sessionize_stateful", "snapshot_stream_sink",
+    # -- r02-evidence frontier (VERDICT r5 #6: the oldest-evidence
+    #    names; dedup/ANN first as scale-critical) --
     "dedup_exact", "minhash_lsh_pairs", "simhash_buckets",
     "exact_substring_pairs", "embedding_neardup", "semantic_dedup",
-    "ann_cosine_topk",
-    # (kl_source_drift, lateral_topn, winnow_fingerprint, kcenter_coreset,
-    # heavy_hitters, ann_ivf_topk, ann_lsh_topk moved to overflow in the
-    # first session for the same reason — all re-verified by the judge's
-    # r4 spot-check or plan/brute-force pinned)
+    "ann_cosine_topk", "kl_source_drift", "lateral_topn",
+    "winnow_fingerprint", "kcenter_coreset", "heavy_hitters",
+    # -- positions 51+ = OVERFLOW, leading the r07 rotation --
+    "ann_ivf_topk", "ann_lsh_topk", "unpivot_metrics",
 ]
 
 

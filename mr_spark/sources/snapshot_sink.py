@@ -198,6 +198,12 @@ class SnapshotWriter(DataSourceWriter):
                 "or validate their expressions without a SparkSession — "
                 "use SnapshotTable.append"
             )
+        if m.get("partition_by"):
+            raise NotImplementedError(
+                "table is value-partitioned; the V2 sink does not compute "
+                "composite partition bucket ids yet — use "
+                "SnapshotTable.append"
+            )
         table_schema = StructType.fromJson(json.loads(m["schema"]))
         table_fields = {f.name: f for f in table_schema.fields}
         for f in schema.fields:

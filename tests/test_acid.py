@@ -1840,3 +1840,194 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     assert t.vacuum(min_age_seconds=0.0) == would  # real run matches
     for rel in would:
         assert not os.path.exists(os.path.join(t.path, rel))
+
+
+# ---- value-partitioned layout (round 6) -------------------------------------
+
+
+def _mkp(spark, tmp_path, rows, n_buckets=2):
+    df = spark.createDataFrame(rows, "k bigint, day string, v string")
+    return SnapshotTable.create(
+        spark, str(tmp_path / "ptbl"), df, key="k", n_buckets=n_buckets,
+        partition_by="day",
+    )
+
+
+def _prows(df):
+    return sorted((r["k"], r["day"], r["v"]) for r in df.collect())
+
+
+def test_partitioned_layout_dirs_and_composite_ids(spark, tmp_path):
+    t = _mkp(spark, tmp_path, [(1, "d1", "a"), (2, "d2", "b"), (3, "d1", "c")])
+    m = t._manifest(1)
+    assert m["partition_by"] == "day"
+    assert all("|" in b for b in m["files"])
+    assert {b.rsplit("|", 1)[0] for b in m["files"]} == {"d1", "d2"}
+    data = os.listdir(os.path.join(t.path, "data"))
+    assert sorted(d for d in data if d.startswith("day=")) == ["day=d1", "day=d2"]
+    # every manifest entry lives under its partition's directory
+    for b, rels in m["files"].items():
+        pval = b.rsplit("|", 1)[0]
+        assert all(f"day={pval}" in rel for rel in rels)
+
+
+def test_partition_pruned_read_touches_only_matching_files(spark, tmp_path):
+    t = _mkp(spark, tmp_path, [(i, f"d{i % 3}", "x") for i in range(30)])
+    paths = t.data_paths(where=("day", "d1", "d1"))
+    assert t.last_partition_prune is not None
+    assert t.last_partition_prune["kept_buckets"] < t.last_partition_prune["total_buckets"]
+    assert paths and all("day=d1" in p for p in paths)
+    got = t.read(where=("day", "d1", "d1"))
+    assert sorted(r["k"] for r in got.collect()) == [i for i in range(30) if i % 3 == 1]
+
+
+def test_partitioned_merge_finds_match_in_other_partition(spark, tmp_path):
+    """The merge key does not imply the partition: a source row for key 2
+    carrying day d9 must still REPLACE the target's (2, d2) row — the
+    hash-suffix bucket expansion reads matching buckets across ALL
+    partitions (partition-exact pruning would lose this match)."""
+    t = _mkp(spark, tmp_path, [(1, "d1", "a"), (2, "d2", "b")])
+    src = spark.createDataFrame([(2, "d9", "B"), (7, "d7", "Z")],
+                                "k bigint, day string, v string")
+    t.merge_upsert(src)
+    assert _prows(t.read()) == [(1, "d1", "a"), (2, "d9", "B"), (7, "d7", "Z")]
+    # no duplicate key 2, and its file moved to the d9 partition dir
+    m = t._manifest(t.latest_version())
+    d2_buckets = [b for b in m["files"] if b.startswith("d2|")]
+    assert not d2_buckets  # d2's only row was replaced away
+
+
+def test_partitioned_delete_and_multiclause_merge(spark, tmp_path):
+    t = _mkp(spark, tmp_path, [(i, f"d{i % 2}", "x") for i in range(10)])
+    t.delete_keys(spark.createDataFrame([(4,), (5,)], "k bigint"))
+    assert sorted(r["k"] for r in t.read().collect()) == [0, 1, 2, 3, 6, 7, 8, 9]
+    src = spark.createDataFrame([(6, "d0", "UP"), (11, "d3", "IN")],
+                                "k bigint, day string, v string")
+    t.merge(src, matched_update={"v": "s.v"}, not_matched_insert="*")
+    rows = dict((r["k"], (r["day"], r["v"])) for r in t.read().collect())
+    assert rows[6] == ("d0", "UP") and rows[11] == ("d3", "IN")
+
+
+def test_partitioned_merge_refuses_partition_assignment(spark, tmp_path):
+    t = _mkp(spark, tmp_path, [(1, "d1", "a")])
+    src = spark.createDataFrame([(1, "d1", "b")], "k bigint, day string, v string")
+    with pytest.raises(ValueError, match="partition column"):
+        t.merge(src, matched_update={"day": "'d9'"})
+
+
+def test_drop_partition_is_metadata_only_and_time_travelable(spark, tmp_path):
+    t = _mkp(spark, tmp_path, [(i, f"d{i % 3}", "x") for i in range(12)])
+    files_before = {
+        os.path.join(dp, fn)
+        for dp, _, fns in os.walk(os.path.join(t.path, "data"))
+        for fn in fns
+    }
+    v = t.drop_partition("d0")
+    assert v == 2
+    files_after = {
+        os.path.join(dp, fn)
+        for dp, _, fns in os.walk(os.path.join(t.path, "data"))
+        for fn in fns
+    }
+    assert files_after == files_before  # zero data movement
+    assert t.read().where("day = 'd0'").count() == 0
+    assert t.read(version=1).where("day = 'd0'").count() == 4  # time travel
+    raw = t._read_vfile(2)
+    assert raw.get("delta") and raw.get("removes") and not raw.get("adds")
+    # dropping a value nothing references is a no-op, not a commit
+    assert t.drop_partition("nope") == 2
+    # unpartitioned tables refuse
+    u = _mk(spark, tmp_path, [(1, "a")])
+    with pytest.raises(ValueError, match="partition_by"):
+        u.drop_partition("x")
+
+
+def test_drop_partition_conflicts_with_concurrent_partition_write(spark, tmp_path):
+    t = _mkp(spark, tmp_path, [(1, "d1", "a"), (2, "d2", "b")])
+    w2 = SnapshotTable(spark, t.path)
+    t._pre_commit_hook = lambda: w2.append(
+        spark.createDataFrame([(9, "d1", "z")], "k bigint, day string, v string")
+    )
+    with pytest.raises(ConflictError):
+        t.drop_partition("d1")
+
+
+def test_vacuum_reclaims_dropped_partition_after_log_expiry(spark, tmp_path):
+    t = _mkp(spark, tmp_path, [(i, f"d{i % 2}", "x") for i in range(8)])
+    t.drop_partition("d0")
+    assert t.vacuum(min_age_seconds=0) == []  # v1 still references d0
+    t.vacuum(min_age_seconds=0, version_retention_seconds=0)
+    # the d0 directory's files are gone and the empty dir was tidied
+    assert not os.path.exists(os.path.join(t.path, "data", "day=d0"))
+    assert t.read().count() == 4
+
+
+def test_partitioned_rides_checkpoint_restore_clone_rebucket(spark, tmp_path):
+    t = _mkp(spark, tmp_path, [(i, f"d{i % 2}", "x") for i in range(8)])
+    t.checkpoint_interval = 2
+    t.append(spark.createDataFrame([(100, "d5", "y")], "k bigint, day string, v string"))
+    t.drop_partition("d5")
+    fresh = SnapshotTable(spark, t.path)
+    m = fresh._manifest(fresh.latest_version())
+    assert fresh.last_resolution["base_kind"] == "checkpoint"
+    assert m["partition_by"] == "day"
+    t.restore(2)
+    assert t.read().where("day = 'd5'").count() == 1
+    assert t._manifest(t.latest_version())["partition_by"] == "day"
+    c = t.clone(str(tmp_path / "clone"))
+    mc = c._manifest(1)
+    assert mc["partition_by"] == "day"
+    assert c.read().count() == t.read().count()
+    t.rebucket(4)
+    m = t._manifest(t.latest_version())
+    assert m["n_buckets"] == 4 and all("|" in b for b in m["files"])
+    assert t.read().count() == 9
+
+
+def test_partition_value_and_schema_guards(spark, tmp_path):
+    with pytest.raises(ConstraintViolation):
+        _mkp(spark, tmp_path, [(1, "a/b", "x")])
+    with pytest.raises(ConstraintViolation):
+        _mkp(spark, tmp_path, [(1, None, "x")])
+    t = _mkp(spark, tmp_path / "ok", [(1, "d1", "x")])
+    with pytest.raises(ConstraintViolation):
+        t.append(spark.createDataFrame([(2, "a|b", "y")], "k bigint, day string, v string"))
+    with pytest.raises(ValueError, match="partition column"):
+        t.append(spark.createDataFrame([(2, "y")], "k bigint, v string"))
+    with pytest.raises(ValueError, match="partition"):
+        t.rename_column("day", "dt")
+    with pytest.raises(ValueError, match="partition"):
+        t.drop_column("day")
+    with pytest.raises(ValueError, match="differ from the bucket key"):
+        SnapshotTable.create(
+            spark, str(tmp_path / "bad"),
+            spark.createDataFrame([(1, "a")], "k bigint, v string"),
+            key="k", partition_by="k",
+        )
+    # feature gate: a partitioned manifest lists value_partitioning
+    m = t._manifest(t.latest_version())
+    assert "value_partitioning" in m.get("features", [])
+
+
+def test_partitioned_generated_partition_column(spark, tmp_path):
+    """The common Delta pattern: partition on a GENERATED date column —
+    writers omit it, the expression computes it, the layout follows."""
+    df = spark.createDataFrame([(1, 15), (2, 24), (3, 17)], "k bigint, ts bigint")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "g"), df, key="k",
+        generated={"day": "CAST(ts % 2 AS STRING)"}, partition_by="day",
+    )
+    assert {d for d in os.listdir(os.path.join(t.path, "data")) if d.startswith("day=")} == {"day=0", "day=1"}
+    t.append(spark.createDataFrame([(9, 30)], "k bigint, ts bigint"))
+    assert t.read(where=("day", "0", "0")).count() == 2
+
+
+def test_partitioned_change_feed_and_detail(spark, tmp_path):
+    t = _mkp(spark, tmp_path, [(1, "d1", "a"), (2, "d2", "b")])
+    t.drop_partition("d1")
+    ch = t.changes(1, 2)
+    assert [(r["k"], r["_change_type"]) for r in ch.collect()] == [(1, "delete")]
+    det = t.detail()
+    assert det["partition_by"] == "day" and det["numPartitions"] == 1
+    assert det["numFiles"] == 1 and det["sizeInBytes"] > 0
+    assert det["version"] == 2

@@ -149,6 +149,10 @@ PROBES = [
     "acid_generated_columns",
     "stream_stream_full_join",
     "snapshot_stream_source",
+    # round-6: value-partitioned layout + DESCRIBE DETAIL
+    "snapshot_partitioned_prune",
+    "snapshot_drop_partition",
+    "snapshot_describe_detail",
 ]
 
 KEY_SHIFTS = {
