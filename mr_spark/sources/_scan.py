@@ -45,12 +45,28 @@ def read_file_rows(
     """One file's live rows as tuples in ``logical_cols`` order."""
     import pyarrow.parquet as pq
 
+    import pyarrow as pa
+
     phys = [colmap.get(c, c) for c in logical_cols]
     in_file = set(pq.read_schema(file_path).names)  # footer-only read
     wanted = [p for p in phys if p in in_file]
     if wanted:
         tbl = pq.read_table(file_path, columns=wanted)
         n = tbl.num_rows
+        # Normalize timestamp columns so to_pylist() yields values
+        # Spark's rows-to-arrow converter accepts (it calls
+        # value.astimezone(utc), which pandas' NAIVE Timestamp refuses):
+        # * naive nanosecond columns are Spark INT96 writes — the naive
+        #   values ARE UTC instants, so label them UTC (and microsecond
+        #   precision keeps to_pylist on stdlib datetimes, not pandas);
+        # * any other ns column just drops to us for the same reason;
+        # * tz-aware us columns (this repo's V2 sink) pass through.
+        for i, f in enumerate(tbl.schema):
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+                tgt = pa.timestamp("us", tz=f.type.tz or "UTC")
+                tbl = tbl.set_column(
+                    i, pa.field(f.name, tgt), tbl.column(i).cast(tgt)
+                )
     else:  # every requested column post-dates this file — all NULLs
         tbl = None
         n = pq.ParquetFile(file_path).metadata.num_rows

@@ -29,16 +29,26 @@ Caveat (same as Spark's groupBy vs Python equality): float NaN columns
 would compare unequal row-to-row here; the CDF key/colums of the
 registered fixtures are int/str/double without NaNs.
 
-Known limitation — NO TRIGGER RATE LIMITING (Delta's maxFilesPerTrigger
-analog would be max-versions-per-batch): the Python
-``DataSourceStreamReader`` API's ``latestOffset()`` takes no start
-offset or ReadLimit, so capping a batch would require the reader to
-track its own progress, and on restart that private state can lag the
-engine's checkpointed offset — returning a lower "latest" than the
-committed offset would make the engine re-plan already-committed
-versions (duplicate feed rows downstream). Until the API grows
-admission control, every trigger drains all outstanding versions;
-each is still read changed-buckets-only.
+TRIGGER RATE LIMITING (Delta's maxFilesPerTrigger analog, VERDICT r5
+#5): ``option("max_versions_per_batch", N)`` caps how many commits one
+micro-batch covers — with the one safety rule the Python
+``DataSourceStreamReader`` API forces: ``latestOffset()`` takes no
+start offset, so the reader may only cap RELATIVE TO A POSITION THE
+ENGINE ITSELF HAS REVEALED. ``partitions(start, end)`` and
+``commit(end)`` carry the engine's own planned/committed offsets (on
+restart included: the WAL batch is re-planned through ``partitions``
+before any new offset is requested), so the reader tracks
+``_engine_progress`` from exactly those two signals and
+``latestOffset`` returns ``min(latest, progress + N)`` — by
+construction never below any offset the engine holds, so a restart can
+neither re-plan committed versions (duplicates) nor stall. The one
+degraded case is the FIRST trigger of a fresh reader instance, before
+the engine has revealed anything: the cap cannot be safely anchored
+(anchoring to the ``start_version`` option could fall below a restart
+checkpoint), so that single trigger drains all outstanding versions —
+exactly the pre-cap behavior — and every later trigger is capped.
+Offset-protocol safety is pinned in
+tests/test_streaming.py::test_cdf_stream_max_versions_per_batch.
 """
 
 from __future__ import annotations
@@ -76,6 +86,12 @@ class SnapshotCDFDataSource(DataSource):
       consume an exact commit range and stop; commits after it are
       ignored even if they land mid-run (Delta's
       ``endingVersion`` for readChangeFeed)
+    * ``max_versions_per_batch``: optional trigger admission control
+      (Delta's maxFilesPerTrigger analog) — once the engine has
+      revealed its position, each micro-batch covers at most this many
+      commits; the first trigger of a fresh reader instance is
+      uncapped (see the module docstring for why that is the safe
+      boundary)
     """
 
     @classmethod
@@ -130,20 +146,44 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         self.start = int(options.get("start_version", 1))
         end = options.get("end_version")
         self.end = int(end) if end is not None else None
+        cap = int(options.get("max_versions_per_batch", 0))
+        if cap < 0:
+            raise ValueError("max_versions_per_batch must be >= 1 (or absent)")
+        self.max_versions = cap or None
+        # the highest offset the ENGINE has revealed (via partitions()'s
+        # planned end or commit()'s completed end) — the only safe anchor
+        # for the trigger cap; None until the engine shows its hand
+        self._engine_progress: int | None = None
 
     # ---- offset protocol ---------------------------------------------
 
     def initialOffset(self) -> dict:
+        # deliberately NOT an anchor for the cap: on a restart the
+        # checkpointed offset may be far past start_version, and a capped
+        # latestOffset anchored here could fall below it
         return {"version": self.start}
 
     def latestOffset(self) -> dict:
         latest = _table(self.path).latest_version()
         if self.end is not None:
             latest = min(latest, self.end)
+        if self.max_versions is not None and self._engine_progress is not None:
+            # never below the engine's own position — max() guards the
+            # (impossible by construction, cheap to enforce) regression
+            latest = max(
+                min(latest, self._engine_progress + self.max_versions),
+                self._engine_progress,
+            )
         return {"version": latest}
 
     def commit(self, end: dict) -> None:
-        pass  # versions are immutable; nothing to acknowledge
+        # versions are immutable — nothing to acknowledge — but the
+        # completed end is an engine-revealed position the cap may anchor to
+        self._note_progress(end["version"])
+
+    def _note_progress(self, v: int) -> None:
+        if self._engine_progress is None or v > self._engine_progress:
+            self._engine_progress = v
 
     def stop(self) -> None:
         pass
@@ -151,6 +191,10 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
     # ---- planning (driver): manifest diff, no data read ---------------
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # the engine plans (start, end] — both are engine-held offsets
+        # (on restart this re-plans the WAL batch BEFORE any new
+        # latestOffset is consulted), so end anchors the trigger cap
+        self._note_progress(end["version"])
         t = _table(self.path)
         parts: list[InputPartition] = []
 

@@ -27,9 +27,13 @@ Limitations (raise at PLANNING time, never silently mis-write): append
 mode only; tables with CHECK constraints refuse this sink (constraint
 expressions need a SparkSession to evaluate — use
 ``SnapshotTable.append``); bucket keys must be int/bigint/string (the
-types the hash port covers); timestamp columns are unsupported (PySpark
-hands the writer session-local naive datetimes and the session zone is
-unknowable here — writing them would shift instants). Commit re-checks
+types the hash port covers). Timestamp columns ARE supported
+(VERDICT r5 #4): PySpark's arrow-to-rows converter hands the writer
+naive datetimes in the worker's SYSTEM zone (``astimezone().replace
+(tzinfo=None)`` — pyspark/sql/conversion.py), so ``write()`` applies
+the exact inverse (``astimezone(utc)``) and stores tz-aware arrow
+columns — the parquet instants match every other write path's, under
+any session timezone. Commit re-checks
 the table identity (schema/colmap/n_buckets/key/constraints) captured
 at planning and aborts on any concurrent change — staged rows were
 bucketed and validated against the old state. A sink commit that lands
@@ -150,15 +154,19 @@ def _arrow_type(dt):
     if isinstance(dt, BooleanType):
         return pa.bool_()
     if isinstance(dt, TimestampType):
-        # PySpark hands write() SESSION-LOCAL naive datetimes; writing
-        # them as naive micros would read back shifted by the session
-        # timezone (every other write path stores UTC-adjusted parquet
-        # timestamps). The executor has no way to learn the session zone
-        # through this API — refuse rather than silently shift.
-        raise NotImplementedError(
-            "timestamp columns are unsupported in the V2 sink (timezone "
-            "adjustment needs the session zone); use SnapshotTable.append"
-        )
+        # Timestamps are stored as UTC-adjusted parquet instants, like
+        # every other write path. PySpark's arrow-to-rows converter
+        # (pyspark/sql/conversion.py, TimestampType:
+        # ``value.astimezone().replace(tzinfo=None)``) hands write()
+        # naive datetimes in the PYTHON WORKER'S SYSTEM zone — so the
+        # exact inverse (interpret as system-local, convert to UTC) is
+        # available right where the rows arrive, no session-zone
+        # plumbing needed (VERDICT r5 #4 asked to capture the session
+        # zone driver-side; reading the converter showed even that is
+        # unnecessary — the round trip is worker-zone-local and exact,
+        # up to DST-ambiguous wall times in a non-UTC worker zone,
+        # where fold=0 is taken).
+        return pa.timestamp("us", tz="UTC")
     if isinstance(dt, DateType):
         return pa.date32()
     raise NotImplementedError(
@@ -266,9 +274,32 @@ class SnapshotWriter(DataSourceWriter):
         types = [f.dataType for f in self.schema.fields]
         key_idx = names.index(self.key)
         key_type = types[key_idx]
+        # timestamp values arrive as naive datetimes in THIS worker's
+        # system zone (see _arrow_type); astimezone(utc) on a naive value
+        # interprets it as system-local — the exact inverse of the
+        # conversion that produced it — yielding the true instant
+        ts_idx = [i for i, t in enumerate(types) if isinstance(t, TimestampType)]
+        if ts_idx:
+            from datetime import timezone
+
+            def _utc(v):
+                if v is None:
+                    return None
+                if hasattr(v, "to_pydatetime"):
+                    # pandas Timestamp (a datetime subclass) refuses
+                    # astimezone() on naive values — go via stdlib, whose
+                    # naive astimezone interprets system-local (the zone
+                    # the converter stripped)
+                    v = v.to_pydatetime()
+                return v.astimezone(timezone.utc)
+
         buckets: dict[int, list[tuple]] = {}
         for row in iterator:
             vals = tuple(row)
+            if ts_idx:
+                vals = tuple(
+                    _utc(v) if i in ts_idx else v for i, v in enumerate(vals)
+                )
             b = bucket_of(vals[key_idx], key_type, self.n_buckets)
             buckets.setdefault(b, []).append(vals)
         staging = os.path.join(
@@ -396,8 +427,8 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
     ``option("app_id", ...)`` names the writer (default
     ``snapshot_stream_sink``); two streams writing one table keep
     separate replay protection. The same planning-time guards as the
-    batch sink apply (append-only, no constraints, hashable key types,
-    no timestamp columns)."""
+    batch sink apply (append-only, no constraints, hashable key
+    types)."""
 
     def __init__(self, options, schema: StructType) -> None:
         self._inner = SnapshotWriter(options, schema, overwrite=False)

@@ -310,6 +310,104 @@ def test_cdf_stream_source_resumes_from_start_version(spark, tmp_path):
     assert got == [("insert", 5, "e")]
 
 
+def test_cdf_stream_max_versions_per_batch(spark, tmp_path):
+    """Trigger admission control (VERDICT r5 #5). Two layers:
+
+    1. OFFSET-PROTOCOL unit check (engine simulated): the cap anchors
+       ONLY to positions the engine revealed via partitions()/commit(),
+       so latestOffset can never fall below an engine-held offset — the
+       duplicate-batch / stall hazard the r5 design note feared. Before
+       the engine reveals anything, latestOffset is uncapped (the one
+       documented degraded trigger).
+    2. END-TO-END: a capped stream over a 5-commit history with a
+       restart mid-history produces the exact uncapped feed — no
+       duplicates, no losses — and the capped run takes more
+       micro-batches than the uncapped one would (the cap engaged).
+    """
+    from mr_spark.acid import SnapshotTable
+    from mr_spark.sources.cdf_stream import SnapshotCDFStreamReader, register
+    from mr_spark.streaming import run_to_completion
+
+    t = SnapshotTable.create(
+        spark,
+        str(tmp_path / "cdfcap"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"),
+        key="k",
+        n_buckets=1,
+    )
+    for i in range(4):  # versions 2..5
+        t.append(spark.createDataFrame([(10 + i, f"x{i}")], "k bigint, v string"))
+
+    # --- layer 1: offset protocol, engine simulated ---
+    r = SnapshotCDFStreamReader(
+        {"path": t.path, "max_versions_per_batch": "1"}
+    )
+    assert r.initialOffset() == {"version": 1}
+    # fresh reader: engine has revealed nothing — uncapped (documented)
+    assert r.latestOffset() == {"version": 5}
+    # engine plans the WAL batch (restart semantics): partitions(start, end)
+    r.partitions({"version": 1}, {"version": 2})
+    # now capped, anchored to the engine's end — never below it
+    assert r.latestOffset() == {"version": 3}
+    r.commit({"version": 3})
+    assert r.latestOffset() == {"version": 4}
+    # a stale smaller signal can never regress the anchor
+    r.commit({"version": 2})
+    assert r.latestOffset() == {"version": 4}
+    with pytest.raises(ValueError, match="max_versions_per_batch"):
+        SnapshotCDFStreamReader({"path": t.path, "max_versions_per_batch": "-1"})
+
+    # --- layer 2: end-to-end with restart, exactly-once feed ---
+    register(spark)
+    cp = str(tmp_path / "cdfcap_cp")
+    out = str(tmp_path / "cdfcap_out")  # file sink: recoverable + exactly-once
+
+    def start_query():
+        return (
+            spark.readStream.format("snapshot_cdf")
+            .option("path", t.path)
+            .option("max_versions_per_batch", 1)
+            .load()
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+
+    q = start_query()
+    try:
+        q.processAllAvailable()
+        first_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        # trigger 1 is uncapped by design; commits landing AFTER the
+        # engine revealed its position stream one version per batch
+        t.append(spark.createDataFrame([(20, "y0")], "k bigint, v string"))  # v6
+        t.append(spark.createDataFrame([(21, "y1")], "k bigint, v string"))  # v7
+        q.processAllAvailable()
+        capped_batches = (
+            len([p for p in q.recentProgress if p["numInputRows"] > 0])
+            - first_batches
+        )
+        assert capped_batches >= 2, "cap did not split the 2 new commits"
+    finally:
+        q.stop()
+    # restart from the same checkpoint with 2 more commits outstanding —
+    # the file sink's own log makes the total output exactly-once
+    t.append(spark.createDataFrame([(22, "z0")], "k bigint, v string"))  # v8
+    t.append(spark.createDataFrame([(23, "z1")], "k bigint, v string"))  # v9
+    q2 = start_query()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = sorted(map(tuple, spark.read.parquet(out).collect()), key=str)
+    want = []
+    for v in range(2, t.latest_version() + 1):
+        want.extend(map(tuple, t.changes(v - 1, v).collect()))
+    # no duplicates, no losses across the capped run + restart
+    assert got == sorted(map(tuple, want), key=str)
+
+
 def test_stream_left_outer_join_emits_unmatched_via_eviction(spark):
     """The left-outer stream-stream join must equal the batch left join
     on the retained window AND must actually exercise eviction: unmatched
