@@ -86,9 +86,11 @@ list of O(live-files) paths because spark.read.parquet takes paths; at
 10⁵ files the list is ~10 MB, acceptable, and pruning itself is already
 manifest-only. The DataSource-hook step beyond (Delta's in-plan
 FileIndex) EXISTS as of round 5: ``spark.read.format("snapshot")``
-(mr_spark/sources/snapshot_source.py) receives the scan's filters via
-``pushFilters`` during planning, prunes files from the manifest (ranges
-+ blooms), and emits one input partition per surviving file — full DV +
+(mr_spark/sources/snapshot_source.py) prunes files from the manifest
+during planning (partition values + ranges + blooms, driven by
+``option("where", ...)`` — NOT pushFilters: this Spark version reuses a
+filtered plan for unfiltered sibling scans, see that module's
+docstring), and emits one input partition per surviving file — full DV +
 schema-evolution semantics through the standard reader API.
 """
 

@@ -2274,21 +2274,24 @@ def acid_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def snapshot_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SNAPSHOT TABLE AS A SPARK DATASOURCE with filter pushdown into
-    manifest pruning (mr_spark/sources/snapshot_source.py — the
-    Delta-FileIndex shape, via Spark 4's DataSourceReader.pushFilters):
-    ``spark.read.format("snapshot")`` plans the scan by handing the
-    query's filters to the reader, which prunes files from the manifest
-    alone (footer ranges + per-file bloom probes for point predicates)
-    and emits ONE INPUT PARTITION PER SURVIVING FILE — executors then
-    read under the manifest schema with deletion vectors applied, so the
-    full table semantics flow through the standard reader API instead of
-    a path list materialized by data_paths(). The query RAISES unless
-    the REAL planned scan has strictly fewer partitions under the tag
-    point-lookup than unfiltered — certifying that Spark invoked
-    pushFilters and the manifest (bloom) pruning reached the physical
-    plan, not just that the row filter filtered. Pruning stays advisory:
-    every filter is returned unhandled and re-applied row-level.
+    """SNAPSHOT TABLE AS A SPARK DATASOURCE with manifest pruning
+    (mr_spark/sources/snapshot_source.py — the Delta-FileIndex shape):
+    ``spark.read.format("snapshot").option("where", "tag = 't42'")``
+    prunes files from the manifest alone during planning (footer ranges
+    + per-file bloom probes for point predicates) and emits ONE INPUT
+    PARTITION PER SURVIVING FILE — executors then read under the
+    manifest schema with deletion vectors applied and re-apply the
+    predicate exactly row-level, so the full table semantics flow
+    through the standard reader API instead of a path list materialized
+    by data_paths(). The query RAISES unless the REAL planned scan has
+    strictly fewer partitions under the tag point-lookup than an
+    unpredicated relation — certifying the manifest (bloom) pruning
+    reached the physical plan, not just that rows were filtered. The
+    predicate rides a RELATION-LEVEL OPTION, not pushFilters: this
+    image's Spark caches one planned read per relation and would reuse a
+    pushFilters-pruned plan for later unfiltered scans of the same
+    load() — measured silent row loss; mechanism + engine canary in
+    snapshot_source.py / tests/test_sources.py.
 
     Scale: this is how a 100 TB table should meet Spark — predicates
     reach the metadata layer during planning (O(live-files) driver
@@ -2300,11 +2303,16 @@ def snapshot_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     base = spark.read.format("snapshot").option("path", t.path).load()
     n_all = base.rdd.getNumPartitions()
-    filtered = base.where(F.col("tag") == "t42")
+    filtered = (
+        spark.read.format("snapshot")
+        .option("path", t.path)
+        .option("where", "tag = 't42'")
+        .load()
+    )
     n_pruned = filtered.rdd.getNumPartitions()
     if not n_pruned < n_all:
         raise RuntimeError(
-            f"pushFilters pruning did not reach the plan: {n_all} -> "
+            f"manifest pruning did not reach the plan: {n_all} -> "
             f"{n_pruned} input partitions for the point lookup — the "
             "DataSource is scanning files the manifest can prove empty"
         )

@@ -30,7 +30,12 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # let the whole_text Python data source prune files at planning time
+    # No in-repo Python DataSource implements pushFilters anymore — this
+    # image's Spark 4.1.2 reuses a FILTERED plan for later unfiltered
+    # scans of the same relation (PythonDataSourceV2.readInfo single-slot
+    # cache; see sources/snapshot_source.py docstring + the engine canary
+    # in tests/test_sources.py). Kept true so the canary exercises the
+    # real engine path and flags when a fixed Spark lands.
     "spark.sql.python.filterPushdown.enabled": "true",
     # Spark 4.1's ChecksumCheckpointFileManager leaks ~50 threads per
     # streaming-query run (measured: 320 parked ChecksumCheckpointFileManager

@@ -41,8 +41,15 @@ def read_file_rows(
     logical_cols: list[str],
     colmap: dict,
     dv_paths: list[str],
+    preds: list | None = None,
 ) -> list[tuple]:
-    """One file's live rows as tuples in ``logical_cols`` order."""
+    """One file's live rows as tuples in ``logical_cols`` order.
+
+    ``preds`` are (logical_col, op, literal) conjuncts applied EXACTLY
+    row-level with vectorized pyarrow compute (op in eq/gt/gte/lt/lte) —
+    SQL WHERE semantics: a NULL comparison never matches, and a
+    predicate on a column this file predates (all-NULL) matches nothing.
+    """
     import pyarrow.parquet as pq
 
     import pyarrow as pa
@@ -50,6 +57,10 @@ def read_file_rows(
     phys = [colmap.get(c, c) for c in logical_cols]
     in_file = set(pq.read_schema(file_path).names)  # footer-only read
     wanted = [p for p in phys if p in in_file]
+    # predicate columns must be decoded even if a caller ever prunes
+    # them from the projection
+    pred_phys = [colmap.get(c, c) for c, _, _ in (preds or [])]
+    wanted += [p for p in pred_phys if p in in_file and p not in wanted]
     if wanted:
         tbl = pq.read_table(file_path, columns=wanted)
         n = tbl.num_rows
@@ -70,12 +81,36 @@ def read_file_rows(
     else:  # every requested column post-dates this file — all NULLs
         tbl = None
         n = pq.ParquetFile(file_path).metadata.num_rows
+    keep = None  # vectorized predicate mask over the file's row order
+    if preds:
+        import pyarrow.compute as pc
+
+        cmp = {
+            "eq": pc.equal,
+            "gt": pc.greater,
+            "gte": pc.greater_equal,
+            "lt": pc.less,
+            "lte": pc.less_equal,
+        }
+        mask = None
+        for col, op, val in preds:
+            p = colmap.get(col, col)
+            if tbl is not None and p in in_file:
+                m = pc.fill_null(cmp[op](tbl.column(p), pa.scalar(val)), False)
+            else:  # all-NULL column: no row can match
+                m = pa.array([False] * n)
+            mask = m if mask is None else pc.and_(mask, m)
+        keep = mask.to_pylist()
     data = [
         tbl.column(p).to_pylist() if p in in_file else [None] * n
         for p in phys
     ]
     rows = list(zip(*data)) if data else []
     dead = dead_positions(file_path, dv_paths) if dv_paths else set()
-    if dead:
-        rows = [r for i, r in enumerate(rows) if i not in dead]
+    if dead or keep is not None:
+        rows = [
+            r
+            for i, r in enumerate(rows)
+            if i not in dead and (keep is None or keep[i])
+        ]
     return rows

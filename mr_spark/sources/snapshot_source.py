@@ -1,26 +1,41 @@
 """Batch Python DataSource for SnapshotTable — ``spark.read.format(
-"snapshot").option("path", tbl).load()`` with FILTER PUSHDOWN INTO
-MANIFEST PRUNING (Spark 4 ``DataSourceReader.pushFilters``).
+"snapshot").option("path", tbl).load()`` with MANIFEST PRUNING through
+an explicit ``where`` option.
 
 This closes the acid.py module docstring's remaining driver-cost note:
 ``read()`` materializes the pruned path list on the driver because
 ``spark.read.parquet`` takes paths — this source is the Delta-FileIndex
-shape instead: Spark hands the scan's filters to the reader DURING
-PLANNING, the reader prunes files from the manifest alone (footer
+shape instead: predicates prune files from the manifest alone DURING
+PLANNING (partition-value equality on value-partitioned tables, footer
 [min, max] ranges for range predicates, per-file bloom probes for point
 predicates on indexed columns — the same ladder as
 ``SnapshotTable.data_paths``), and only the surviving files become input
 partitions. Executors read them under the MANIFEST schema (evolved
-columns NULL-fill for old files) and apply deletion vectors by row
-position — full snapshot semantics through the standard reader API.
+columns NULL-fill for old files), apply deletion vectors by row
+position, and re-apply the predicates EXACTLY row-level (vectorized
+pyarrow compute) — so ``option("where", ...)`` has plain SQL WHERE
+semantics, not just file granularity.
 
-Pushdown contract: ``pushFilters`` returns ALL filters as unhandled, so
-Spark re-applies them row-level after the scan — pruning here is an
-optimization, never a correctness dependency (exactly how file-skipping
-behaves in Delta: advisory at plan time, rechecked at run time). Only
-top-level AND conjuncts arrive through this API (Spark's contract), and
-only single-column comparisons against literals are used for pruning;
-everything else is ignored.
+WHY AN OPTION AND NOT ``pushFilters`` (measured on this image's Spark
+4.1.2, decompiled from spark-sql jars): the engine keeps ONE mutable
+``readInfo`` slot per relation (PythonDataSourceV2.readInfo, set by
+UserDefinedPythonDataSourceFilterPushdownRunner via setReadInfo, read
+back by PythonBatch.planInputPartitions via getOrCreateReadInfo). A
+filtered scan's pushdown OVERWRITES that slot, and a later UNFILTERED
+scan of the same ``load()`` never re-runs pushdown (pushdownFiltersInPython
+short-circuits to None when no filter is protocol-supported), so it
+silently reuses the filtered plan — ``df.where(...).count()`` followed
+by ``df.count()`` returned the FILTERED count. Any filter-dependence in
+the planned partitions or read function is therefore unsafe on this
+engine version. Relation-level options ARE safe: they are part of the
+relation's identity, so every scan of the relation plans the same
+partitions. tests/test_sources.py pins both the hazard (an engine
+canary that fails when a future Spark fixes the cache — the signal to
+restore pushFilters pruning) and this source's mixed-query correctness.
+
+``where`` grammar: ``<col> <op> <literal>`` conjuncts joined by AND;
+ops ``= == > >= < <=``; literals are single-quoted strings or bare
+int/float. Example: ``option("where", "day = '2024-01-03' AND k >= 10")``.
 
 Scale: the pruning decision is O(live files) driver-side metadata work
 with ZERO file opens — at 10^5 files a point lookup plans in manifest
@@ -32,19 +47,14 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
-    EqualTo,
-    Filter,
-    GreaterThan,
-    GreaterThanOrEqual,
     InputPartition,
-    LessThan,
-    LessThanOrEqual,
 )
 from pyspark.sql.types import StructType
 
@@ -65,6 +75,11 @@ class SnapshotDataSource(DataSource):
     * ``timestamp_as_of``: unix seconds — Delta's ``timestampAsOf``:
       read the latest version committed at or before the instant
       (mutually exclusive with ``version``)
+    * ``where``: pruning predicate with exact SQL WHERE semantics —
+      ``"<col> <op> <literal>"`` conjuncts joined by AND. Prunes files
+      from the manifest at planning (partition values, footer ranges,
+      bloom probes) and re-applies row-level on executors. See the
+      module docstring for why this is an option and not pushFilters.
     """
 
     @classmethod
@@ -132,22 +147,53 @@ class _FilePartition(InputPartition):
         dv_paths: list[str],
         schema_json: str,
         colmap: dict | None = None,
+        preds: list | None = None,
     ) -> None:
         self.file_path = file_path  # "" = empty-table sentinel
         self.dv_paths = dv_paths
         self.schema_json = schema_json
         # logical -> physical in-file column names (column mapping)
         self.colmap = colmap or {}
+        # (logical_col, op, literal) conjuncts re-applied EXACTLY
+        # row-level by the executor (see module docstring)
+        self.preds = preds or []
 
 
-# pushFilters translation: Spark filter class -> comparison op tag
-_OPS = {
-    EqualTo: "eq",
-    GreaterThan: "gt",
-    GreaterThanOrEqual: "gte",
-    LessThan: "lt",
-    LessThanOrEqual: "lte",
-}
+_WHERE_OPS = {"==": "eq", "=": "eq", ">=": "gte", ">": "gt", "<=": "lte", "<": "lt"}
+_WHERE_RE = re.compile(r"\s*([A-Za-z_][\w]*)\s*(==|>=|<=|=|>|<)\s*(.+?)\s*\Z")
+
+
+def parse_where(expr: str) -> list[tuple[str, str, object]]:
+    """``option("where", ...)`` grammar -> (col, op, value) conjuncts.
+    Strings must be single-quoted; bare literals parse as int then
+    float. Anything else is a loud error — this is a pruning predicate,
+    not a SQL dialect."""
+    preds: list[tuple[str, str, object]] = []
+    for clause in re.split(r"\s+AND\s+", expr.strip(), flags=re.IGNORECASE):
+        m = _WHERE_RE.match(clause)
+        if not m:
+            raise ValueError(
+                f"cannot parse where clause {clause!r} — expected "
+                "\"<col> <op> <literal>\" conjuncts joined by AND, ops "
+                "= == > >= < <="
+            )
+        col, op, lit = m.groups()
+        val: object
+        if len(lit) >= 2 and lit[0] == "'" and lit[-1] == "'":
+            val = lit[1:-1]
+        else:
+            try:
+                val = int(lit)
+            except ValueError:
+                try:
+                    val = float(lit)
+                except ValueError:
+                    raise ValueError(
+                        f"unquoted non-numeric literal {lit!r} in where "
+                        "clause — quote strings: col = 'value'"
+                    ) from None
+        preds.append((col, _WHERE_OPS[op], val))
+    return preds
 
 
 class SnapshotReader(DataSourceReader):
@@ -160,20 +206,12 @@ class SnapshotReader(DataSourceReader):
         else:
             v = options.get("version")
             self.version = int(v) if v is not None else None
-        self._preds: list[tuple[str, str, object]] = []
+        w = options.get("where")
+        self._preds: list[tuple[str, str, object]] = (
+            parse_where(w) if w else []
+        )
 
     # ---- planning (driver): manifest-only pruning ---------------------
-
-    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Record single-column comparison conjuncts for file pruning;
-        return EVERY filter as unhandled so Spark re-applies them
-        row-level — pruning stays advisory (see module docstring)."""
-        for f in filters:
-            op = _OPS.get(type(f))
-            attr = getattr(f, "attribute", None)
-            if op and attr is not None and len(attr) == 1:
-                self._preds.append((attr[0], op, f.value))
-            yield f
 
     def _keep_file(
         self, fstats: dict, bloom_cols: tuple, preds: list | None = None
@@ -202,6 +240,8 @@ class SnapshotReader(DataSourceReader):
         return True
 
     def partitions(self) -> Sequence[InputPartition]:
+        from ..acid import _part_of
+
         t = _table(self.path)
         m = t._manifest(
             self.version if self.version is not None else t.latest_version()
@@ -209,6 +249,26 @@ class SnapshotReader(DataSourceReader):
         stats = m.get("stats", {})
         dvs = m.get("dvs", {})
         cmap = m.get("colmap", {})
+        # PARTITION PRUNING first (value-partitioned tables): an
+        # equality conjunct on the partition column eliminates whole
+        # partitions from the BUCKET MAP — O(buckets) string compares
+        # before the O(files) stats ladder, and it works even for files
+        # without stats. Advisory like everything here: the executor
+        # re-applies every predicate exactly row-level.
+        buckets = m["files"]
+        pcol = m.get("partition_by")
+        if pcol:
+            keep_vals = [
+                str(val)
+                for col, op, val in self._preds
+                if col == pcol and op == "eq"
+            ]
+            if keep_vals:
+                buckets = {
+                    b: rels
+                    for b, rels in buckets.items()
+                    if _part_of(b) in keep_vals
+                }
         # predicates arrive under LOGICAL names; stats and blooms are
         # keyed by the PHYSICAL in-file names (column mapping). Remap
         # into a LOCAL list — mutating self._preds would double-apply
@@ -221,7 +281,7 @@ class SnapshotReader(DataSourceReader):
             cmap.get(c, c) for c in m.get("bloom_cols", ())
         )
         parts: list[InputPartition] = []
-        for rels in m["files"].values():
+        for rels in buckets.values():
             for rel in rels:
                 if not self._keep_file(
                     stats.get(rel, {}), bloom_cols, phys_preds
@@ -236,6 +296,7 @@ class SnapshotReader(DataSourceReader):
                         ],
                         m["schema"],
                         cmap,
+                        self._preds,  # logical names; executor maps
                     )
                 )
         # an empty table still needs >= 1 partition
@@ -250,8 +311,9 @@ class SnapshotReader(DataSourceReader):
 def _read_file_partition(partition: _FilePartition) -> Iterator[tuple]:
     """ONE executor-side file read under full snapshot semantics
     (physical names via colmap, NULL-fill for pre-evolution files,
-    positional DV filter) — shared by the batch reader and the
-    table-as-stream reader so the semantics cannot drift apart."""
+    positional DV filter, exact row-level ``where`` predicates) —
+    shared by the batch reader and the table-as-stream reader so the
+    semantics cannot drift apart."""
     if not partition.file_path:
         return
     from ._scan import read_file_rows
@@ -262,6 +324,7 @@ def _read_file_partition(partition: _FilePartition) -> Iterator[tuple]:
         [f.name for f in schema.fields],
         partition.colmap,
         partition.dv_paths,
+        preds=getattr(partition, "preds", None) or [],
     )
 
 

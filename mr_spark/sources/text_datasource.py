@@ -8,9 +8,17 @@ source reproduces that as a first-class Spark V2 source: one
 so `spark.read.format("whole_text").load(glob)` gives the same
 parallelism contract as the reference engine, but planned by Catalyst.
 
-Filter pushdown: equality filters on ``path`` and comparison filters on
-``size`` are evaluated against os.stat BEFORE any file is opened — the
-Python-source analog of partition pruning (files are the partitions).
+File pruning: ``option("path_eq", p)`` / ``option("size_gt", n)`` /
+``option("size_lt", n)`` are evaluated against os.stat BEFORE any file
+is opened — the Python-source analog of partition pruning (files are
+the partitions). These are RELATION-LEVEL options rather than
+``pushFilters`` because this image's Spark 4.1.2 caches one planned
+read per relation and reuses a FILTERED plan for later unfiltered scans
+of the same ``load()`` (PythonDataSourceV2.readInfo single-slot cache —
+measured and decompiled; full mechanism in snapshot_source.py's module
+docstring, engine canary in tests/test_sources.py). Options are part of
+the relation identity, so every scan plans identically — and since each
+file IS a row here, option pruning has exact row semantics.
 """
 
 from __future__ import annotations
@@ -22,11 +30,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    EqualTo,
-    Filter,
-    GreaterThan,
     InputPartition,
-    LessThan,
 )
 from pyspark.sql.types import (
     LongType,
@@ -70,28 +74,18 @@ class WholeTextReader(DataSourceReader):
         if not glob_pat:
             raise ValueError("whole_text source needs .load(<glob>) or option('glob')")
         self._files = sorted(_glob.glob(glob_pat))
-        self._pushed: list[Filter] = []
-
-    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Keep path-equality and size-comparison filters; they prune
-        whole files from the partition list (planning-time, no I/O)."""
-        for f in filters:
-            attr = f.attribute[0] if len(f.attribute) == 1 else None
-            if isinstance(f, EqualTo) and attr == "path":
-                self._pushed.append(f)
-            elif isinstance(f, (GreaterThan, LessThan)) and attr == "size":
-                self._pushed.append(f)
-            else:
-                yield f  # Spark evaluates the rest post-scan
+        self._path_eq = options.get("path_eq")
+        sg, sl = options.get("size_gt"), options.get("size_lt")
+        self._size_gt = int(sg) if sg is not None else None
+        self._size_lt = int(sl) if sl is not None else None
 
     def _keep(self, path: str, size: int) -> bool:
-        for f in self._pushed:
-            if isinstance(f, EqualTo) and path != f.value:
-                return False
-            if isinstance(f, GreaterThan) and not size > f.value:
-                return False
-            if isinstance(f, LessThan) and not size < f.value:
-                return False
+        if self._path_eq is not None and path != self._path_eq:
+            return False
+        if self._size_gt is not None and not size > self._size_gt:
+            return False
+        if self._size_lt is not None and not size < self._size_lt:
+            return False
         return True
 
     def partitions(self) -> Sequence[_FilePartition]:

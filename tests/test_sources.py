@@ -136,22 +136,33 @@ def test_whole_text_datasource(spark, tmp_path):
     assert rdd_rows == {k: r["contents"] for k, r in rows.items()}
 
 
-def test_whole_text_datasource_filter_pushdown(spark, tmp_path):
-    """size/path filters prune files at planning time: the filter is
-    absorbed by the source (no post-scan Filter) and the partition count
-    drops to the surviving files."""
+def test_whole_text_datasource_option_pruning(spark, tmp_path):
+    """size/path OPTIONS prune files at planning time (one partition per
+    surviving file, pruned BEFORE reading), while a row-level filter on
+    an unpredicated relation stays exact — and, the reason options exist
+    at all, a filtered query never poisons a later unfiltered scan of
+    the same relation (the Spark 4.1.2 readInfo-cache hazard that made
+    pushFilters unsafe; see text_datasource.py)."""
     from mr_spark.sources.text_datasource import register
 
     register(spark)
     for i in range(4):
         (tmp_path / f"f{i}.txt").write_text("x" * (10 * (i + 1)))
-    df = spark.read.format("whole_text").load(str(tmp_path) + "/*.txt")
-    flt = df.where(F.col("size") > 25)
-    assert [os.path.basename(r["path"]) for r in sorted(flt.collect())] == [
+    pruned = (
+        spark.read.format("whole_text")
+        .option("size_gt", 25)
+        .load(str(tmp_path) + "/*.txt")
+    )
+    assert [os.path.basename(r["path"]) for r in sorted(pruned.collect())] == [
         "f2.txt",
         "f3.txt",
     ]
-    assert flt.rdd.getNumPartitions() == 2  # pruned BEFORE reading
+    assert pruned.rdd.getNumPartitions() == 2  # pruned BEFORE reading
+    # plain relation: row filter exact, and an unfiltered scan AFTER a
+    # filtered one still sees every file
+    df = spark.read.format("whole_text").load(str(tmp_path) + "/*.txt")
+    assert df.where(F.col("size") > 25).count() == 2
+    assert df.count() == 4
 
 
 def test_binary_file_ingest(spark, tmp_path):
@@ -222,31 +233,87 @@ def test_snapshot_batch_source_reads_dvs_and_evolution(spark, tmp_path):
     assert sorted(map(tuple, out.collect())) == native
 
 
-def test_snapshot_batch_source_pushdown_prunes_partitions(spark, tmp_path):
-    """The REAL spark.read path must call pushFilters and plan fewer
-    input partitions under a prunable predicate — manifest pruning
-    through the standard reader API, no data_paths() involved."""
-    from pyspark.sql import functions as F
-
+def test_snapshot_batch_source_where_option_prunes_partitions(spark, tmp_path):
+    """option("where", ...) must plan fewer input partitions under a
+    prunable predicate — manifest pruning through the standard reader
+    API, no data_paths() involved — and return EXACTLY the matching rows
+    (the predicate is re-applied row-level on executors)."""
     from mr_spark.sources.snapshot_source import register
 
     t = _mk_snap(spark, tmp_path, [(i, f"v{i}") for i in range(40)])
     register(spark)
     base = spark.read.format("snapshot").option("path", t.path).load()
-    n_all = base.rdd.getNumPartitions()
-    n_pruned = base.where(F.col("k") == 3).rdd.getNumPartitions()
-    assert n_pruned < n_all, "no manifest pruning through pushFilters"
-    # pruning is advisory: the row filter still applies on survivors
-    assert [r["k"] for r in base.where(F.col("k") == 3).collect()] == [3]
+    pruned = (
+        spark.read.format("snapshot")
+        .option("path", t.path)
+        .option("where", "k = 3")
+        .load()
+    )
+    assert pruned.rdd.getNumPartitions() < base.rdd.getNumPartitions()
+    assert [(r["k"], r["v"]) for r in pruned.collect()] == [(3, "v3")]
+
+
+def test_snapshot_batch_source_mixed_queries_stay_correct(spark, tmp_path):
+    """THE reason pruning rides an option, not pushFilters: on this
+    Spark version a pushFilters-pruned plan is cached per relation and
+    reused by later UNFILTERED scans of the same load() (silent row
+    loss — see snapshot_source.py's module docstring and the engine
+    canary below). This source must keep every mixed-order query on one
+    relation exact."""
+    from mr_spark.sources.snapshot_source import register
+
+    t = _mk_snap(spark, tmp_path, [(i, f"v{i}") for i in range(40)])
+    register(spark)
+    base = spark.read.format("snapshot").option("path", t.path).load()
+    # filtered FIRST, unfiltered second — the order that used to poison
+    assert base.where(F.col("k") == 3).count() == 1
+    assert base.count() == 40
+    assert base.where(F.col("k") >= 35).count() == 5
+    assert base.agg(F.count("*")).collect()[0][0] == 40
+
+
+def test_snapshot_batch_source_prunes_value_partitions(spark, tmp_path):
+    """A partition-equality conjunct in option("where") prunes whole
+    PARTITIONS from the bucket map at planning: the reader-level check
+    pins that only the matching partition's directory survives in the
+    planned splits, and the real spark.read path returns exactly the
+    partition's rows from fewer input partitions."""
+    from mr_spark.acid import SnapshotTable
+    from mr_spark.sources.snapshot_source import SnapshotReader, register
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", f"v{i}") for i in range(30)],
+        "k bigint, day string, v string",
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "ptbl"), df, key="k", n_buckets=2,
+        partition_by="day",
+    )
+    # reader-level: planned splits all live under the matching directory
+    r = SnapshotReader({"path": t.path, "where": "day = 'd1'"})
+    planned = [p.file_path for p in r.partitions()]
+    r_all = SnapshotReader({"path": t.path})
+    assert planned and len(planned) < len(r_all.partitions())
+    assert all("day=d1" in p for p in planned)
+    # end-to-end through spark.read: correct rows, fewer splits
+    register(spark)
+    base = spark.read.format("snapshot").option("path", t.path).load()
+    pruned = (
+        spark.read.format("snapshot")
+        .option("path", t.path)
+        .option("where", "day = 'd1'")
+        .load()
+    )
+    assert pruned.rdd.getNumPartitions() < base.rdd.getNumPartitions()
+    assert sorted(r["k"] for r in pruned.collect()) == [
+        i for i in range(30) if i % 3 == 1
+    ]
 
 
 def test_snapshot_batch_source_bloom_point_lookup(spark, tmp_path):
     """A point predicate on a bloom-indexed column prunes through the
     source where [min,max] ranges cannot: an IN-RANGE but ABSENT value
     survives every range check yet every file's bloom proves absence."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.datasource import EqualTo
-
     from mr_spark.sources.snapshot_source import SnapshotReader, register
 
     # v-values hash-scatter: every file's [min, max] spans nearly the
@@ -258,8 +325,7 @@ def test_snapshot_batch_source_bloom_point_lookup(spark, tmp_path):
     assert n_all >= 2
     # "t5a" sorts between the stored "t5" and "t6": in-range for every
     # file, absent from all of them
-    r2 = SnapshotReader({"path": t.path})
-    list(r2.pushFilters([EqualTo(("v",), "t5a")]))
+    r2 = SnapshotReader({"path": t.path, "where": "v = 't5a'"})
     parts = r2.partitions()
     assert len(parts) == 1 and parts[0].file_path == ""  # bloom pruned all
     # and the real read path returns empty, not an error
@@ -267,10 +333,75 @@ def test_snapshot_batch_source_bloom_point_lookup(spark, tmp_path):
     out = (
         spark.read.format("snapshot")
         .option("path", t.path)
+        .option("where", "v = 't5a'")
         .load()
-        .where(F.col("v") == "t5a")
     )
     assert out.count() == 0
+
+
+def test_spark_pushfilters_readinfo_cache_engine_canary(spark, tmp_path):
+    """ENGINE CANARY, not a feature test: pins the Spark 4.1.2 behavior
+    that forced manifest pruning onto option("where") instead of
+    DataSourceReader.pushFilters. A minimal source whose pushFilters
+    prunes partitions returns a WRONG unfiltered count when the
+    unfiltered scan follows a filtered one on the same relation — the
+    engine caches one planned read per relation
+    (PythonDataSourceV2.readInfo, overwritten by the pushdown runner,
+    blindly reused by PythonBatch.planInputPartitions) and never
+    re-plans a scan that pushes no filter.
+
+    WHEN THIS TEST FAILS the image's Spark has fixed the cache: restore
+    pushFilters-based pruning in snapshot_source.py / text_datasource.py
+    (automatic predicate capture beats an explicit option) and retire
+    this canary."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        InputPartition,
+    )
+
+    class CanaryReader(DataSourceReader):
+        def __init__(self):
+            self.keep = None
+
+        def pushFilters(self, filters):
+            for f in filters:
+                if isinstance(f, EqualTo) and f.attribute == ("part",):
+                    self.keep = f.value
+                yield f  # all unsupported: Spark re-filters row-level
+
+        def partitions(self):
+            return [
+                InputPartition(i)
+                for i in range(4)
+                if self.keep is None or i == self.keep
+            ]
+
+        def read(self, partition):
+            yield (partition.value,)
+
+    class CanarySource(DataSource):
+        @classmethod
+        def name(cls):
+            return "readinfo_canary"
+
+        def schema(self):
+            return "part int"
+
+        def reader(self, schema):
+            return CanaryReader()
+
+    spark.dataSource.register(CanarySource)
+    df = spark.read.format("readinfo_canary").load()
+    assert df.where(F.col("part") == 2).count() == 1  # pushdown plans 1 part
+    stale = df.count()  # same relation, no filter -> reuses filtered plan
+    assert stale == 1, (
+        f"unfiltered scan returned {stale} rows — Spark re-planned it, "
+        "meaning the readInfo cache bug is FIXED in this image. "
+        "pushFilters-based pruning is safe again: see this test's "
+        "docstring for what to restore."
+    )
 
 
 def test_snapshot_batch_source_pins_version_across_concurrent_commit(spark, tmp_path):
