@@ -2673,6 +2673,97 @@ class SnapshotTable:
             touched=victims,
         )
 
+    def replace_where(
+        self,
+        value,
+        df: DataFrame,
+        batch_id: int | None = None,
+        app_id: str = "default",
+    ) -> int:
+        """Delta's ``replaceWhere`` on the partition column (dynamic
+        partition overwrite): ONE atomic commit that drops every file of
+        the matching partition and adds ``df``'s files in its place — the
+        idempotent daily-reload primitive for partitioned tables (re-run
+        yesterday's load and the partition converges to the new data, no
+        delete+insert window where readers see neither or both).
+
+        Semantics mirror Delta's:
+
+        * every ``df`` row must match the replaced predicate — a row with
+          a different partition value raises ``ConstraintViolation`` and
+          commits nothing (Delta: "written data does not match the
+          replaceWhere condition");
+        * the removal side is pure manifest metadata (like
+          :meth:`drop_partition`); old versions stay time-travelable and
+          vacuum reclaims the replaced files after retention;
+        * ``(app_id, batch_id)`` gives the same monotonic txn replay
+          protection as :meth:`merge_upsert` — a replayed reload commits
+          nothing, so the daily job is idempotent even across crashes
+          between its write and its own bookkeeping;
+        * CHECK constraints / generated columns / partition-value guards
+          run like any write; a concurrent commit touching this partition
+          conflicts (touched = removed ∪ added buckets), while commits to
+          OTHER partitions rebase cleanly.
+
+        ``df`` may omit evolved columns (they read as NULL, like append);
+        new columns are refused — evolve with append(merge_schema=True)
+        first."""
+        base = self.latest_version()
+        m = self._manifest(base)
+        p = m.get("partition_by")
+        if not p:
+            raise ValueError(
+                "replace_where requires a table created with partition_by"
+            )
+        recorded = self._txns(m).get(app_id)
+        if batch_id is not None and recorded is not None and recorded >= batch_id:
+            return base  # replayed reload: already committed
+        extra = [c for c in df.columns if c not in self._schema_names(m)]
+        if extra:
+            raise ValueError(
+                f"replace_where frame has columns not in the table schema: "
+                f"{extra}; evolve the schema with append(merge_schema=True) "
+                "first"
+            )
+        sval = str(value)
+        df = self._apply_generated(m, df)
+        self._check_constraints(m, df)
+        self._check_partition_values(m, df)
+        outside = df.where(F.col(p).cast("string") != F.lit(sval))
+        if outside.limit(1).count():
+            raise ConstraintViolation(
+                f"replace_where(value={sval!r}) received rows outside the "
+                f"replaced partition — every row's {p!r} must equal the "
+                "replaced value (Delta's replaceWhere data constraint)"
+            )
+        victims = sorted(b for b in m["files"] if _part_of(b) == sval)
+        new_files, new_stats = self._write_bucket_files(
+            df.withColumn("__bucket", self._bucket_expr(m)),
+            self._bloom_cols_phys(m),
+            colmap=self._colmap(m),
+            partition_by=p,
+        )
+
+        def assemble(mb: dict) -> dict:
+            files = {
+                b: rels
+                for b, rels in mb["files"].items()
+                if b not in set(victims)
+            }
+            for b, rels in new_files.items():
+                files[b] = files.get(b, []) + rels
+            return self._next_manifest(mb, files, new_stats, batch_id, app_id)
+
+        return self._commit_rebased(
+            m,
+            base,
+            assemble,
+            op={"operation": "REPLACE WHERE", "column": p, "value": sval},
+            touched=sorted(set(victims) | set(new_files)),
+            batch_id=batch_id,
+            app_id=app_id,
+        )
+
     def detail(self) -> dict:
         """DESCRIBE DETAIL (Delta's everyday table-metrics surface that
         :meth:`history` doesn't cover): one dict of current-version
@@ -2867,10 +2958,18 @@ class SnapshotTable:
         self,
         zorder_by: tuple | None = None,
         files_per_bucket: int = 4,
+        partition=None,
     ) -> int:
         """OPTIMIZE: rewrite every multi-file bucket (append debris) into
         one file; single-file buckets carry by reference. Data unchanged —
         read(version_before) == read(version_after).
+
+        ``partition=<value>`` (Delta's ``OPTIMIZE ... WHERE part = v``)
+        scopes the rewrite to ONE partition of a value-partitioned table:
+        only that partition's buckets are candidates; every other
+        partition carries by reference — the daily pattern of compacting
+        just the partition the day's appends touched, O(partition) read
+        and write instead of O(table).
 
         ``zorder_by=(col, col, ...)`` — TWO OR MORE columns, like Delta's
         OPTIMIZE ZORDER — is the clustered rewrite: EVERY bucket is
@@ -2887,10 +2986,19 @@ class SnapshotTable:
         pays."""
         base = self.latest_version()
         m = self._manifest(base)
+        pool = m["files"]
+        if partition is not None:
+            if not m.get("partition_by"):
+                raise ValueError(
+                    "compact(partition=...) requires a table created with "
+                    "partition_by"
+                )
+            sval = str(partition)
+            pool = {b: r for b, r in pool.items() if _part_of(b) == sval}
         if zorder_by is None:
-            targets = sorted(b for b, rels in m["files"].items() if len(rels) > 1)
+            targets = sorted(b for b, rels in pool.items() if len(rels) > 1)
         else:
-            targets = sorted(m["files"])  # clustered rewrite touches all
+            targets = sorted(pool)  # clustered rewrite touches all in scope
         if not targets:
             return base
         old_files = [
@@ -2937,6 +3045,7 @@ class SnapshotTable:
             op={
                 "operation": "OPTIMIZE",
                 "zorder": list(zorder_by) if zorder_by else [],
+                **({"partition": str(partition)} if partition is not None else {}),
             },
             touched=targets,
         )

@@ -95,7 +95,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # ann_lsh_topk, unpivot_metrics lead the r07 rotation, then the
 # remaining r02/r03 text/quality stats.
 _CHECK_PRIORITY = [
-    # -- NEW this round (round 6): value-partitioned lakehouse layout --
+    # -- NEW this round (round 6): value-partitioned lakehouse layout,
+    #    then its write-side idioms (dynamic partition overwrite +
+    #    partition-scoped OPTIMIZE) --
+    "snapshot_replace_where", "acid_optimize_partition",
     "snapshot_partitioned_prune", "snapshot_drop_partition",
     "snapshot_describe_detail",
     # -- ACID family: every commit/read path runs through the
@@ -120,8 +123,12 @@ _CHECK_PRIORITY = [
     "dedup_exact", "minhash_lsh_pairs", "simhash_buckets",
     "exact_substring_pairs", "embedding_neardup", "semantic_dedup",
     "ann_cosine_topk", "kl_source_drift", "lateral_topn",
-    "winnow_fingerprint", "kcenter_coreset", "heavy_hitters",
-    # -- positions 51+ = OVERFLOW, leading the r07 rotation --
+    "winnow_fingerprint",
+    # -- positions 51+ = OVERFLOW, leading the r07 rotation (each
+    #    driver-green at its latest check and independently pinned by an
+    #    oracle rehearsal in tests/test_queries_oracle.py; kcenter /
+    #    heavy_hitters displaced by the two round-6 write-idiom queries) --
+    "kcenter_coreset", "heavy_hitters",
     "ann_ivf_topk", "ann_lsh_topk", "unpivot_metrics",
 ]
 

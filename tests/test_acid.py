@@ -2031,3 +2031,135 @@ def test_partitioned_change_feed_and_detail(spark, tmp_path):
     assert det["partition_by"] == "day" and det["numPartitions"] == 1
     assert det["numFiles"] == 1 and det["sizeInBytes"] > 0
     assert det["version"] == 2
+
+
+def test_replace_where_scope_atomicity_and_time_travel(spark, tmp_path):
+    """Dynamic partition overwrite: one atomic commit replaces exactly
+    the matching partition — other partitions' file lists byte-identical,
+    the replaced partition reads the new slice, and the OLD version stays
+    time-travelable (the removal is metadata; vacuum owns deletion)."""
+    t = _mkp(spark, tmp_path, [(i, f"d{i % 3}", "old") for i in range(12)])
+    m1 = t._manifest(1)
+    new = spark.createDataFrame(
+        [(100, "d1", "new"), (101, "d1", "new")], "k bigint, day string, v string"
+    )
+    v = t.replace_where("d1", new)
+    assert v == 2
+    m2 = t._manifest(2)
+    for b in set(m1["files"]) | set(m2["files"]):
+        if not b.startswith("d1|"):
+            assert m1["files"].get(b) == m2["files"].get(b)
+    assert _prows(t.read().where("day = 'd1'")) == [
+        (100, "d1", "new"), (101, "d1", "new")
+    ]
+    assert t.read().where("day = 'd0'").count() == 4
+    # time travel: v1 still reads the replaced rows, files still on disk
+    assert t.read(version=1).where("day = 'd1'").count() == 4
+    for rels in m1["files"].values():
+        for rel in rels:
+            assert os.path.exists(t._entry_full(rel))
+
+
+def test_replace_where_rejects_out_of_partition_rows(spark, tmp_path):
+    """Delta's replaceWhere data constraint: a frame with rows outside
+    the replaced partition fails atomically — no version advance."""
+    t = _mkp(spark, tmp_path, [(1, "d1", "a"), (2, "d2", "b")])
+    bad = spark.createDataFrame(
+        [(9, "d1", "x"), (10, "d2", "y")], "k bigint, day string, v string"
+    )
+    with pytest.raises(ConstraintViolation, match="outside the replaced"):
+        t.replace_where("d1", bad)
+    assert t.latest_version() == 1
+    # schema guards match append's
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.replace_where(
+            "d1",
+            spark.createDataFrame([(9, "d1", "x", 1)],
+                                  "k bigint, day string, v string, extra bigint"),
+        )
+    # unpartitioned tables refuse the operation outright
+    u = SnapshotTable.create(
+        spark, str(tmp_path / "u"),
+        spark.createDataFrame([(1, "a")], "k bigint, v string"), key="k",
+    )
+    with pytest.raises(ValueError, match="partition_by"):
+        u.replace_where("x", u.read())
+
+
+def test_replace_where_txn_replay_protection(spark, tmp_path):
+    """(app_id, batch_id) idempotence, monotonic like merge_upsert:
+    replayed and stale batches commit nothing; a higher batch commits;
+    a different app_id keeps its own slot."""
+    t = _mkp(spark, tmp_path, [(i, f"d{i % 2}", "old") for i in range(8)])
+    mk = lambda tag: spark.createDataFrame(
+        [(50, "d1", tag)], "k bigint, day string, v string"
+    )
+    assert t.replace_where("d1", mk("b1"), batch_id=1, app_id="load") == 2
+    # replay + stale out-of-order: no-ops
+    assert t.replace_where("d1", mk("XX"), batch_id=1, app_id="load") == 2
+    assert t.replace_where("d1", mk("XX"), batch_id=0, app_id="load") == 2
+    assert t.latest_version() == 2
+    assert _prows(t.read().where("day = 'd1'")) == [(50, "d1", "b1")]
+    # next batch commits; another writer's slot independent
+    assert t.replace_where("d1", mk("b2"), batch_id=2, app_id="load") == 3
+    assert t.replace_where("d1", mk("other"), batch_id=1, app_id="app2") == 4
+    assert _prows(t.read().where("day = 'd1'")) == [(50, "d1", "other")]
+
+
+def test_replace_where_respects_constraints_and_generated(spark, tmp_path):
+    """replace_where runs the same write-time guards as any write:
+    CHECK constraints reject atomically; generated partition columns
+    compute when omitted."""
+    df = spark.createDataFrame([(1, 10), (2, 11)], "k bigint, ts bigint")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "g"), df, key="k",
+        generated={"day": "CAST(ts % 2 AS STRING)"}, partition_by="day",
+    )
+    t.add_constraint("ts_pos", "ts > 0")
+    with pytest.raises(ConstraintViolation, match="ts_pos"):
+        t.replace_where(
+            "0", spark.createDataFrame([(5, -4)], "k bigint, ts bigint")
+        )
+    # omitted generated partition column computes; value must then match
+    v = t.replace_where(
+        "0", spark.createDataFrame([(5, 4)], "k bigint, ts bigint")
+    )
+    assert sorted((r["k"], r["day"]) for r in t.read(version=v).collect()) == [
+        (2, "1"), (5, "0")
+    ]
+    with pytest.raises(ConstraintViolation, match="outside the replaced"):
+        t.replace_where(  # computes day='1', not the replaced '0'
+            "0", spark.createDataFrame([(6, 3)], "k bigint, ts bigint")
+        )
+
+
+def test_compact_partition_scope(spark, tmp_path):
+    """OPTIMIZE WHERE part = v: only the named partition's fragmented
+    buckets rewrite; other partitions keep their debris; data unchanged."""
+    t = _mkp(spark, tmp_path, [(i, f"d{i % 2}", "x") for i in range(8)])
+    t.append(spark.createDataFrame(
+        [(i + 100, f"d{i % 2}", "y") for i in range(8)],
+        "k bigint, day string, v string",
+    ))
+    before = _prows(t.read())
+    m2 = t._manifest(2)
+    assert any(len(r) > 1 for b, r in m2["files"].items() if b.startswith("d0|"))
+    v = t.compact(partition="d0")
+    m3 = t._manifest(v)
+    assert all(len(r) == 1 for b, r in m3["files"].items() if b.startswith("d0|"))
+    # d1 untouched: same lists, debris intact
+    for b in m2["files"]:
+        if b.startswith("d1|"):
+            assert m3["files"][b] == m2["files"][b]
+    assert any(len(r) > 1 for b, r in m3["files"].items() if b.startswith("d1|"))
+    assert _prows(t.read()) == before
+    assert t._read_vfile(v)["op"] == {
+        "operation": "OPTIMIZE", "zorder": [], "partition": "d0"
+    }
+    # unpartitioned tables refuse the scope argument
+    u = SnapshotTable.create(
+        spark, str(tmp_path / "u"),
+        spark.createDataFrame([(1, "a")], "k bigint, v string"), key="k",
+    )
+    with pytest.raises(ValueError, match="partition_by"):
+        u.compact(partition="d0")

@@ -153,6 +153,11 @@ PROBES = [
     "snapshot_partitioned_prune",
     "snapshot_drop_partition",
     "snapshot_describe_detail",
+    # round-6: partition write idioms (replaceWhere, OPTIMIZE WHERE)
+    "snapshot_replace_where",
+    "acid_optimize_partition",
+    # round-6: batch source reworked onto option("where") pruning
+    "snapshot_batch_source",
 ]
 
 KEY_SHIFTS = {
