@@ -3152,6 +3152,43 @@ class SnapshotTable:
             .select("_change_type", *[F.col("__r")[c].alias(c) for c in cols])
         )
 
+    def feed(self, v_from: int = 1, v_to: int | None = None) -> DataFrame:
+        """PER-COMMIT change feed — the shape Delta's CDF actually
+        serves (``table_changes(t, from, to)``): one slice per commit in
+        ``[v_from, v_to]``, every row tagged ``_commit_version``, where
+        :meth:`changes` nets the two ENDPOINTS into one diff. Version
+        1's slice is the CREATE commit's rows as inserts (Delta CDF's
+        starting-version behavior on a table with CDF from creation).
+
+        Each slice is the same manifest-diff-driven multiset diff as
+        changes() — only buckets a commit touched are read. The union
+        plan grows O(versions in range), so bound backfill ranges; the
+        streaming CDF source (sources/cdf_stream.py) is the incremental
+        path that never replans old versions."""
+        if v_to is None:
+            v_to = self.latest_version()
+        if not 1 <= v_from <= v_to:
+            raise ValueError(
+                f"feed(v_from={v_from}, v_to={v_to}): need "
+                "1 <= v_from <= v_to"
+            )
+        out: DataFrame | None = None
+        for v in range(v_from, v_to + 1):
+            if v == 1:
+                base = self.read(1)
+                s = base.select(
+                    F.lit("insert").alias("_change_type"), *base.columns
+                )
+            else:
+                s = self.changes(v - 1, v)
+            s = s.withColumn("_commit_version", F.lit(v).cast("bigint"))
+            # post-evolution slices carry more columns; older slices
+            # NULL-fill (the feed is served in the end schema, like CDF)
+            out = s if out is None else out.unionByName(
+                s, allowMissingColumns=True
+            )
+        return out
+
     def apply_changes(
         self,
         feed: DataFrame,

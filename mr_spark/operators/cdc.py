@@ -1183,6 +1183,115 @@ def cdf_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_from_feed(feed: DataFrame, key: str) -> DataFrame:
+    """SCD TYPE 2 projection of a per-commit change feed (Kimball's
+    slowly-changing dimension, type 2 — dlt's ``APPLY CHANGES ... STORED
+    AS SCD TYPE 2``): one row per (key, value incarnation) with
+    ``__start_at`` = the commit that made it current and ``__end_at`` =
+    the commit that retired it (NULL = currently active).
+
+    insert / update_postimage OPEN an incarnation; delete /
+    update_preimage CLOSE one. On a keyed table a key holds at most one
+    live row per version, so opens and closes strictly alternate per
+    key and an open's ``__end_at`` is the EARLIEST close of its key
+    strictly after its start — a left equi-join on the key plus a MIN.
+
+    Scale: the join is a plain key equi-join (AQE broadcasts the close
+    side when small); per-key fan-out is bounded by the key's number of
+    closes ≤ versions in the feed range, not by table size."""
+    cols = [
+        c for c in feed.columns if c not in ("_change_type", "_commit_version")
+    ]
+    opens = feed.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*cols, F.col("_commit_version").alias("__start_at"))
+    closes = feed.where(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select(
+        F.col(key).alias("__ck"), F.col("_commit_version").alias("__close_v")
+    )
+    joined = opens.join(
+        closes,
+        (F.col(key) == F.col("__ck"))
+        & (F.col("__close_v") > F.col("__start_at")),
+        "left",
+    )
+    return joined.groupBy(*cols, "__start_at").agg(
+        F.min("__close_v").alias("__end_at")
+    )
+
+
+@query(
+    "cdc_scd2_history",
+    # the oracle constructs the expected SCD2 incarnations directly from
+    # the fixture's known fractions (m = o_orderkey % 10): v1 opens all
+    # m<8 at original price (m 5-7 closed by the v2 update, m 0-1 by the
+    # v3 delete), v2 opens m>=5 at +1000, v4 re-opens m=0 at +5000;
+    # end_at -1 encodes "currently active"
+    oracle="""
+    WITH scd AS (
+      SELECT 1 AS start_at, 2 AS end_at, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 IN (5, 6, 7)
+      UNION ALL
+      SELECT 1, 3, o_totalprice FROM orders WHERE o_orderkey % 10 IN (0, 1)
+      UNION ALL
+      SELECT 1, -1, o_totalprice FROM orders WHERE o_orderkey % 10 IN (2, 3, 4)
+      UNION ALL
+      SELECT 2, -1, o_totalprice + 1000 FROM orders WHERE o_orderkey % 10 >= 5
+      UNION ALL
+      SELECT 4, -1, o_totalprice + 5000 FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT CAST(start_at AS BIGINT) AS start_at,
+           CAST(end_at AS BIGINT) AS end_at,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM scd GROUP BY 1, 2
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 2 DIMENSION HISTORY from the per-commit change feed
+    (SnapshotTable.feed — Delta CDF's actual per-commit shape with
+    ``_commit_version`` — composed through scd2_from_feed): every key's
+    full incarnation history with validity intervals, the warehouse
+    pattern behind "what did this customer's row say WHEN the order
+    shipped". The 4-commit fixture exercises every transition: create
+    (open), merge update (close + reopen), keyed delete (close), blind
+    re-insert (reopen after a gap). The SCD2 core invariant is certified
+    LIVE: no key may hold TWO currently-active incarnations (raise, not
+    assert); the interval assignment itself is what the exact oracle
+    checks — any misrouted close shifts a (start_at, end_at) group's
+    count and revenue.
+
+    Scale: each feed slice reads only manifest-diff buckets; the SCD2
+    projection is one key equi-join plus a MIN — no window over the
+    whole history, no driver loop over keys."""
+    t = _orders_cdc_fixture(spark, sf_dir, "acid_mvreplay_demo", 4)
+    scd = scd2_from_feed(t.feed(1, 4), "o_orderkey")
+    dup_current = (
+        scd.where(F.col("__end_at").isNull())
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup_current:
+        raise RuntimeError(
+            "SCD2 invariant violated: a key holds two currently-active "
+            "incarnations — close matching is broken"
+        )
+    return scd.groupBy(
+        F.col("__start_at").alias("start_at"),
+        F.coalesce(F.col("__end_at"), F.lit(-1)).cast("bigint").alias("end_at"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 @query(
     "acid_data_skipping",
     # bounds are derived from the DATA (min/max of o_orderkey and of

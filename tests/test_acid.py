@@ -2163,3 +2163,62 @@ def test_compact_partition_scope(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="partition_by"):
         u.compact(partition="d0")
+
+
+def _mk2(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "k bigint, v string")
+    return SnapshotTable.create(spark, str(tmp_path / "tbl2"), df, key="k",
+                                n_buckets=2)
+
+
+def test_feed_per_commit_slices_and_tags(spark, tmp_path):
+    """feed() = Delta-CDF-shaped per-commit slices: version 1 is the
+    CREATE rows as inserts; each later slice equals changes(v-1, v);
+    every row carries its _commit_version."""
+    t = _mk2(spark, tmp_path, [(1, "a"), (2, "b")])
+    t.merge_upsert(spark.createDataFrame([(2, "B"), (3, "c")], "k bigint, v string"))
+    t.delete_keys(spark.createDataFrame([(1,)], "k bigint"))
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in t.feed(1, 3).collect()
+    )
+    assert got == [
+        (1, "insert", 1, "a"),
+        (1, "insert", 2, "b"),
+        (2, "insert", 3, "c"),
+        (2, "update_postimage", 2, "B"),
+        (2, "update_preimage", 2, "b"),
+        (3, "delete", 1, "a"),
+    ]
+    # bounded range: only the middle slice
+    assert {r["_commit_version"] for r in t.feed(2, 2).collect()} == {2}
+    with pytest.raises(ValueError, match="v_from"):
+        t.feed(3, 2)
+    with pytest.raises(ValueError, match="v_from"):
+        t.feed(0, 2)
+
+
+def test_scd2_from_feed_intervals(spark, tmp_path):
+    """SCD2 over the tiny history: every transition shape gets its
+    interval — close-by-update, close-by-delete, reopen-after-gap,
+    still-open."""
+    from mr_spark.operators.cdc import scd2_from_feed
+
+    t = _mk2(spark, tmp_path, [(1, "a"), (2, "b")])
+    t.merge_upsert(spark.createDataFrame([(2, "B"), (3, "c")], "k bigint, v string"))
+    t.delete_keys(spark.createDataFrame([(1,)], "k bigint"))
+    t.append(spark.createDataFrame([(1, "a2")], "k bigint, v string"))
+    scd = scd2_from_feed(t.feed(1, 4), "k")
+    got = sorted(
+        (r["k"], r["v"], r["__start_at"], r["__end_at"]) for r in scd.collect()
+    )
+    assert got == [
+        (1, "a", 1, 3),      # closed by the delete
+        (1, "a2", 4, None),  # reopened after a gap, still active
+        (2, "B", 2, None),   # update's postimage, still active
+        (2, "b", 1, 2),      # closed by the update
+        (3, "c", 2, None),   # plain insert, still active
+    ]
+    # the SCD2 invariant: one active incarnation per key
+    active = scd.where(F.col("__end_at").isNull()).groupBy("k").count()
+    assert active.where("count > 1").count() == 0

@@ -158,6 +158,8 @@ PROBES = [
     "acid_optimize_partition",
     # round-6: batch source reworked onto option("where") pruning
     "snapshot_batch_source",
+    # round-6: per-commit feed + SCD Type 2 projection
+    "cdc_scd2_history",
 ]
 
 KEY_SHIFTS = {
