@@ -99,6 +99,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -768,19 +769,30 @@ class SnapshotTable:
                 "reader; refusing beats misreading"
             )
 
+    def _commit_ts(self, version: int, path: str) -> float:
+        """A commit's instant: the record's IN-COMMIT TIMESTAMP when
+        present (monotonic, survives file copies that rewrite mtimes —
+        Delta's inCommitTimestamps), else the record file's mtime
+        (pre-feature commits, where the link(2) instant was the commit)."""
+        try:
+            ts = self._read_vfile(version).get("ts")
+        except FileNotFoundError:
+            ts = None
+        return ts if ts is not None else os.path.getmtime(path)
+
     def version_at(self, timestamp: float) -> int:
         """Timestamp time travel (Delta's ``timestampAsOf``): the latest
-        version committed at or before ``timestamp`` (unix seconds),
-        resolved from the manifest files' mtimes — the commit instant IS
-        the manifest creation. Raises if the timestamp predates the first
-        commit, like Delta."""
+        version committed at or before ``timestamp`` (unix seconds).
+        Commit instants come from in-commit timestamps where recorded
+        (see _commit_ts) with an mtime fallback. Raises if the timestamp
+        predates the first commit, like Delta."""
         best = None
         for fn in os.listdir(self._versions_dir()):
             if not (fn.startswith("v") and fn.endswith(".json")) or ".tmp." in fn:
                 continue
             v = int(fn[1:-5])
-            mtime = os.path.getmtime(os.path.join(self._versions_dir(), fn))
-            if mtime <= timestamp and (best is None or v > best):
+            cts = self._commit_ts(v, os.path.join(self._versions_dir(), fn))
+            if cts <= timestamp and (best is None or v > best):
                 best = v
         if best is None:
             raise ValueError(
@@ -790,8 +802,8 @@ class SnapshotTable:
 
     def history(self, limit: int | None = None) -> list[dict]:
         """DESCRIBE HISTORY (Delta): one dict per commit, NEWEST first —
-        ``version``, ``timestamp`` (the version record's mtime: the
-        commit instant IS the manifest link), ``operation`` (the commit's
+        ``version``, ``timestamp`` (the record's in-commit timestamp,
+        monotonic; mtime for pre-feature records), ``operation`` (the commit's
         op descriptor — CREATE / MERGE / APPEND / DELETE / OPTIMIZE /
         RESTORE / …) and ``params`` (operation-specific detail such as
         MERGE clause names or RESTORE's target version).
@@ -808,9 +820,11 @@ class SnapshotTable:
             path = os.path.join(self._versions_dir(), f"v{v}.json")
             try:
                 raw = self._read_vfile(v)
-                ts = os.path.getmtime(path)  # in the try: a concurrent
-                # expire_versions may unlink between read and stat — the
-                # retention-bounded contract says the walk just ends
+                # in-commit timestamp preferred; mtime stat stays in the
+                # try: a concurrent expire_versions may unlink between
+                # read and stat — the retention-bounded contract says
+                # the walk just ends
+                ts = raw.get("ts") or os.path.getmtime(path)
             except FileNotFoundError:
                 break  # expired log records: history ends here
             op = raw.get("op") or {}
@@ -962,6 +976,20 @@ class SnapshotTable:
             record["version"] = new_version
         if op is not None:
             record["op"] = op
+        # IN-COMMIT TIMESTAMP (Delta's inCommitTimestamps): the commit
+        # instant lives in the record itself, clamped monotonic vs the
+        # parent's, so timestamp time travel survives file copies/rsyncs
+        # that rewrite mtimes. Like op, it is record-only (_fold ignores
+        # it); readers fall back to mtime for pre-feature records.
+        ts = time.time()
+        if base_version >= 1:
+            try:
+                pts = self._read_vfile(base_version).get("ts")
+            except FileNotFoundError:  # parent's log record expired
+                pts = None
+            if pts is not None:
+                ts = max(ts, pts + 1e-3)
+        record["ts"] = ts
         mpath = os.path.join(self._versions_dir(), f"v{new_version}.json")
         tmp = mpath + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -2804,6 +2832,66 @@ class SnapshotTable:
             "numDeletionVectors": sum(len(v) for v in m.get("dvs", {}).values()),
             "lastCheckpointVersion": max(cps) if cps else None,
         }
+
+    def generate(self, mode: str = "symlink_format_manifest") -> list[str]:
+        """Delta's ``GENERATE symlink_format_manifest``: export the
+        CURRENT version's file list as Hive-symlink manifest text files
+        under ``_symlink_format_manifest/`` so engines that read raw
+        parquet through SymlinkTextInputFormat (Presto / Trino / Athena /
+        Hive) can query the snapshot without this library. Partitioned
+        tables get one ``<col>=<value>/manifest`` per partition (Delta's
+        layout); unpartitioned tables a single ``manifest``. Each line is
+        the data file's ABSOLUTE path.
+
+        Refused — like Delta — when raw files would lie: deletion
+        vectors (files contain dead rows a raw reader cannot filter) or
+        non-identity column mapping (files store physical names). Stale
+        manifests from a previous call are removed first, and like Delta
+        the export does NOT auto-update: re-run after commits you want
+        external engines to see. Returns the manifest paths written."""
+        if mode != "symlink_format_manifest":
+            raise ValueError(
+                f"unsupported generate mode {mode!r} — only "
+                "'symlink_format_manifest'"
+            )
+        m = self._manifest(self.latest_version())
+        if m.get("dvs"):
+            raise ValueError(
+                "generate: table has deletion vectors — raw parquet "
+                "readers would see deleted rows; purge them first "
+                "(compact() applies and drops DVs)"
+            )
+        if any(k != v for k, v in self._colmap(m).items()):
+            raise ValueError(
+                "generate: table uses column mapping — raw files store "
+                "physical column names external readers would misread"
+            )
+        root = os.path.join(self.path, "_symlink_format_manifest")
+        if os.path.isdir(root):
+            shutil.rmtree(root)  # drop stale manifests (removed partitions)
+        pcol = m.get("partition_by")
+        groups: dict[str, list[str]] = {}
+        for b, rels in m["files"].items():
+            if pcol:
+                from urllib.parse import quote
+
+                sub = f"{pcol}={quote(_part_of(b) or '', safe='')}"
+            else:
+                sub = ""
+            groups.setdefault(sub, []).extend(
+                self._entry_full(rel) for rel in rels
+            )
+        written: list[str] = []
+        for sub, paths in sorted(groups.items()):
+            d = os.path.join(root, sub) if sub else root
+            os.makedirs(d, exist_ok=True)
+            mf = os.path.join(d, "manifest")
+            tmp = mf + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write("\n".join(sorted(paths)) + "\n")
+            os.replace(tmp, mf)  # readers never see a torn manifest
+            written.append(mf)
+        return written
 
     def delete_keys(self, keys: DataFrame, mode: str = "cow") -> int:
         """Keyed DELETE. ``mode="cow"`` (default): copy-on-write rewrite

@@ -788,6 +788,60 @@ def snapshot_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "snapshot_generate_manifest",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def snapshot_generate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATE symlink_format_manifest (Delta's external-engine interop
+    surface — SnapshotTable.generate): export the current version's file
+    list as Hive-symlink manifest text files so Presto / Trino / Athena
+    can query the snapshot as raw parquet, no library needed. The query
+    RAISES unless the exported path set equals the live manifest's file
+    set EXACTLY (a missing file silently under-reports to external
+    engines; an extra one resurrects vacuumed/old data), then returns
+    the aggregate computed THE WAY AN EXTERNAL ENGINE WOULD — a plain
+    spark.read.parquet over the listed paths — so the oracle certifies
+    that a symlink-manifest consumer reproduces the table bit-for-bit
+    (the 3-commit fixture reassembles ALL of orders). DV / column-mapped
+    tables refuse generate (raw files would lie) — pinned in
+    tests/test_acid.py::test_generate_symlink_manifest.
+
+    Scale: the export is O(live files) driver metadata and one text
+    write per partition; the external read plans from the manifest
+    exactly like Delta's GENERATE output."""
+    t = _append_only_fixture(spark, sf_dir, "acid_streamsrc_demo")
+    written = t.generate()
+    listed = sorted(
+        p for w in written for p in open(w).read().splitlines() if p
+    )
+    m = t._manifest(t.latest_version())
+    expected = sorted(
+        t._entry_full(rel) for rels in m["files"].values() for rel in rels
+    )
+    if listed != expected:
+        raise RuntimeError(
+            f"symlink manifest disagrees with the live manifest: "
+            f"{len(listed)} listed vs {len(expected)} live files"
+        )
+    return (
+        spark.read.parquet(*listed)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 def _generated_cols_fixture(spark: SparkSession, sf_dir: str, demo: str):
     """Orders table with a GENERATED column (o_cents = the price in
     integer cents): v1 = create from 70% of orders with the column

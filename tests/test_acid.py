@@ -339,8 +339,8 @@ def test_change_feed_append_and_compact(spark, tmp_path):
 
 def test_timestamp_time_travel(spark, tmp_path):
     """version_at(ts) — Delta's timestampAsOf: latest version committed at
-    or before ts, resolved from manifest mtimes (the manifest creation IS
-    the commit instant)."""
+    or before ts, resolved from IN-COMMIT timestamps (recorded in the
+    version record itself)."""
     import time
 
     t = _mk(spark, tmp_path, [(1, "a")])
@@ -352,6 +352,30 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert _rows(t.read(t.version_at(between))) == [(1, "a")]
     with pytest.raises(ValueError, match="no version"):
         t.version_at(between - 3600)
+
+
+def test_in_commit_timestamps_survive_mtime_rewrites(spark, tmp_path):
+    """Delta's inCommitTimestamps: the commit instant lives in the
+    record, so timestamp time travel and history stay correct after a
+    copy/rsync rewrites every file mtime — and the recorded instants are
+    strictly monotonic across commits."""
+    import time
+
+    t = _mk(spark, tmp_path, [(1, "a")])
+    between = time.time()
+    time.sleep(0.05)
+    t.merge_upsert(spark.createDataFrame([(1, "A")], "k bigint, v string"))
+    t.append(spark.createDataFrame([(9, "z")], "k bigint, v string"))
+    # simulate a table copy: every log record's mtime becomes "now"
+    for fn in os.listdir(t._versions_dir()):
+        os.utime(os.path.join(t._versions_dir(), fn))
+    assert t.version_at(between) == 1  # mtimes all lie; records don't
+    hist = t.history()
+    ts = [h["timestamp"] for h in reversed(hist)]  # oldest first
+    assert ts == sorted(ts) and len(set(ts)) == len(ts)
+    # every record carries the in-commit timestamp
+    for v in (1, 2, 3):
+        assert "ts" in t._read_vfile(v)
 
 
 def test_schema_evolution_append(spark, tmp_path):
@@ -2222,3 +2246,55 @@ def test_scd2_from_feed_intervals(spark, tmp_path):
     # the SCD2 invariant: one active incarnation per key
     active = scd.where(F.col("__end_at").isNull()).groupBy("k").count()
     assert active.where("count > 1").count() == 0
+
+
+def test_generate_symlink_manifest(spark, tmp_path):
+    """GENERATE symlink_format_manifest: the exported text files list
+    exactly the current version's data files by absolute path (one
+    manifest per partition for partitioned tables); an external engine
+    reading those raw paths reproduces the table; DV / column-mapping
+    tables refuse; regeneration drops stale partition manifests."""
+    t = _mkp(spark, tmp_path, [(i, f"d{i % 2}", "x") for i in range(8)])
+    written = t.generate()
+    assert sorted(os.path.dirname(w).rsplit("/", 1)[-1] for w in written) == [
+        "day=d0", "day=d1"
+    ]
+    listed = [
+        p for w in written for p in open(w).read().splitlines() if p
+    ]
+    m = t._manifest(t.latest_version())
+    expected = sorted(
+        t._entry_full(rel) for rels in m["files"].values() for rel in rels
+    )
+    assert sorted(listed) == expected
+    # an engine reading the raw listed paths sees the table
+    assert sorted(
+        (r["k"], r["day"], r["v"]) for r in spark.read.parquet(*listed).collect()
+    ) == _prows(t.read())
+    # manifests do not auto-update; regeneration follows commits and
+    # drops manifests of partitions that no longer exist
+    t.drop_partition("d0")
+    assert sorted(listed) == expected  # stale until regenerated, like Delta
+    w2 = t.generate()
+    assert [os.path.dirname(w).rsplit("/", 1)[-1] for w in w2] == ["day=d1"]
+    assert not os.path.isdir(
+        os.path.join(t.path, "_symlink_format_manifest", "day=d0")
+    )
+    # refusals: deletion vectors, column mapping, unknown mode
+    u = SnapshotTable.create(
+        spark, str(tmp_path / "u"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"),
+        key="k",
+    )
+    u.delete_keys(spark.createDataFrame([(1,)], "k bigint"), mode="dv")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        u.generate()
+    r = SnapshotTable.create(
+        spark, str(tmp_path / "r"),
+        spark.createDataFrame([(1, "a")], "k bigint, v string"), key="k",
+    )
+    r.rename_column("v", "val")
+    with pytest.raises(ValueError, match="column mapping"):
+        r.generate()
+    with pytest.raises(ValueError, match="unsupported generate mode"):
+        r.generate("checkpoint")

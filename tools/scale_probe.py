@@ -160,6 +160,8 @@ PROBES = [
     "snapshot_batch_source",
     # round-6: per-commit feed + SCD Type 2 projection
     "cdc_scd2_history",
+    # round-6: symlink manifest export (external-engine interop)
+    "snapshot_generate_manifest",
 ]
 
 KEY_SHIFTS = {
