@@ -438,6 +438,8 @@ class SnapshotTable:
             m["constraints"] = meta["constraints"]
         if meta.get("generated"):
             m["generated"] = meta["generated"]
+        if meta.get("identity"):
+            m["identity"] = meta["identity"]
         if meta.get("features"):
             m["features"] = meta["features"]
         if meta.get("copy_ledger"):
@@ -499,6 +501,8 @@ class SnapshotTable:
             meta["constraints"] = m["constraints"]
         if m.get("generated"):
             meta["generated"] = m["generated"]
+        if m.get("identity"):
+            meta["identity"] = m["identity"]
         if m.get("features"):
             meta["features"] = m["features"]
         if m.get("copy_ledger"):
@@ -574,6 +578,11 @@ class SnapshotTable:
         gen = delta.get("generated", base.get("generated", {}))
         if gen:
             m["generated"] = gen
+        # identity {col: high_water} rides deltas like constraints (the
+        # high-water mark changes on every allocating write)
+        ident = delta.get("identity", base.get("identity", {}))
+        if ident:
+            m["identity"] = ident
         base_dvs = base.get("dvs", {})
         dv_adds = delta.get("dv_adds", {})
         dv_removes = delta.get("dv_removes", {})
@@ -646,6 +655,8 @@ class SnapshotTable:
             d["constraints"] = nxt.get("constraints", {})
         if nxt.get("generated", {}) != base.get("generated", {}):
             d["generated"] = nxt.get("generated", {})
+        if nxt.get("identity", {}) != base.get("identity", {}):
+            d["identity"] = nxt.get("identity", {})
         if nxt["schema"] != base["schema"]:
             d["schema"] = nxt["schema"]
         if nxt["n_buckets"] != base["n_buckets"]:
@@ -731,6 +742,7 @@ class SnapshotTable:
             "copy_into_ledger",
             "bloom_index",
             "value_partitioning",
+            "identity_columns",
         }
     )
 
@@ -754,6 +766,8 @@ class SnapshotTable:
             f.add("copy_into_ledger")
         if m.get("bloom_cols"):
             f.add("bloom_index")
+        if m.get("identity"):
+            f.add("identity_columns")
         if m.get("partition_by"):
             # composite bucket ids: a reader unaware of the partition
             # layout would hash-prune wrongly — must refuse, not misread
@@ -858,6 +872,10 @@ class SnapshotTable:
             m.get("partition_by"),
             json.dumps(m.get("constraints", {}), sort_keys=True),
             json.dumps(m.get("generated", {}), sort_keys=True),
+            # the identity HIGH-WATER MARK is part of what staged rows
+            # depend on: a concurrent allocation means our ids collide —
+            # identity writes serialize through rebase conflicts
+            json.dumps(m.get("identity", {}), sort_keys=True),
         )
 
     def _commit_rebased(
@@ -1166,8 +1184,23 @@ class SnapshotTable:
         bloom_cols: list[str] | None = None,
         generated: dict | None = None,
         partition_by: str | None = None,
+        identity: str | None = None,
     ) -> "SnapshotTable":
         """Materialize version 1 from ``df``, hash-bucketed on ``key``.
+
+        ``identity`` declares one IDENTITY COLUMN (Delta's ``GENERATED
+        ALWAYS AS IDENTITY``, start 1 step 1): a BIGINT surrogate id the
+        table allocates on create / append / replace_where / merge_upsert
+        inserts (merge updates KEEP the target row's id). Writers can
+        never provide values; allocation is deterministic (bucket-key
+        order, see _with_identity) and the high-water mark rides the
+        manifest like constraints, so ids are unique across the table's
+        whole history and never reused after deletes. Concurrent
+        allocating writes conflict instead of silently colliding
+        (_table_identity). Unsupported combinations refuse loudly:
+        multi-clause merge() and copy_into() on identity tables, and the
+        identity column cannot be the bucket key, generated, the
+        partition column, renamed, or dropped.
 
         ``partition_by`` declares a VALUE-PARTITIONED layout (Delta's
         ``partitionBy``): data lands one directory per partition value
@@ -1207,6 +1240,22 @@ class SnapshotTable:
         os.makedirs(os.path.join(path, "data"))
         os.makedirs(os.path.join(path, "versions"))
         t = cls(spark, path)
+        new_hw = None
+        release = lambda: None  # noqa: E731 — no-op when no identity
+        if identity:
+            if identity == key:
+                raise ValueError(
+                    "the identity column cannot be the bucket key — "
+                    "writers could never address rows (GENERATED ALWAYS "
+                    "forbids providing values)"
+                )
+            if generated and identity in generated:
+                raise ValueError("a column cannot be both identity and generated")
+            if identity == partition_by:
+                raise ValueError("the identity column cannot be the partition column")
+            df, new_hw, release = t._with_identity(
+                {"identity": {identity: 0}, "key": key}, df
+            )
         if generated:
             if key in generated:
                 raise ValueError("the bucket key cannot be a generated column")
@@ -1221,26 +1270,31 @@ class SnapshotTable:
                     "already drives the hash layout"
                 )
             t._check_partition_values(pseudo, df)
-        files, stats = t._write_bucket_files(
-            df.withColumn("__bucket", t._bucket_expr(pseudo)),
-            tuple(bloom_cols or ()),
-            partition_by=partition_by,
-        )
-        manifest = {
-            "key": key,
-            "n_buckets": n_buckets,
-            "files": files,
-            "stats": stats,
-            # schema travels in the manifest so an empty version (all rows
-            # deleted, or a table created ahead of its stream) stays readable
-            "schema": df.schema.json(),
-        }
+        try:
+            files, stats = t._write_bucket_files(
+                df.withColumn("__bucket", t._bucket_expr(pseudo)),
+                tuple(bloom_cols or ()),
+                partition_by=partition_by,
+            )
+            manifest = {
+                "key": key,
+                "n_buckets": n_buckets,
+                "files": files,
+                "stats": stats,
+                # schema travels in the manifest so an empty version (all rows
+                # deleted, or a table created ahead of its stream) stays readable
+                "schema": df.schema.json(),
+            }
+        finally:
+            release()
         if bloom_cols:
             manifest["bloom_cols"] = list(bloom_cols)
         if generated:
             manifest["generated"] = dict(generated)
         if partition_by:
             manifest["partition_by"] = partition_by
+        if identity:
+            manifest["identity"] = {identity: new_hw}
         t._commit(manifest, base_version=0, op={"operation": "CREATE"})
         return t
 
@@ -1266,6 +1320,82 @@ class SnapshotTable:
                         f"({expr})"
                     )
         return df
+
+    def _with_identity(self, m: dict, df: DataFrame):
+        """Allocate IDENTITY values (Delta's GENERATED ALWAYS AS
+        IDENTITY) for an incoming frame: ids continue from the table's
+        high-water mark in BUCKET-KEY ORDER, so allocation is
+        deterministic and a relational oracle replays it with
+        ``ROW_NUMBER() OVER (ORDER BY key)``. The global rank is
+        computed DISTRIBUTED — range partition + sortWithinPartitions,
+        per-partition counts collected (bounded: ≤ n_parts rows) into
+        broadcast exclusive prefix offsets, intra-partition row_number —
+        never a single-partition window over the batch.
+
+        Returns ``(df_with_ids, new_high_water, release)``; the caller
+        runs its write inside try/finally release() (the ranked frame is
+        persisted because offsets and ids are two passes over a
+        SAMPLING-partitioned frame — recomputation could re-draw range
+        boundaries between them).
+
+        Contract: writers can never PROVIDE the column; the batch must
+        have unique keys (the order would be ambiguous); concurrent
+        allocations conflict via _table_identity (ids already written
+        into staged files cannot be rebased past another allocation)."""
+        ident = m.get("identity")
+        if not ident:
+            return df, None, lambda: None
+        ((col, hw),) = ident.items()
+        if col in df.columns:
+            raise ValueError(
+                f"column {col!r} is GENERATED ALWAYS AS IDENTITY — "
+                "writers cannot provide its values"
+            )
+        key = m["key"]
+        dup = (
+            df.groupBy(key)
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "identity allocation orders by the bucket key; this "
+                "batch has duplicate keys, making the order ambiguous — "
+                "deduplicate first"
+            )
+        n_parts = 32
+        ranked = (
+            df.repartitionByRange(n_parts, F.col(key))
+            .sortWithinPartitions(key)
+            .withColumn("__pid", F.spark_partition_id())
+            .persist()
+        )
+        counts = sorted(
+            (
+                (r["__pid"], r["c"])
+                for r in ranked.groupBy("__pid")
+                .agg(F.count("*").alias("c"))
+                .collect()  # ≤ n_parts rows — bounded collect
+            )
+        )
+        total = sum(c for _, c in counts)
+        offs: list = []
+        acc = 0
+        for pid, c in counts:
+            offs += [F.lit(pid), F.lit(acc)]
+            acc += c
+        w = Window.partitionBy("__pid").orderBy(key)
+        out = ranked.withColumn(
+            col,
+            (
+                F.lit(hw)
+                + (F.create_map(*offs)[F.col("__pid")] if offs else F.lit(0))
+                + F.row_number().over(w)
+            ).cast("long"),
+        ).drop("__pid")
+        return out, hw + total, lambda: ranked.unpersist()
 
     @staticmethod
     def _recompute_generated(m: dict, df: DataFrame) -> DataFrame:
@@ -1463,6 +1593,8 @@ class SnapshotTable:
                 f"cannot rename {old!r}: it is (or is referenced by) "
                 f"generated column(s) {gens}"
             )
+        if old in m.get("identity", {}):
+            raise ValueError(f"cannot rename identity column {old!r}")
         if old == m.get("partition_by"):
             raise ValueError(
                 f"cannot rename the partition column {old!r} — the "
@@ -1510,6 +1642,8 @@ class SnapshotTable:
             raise ValueError(f"cannot drop the bucket key column {col!r}")
         if col == m.get("partition_by"):
             raise ValueError(f"cannot drop the partition column {col!r}")
+        if col in m.get("identity", {}):
+            raise ValueError(f"cannot drop identity column {col!r}")
         cons = self._constraint_mentions(m, col)
         if cons:
             raise ValueError(
@@ -1633,6 +1767,17 @@ class SnapshotTable:
             nxt["txns"] = txns
         if m_cur.get("copy_ledger"):
             nxt["copy_ledger"] = list(m_cur["copy_ledger"])
+        # identity high-water marks also carry FORWARD (max of both
+        # versions' marks): the rolled-back versions stay time-travelable,
+        # so re-issuing their ids would create cross-version duplicates —
+        # the same never-rewind rule as txns (stronger than Delta, whose
+        # RESTORE is documented to possibly re-issue identity values)
+        ident_old, ident_cur = m_old.get("identity", {}), m_cur.get("identity", {})
+        if ident_old or ident_cur:
+            nxt["identity"] = {
+                c: max(ident_old.get(c, 0), ident_cur.get(c, 0))
+                for c in set(ident_old) | set(ident_cur)
+            }
         return self._commit(nxt, base, op={"operation": "RESTORE", "to_version": version})
 
     def clone(self, dest_path: str, version: int | None = None) -> "SnapshotTable":
@@ -1775,6 +1920,11 @@ class SnapshotTable:
 
         base = self.latest_version()
         m = self._manifest(base)
+        if m.get("identity"):
+            raise ValueError(
+                "copy_into does not allocate identity values — append the "
+                "landed files' rows instead on identity tables"
+            )
         ledger = set(m.get("copy_ledger", []))
         # dedupe WITHIN the call on the canonical path too: a listing that
         # yields the same file twice (overlapping globs, one relative +
@@ -2093,6 +2243,7 @@ class SnapshotTable:
         batch_id: int | None = None,
         app_id: str = "default",
         dvs: dict | None = None,
+        identity: dict | None = None,
     ) -> dict:
         """Successor manifest: carries key/buckets/schema and the whole
         per-writer transaction map forward (Delta's `txn` actions keyed by
@@ -2132,6 +2283,11 @@ class SnapshotTable:
             nxt["constraints"] = m["constraints"]
         if m.get("generated"):
             nxt["generated"] = m["generated"]
+        # an allocating write passes the advanced high-water mark;
+        # non-allocating commits carry the map unchanged
+        eff_ident = identity if identity is not None else m.get("identity")
+        if eff_ident:
+            nxt["identity"] = eff_ident
         if m.get("features"):
             nxt["features"] = list(m["features"])
         if m.get("copy_ledger"):
@@ -2227,23 +2383,61 @@ class SnapshotTable:
                 "first"
             )
         self._check_constraints(m, source)
+        ident_col = next(iter(m["identity"])) if m.get("identity") else None
+        new_hw = None
+        release = lambda: None  # noqa: E731
+        if ident_col is not None and ident_col in source.columns:
+            raise ValueError(
+                f"column {ident_col!r} is GENERATED ALWAYS AS IDENTITY — "
+                "merge sources cannot provide its values"
+            )
         if old_files:
             target = self._read_files(old_files, m)
             keep = target.join(
                 src.select(key).distinct(), key, "left_anti"
             )
+            incoming = src.drop("__bucket")
+            if ident_col is not None:
+                # Delta's identity-under-MERGE rule: an UPDATED row keeps
+                # the target's id; only genuine INSERTS allocate new ids
+                tgt_ids = target.select(
+                    F.col(key).alias("__ik"), F.col(ident_col).alias("__iid")
+                )
+                tagged = incoming.join(
+                    tgt_ids, F.col(key) == F.col("__ik"), "left"
+                ).drop("__ik")
+                matched = (
+                    tagged.where(F.col("__iid").isNotNull())
+                    .withColumn(ident_col, F.col("__iid"))
+                    .drop("__iid")
+                )
+                inserts, new_hw, release = self._with_identity(
+                    m, tagged.where(F.col("__iid").isNull()).drop("__iid")
+                )
+                incoming = matched.unionByName(inserts)
             # a source missing evolved columns inserts/updates NULL there
             # (Delta's unspecified-column semantics)
             merged = keep.unionByName(
-                src.drop("__bucket"), allowMissingColumns=True
+                incoming, allowMissingColumns=True
             ).withColumn("__bucket", self._bucket_expr(m))
         else:
-            merged = src
+            if ident_col is not None:
+                allocated, new_hw, release = self._with_identity(
+                    m, src.drop("__bucket")
+                )
+                merged = allocated.withColumn(
+                    "__bucket", self._bucket_expr(m)
+                )
+            else:
+                merged = src
         merged = self._recompute_generated(m, merged)
-        new_files, new_stats = self._write_bucket_files(
-            merged, self._bloom_cols_phys(m), colmap=self._colmap(m),
-            partition_by=m.get("partition_by"),
-        )
+        try:
+            new_files, new_stats = self._write_bucket_files(
+                merged, self._bloom_cols_phys(m), colmap=self._colmap(m),
+                partition_by=m.get("partition_by"),
+            )
+        finally:
+            release()
         def assemble(mb: dict) -> dict:
             files = {
                 b: rels
@@ -2251,7 +2445,14 @@ class SnapshotTable:
                 if b not in set(affected)
             }
             files.update(new_files)
-            return self._next_manifest(mb, files, new_stats, batch_id, app_id)
+            return self._next_manifest(
+                mb,
+                files,
+                new_stats,
+                batch_id,
+                app_id,
+                identity={ident_col: new_hw} if new_hw is not None else None,
+            )
 
         return self._commit_rebased(
             m,
@@ -2339,6 +2540,12 @@ class SnapshotTable:
         ]
         base = self.latest_version()
         m = self._manifest(base)
+        if m.get("identity"):
+            raise ValueError(
+                "multi-clause merge() does not allocate identity values — "
+                "use merge_upsert (updates keep the target id, inserts "
+                "allocate) or append on identity tables"
+            )
         recorded = self._txns(m).get(app_id)
         if batch_id is not None and recorded is not None and recorded >= batch_id:
             return base  # replayed micro-batch: already committed
@@ -2618,6 +2825,8 @@ class SnapshotTable:
         df = self._apply_generated(m, df)
         self._check_constraints(m, df)
         self._check_partition_values(m, df)
+        df, new_hw, release = self._with_identity(m, df)
+        ident_col = next(iter(m["identity"])) if m.get("identity") else None
         # column mapping: an added logical name whose physical slot is
         # already taken — by a live column's physical name or by a
         # DROPPED column's tombstone — gets a FRESH physical name, so
@@ -2631,17 +2840,25 @@ class SnapshotTable:
             for f in added:
                 if f.name in used_phys:
                     cmap[f.name] = f"{f.name}_{uuid.uuid4().hex[:8]}"
-        new_files, new_stats = self._write_bucket_files(
-            df.withColumn("__bucket", self._bucket_expr(m)),
-            self._bloom_cols_phys(m),
-            colmap=cmap,
-            partition_by=m.get("partition_by"),
-        )
+        try:
+            new_files, new_stats = self._write_bucket_files(
+                df.withColumn("__bucket", self._bucket_expr(m)),
+                self._bloom_cols_phys(m),
+                colmap=cmap,
+                partition_by=m.get("partition_by"),
+            )
+        finally:
+            release()
         def assemble(mb: dict) -> dict:
             files = {b: list(rels) for b, rels in mb["files"].items()}
             for b, rels in new_files.items():
                 files[b] = files.get(b, []) + rels
-            nxt = self._next_manifest(mb, files, new_stats)
+            nxt = self._next_manifest(
+                mb,
+                files,
+                new_stats,
+                identity={ident_col: new_hw} if new_hw is not None else None,
+            )
             if added:
                 nxt["schema"] = StructType(table_schema.fields + added).json()
                 if cmap:
@@ -2765,12 +2982,17 @@ class SnapshotTable:
                 "replaced value (Delta's replaceWhere data constraint)"
             )
         victims = sorted(b for b in m["files"] if _part_of(b) == sval)
-        new_files, new_stats = self._write_bucket_files(
-            df.withColumn("__bucket", self._bucket_expr(m)),
-            self._bloom_cols_phys(m),
-            colmap=self._colmap(m),
-            partition_by=p,
-        )
+        df, new_hw, release = self._with_identity(m, df)
+        ident_col = next(iter(m["identity"])) if m.get("identity") else None
+        try:
+            new_files, new_stats = self._write_bucket_files(
+                df.withColumn("__bucket", self._bucket_expr(m)),
+                self._bloom_cols_phys(m),
+                colmap=self._colmap(m),
+                partition_by=p,
+            )
+        finally:
+            release()
 
         def assemble(mb: dict) -> dict:
             files = {
@@ -2780,7 +3002,14 @@ class SnapshotTable:
             }
             for b, rels in new_files.items():
                 files[b] = files.get(b, []) + rels
-            return self._next_manifest(mb, files, new_stats, batch_id, app_id)
+            return self._next_manifest(
+                mb,
+                files,
+                new_stats,
+                batch_id,
+                app_id,
+                identity={ident_col: new_hw} if new_hw is not None else None,
+            )
 
         return self._commit_rebased(
             m,
@@ -2828,6 +3057,7 @@ class SnapshotTable:
             "features": sorted(self._features_of(m)),
             "constraints": dict(m.get("constraints", {})),
             "generated": dict(m.get("generated", {})),
+            "identity": dict(m.get("identity", {})),
             "bloom_cols": list(self._bloom_cols(m)),
             "numDeletionVectors": sum(len(v) for v in m.get("dvs", {}).values()),
             "lastCheckpointVersion": max(cps) if cps else None,

@@ -842,6 +842,117 @@ def snapshot_generate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _identity_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """Identity-column demo table: v1 = CREATE with identity="row_id"
+    from the 60% of orders with o_orderkey % 10 < 6 (ids 1..n1 in
+    o_orderkey order — allocation is deterministic), v2 = APPEND of the
+    remaining 40% (ids n1+1.. continuing in key order). Memoized per
+    process (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 2)
+    cached = _FIXTURES.get(key)
+    if _fixture_alive(cached, spark, 2):
+        return cached
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    t = SnapshotTable.create(
+        spark,
+        _snapshot_demo_path(demo),
+        o.where(F.col("o_orderkey") % 10 < 6),
+        key="o_orderkey",
+        n_buckets=8,
+        identity="row_id",
+    )
+    t.append(o.where(F.col("o_orderkey") % 10 >= 6))
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "acid_identity_columns",
+    # allocation is deterministic (bucket-key order from the high-water
+    # mark), so the oracle REPLAYS it: ROW_NUMBER over each write batch,
+    # the append offset by the create batch's count — then joins ids to
+    # prices, so one misallocated id shifts a band's revenue
+    oracle="""
+    WITH v1 AS (
+      SELECT o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_id
+      FROM orders WHERE o_orderkey % 10 < 6
+    ),
+    v2 AS (
+      SELECT o_totalprice,
+             (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 < 6)
+             + ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_id
+      FROM orders WHERE o_orderkey % 10 >= 6
+    ),
+    f AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT CAST(row_id % 7 AS BIGINT) AS id_band,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(row_id) AS BIGINT) AS min_id,
+           CAST(MAX(row_id) AS BIGINT) AS max_id,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM f GROUP BY 1
+    """,
+)
+def acid_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY COLUMNS — Delta's ``GENERATED ALWAYS AS IDENTITY``
+    (create(identity="row_id")): the table allocates a BIGINT surrogate
+    id on every write, continuing from a high-water mark that rides the
+    manifest like constraints; merge updates KEEP the target's id,
+    deletes never free ids for reuse, and concurrent allocations
+    CONFLICT instead of silently colliding (the high-water mark is part
+    of the rebase identity check). Allocation is DETERMINISTIC —
+    bucket-key order via a distributed range-partition rank, never a
+    single-partition window — which is what lets the exact oracle replay
+    it with ROW_NUMBER() and catch any drift id-by-id (ids join to
+    prices in the aggregate). Certified LIVE: a write PROVIDING the
+    column is refused with no version advance (GENERATED ALWAYS), and
+    the full id set must be exactly 1..N with no duplicates.
+
+    Scale: per-batch allocation cost is one range-shuffle of the batch
+    (not the table) + a ≤32-row offsets collect; the serialization point
+    is the commit, exactly where Delta's identity allocation pays it."""
+    t = _identity_fixture(spark, sf_dir, "acid_identity_demo")
+    before = t.latest_version()
+    bad = t.read().limit(1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority", "row_id"
+    )
+    try:
+        t.append(bad)
+        raise RuntimeError(
+            "append PROVIDING the identity column was accepted — "
+            "GENERATED ALWAYS is not enforced"
+        )
+    except ValueError:
+        pass
+    if t.latest_version() != before:
+        raise RuntimeError("refused identity write still advanced the version")
+    chk = t.read().agg(
+        F.count("*").alias("n"),
+        F.countDistinct("row_id").alias("d"),
+        F.min("row_id").alias("lo"),
+        F.max("row_id").alias("hi"),
+    ).collect()[0]
+    if not (chk["n"] == chk["d"] == chk["hi"] and chk["lo"] == 1):
+        raise RuntimeError(
+            f"identity ids not unique/contiguous: {chk.asDict()}"
+        )
+    return t.read().groupBy(
+        (F.col("row_id") % 7).cast("bigint").alias("id_band")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("row_id").cast("bigint").alias("min_id"),
+        F.max("row_id").cast("bigint").alias("max_id"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 def _generated_cols_fixture(spark: SparkSession, sf_dir: str, demo: str):
     """Orders table with a GENERATED column (o_cents = the price in
     integer cents): v1 = create from 70% of orders with the column

@@ -2298,3 +2298,102 @@ def test_generate_symlink_manifest(spark, tmp_path):
         r.generate()
     with pytest.raises(ValueError, match="unsupported generate mode"):
         r.generate("checkpoint")
+
+
+def test_identity_allocation_and_merge_semantics(spark, tmp_path):
+    """Identity columns: create/append allocate in bucket-key order from
+    the high-water mark; merge updates KEEP the target's id while
+    inserts allocate; deleted ids are never reused; the map rides a
+    fresh reader."""
+    df = spark.createDataFrame([(k, f"v{k}") for k in (5, 3, 9, 1)],
+                               "k bigint, v string")
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), df, key="k",
+                             n_buckets=2, identity="rid")
+    ids = {r["k"]: r["rid"] for r in t.read().collect()}
+    assert ids == {1: 1, 3: 2, 5: 3, 9: 4}  # key order, from 1
+    t.append(spark.createDataFrame([(7, "x"), (2, "y")], "k bigint, v string"))
+    ids = {r["k"]: r["rid"] for r in t.read().collect()}
+    assert ids[2] == 5 and ids[7] == 6  # continue in key order
+    t.merge_upsert(spark.createDataFrame([(3, "NEW"), (11, "n")],
+                                         "k bigint, v string"))
+    rows = {r["k"]: (r["rid"], r["v"]) for r in t.read().collect()}
+    assert rows[3] == (2, "NEW")   # update keeps the id
+    assert rows[11] == (7, "n")    # insert allocates past the high water
+    # deletes never free ids
+    t.delete_keys(spark.createDataFrame([(11,)], "k bigint"))
+    t.append(spark.createDataFrame([(12, "z")], "k bigint, v string"))
+    assert {r["rid"] for r in t.read().where("k = 12").collect()} == {8}
+    m = t._manifest(t.latest_version())
+    assert m["identity"] == {"rid": 8}
+    assert "identity_columns" in m["features"]
+    # fresh reader reconstructs the same state (delta-fold carry)
+    fresh = SnapshotTable(spark, t.path)
+    assert fresh._manifest(fresh.latest_version())["identity"] == {"rid": 8}
+
+
+def test_identity_guards(spark, tmp_path):
+    """GENERATED ALWAYS enforcement and the unsupported-combination
+    refusals."""
+    df = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    with pytest.raises(ValueError, match="bucket key"):
+        SnapshotTable.create(spark, str(tmp_path / "x"), df, key="k",
+                             identity="k")
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), df, key="k",
+                             n_buckets=2, identity="rid")
+    provided = spark.createDataFrame([(2, "b", 99)], "k bigint, v string, rid bigint")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.append(provided)
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.merge_upsert(provided)
+    dup = spark.createDataFrame([(2, "b"), (2, "c")], "k bigint, v string")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.append(dup)
+    with pytest.raises(ValueError, match="identity"):
+        t.merge(spark.createDataFrame([(2, "b")], "k bigint, v string"),
+                matched_update="*")
+    with pytest.raises(ValueError, match="identity"):
+        t.copy_into(["/nonexistent.parquet"])
+    with pytest.raises(ValueError, match="identity column"):
+        t.rename_column("rid", "rid2")
+    with pytest.raises(ValueError, match="identity column"):
+        t.drop_column("rid")
+    assert t.latest_version() == 1  # nothing above committed
+
+
+def test_identity_concurrent_allocation_conflicts(spark, tmp_path):
+    """Two writers allocating from the same high-water mark must NOT
+    both commit via rebase — ids would collide. The injected mid-write
+    commit advances the mark, so the loser's rebase raises."""
+    df = spark.createDataFrame([(i, "a") for i in range(4)], "k bigint, v string")
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), df, key="k",
+                             n_buckets=2, identity="rid")
+    other = SnapshotTable(spark, t.path)
+    t._pre_commit_hook = lambda: other.append(
+        spark.createDataFrame([(100, "w")], "k bigint, v string")
+    )
+    with pytest.raises(ConflictError, match="identity|table identity"):
+        t.append(spark.createDataFrame([(200, "l")], "k bigint, v string"))
+    # the winner's ids stand; the loser committed nothing
+    ids = sorted(r["rid"] for r in other.read().collect())
+    assert ids == [1, 2, 3, 4, 5]
+
+
+def test_identity_rides_checkpoint_and_restore(spark, tmp_path):
+    """The identity map survives parquet checkpoints, and RESTORE
+    carries the high-water mark FORWARD (never rewound, like the txn
+    map): the rolled-back versions stay time-travelable, so re-issuing
+    their ids would create cross-version duplicates."""
+    df = spark.createDataFrame([(i, "a") for i in range(4)], "k bigint, v string")
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), df, key="k",
+                             n_buckets=2, identity="rid")
+    t.checkpoint_interval = 2
+    for j in range(4):
+        t.append(spark.createDataFrame([(10 + j, "b")], "k bigint, v string"))
+    fresh = SnapshotTable(spark, t.path)
+    m = fresh._manifest(fresh.latest_version())
+    assert fresh.last_resolution["base_kind"] == "checkpoint"
+    assert m["identity"] == {"rid": 8}
+    t.restore(2)  # state back to rows 1..5; the mark stays at 8
+    assert t._manifest(t.latest_version())["identity"] == {"rid": 8}
+    t.append(spark.createDataFrame([(99, "c")], "k bigint, v string"))
+    assert sorted(r["rid"] for r in t.read().collect()) == [1, 2, 3, 4, 5, 9]

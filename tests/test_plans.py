@@ -370,3 +370,40 @@ def test_q8_all_dims_broadcast_no_cartesian(spark):
     assert plans.uses_broadcast_join(df)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert p.count("SortMergeJoin") <= 1  # at most the fact-fact join
+
+
+def test_scd2_join_is_equi_not_cartesian(spark):
+    """scd2_from_feed's open⋈close match carries a range conjunct
+    (__close_v > __start_at) ON TOP of the key equi-condition — Catalyst
+    must plan it as an equi-join with the range as a post-join filter,
+    never a nested-loop/cartesian (which would be |opens|×|closes| at
+    scale)."""
+    df = QUERIES["cdc_scd2_history"](spark, SF_DIR)
+    p = plans.formatted(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_identity_allocation_no_single_partition_exchange(spark):
+    """Identity allocation must rank distributed: the plan may range-
+    partition the batch, but a SinglePartition exchange (the bare
+    Window.orderBy shape) would serialize every allocating write through
+    one task."""
+    import tempfile
+
+    from mr_spark.acid import SnapshotTable
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k bigint, v string"
+    )
+    t = SnapshotTable.create(
+        spark, tempfile.mkdtemp() + "/t",
+        df.limit(1), key="k", n_buckets=2, identity="rid",
+    )
+    m = t._manifest(1)
+    out, _, release = t._with_identity(m, df.where("k > 0"))
+    try:
+        p = plans.formatted(out)
+        assert "SinglePartition" not in p
+        assert "rangepartitioning" in p.lower()
+    finally:
+        release()

@@ -162,6 +162,8 @@ PROBES = [
     "cdc_scd2_history",
     # round-6: symlink manifest export (external-engine interop)
     "snapshot_generate_manifest",
+    # round-6: identity columns (deterministic distributed allocation)
+    "acid_identity_columns",
 ]
 
 KEY_SHIFTS = {
