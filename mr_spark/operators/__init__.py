@@ -100,7 +100,7 @@ _CHECK_PRIORITY = [
     #    partition-scoped OPTIMIZE) --
     "snapshot_replace_where", "acid_optimize_partition",
     "cdc_scd2_history", "snapshot_generate_manifest",
-    "acid_identity_columns",
+    "acid_identity_columns", "gopher_rules",
     "snapshot_partitioned_prune", "snapshot_drop_partition",
     "snapshot_describe_detail",
     # -- ACID family: every commit/read path runs through the
@@ -124,14 +124,13 @@ _CHECK_PRIORITY = [
     #    names; dedup/ANN first as scale-critical) --
     "dedup_exact", "minhash_lsh_pairs", "simhash_buckets",
     "exact_substring_pairs", "embedding_neardup", "semantic_dedup",
-    "ann_cosine_topk",
     # -- positions 51+ = OVERFLOW, leading the r07 rotation (each
     #    driver-green at its latest check and independently pinned by an
-    #    oracle rehearsal in tests/test_queries_oracle.py; kl_source_drift
-    #    / lateral / winnow / kcenter / heavy_hitters displaced by the
-    #    five round-6 write-idiom + SCD2 + GENERATE + identity queries) --
-    "kl_source_drift", "lateral_topn", "winnow_fingerprint",
-    "kcenter_coreset", "heavy_hitters",
+    #    oracle rehearsal in tests/test_queries_oracle.py; ann_cosine /
+    #    kl_source_drift / lateral / winnow / kcenter / heavy_hitters
+    #    displaced by the six round-6 additions) --
+    "ann_cosine_topk", "kl_source_drift", "lateral_topn",
+    "winnow_fingerprint", "kcenter_coreset", "heavy_hitters",
     "ann_ivf_topk", "ann_lsh_topk", "unpivot_metrics",
 ]
 

@@ -98,6 +98,144 @@ _MARKERS = {
 }
 
 
+# Gopher rules (Rae et al. 2021, "Scaling Language Models", Table A1) —
+# whitespace words, not letter-tokens: the alpha-character rule is about
+# junk "words", which letter-splitting would hide by construction
+_GWORDS_SQL = "list_filter(regexp_split_to_array(text, ' +'), x -> x <> '')"
+
+
+@query(
+    "gopher_rules",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT
+        len({_GWORDS_SQL}) AS wc,
+        CAST(list_sum(list_transform({_GWORDS_SQL}, x -> length(x)))
+             AS DOUBLE) / len({_GWORDS_SQL}) AS mwl,
+        CAST(length(text) - length(replace(text, '#', ''))
+             + (length(text) - length(replace(text, '...', ''))) / 3
+             AS DOUBLE) / len({_GWORDS_SQL}) AS symr,
+        CAST(len(list_filter(regexp_split_to_array(text, '\n'),
+                             l -> l LIKE '-%' OR l LIKE '•%')) AS DOUBLE)
+          / len(regexp_split_to_array(text, '\n')) AS bullet_ratio,
+        CAST(len(list_filter(regexp_split_to_array(text, '\n'),
+                             l -> l LIKE '%...')) AS DOUBLE)
+          / len(regexp_split_to_array(text, '\n')) AS ellipsis_ratio,
+        CAST(len(list_filter({_GWORDS_SQL}, x -> regexp_matches(x, '[a-z]')))
+             AS DOUBLE) / len({_GWORDS_SQL}) AS alpha_ratio,
+        len(list_filter({_SW_SQL.replace('(', '[').replace(')', ']')},
+                        s -> list_contains({_GWORDS_SQL}, s))) AS n_stop
+      FROM documents
+    ),
+    flags AS (
+      SELECT wc BETWEEN 50 AND 100000 AS p_wc,
+             mwl BETWEEN 3 AND 10 AS p_mwl,
+             symr < 0.1 AS p_sym,
+             bullet_ratio < 0.9 AND ellipsis_ratio < 0.3 AS p_lines,
+             alpha_ratio >= 0.8 AS p_alpha,
+             n_stop >= 2 AS p_stop
+      FROM per_doc
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN p_wc THEN 1 ELSE 0 END) AS BIGINT) AS pass_word_count,
+           CAST(SUM(CASE WHEN p_mwl THEN 1 ELSE 0 END) AS BIGINT) AS pass_mean_word_len,
+           CAST(SUM(CASE WHEN p_sym THEN 1 ELSE 0 END) AS BIGINT) AS pass_symbol_ratio,
+           CAST(SUM(CASE WHEN p_lines THEN 1 ELSE 0 END) AS BIGINT) AS pass_line_rules,
+           CAST(SUM(CASE WHEN p_alpha THEN 1 ELSE 0 END) AS BIGINT) AS pass_alpha_words,
+           CAST(SUM(CASE WHEN p_stop THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopwords,
+           CAST(SUM(CASE WHEN p_wc AND p_mwl AND p_sym AND p_lines
+                          AND p_alpha AND p_stop THEN 1 ELSE 0 END) AS BIGINT)
+             AS pass_all
+    FROM flags
+    """,
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE GOPHER QUALITY-RULE BATTERY (Rae et al. 2021 Table A1 — the
+    canonical pre-filter set every large-corpus pipeline reimplements):
+    per document, (1) word count in [50, 100000], (2) mean word length
+    in [3, 10], (3) symbol-to-word ratio ('#'/'...') < 0.1, (4) <90% of
+    lines bullet-led AND <30% ellipsis-ended, (5) ≥80% of words contain
+    a letter, (6) ≥2 distinct stop words present. Output: per-rule pass
+    counts + the all-rules pass count — the shape a curation run reports
+    before dropping documents. Words are WHITESPACE-split (not letter
+    tokens): rule 5 is about junk "words", which letter-splitting would
+    hide by construction. On this synthetic corpus some rules are
+    one-sided (no bullets/ellipses exist; every doc is a single line) —
+    the mechanism is still exercised end-to-end and the oracle replays
+    every rule exactly.
+
+    Scale: one pass over documents, all JVM-side expressions
+    (split/filter/aggregate), one global single-row aggregate — no
+    shuffle beyond the final partial-agg exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    gw = F.filter(F.split(F.col("text"), " +"), lambda x: x != F.lit(""))
+    wc = F.size(gw)
+    mwl = (
+        F.aggregate(
+            F.transform(gw, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / wc
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / 3
+    symr = (n_hash + n_ell).cast("double") / wc
+    lines = F.split(F.col("text"), "\n")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("-") | l.startswith("•"),
+        )
+    ).cast("double") / F.size(lines)
+    ellipsis = F.size(
+        F.filter(lines, lambda l: l.endswith("..."))
+    ).cast("double") / F.size(lines)
+    alpha = F.size(
+        F.filter(gw, lambda x: x.rlike("[a-z]"))
+    ).cast("double") / wc
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in _STOPWORDS]),
+            lambda s: F.array_contains(gw, s),
+        )
+    )
+    flags = docs.select(
+        wc.between(50, 100000).alias("p_wc"),
+        mwl.between(3, 10).alias("p_mwl"),
+        (symr < 0.1).alias("p_sym"),
+        ((bullet < 0.9) & (ellipsis < 0.3)).alias("p_lines"),
+        (alpha >= 0.8).alias("p_alpha"),
+        (n_stop >= 2).alias("p_stop"),
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return flags.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        cnt("p_wc").alias("pass_word_count"),
+        cnt("p_mwl").alias("pass_mean_word_len"),
+        cnt("p_sym").alias("pass_symbol_ratio"),
+        cnt("p_lines").alias("pass_line_rules"),
+        cnt("p_alpha").alias("pass_alpha_words"),
+        cnt("p_stop").alias("pass_stopwords"),
+        F.sum(
+            F.when(
+                F.col("p_wc")
+                & F.col("p_mwl")
+                & F.col("p_sym")
+                & F.col("p_lines")
+                & F.col("p_alpha")
+                & F.col("p_stop"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("pass_all"),
+    )
+
+
 def _marker_sql(words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"CAST(len(list_filter({_TOKS_SQL}, x -> x IN ({lst}))) AS BIGINT)"

@@ -164,6 +164,8 @@ PROBES = [
     "snapshot_generate_manifest",
     # round-6: identity columns (deterministic distributed allocation)
     "acid_identity_columns",
+    # round-6: Gopher quality-rule battery
+    "gopher_rules",
 ]
 
 KEY_SHIFTS = {
