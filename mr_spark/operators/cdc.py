@@ -1420,7 +1420,10 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_commit_version`` — composed through scd2_from_feed): every key's
     full incarnation history with validity intervals, the warehouse
     pattern behind "what did this customer's row say WHEN the order
-    shipped". The 4-commit fixture exercises every transition: create
+    shipped". Complements ``scd2_history`` (analytics.py family), which
+    infers intervals from an EVENT LOG via lag/lead change-points — a
+    log can't represent deletes or reopen-after-gap; the CDF can, and
+    this query exercises exactly those transitions. The 4-commit fixture exercises every transition: create
     (open), merge update (close + reopen), keyed delete (close), blind
     re-insert (reopen after a gap). The SCD2 core invariant is certified
     LIVE: no key may hold TWO currently-active incarnations (raise, not
