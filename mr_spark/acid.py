@@ -1253,9 +1253,6 @@ class SnapshotTable:
                 raise ValueError("a column cannot be both identity and generated")
             if identity == partition_by:
                 raise ValueError("the identity column cannot be the partition column")
-            df, new_hw, release = t._with_identity(
-                {"identity": {identity: 0}, "key": key}, df
-            )
         if generated:
             if key in generated:
                 raise ValueError("the bucket key cannot be a generated column")
@@ -1270,6 +1267,12 @@ class SnapshotTable:
                     "already drives the hash layout"
                 )
             t._check_partition_values(pseudo, df)
+        if identity:
+            # allocate LAST, after every check that can raise — the
+            # allocation persists its ranked frame until release()
+            df, new_hw, release = t._with_identity(
+                {"identity": {identity: 0}, "key": key}, df
+            )
         try:
             files, stats = t._write_bucket_files(
                 df.withColumn("__bucket", t._bucket_expr(pseudo)),
@@ -2406,6 +2409,24 @@ class SnapshotTable:
                 tagged = incoming.join(
                     tgt_ids, F.col(key) == F.col("__ik"), "left"
                 ).drop("__ik")
+                # a source key matching MULTIPLE target rows (append()
+                # permits duplicate keys across commits) would fan out
+                # here and write duplicate keys carrying different
+                # preserved ids — Delta's MERGE raises the same way
+                multi = (
+                    tagged.groupBy(key)
+                    .agg(F.count("*").alias("c"))
+                    .where(F.col("c") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if multi:
+                    raise ValueError(
+                        "merge_upsert on an identity table matched a "
+                        "source key to multiple target rows (duplicate "
+                        "keys from append) — the preserved id is "
+                        "ambiguous; deduplicate the target first"
+                    )
                 matched = (
                     tagged.where(F.col("__iid").isNotNull())
                     .withColumn(ident_col, F.col("__iid"))

@@ -2397,3 +2397,19 @@ def test_identity_rides_checkpoint_and_restore(spark, tmp_path):
     assert t._manifest(t.latest_version())["identity"] == {"rid": 8}
     t.append(spark.createDataFrame([(99, "c")], "k bigint, v string"))
     assert sorted(r["rid"] for r in t.read().collect()) == [1, 2, 3, 4, 5, 9]
+
+
+def test_identity_merge_refuses_ambiguous_multi_match(spark, tmp_path):
+    """append() permits duplicate keys; a later merge on an identity
+    table would fan a source row out across the duplicate targets with
+    different preserved ids — it must refuse (Delta's "multiple rows
+    matched"), not write duplicates."""
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([(1, "a")], "k bigint, v string"),
+        key="k", n_buckets=2, identity="rid",
+    )
+    t.append(spark.createDataFrame([(1, "dup")], "k bigint, v string"))
+    with pytest.raises(ValueError, match="multiple target rows"):
+        t.merge_upsert(spark.createDataFrame([(1, "new")], "k bigint, v string"))
+    assert t.latest_version() == 2  # nothing committed
