@@ -167,7 +167,8 @@ def parse_where(expr: str) -> list[tuple[str, str, object]]:
     """``option("where", ...)`` grammar -> (col, op, value) conjuncts.
     Strings must be single-quoted; bare literals parse as int then
     float. Anything else is a loud error — this is a pruning predicate,
-    not a SQL dialect."""
+    not a SQL dialect (notably, a literal containing ' AND ' inside its
+    quotes is split first and fails the clause parse loudly)."""
     preds: list[tuple[str, str, object]] = []
     for clause in re.split(r"\s+AND\s+", expr.strip(), flags=re.IGNORECASE):
         m = _WHERE_RE.match(clause)
