@@ -2413,3 +2413,36 @@ def test_identity_merge_refuses_ambiguous_multi_match(spark, tmp_path):
     with pytest.raises(ValueError, match="multiple target rows"):
         t.merge_upsert(spark.createDataFrame([(1, "new")], "k bigint, v string"))
     assert t.latest_version() == 2  # nothing committed
+
+
+def test_identity_allocation_invariant_to_input_partitioning(spark, tmp_path):
+    """The allocated ids are a pure function of (high-water, keys) — the
+    input frame's partitioning and the session's shuffle parallelism
+    must not change them (range boundaries may shift; the key-order rank
+    does not)."""
+    import random
+
+    keys = list(range(0, 400, 3))
+    random.Random(7).shuffle(keys)
+    rows = [(k, f"v{k}") for k in keys]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        t1 = SnapshotTable.create(
+            spark, str(tmp_path / "a"),
+            spark.createDataFrame(rows, "k bigint, v string").repartition(3),
+            key="k", n_buckets=2, identity="rid",
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        t2 = SnapshotTable.create(
+            spark, str(tmp_path / "b"),
+            spark.createDataFrame(rows, "k bigint, v string").repartition(17),
+            key="k", n_buckets=4, identity="rid",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    ids1 = sorted((r["k"], r["rid"]) for r in t1.read().collect())
+    ids2 = sorted((r["k"], r["rid"]) for r in t2.read().collect())
+    assert ids1 == ids2
+    # and they are exactly the key-order ranks
+    assert ids1 == [(k, i + 1) for i, k in enumerate(sorted(keys))]
