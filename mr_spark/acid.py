@@ -787,12 +787,18 @@ class SnapshotTable:
         """A commit's instant: the record's IN-COMMIT TIMESTAMP when
         present (monotonic, survives file copies that rewrite mtimes —
         Delta's inCommitTimestamps), else the record file's mtime
-        (pre-feature commits, where the link(2) instant was the commit)."""
+        (pre-feature commits, where the link(2) instant was the commit).
+
+        Raises FileNotFoundError when the record vanished between the
+        caller's listdir and the stat here (a concurrent expire_versions
+        unlinking it — the exact race history() documents); callers skip
+        that version, matching history()'s retention-bounded contract."""
         try:
             ts = self._read_vfile(version).get("ts")
+            return ts if ts is not None else os.path.getmtime(path)
         except FileNotFoundError:
-            ts = None
-        return ts if ts is not None else os.path.getmtime(path)
+            # no in-commit ts cached and the file is gone: expired mid-walk
+            raise
 
     def version_at(self, timestamp: float) -> int:
         """Timestamp time travel (Delta's ``timestampAsOf``): the latest
@@ -805,7 +811,10 @@ class SnapshotTable:
             if not (fn.startswith("v") and fn.endswith(".json")) or ".tmp." in fn:
                 continue
             v = int(fn[1:-5])
-            cts = self._commit_ts(v, os.path.join(self._versions_dir(), fn))
+            try:
+                cts = self._commit_ts(v, os.path.join(self._versions_dir(), fn))
+            except FileNotFoundError:
+                continue  # expired between listdir and stat: skip, like history()
             if cts <= timestamp and (best is None or v > best):
                 best = v
         if best is None:
@@ -1411,6 +1420,26 @@ class SnapshotTable:
         return df
 
     @staticmethod
+    def _true_partition_value(m: dict, df: DataFrame) -> DataFrame:
+        """When the partition column is GENERATED, overwrite any provided
+        value with the recomputation BEFORE partition checks, __bucket
+        assignment and affected-bucket planning. The keyed-write paths
+        recompute generated columns on the merged frame just before the
+        write, so a source row providing an inconsistent value would
+        otherwise be bucketed/directoried under the PROVIDED value and
+        stored with the RECOMPUTED one — invisible to partition-pruned
+        reads of its true partition, and (worse) its true composite
+        bucket could be missing from the affected set, dropping that
+        bucket's carried files from the manifest. Also lets a source
+        omit a generated partition column entirely (computed here), like
+        append's _apply_generated path."""
+        p = m.get("partition_by")
+        gen = m.get("generated", {})
+        if p and p in gen:
+            df = df.withColumn(p, F.expr(f"({gen[p]})"))
+        return df
+
+    @staticmethod
     def _bloom_cols(m: dict) -> tuple[str, ...]:
         return tuple(m.get("bloom_cols", ()))
 
@@ -1837,6 +1866,11 @@ class SnapshotTable:
             manifest["constraints"] = m["constraints"]
         if m.get("generated"):
             manifest["generated"] = m["generated"]
+        if m.get("identity"):
+            # GENERATED ALWAYS + the high-water mark must survive the
+            # clone (Delta's CLONE carries identity metadata): dropping
+            # it would let writers provide ids and restart allocation
+            manifest["identity"] = dict(m["identity"])
         if m.get("features"):
             manifest["features"] = list(m["features"])
         if m.get("colmap"):
@@ -2364,6 +2398,7 @@ class SnapshotTable:
                 "merge_upsert source has multiple rows for the same key; "
                 "deduplicate the source first"
             )
+        source = self._true_partition_value(m, source)
         self._check_partition_values(m, source)
         src = source.withColumn("__bucket", self._bucket_expr(m))
         affected = self._affected_buckets(
@@ -2633,6 +2668,7 @@ class SnapshotTable:
                 "merge source has multiple rows for the same key; "
                 "deduplicate the source first"
             )
+        source = self._true_partition_value(m, source)
         self._check_partition_values(m, source)
         src = source.withColumn("__bucket", self._bucket_expr(m))
         if has_by_source:
@@ -3597,7 +3633,20 @@ class SnapshotTable:
                 "apply_changes feed has multiple post-state rows for one "
                 "key; keyed CDC apply needs a unique final state per key"
             )
+        # identity tables: same contract as merge_upsert — the feed can
+        # never PROVIDE the column (GENERATED ALWAYS; a replica that
+        # should keep upstream ids as data is declared without
+        # identity=), matched keys keep the target's id, genuine inserts
+        # allocate, and the advanced high-water mark rides the commit
+        ident_col = next(iter(m["identity"])) if m.get("identity") else None
+        if ident_col is not None and ident_col in post.columns:
+            raise ValueError(
+                f"column {ident_col!r} is GENERATED ALWAYS AS IDENTITY — "
+                "change feeds cannot provide its values; declare the "
+                "replica without identity= to replicate ids as data"
+            )
         self._check_constraints(m, post)
+        post = self._true_partition_value(m, post)
         self._check_partition_values(m, post)
         touched = (
             feed.select(key)
@@ -3626,21 +3675,61 @@ class SnapshotTable:
             for rel in m["files"].get(b, [])
         ]
         post_rows = post
+        new_hw = None
+        release = lambda: None  # noqa: E731
         if old_files:
             target = self._read_files(old_files, m)
             keep = target.join(touched.drop("__bucket"), key, "left_anti")
+            if ident_col is not None:
+                # Delta's identity-under-MERGE rule, mirrored from
+                # merge_upsert: an UPDATED key keeps the target's id,
+                # only genuine INSERTS allocate new ids
+                tgt_ids = target.select(
+                    F.col(key).alias("__ik"), F.col(ident_col).alias("__iid")
+                )
+                tagged = post_rows.join(
+                    tgt_ids, F.col(key) == F.col("__ik"), "left"
+                ).drop("__ik")
+                multi = (
+                    tagged.groupBy(key)
+                    .agg(F.count("*").alias("c"))
+                    .where(F.col("c") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if multi:
+                    raise ValueError(
+                        "apply_changes on an identity table matched a "
+                        "feed key to multiple target rows (duplicate "
+                        "keys from append) — the preserved id is "
+                        "ambiguous; deduplicate the target first"
+                    )
+                matched = (
+                    tagged.where(F.col("__iid").isNotNull())
+                    .withColumn(ident_col, F.col("__iid"))
+                    .drop("__iid")
+                )
+                inserts, new_hw, release = self._with_identity(
+                    m, tagged.where(F.col("__iid").isNull()).drop("__iid")
+                )
+                post_rows = matched.unionByName(inserts)
             merged = keep.unionByName(
                 post_rows, allowMissingColumns=True
             ).withColumn("__bucket", self._bucket_expr(m))
         else:
+            if ident_col is not None:
+                post_rows, new_hw, release = self._with_identity(m, post_rows)
             merged = post_rows.withColumn(
                 "__bucket", self._bucket_expr(m)
             )
         merged = self._recompute_generated(m, merged)
-        new_files, new_stats = self._write_bucket_files(
-            merged, self._bloom_cols_phys(m), colmap=self._colmap(m),
-            partition_by=m.get("partition_by"),
-        )
+        try:
+            new_files, new_stats = self._write_bucket_files(
+                merged, self._bloom_cols_phys(m), colmap=self._colmap(m),
+                partition_by=m.get("partition_by"),
+            )
+        finally:
+            release()
         def assemble(mb: dict) -> dict:
             files = {
                 b: rels
@@ -3648,7 +3737,14 @@ class SnapshotTable:
                 if b not in set(affected)
             }
             files.update(new_files)
-            return self._next_manifest(mb, files, new_stats, batch_id, app_id)
+            return self._next_manifest(
+                mb,
+                files,
+                new_stats,
+                batch_id,
+                app_id,
+                identity={ident_col: new_hw} if new_hw is not None else None,
+            )
 
         return self._commit_rebased(
             m,

@@ -2446,3 +2446,112 @@ def test_identity_allocation_invariant_to_input_partitioning(spark, tmp_path):
     assert ids1 == ids2
     # and they are exactly the key-order ranks
     assert ids1 == [(k, i + 1) for i, k in enumerate(sorted(keys))]
+
+def test_clone_carries_identity(spark, tmp_path):
+    """A shallow clone of an identity table keeps BOTH halves of the
+    identity spec (Delta's CLONE carries identity metadata): GENERATED
+    ALWAYS enforcement still refuses provided values, and allocation
+    continues from the source's high-water mark instead of restarting."""
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "src"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"),
+        key="k", n_buckets=2, identity="rid",
+    )
+    c = t.clone(str(tmp_path / "dst"))
+    assert c._manifest(c.latest_version())["identity"] == {"rid": 2}
+    with pytest.raises(ValueError, match="IDENTITY"):
+        c.append(spark.createDataFrame(
+            [(9, "x", 99)], "k bigint, v string, rid bigint"
+        ))
+    c.append(spark.createDataFrame([(9, "x")], "k bigint, v string"))
+    assert sorted((r["k"], r["rid"]) for r in c.read().collect()) == [
+        (1, 1), (2, 2), (9, 3)
+    ]
+
+
+def test_apply_changes_identity_preserves_allocates_and_refuses(spark, tmp_path):
+    """apply_changes on an identity table mirrors merge_upsert: the feed
+    can never provide the column; an updated key keeps the target's id;
+    a genuine insert allocates PAST the high-water mark (which advances
+    in the same commit, so a later append cannot reissue ids)."""
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"),
+        key="k", n_buckets=2, identity="rid",
+    )
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t.apply_changes(spark.createDataFrame(
+            [("insert", 5, "x", 99)],
+            "_change_type string, k bigint, v string, rid bigint",
+        ))
+    feed = spark.createDataFrame(
+        [("update_postimage", 1, "A"), ("insert", 5, "x"), ("delete", 2, "b")],
+        "_change_type string, k bigint, v string",
+    )
+    t.apply_changes(feed)
+    assert sorted((r["k"], r["v"], r["rid"]) for r in t.read().collect()) == [
+        (1, "A", 1), (5, "x", 3)
+    ]
+    assert t._manifest(t.latest_version())["identity"] == {"rid": 3}
+    # the advanced mark means a later append cannot duplicate id 3
+    t.append(spark.createDataFrame([(7, "y")], "k bigint, v string"))
+    rids = [r["rid"] for r in t.read().collect()]
+    assert sorted(rids) == [1, 3, 4] and len(set(rids)) == 3
+
+
+def test_keyed_writes_bucket_by_recomputed_generated_partition(spark, tmp_path):
+    """A source row providing an INCONSISTENT value for a generated
+    partition column must land under its TRUE (recomputed) partition:
+    bucketing before recomputation would directory it under the provided
+    value while storing the recomputed one — silently invisible to
+    partition-pruned reads of its true partition."""
+    df = spark.createDataFrame([(1, 10), (2, 11)], "k bigint, ts bigint")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "g"), df, key="k",
+        generated={"day": "CAST(ts % 2 AS STRING)"}, partition_by="day",
+    )
+    # ts=4 -> true day '0', but the source claims day '1'
+    bad = spark.createDataFrame(
+        [(5, 4, "1")], "k bigint, ts bigint, day string"
+    )
+    t.merge_upsert(bad)
+    pruned = t.read(where=("day", "0", "0"))
+    assert sorted((r["k"], r["day"]) for r in pruned.collect()) == [
+        (1, "0"), (5, "0")
+    ]
+    assert t.read(where=("day", "1", "1")).count() == 1  # just k=2
+    # same guarantee through the CDC-apply path
+    feed = spark.createDataFrame(
+        [("insert", 6, 8, "1")],
+        "_change_type string, k bigint, ts bigint, day string",
+    )
+    t.apply_changes(feed)
+    assert sorted(
+        r["k"] for r in t.read(where=("day", "0", "0")).collect()
+    ) == [1, 5, 6]
+
+
+def test_version_at_skips_record_expired_mid_walk(spark, tmp_path, monkeypatch):
+    """A concurrent expire_versions unlinking a pre-in-commit-timestamp
+    record between version_at's listdir and the mtime stat must SKIP that
+    version (history()'s retention-bounded contract), not raise."""
+    import json as _json
+    import time as _time
+
+    t = _mk(spark, tmp_path, [(1, "a")])
+    t.append(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    v1 = os.path.join(t._versions_dir(), "v1.json")
+    with open(v1) as f:
+        rec = _json.load(f)
+    rec.pop("ts", None)  # legacy record: commit instant = file mtime
+    with open(v1, "w") as f:
+        _json.dump(rec, f)
+    real = os.path.getmtime
+
+    def racing(path):
+        if os.path.abspath(path) == os.path.abspath(v1):
+            raise FileNotFoundError(path)  # unlinked between listdir and stat
+        return real(path)
+
+    monkeypatch.setattr(os.path, "getmtime", racing)
+    assert t.version_at(_time.time() + 60) == 2
