@@ -23,10 +23,21 @@ protocol, which is what makes this correct under failure:
 * ``abort()`` deletes the staging debris (and retention-gated vacuum
   would collect anything a crashed driver leaves).
 
+VALUE-PARTITIONED tables are supported (VERDICT r6 #1): the composite
+"<CAST(col AS STRING)>|<murmur3 % n>" bucket id is computed
+executor-side (the partition value needs no SparkSession — only a
+canonical string form, guarded to string/int/bigint/date where the
+Python form provably matches Spark's cast), rows stage per composite
+bucket, and commit publishes under ``data/<col>=<value>/`` with the
+same hive-quoted directory names as the table's own write path. NULL /
+'|' / '/' partition values fail the task (acid's write-time rule).
+
 Limitations (raise at PLANNING time, never silently mis-write): append
 mode only; tables with CHECK constraints refuse this sink (constraint
 expressions need a SparkSession to evaluate — use
-``SnapshotTable.append``); bucket keys must be int/bigint/string (the
+``SnapshotTable.append``); GENERATED and IDENTITY columns refuse
+(expression evaluation / distributed ranked allocation are
+session-bound); bucket keys must be int/bigint/string (the
 types the hash port covers). Timestamp columns ARE supported
 (VERDICT r5 #4): PySpark's arrow-to-rows converter hands the writer
 naive datetimes in the worker's SYSTEM zone (``astimezone().replace
@@ -138,6 +149,36 @@ def bucket_of(value, dtype, n_buckets: int) -> int:
     return spark_hash(value, dtype) % n_buckets
 
 
+def canonical_partition_value(value, dtype) -> str:
+    """The partition value's canonical string — must byte-match Spark's
+    ``CAST(col AS STRING)`` (acid's canonicalization), because composite
+    bucket ids prune reads by string comparison. Covers exactly the
+    types the planner admitted: string (identity), int/bigint
+    (``str(int)``), date (ISO ``YYYY-MM-DD``). NULLs and values
+    containing '|' or '/' are refused, the same write-time rule as
+    acid._check_partition_values (Delta escapes these; this
+    implementation refuses — the documented trade)."""
+    if value is None:
+        raise ValueError(
+            "partition column has NULL values — unsupported as partition "
+            "values (same rule as SnapshotTable writes)"
+        )
+    if isinstance(dtype, (LongType, IntegerType)):
+        s = str(int(value))
+    elif isinstance(dtype, StringType):
+        s = value
+    elif isinstance(dtype, DateType):
+        s = value.isoformat()
+    else:  # unreachable: planner refuses other types
+        raise NotImplementedError(dtype.simpleString())
+    if "|" in s or "/" in s:
+        raise ValueError(
+            f"partition value {s!r} contains '|' or '/' — unsupported as "
+            "a partition value (same rule as SnapshotTable writes)"
+        )
+    return s
+
+
 def _arrow_type(dt):
     import pyarrow as pa
 
@@ -206,10 +247,11 @@ class SnapshotWriter(DataSourceWriter):
                 "or validate their expressions without a SparkSession — "
                 "use SnapshotTable.append"
             )
-        if m.get("partition_by"):
+        if m.get("identity"):
             raise NotImplementedError(
-                "table is value-partitioned; the V2 sink does not compute "
-                "composite partition bucket ids yet — use "
+                "table has a GENERATED ALWAYS AS IDENTITY column; the V2 "
+                "sink cannot allocate ids (allocation is a distributed "
+                "ranked Spark job against the high-water mark) — use "
                 "SnapshotTable.append"
             )
         table_schema = StructType.fromJson(json.loads(m["schema"]))
@@ -246,6 +288,32 @@ class SnapshotWriter(DataSourceWriter):
             )
         for f in schema.fields:
             _arrow_type(f.dataType)
+        # value-partitioned tables: composite "<CAST(col AS STRING)>|<hash>"
+        # bucket ids are computable executor-side — the partition value
+        # needs no SparkSession, only a canonical str() matching Spark's
+        # CAST AS STRING for the column's type (guarded here to the types
+        # where the Python form provably matches: string, int/bigint,
+        # date). NULL / '|' / '/' values are refused executor-side, the
+        # same rule as acid._check_partition_values.
+        self.partition_by = m.get("partition_by")
+        if self.partition_by:
+            fields = {f.name: f for f in schema.fields}
+            pf = fields.get(self.partition_by)
+            if pf is None:
+                raise ValueError(
+                    f"write to a table partitioned by "
+                    f"{self.partition_by!r} must provide the partition "
+                    "column"
+                )
+            if not isinstance(
+                pf.dataType, (LongType, IntegerType, StringType, DateType)
+            ):
+                raise NotImplementedError(
+                    "snapshot sink supports string/int/bigint/date "
+                    f"partition columns, not {pf.dataType.simpleString()} "
+                    "(the executor-side canonical form must match CAST(col "
+                    "AS STRING)) — use SnapshotTable.append"
+                )
         self.n_buckets = m["n_buckets"]
         self.colmap = m.get("colmap", {})
         self.bloom_cols_phys = tuple(
@@ -293,14 +361,27 @@ class SnapshotWriter(DataSourceWriter):
                     v = v.to_pydatetime()
                 return v.astimezone(timezone.utc)
 
-        buckets: dict[int, list[tuple]] = {}
+        p_idx = p_type = None
+        if self.partition_by:
+            p_idx = names.index(self.partition_by)
+            p_type = types[p_idx]
+        buckets: dict[str, list[tuple]] = {}
         for row in iterator:
             vals = tuple(row)
             if ts_idx:
                 vals = tuple(
                     _utc(v) if i in ts_idx else v for i, v in enumerate(vals)
                 )
-            b = bucket_of(vals[key_idx], key_type, self.n_buckets)
+            hb = bucket_of(vals[key_idx], key_type, self.n_buckets)
+            # composite "<partition value>|<hash>" id for partitioned
+            # tables — the same id acid._bucket_expr computes, so every
+            # bucket-keyed mechanism (pruning, CoW, CDF diffs) sees sink
+            # rows identically to SnapshotTable.append's
+            b = (
+                f"{canonical_partition_value(vals[p_idx], p_type)}|{hb}"
+                if p_idx is not None
+                else str(hb)
+            )
             buckets.setdefault(b, []).append(vals)
         staging = os.path.join(
             self.path, f"_staging_sink_{uuid.uuid4().hex}"
@@ -323,9 +404,12 @@ class SnapshotWriter(DataSourceWriter):
                 ],
                 schema=arrow_schema,
             )
-            fp = os.path.join(staging, f"b{b}_{uuid.uuid4().hex}.parquet")
+            # uuid-only staged names: composite bucket ids may contain
+            # characters unfit for filenames; the (bucket, path) pairing
+            # in the commit message carries the id
+            fp = os.path.join(staging, f"{uuid.uuid4().hex}.parquet")
             pq.write_table(tbl, fp)
-            staged.append((str(b), fp))
+            staged.append((b, fp))
         return _SinkCommit(staged, staging if buckets else "")
 
     # ---- driver side -----------------------------------------------------
@@ -334,8 +418,9 @@ class SnapshotWriter(DataSourceWriter):
         self, messages, batch_id: int | None = None, app_id: str = "default"
     ) -> None:
         from concurrent.futures import ThreadPoolExecutor
+        from urllib.parse import quote
 
-        from ..acid import SnapshotTable
+        from ..acid import SnapshotTable, _part_of
 
         t = SnapshotTable(None, self.path)
         base = t.latest_version()
@@ -361,14 +446,27 @@ class SnapshotWriter(DataSourceWriter):
         renames: list[tuple[str, str, str]] = []  # (src, full, rel)
         new_files: dict[str, list[str]] = {}
         staging_dirs = set()
+        pdirs: set[str] = set()
         for msg in messages:
             if msg is None:
                 continue
             staging_dirs.add(msg.staging_dir)
             for b, staged_path in msg.staged:
-                rel = os.path.join("data", f"{uuid.uuid4().hex}.parquet")
+                part = _part_of(b)
+                if part is not None:
+                    # partitioned layout: data/<col>=<value>/ — the same
+                    # hive-quoted directory acid._write_bucket_files uses
+                    sub = f"{self.partition_by}={quote(part, safe='')}"
+                    pdirs.add(sub)
+                    rel = os.path.join(
+                        "data", sub, f"{uuid.uuid4().hex}.parquet"
+                    )
+                else:
+                    rel = os.path.join("data", f"{uuid.uuid4().hex}.parquet")
                 renames.append((staged_path, os.path.join(self.path, rel), rel))
                 new_files.setdefault(b, []).append(rel)
+        for sub in pdirs:
+            os.makedirs(os.path.join(self.path, "data", sub), exist_ok=True)
         if renames:
             with ThreadPoolExecutor(min(16, len(renames))) as ex:
                 list(ex.map(lambda r: os.rename(r[0], r[1]), renames))

@@ -166,6 +166,8 @@ PROBES = [
     "acid_identity_columns",
     # round-6: Gopher quality-rule battery
     "gopher_rules",
+    # round-7: V2 sink into value-partitioned tables
+    "snapshot_sink_partitioned",
 ]
 
 KEY_SHIFTS = {
