@@ -95,8 +95,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # ann_lsh_topk, unpivot_metrics lead the r07 rotation, then the
 # remaining r02/r03 text/quality stats.
 _CHECK_PRIORITY = [
-    # -- NEW this round (round 7): V2 sink into value-partitioned tables --
-    "snapshot_sink_partitioned",
+    # -- NEW this round (round 7): V2 sink into value-partitioned
+    #    tables; pure-SQL view surface (catalog DDL engine-gap pinned) --
+    "snapshot_sink_partitioned", "snapshot_sql_view",
     # -- NEW round 6: value-partitioned lakehouse layout,
     #    then its write-side idioms (dynamic partition overwrite +
     #    partition-scoped OPTIMIZE) --

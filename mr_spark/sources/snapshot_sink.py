@@ -229,10 +229,11 @@ class SnapshotWriter(DataSourceWriter):
                 "would need the full table rewrite path; use "
                 "SnapshotTable.create"
             )
-        self.path = options.get("path")
+        from .snapshot_source import _local_path, _table
+
+        self.path = _local_path(options.get("path"))
         if not self.path:
             raise ValueError("snapshot sink needs option('path', <table dir>)")
-        from .snapshot_source import _table
 
         t = _table(self.path)
         m = t._manifest(t.latest_version())

@@ -59,12 +59,27 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 
+def _local_path(path: str | None) -> str | None:
+    """Normalize the ``path`` option to a local filesystem path. The
+    DataFrame API passes options through verbatim, but SQL DDL over
+    Python data sources (``CREATE TABLE ... USING snapshot OPTIONS
+    (path ...)``) qualifies the path into a URI (``file:/dir/...``)
+    before the source sees it — both forms must resolve to the same
+    table directory."""
+    if not path:
+        return path
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(path)
+    return unquote(p.path) if p.scheme == "file" else path
+
+
 def _table(path: str):
     """Spark-less SnapshotTable handle (manifest I/O only) — same trick
     as sources/cdf_stream.py."""
     from ..acid import SnapshotTable
 
-    return SnapshotTable(None, path)
+    return SnapshotTable(None, _local_path(path))
 
 
 class SnapshotDataSource(DataSource):
@@ -199,7 +214,7 @@ def parse_where(expr: str) -> list[tuple[str, str, object]]:
 
 class SnapshotReader(DataSourceReader):
     def __init__(self, options, version: int | None = None) -> None:
-        self.path = options.get("path")
+        self.path = _local_path(options.get("path"))
         if not self.path:
             raise ValueError("snapshot source needs option('path', <table dir>)")
         if version is not None:
@@ -357,7 +372,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
     one input partition per file. ``end_version`` bounds a backfill."""
 
     def __init__(self, options, schema: StructType) -> None:
-        self.path = options.get("path")
+        self.path = _local_path(options.get("path"))
         if not self.path:
             raise ValueError("snapshot source needs option('path', <table dir>)")
         sv = options.get("start_version")
@@ -470,3 +485,35 @@ class SnapshotStreamReader(DataSourceStreamReader):
 def register(spark) -> None:
     """Idempotent registration of the source with a session."""
     spark.dataSource.register(SnapshotDataSource)
+
+
+def register_snapshot_view(spark, name: str, path: str, **options) -> None:
+    """The SQL surface for snapshot tables on this image: bind a TEMP
+    VIEW over the batch source, after which a pure-SQL session can
+    query, join, and time-travel (register a second view with
+    ``version=N`` / ``timestamp_as_of=...``) without touching the
+    DataFrame API again.
+
+    ``CREATE TABLE ... USING snapshot OPTIONS (path ...)`` — Spark 4's
+    documented SQL DDL over Python data sources — is BLOCKED by a
+    measured engine gap in this image's Spark 4.1.2 (VERDICT r6 #4):
+    the DDL itself succeeds (the create-time instance receives the
+    options, path qualified to a ``file:`` URI — handled by
+    _local_path), but every later SELECT constructs a FRESH
+    PythonDataSourceV2 whose ``getTable(schema, partitioning,
+    properties)`` DISCARDS the properties map — bytecode shows
+    ``PythonTable.<init>`` taking only (provider, shortName, schema) —
+    so the scan-time source sees EMPTY options and cannot locate the
+    table (measured: DDL-time options {'path': 'file:/...', ...};
+    SELECT-time options {}). ``LOCATION`` and direct
+    ``FROM snapshot.`/path``` fail the same way / are refused outright.
+    The gap is pinned by tests/test_sources.py::
+    test_spark_catalog_table_options_engine_canary — when a fixed Spark
+    arrives the canary fails, signaling the DDL surface can replace
+    this helper. All options (version, timestamp_as_of, where, ...)
+    pass through."""
+    register(spark)
+    r = spark.read.format("snapshot").option("path", path)
+    for k, v in options.items():
+        r = r.option(k, str(v))
+    r.load().createOrReplaceTempView(name)

@@ -958,3 +958,82 @@ def test_snapshot_sink_partitioned_date_column(spark, tmp_path):
     assert {b.rsplit("|", 1)[0] for b in m["files"]} == {
         "2024-01-01", "2024-01-02"
     }
+
+
+def test_spark_catalog_table_options_engine_canary(spark):
+    """ENGINE CANARY, not a feature test: pins the Spark 4.1.2 gap that
+    blocks ``CREATE TABLE ... USING snapshot`` (VERDICT r6 #4).
+    ``PythonDataSourceV2.getTable(schema, partitioning, properties)``
+    DISCARDS the catalog-stored properties map (bytecode:
+    ``PythonTable.<init>`` takes only provider/shortName/schema), so a
+    SELECT against the catalog table constructs a fresh Python source
+    with EMPTY options — any option-dependent source (ours needs
+    ``path``) cannot locate its data. Measured here end-to-end: the
+    DDL-time instance receives the options; the scan-time reader sees
+    none.
+
+    WHEN THIS TEST FAILS the image's Spark passes stored table
+    properties through to the scan: wire CREATE TABLE ... USING
+    snapshot (the path arrives as a file: URI — _local_path already
+    normalizes it), register a catalog-DDL query, and retire
+    register_snapshot_view's engine-gap caveat."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class EchoReader(DataSourceReader):
+        def __init__(self, opts):
+            self.tag = opts.get("tag") or "MISSING"
+
+        def partitions(self):
+            return [InputPartition(0)]
+
+        def read(self, partition):
+            yield (self.tag,)
+
+    class EchoSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "catalog_options_canary"
+
+        def schema(self):
+            return "tag string"
+
+        def reader(self, schema):
+            return EchoReader(self.options)
+
+    spark.dataSource.register(EchoSource)
+    spark.sql("DROP TABLE IF EXISTS catalog_canary_t")
+    try:
+        spark.sql(
+            "CREATE TABLE catalog_canary_t USING catalog_options_canary "
+            "OPTIONS (tag 'propagated')"
+        )
+        got = spark.sql("SELECT tag FROM catalog_canary_t").collect()[0]["tag"]
+        assert got == "MISSING", (
+            f"catalog scan saw option tag={got!r} — Spark now propagates "
+            "stored table properties to Python data sources. The SQL DDL "
+            "surface is usable: see this test's docstring for what to wire."
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS catalog_canary_t")
+
+
+def test_register_snapshot_view_pure_sql_surface(spark, tmp_path):
+    """register_snapshot_view binds TEMP VIEWS once; everything after is
+    pure SQL — current-state reads, version-pinned time travel, joins
+    across the two, and option pass-through (where)."""
+    from mr_spark.sources.snapshot_source import register_snapshot_view
+
+    t = _mk_snap(spark, tmp_path, [(i, f"v{i}") for i in range(6)])
+    t.append(spark.createDataFrame([(10, "new")], "k bigint, v string"))
+    register_snapshot_view(spark, "snap_cur", t.path)
+    register_snapshot_view(spark, "snap_v1", t.path, version=1)
+    register_snapshot_view(spark, "snap_w", t.path, where="k >= 3")
+    assert spark.sql("SELECT COUNT(*) c FROM snap_cur").collect()[0]["c"] == 7
+    assert spark.sql("SELECT COUNT(*) c FROM snap_v1").collect()[0]["c"] == 6
+    assert spark.sql("SELECT COUNT(*) c FROM snap_w").collect()[0]["c"] == 4
+    joined = spark.sql(
+        "SELECT COUNT(*) c FROM snap_cur a JOIN snap_v1 b ON a.k = b.k"
+    ).collect()[0]["c"]
+    assert joined == 6  # k=10 exists only in the current view
+    for n in ("snap_cur", "snap_v1", "snap_w"):
+        spark.catalog.dropTempView(n)

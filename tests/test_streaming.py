@@ -314,11 +314,13 @@ def test_cdf_stream_max_versions_per_batch(spark, tmp_path):
     """Trigger admission control (VERDICT r5 #5). Two layers:
 
     1. OFFSET-PROTOCOL unit check (engine simulated): the cap anchors
-       ONLY to positions the engine revealed via partitions()/commit(),
-       so latestOffset can never fall below an engine-held offset — the
-       duplicate-batch / stall hazard the r5 design note feared. Before
-       the engine reveals anything, latestOffset is uncapped (the one
-       documented degraded trigger).
+       to positions the engine revealed via partitions()/commit() — so
+       latestOffset can never fall below an engine-held offset (the
+       duplicate-batch / stall hazard the r5 design note feared) — and,
+       NEW in round 7 (VERDICT r6 #5), to start_version before any
+       reveal, capping the fresh stream's FIRST trigger too (safe
+       because every restart re-plans through partitions first — pinned
+       by test_spark_stream_restart_replans_before_latest_offset_canary).
     2. END-TO-END: a capped stream over a 5-commit history with a
        restart mid-history produces the exact uncapped feed — no
        duplicates, no losses — and the capped run takes more
@@ -343,8 +345,8 @@ def test_cdf_stream_max_versions_per_batch(spark, tmp_path):
         {"path": t.path, "max_versions_per_batch": "1"}
     )
     assert r.initialOffset() == {"version": 1}
-    # fresh reader: engine has revealed nothing — uncapped (documented)
-    assert r.latestOffset() == {"version": 5}
+    # fresh reader: nothing revealed — capped at start_version + N
+    assert r.latestOffset() == {"version": 2}
     # engine plans the WAL batch (restart semantics): partitions(start, end)
     r.partitions({"version": 1}, {"version": 2})
     # now capped, anchored to the engine's end — never below it
@@ -379,8 +381,15 @@ def test_cdf_stream_max_versions_per_batch(spark, tmp_path):
     try:
         q.processAllAvailable()
         first_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
-        # trigger 1 is uncapped by design; commits landing AFTER the
-        # engine revealed its position stream one version per batch
+        # round 7: the FIRST trigger is capped too — the 4 outstanding
+        # feeds (v1→v2 .. v4→v5) must arrive as ≥4 one-version batches,
+        # not one uncapped drain
+        assert first_batches >= 4, (
+            f"fresh stream drained {first_batches} batch(es) — the "
+            "first-trigger cap did not engage"
+        )
+        # commits landing AFTER the engine revealed its position also
+        # stream one version per batch
         t.append(spark.createDataFrame([(20, "y0")], "k bigint, v string"))  # v6
         t.append(spark.createDataFrame([(21, "y1")], "k bigint, v string"))  # v7
         q.processAllAvailable()
@@ -556,3 +565,103 @@ def test_stream_full_outer_join_evicts_both_sides(spark):
         for r in left_part.unionByName(click_only).collect()
     }
     assert rows == exp
+
+
+def test_spark_stream_restart_replans_before_latest_offset_canary(spark, tmp_path):
+    """ENGINE-BEHAVIOR PIN (the safety premise of the CDF stream's
+    first-trigger cap, VERDICT r6 #5): on EVERY restart from a
+    checkpoint, Spark re-plans the WAL batch through
+    ``partitions(start, end)`` BEFORE the first ``latestOffset`` call —
+    even when the final batch was fully committed (it replays as
+    ``partitions(end, end)``) — and ``initialOffset`` is consulted only
+    when no checkpoint exists. Those two facts make ``start_version`` a
+    safe cap anchor for the no-reveal state: it can only occur on a
+    genuinely fresh stream, where no engine offset exceeds it.
+
+    WHEN THIS TEST FAILS the image's Spark changed the restart protocol:
+    re-derive the anchor rule in cdf_stream.SnapshotCDFStreamReader
+    .latestOffset before trusting the cap."""
+    import os
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    log = str(tmp_path / "calls.txt")
+    open(log, "w").close()
+
+    class SeqReader(DataSourceStreamReader):
+        def __init__(self, opts):
+            self.n = int(opts.get("n", "5"))
+            self.log = opts.get("log")
+
+        def _note(self, msg):
+            with open(self.log, "a") as f:
+                f.write(msg + "\n")
+
+        def initialOffset(self):
+            self._note("initialOffset")
+            return {"v": 0}
+
+        def latestOffset(self):
+            self._note("latestOffset")
+            return {"v": self.n}
+
+        def partitions(self, start, end):
+            self._note(f"partitions {start['v']}->{end['v']}")
+            return [InputPartition((start["v"], end["v"]))]
+
+        def commit(self, end):
+            self._note(f"commit {end['v']}")
+
+        def read(self, p):
+            s, e = p.value
+            for i in range(s, e):
+                yield (i,)
+
+    class SeqSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "restart_seq_canary"
+
+        def schema(self):
+            return "x int"
+
+        def streamReader(self, schema):
+            return SeqReader(self.options)
+
+    spark.dataSource.register(SeqSource)
+    ckpt, out = str(tmp_path / "cp"), str(tmp_path / "out")
+
+    def run(n):
+        q = (
+            spark.readStream.format("restart_seq_canary")
+            .option("n", str(n)).option("log", log).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    run(5)  # fresh: initialOffset consulted, batch (0, 5] committed
+    calls = open(log).read().splitlines()
+    assert "initialOffset" in calls, f"fresh start never asked initial: {calls}"
+    open(log, "w").close()
+    run(9)  # restart: 4 more rows outstanding
+    calls = open(log).read().splitlines()
+    assert spark.read.parquet(out).count() == 9  # exactly-once across restart
+    assert "initialOffset" not in calls, (
+        f"restart consulted initialOffset: {calls} — the fresh-only "
+        "premise of the cap anchor broke"
+    )
+    first_reveal = next(
+        i for i, c in enumerate(calls) if c.startswith(("partitions", "commit"))
+    )
+    first_latest = calls.index("latestOffset")
+    assert first_reveal < first_latest, (
+        f"restart called latestOffset before revealing its position: "
+        f"{calls} — the start_version cap anchor is no longer safe; "
+        "see this test's docstring"
+    )

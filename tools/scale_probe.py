@@ -168,6 +168,8 @@ PROBES = [
     "gopher_rules",
     # round-7: V2 sink into value-partitioned tables
     "snapshot_sink_partitioned",
+    # round-7: pure-SQL view surface over snapshot tables
+    "snapshot_sql_view",
 ]
 
 KEY_SHIFTS = {
