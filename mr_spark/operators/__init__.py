@@ -78,63 +78,50 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver row yet — plus q12, red in r01 on a (now fixed) dtype artifact —
 # in the checked prefix, and rotate per round as driver rows accumulate.
 #
-# Round-6 prefix (VERDICT r5 #6): first the 3 NEW queries
-# (value-partitioned layout: partition-pruned read, metadata-only
-# DROP PARTITION, DESCRIBE DETAIL). Then every query whose
-# implementation changed this round: the whole ACID/snapshot family
-# (acid.py's write paths now route through composite-bucket-aware
-# _bucket_expr/_affected_buckets and a recursive vacuum walk — behavior
-# -preserving for unpartitioned tables, but changed code is changed
-# code) and the streaming battery (run_to_completion now registers its
-# memory-sink view for deferred dropTempView — the r5 leak fix). The
-# remaining slots finally advance the r02-evidence frontier the r5
-# verdict named: the dedup/ANN set plus kl_source_drift, lateral_topn,
-# winnow_fingerprint, kcenter_coreset, heavy_hitters.
-# Overflow (all driver-green at their latest check, each with an
-# oracle-rehearsal pin in tests/test_queries_oracle.py): ann_ivf_topk,
-# ann_lsh_topk, unpivot_metrics lead the r07 rotation, then the
-# remaining r02/r03 text/quality stats.
+# Round-7 prefix (VERDICT r6 #2): first the 2 NEW queries, then every
+# query whose implementation changed this round — gopher_rules
+# (bullet/ellipsis corpus augmentation), the V2 sink pair (partitioned
+# write support), the three batch/stream source queries (path-URI
+# normalization for the SQL surface; CDF first-trigger cap), and the
+# acid.py write paths the ADVICE fixes touched (merge_upsert / merge /
+# apply_changes generated-partition recompute + identity handling,
+# clone identity carry) — then the NINE displaced overflow heads the
+# verdict named, then the remaining r01-evidence rows, then the oldest
+# (r02-evidence) quality/stats block.
+# Overflow (positions 51+, all driver-green at their latest check, each
+# with an oracle-rehearsal pin in tests/test_queries_oracle.py):
+# seasonal_decompose, table_profile, top_terms_per_doc, udtf_sentences,
+# welch_ttest_ab lead the r08 rotation (last 5 r02-evidence rows), then
+# the r03 block (anomaly_days ... winnow_containment).
 _CHECK_PRIORITY = [
     # -- NEW this round (round 7): V2 sink into value-partitioned
     #    tables; pure-SQL view surface (catalog DDL engine-gap pinned) --
     "snapshot_sink_partitioned", "snapshot_sql_view",
-    # -- NEW round 6: value-partitioned lakehouse layout,
-    #    then its write-side idioms (dynamic partition overwrite +
-    #    partition-scoped OPTIMIZE) --
-    "snapshot_replace_where", "acid_optimize_partition",
-    "cdc_scd2_history", "snapshot_generate_manifest",
-    "acid_identity_columns", "gopher_rules",
-    "snapshot_partitioned_prune", "snapshot_drop_partition",
-    "snapshot_describe_detail",
-    # -- ACID family: every commit/read path runs through the
-    #    partition-aware bucket plumbing added this round --
-    "acid_merge_upsert", "acid_merge_clauses", "acid_data_skipping",
-    "acid_deletion_vectors", "acid_constraints", "acid_generated_columns",
-    "acid_concurrent_writers", "acid_rebucket", "acid_optimize_zorder",
-    "acid_bloom_skipping", "snapshot_log_checkpoint", "snapshot_restore",
-    "snapshot_clone_shallow", "copy_into_idempotent",
-    "snapshot_column_mapping", "snapshot_history",
-    "snapshot_schema_evolution", "snapshot_change_feed",
-    "snapshot_batch_source", "snapshot_sink_roundtrip",
-    "matview_incremental", "matview_replay", "cdf_replication",
-    # -- streaming battery: memory-sink deferred-release change --
-    "stream_hourly_agg", "stream_stream_join", "stream_session_window",
-    "stream_static_join", "stream_dedup_events", "stream_trending_topk",
-    "stream_stream_left_join", "stream_stream_full_join",
-    "snapshot_stream_source", "stream_cdf_source",
-    "stream_sessionize_stateful", "snapshot_stream_sink",
-    # -- r02-evidence frontier (VERDICT r5 #6: the oldest-evidence
-    #    names; dedup/ANN first as scale-critical) --
-    "dedup_exact", "minhash_lsh_pairs", "simhash_buckets",
-    "exact_substring_pairs", "embedding_neardup", "semantic_dedup",
-    # -- positions 51+ = OVERFLOW, leading the r07 rotation (each
-    #    driver-green at its latest check and independently pinned by an
-    #    oracle rehearsal in tests/test_queries_oracle.py; ann_cosine /
-    #    kl_source_drift / lateral / winnow / kcenter / heavy_hitters
-    #    displaced by the six round-6 additions) --
+    # -- changed this round --
+    "gopher_rules",              # corpus augmentation (rule-4 signal)
+    "snapshot_sink_roundtrip", "snapshot_stream_sink",  # sink module
+    "stream_cdf_source",         # first-trigger cap anchor
+    "snapshot_batch_source", "snapshot_stream_source",  # path-URI normalize
+    "acid_merge_upsert", "acid_merge_clauses",  # generated-partition order
+    "cdf_replication",           # apply_changes identity + ordering
+    "snapshot_clone_shallow",    # clone carries identity
+    "acid_identity_columns",     # identity interaction surface
+    # -- the nine displaced r6-overflow heads (VERDICT r6 #2) --
     "ann_cosine_topk", "kl_source_drift", "lateral_topn",
     "winnow_fingerprint", "kcenter_coreset", "heavy_hitters",
     "ann_ivf_topk", "ann_lsh_topk", "unpivot_metrics",
+    # -- remaining r01-evidence rows (oldest driver rows in the registry) --
+    "q13_order_distribution", "q18_large_orders", "range_join",
+    "rollup_agg", "scalar_subquery", "sessionization",
+    "sort_limit_offset", "string_funcs",
+    # -- r02-evidence quality/stats frontier (next-oldest) --
+    "attribution_last_touch", "audio_energy_stub", "bigram_perplexity",
+    "centroid_confusion", "char_ngram_entropy", "chi2_association",
+    "copurchase_pairs", "corpus_datacard", "cuped_adjusted_ab",
+    "ewma_daily", "hard_negative_mining", "k_anonymity_audit",
+    "kaplan_meier", "label_outlier_scores", "lm_surprisal",
+    "market_concentration", "psi_drift", "referential_integrity",
+    "repetition_quality", "rolling_active_users",
 ]
 
 

@@ -107,7 +107,22 @@ _GWORDS_SQL = "list_filter(regexp_split_to_array(text, ' +'), x -> x <> '')"
 @query(
     "gopher_rules",
     oracle=f"""
-    WITH per_doc AS (
+    WITH corpus AS (
+      SELECT text FROM documents
+      UNION ALL
+      SELECT '- ' || replace(text, ' ', chr(10) || '- ')
+      FROM documents WHERE doc_id % 13 = 0
+      UNION ALL
+      SELECT text || chr(10) || '- one bullet line'
+      FROM documents WHERE doc_id % 13 = 1
+      UNION ALL
+      SELECT text || chr(10) || 'x...' || chr(10) || 'y...' || chr(10) || 'z...'
+      FROM documents WHERE doc_id % 13 = 2
+      UNION ALL
+      SELECT text || chr(10) || 'a' || chr(10) || 'b' || chr(10) || 'c...'
+      FROM documents WHERE doc_id % 13 = 3
+    ),
+    per_doc AS (
       SELECT
         len({_GWORDS_SQL}) AS wc,
         CAST(list_sum(list_transform({_GWORDS_SQL}, x -> length(x)))
@@ -125,7 +140,7 @@ _GWORDS_SQL = "list_filter(regexp_split_to_array(text, ' +'), x -> x <> '')"
              AS DOUBLE) / len({_GWORDS_SQL}) AS alpha_ratio,
         len(list_filter({_SW_SQL.replace('(', '[').replace(')', ']')},
                         s -> list_contains({_GWORDS_SQL}, s))) AS n_stop
-      FROM documents
+      FROM corpus
     ),
     flags AS (
       SELECT wc BETWEEN 50 AND 100000 AS p_wc,
@@ -159,15 +174,35 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts + the all-rules pass count — the shape a curation run reports
     before dropping documents. Words are WHITESPACE-split (not letter
     tokens): rule 5 is about junk "words", which letter-splitting would
-    hide by construction. On this synthetic corpus some rules are
-    one-sided (no bullets/ellipses exist; every doc is a single line) —
-    the mechanism is still exercised end-to-end and the oracle replays
-    every rule exactly.
+    hide by construction.
+
+    The synthetic corpus has no bullet-led or ellipsis-ended lines, so
+    rule 4 would be one-sided (VERDICT r6 #7) — both engines therefore
+    AUGMENT the corpus with four deterministic doc_id%13 slices derived
+    from the documents themselves (so the counts scale with sf):
+    every-word-a-bullet (fails 4 by bullets), one-bullet-of-two-lines
+    (passes 4 with a live bullet count), 3-of-4 ellipsis-ended lines
+    (fails 4 by ellipses), 1-of-4 (passes under the 0.3 bound). The
+    oracle replays the augmentation exactly; pass_line_rules now moves
+    in both directions at every sf (pinned non-degenerate in
+    tests/test_quality_ops.py).
 
     Scale: one pass over documents, all JVM-side expressions
     (split/filter/aggregate), one global single-row aggregate — no
     shuffle beyond the final partial-agg exchange."""
     docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 13
+    txt = F.col("text")
+    variants = [
+        (0, F.concat(F.lit("- "), F.replace(txt, F.lit(" "), F.lit("\n- ")))),
+        (1, F.concat(txt, F.lit("\n- one bullet line"))),
+        (2, F.concat(txt, F.lit("\nx...\ny...\nz..."))),
+        (3, F.concat(txt, F.lit("\na\nb\nc..."))),
+    ]
+    corpus = docs.select("text")
+    for r, expr in variants:
+        corpus = corpus.unionAll(docs.where(m == r).select(expr.alias("text")))
+    docs = corpus
     gw = F.filter(F.split(F.col("text"), " +"), lambda x: x != F.lit(""))
     wc = F.size(gw)
     mwl = (

@@ -170,14 +170,17 @@ def test_gopher_rules_on_constructed_corpus(spark, tmp_path):
     good = " ".join(
         ["the", "a", "of"] + [f"word{i}" for i in range(60)]
     )  # 63 words, all alpha, 3 stopwords, mean len in range
+    # doc_ids 17..23 ≡ 4..10 (mod 13): OUTSIDE the query's bullet/ellipsis
+    # augmentation slices, so the hand-computed expectations below count
+    # exactly these seven docs
     docs = [
-        (1, good),                                     # passes everything
-        (2, "the a " + " ".join(["x"] * 60)),          # mean word len 1.*: fails rule 2
-        (3, good + " " + " ".join(["####"] * 30)),     # symbols: fails rule 3
-        (4, "\n".join(["- the a item"] * 10)),         # all bullets: fails 4 (and 1)
-        (5, " ".join(["the", "a"] + ["123"] * 70)),    # digits: fails alpha rule 5
-        (6, " ".join([f"word{i}" for i in range(60)])),  # no stopwords: fails 6
-        (7, "the a short doc"),                        # fails word count 1
+        (17, good),                                    # passes everything
+        (18, "the a " + " ".join(["x"] * 60)),         # mean word len 1.*: fails rule 2
+        (19, good + " " + " ".join(["####"] * 30)),    # symbols: fails rule 3
+        (20, "\n".join(["- the a item"] * 10)),        # all bullets: fails 4 (and 1)
+        (21, " ".join(["the", "a"] + ["123"] * 70)),   # digits: fails alpha rule 5
+        (22, " ".join([f"word{i}" for i in range(60)])),  # no stopwords: fails 6
+        (23, "the a short doc"),                       # fails word count 1
     ]
     df = spark.createDataFrame(docs, "doc_id bigint, text string")
     df.createOrReplaceTempView("__gopher_docs")
@@ -196,11 +199,23 @@ def test_gopher_rules_on_constructed_corpus(spark, tmp_path):
     out = gopher_rules(spark, str(tmp_path)).collect()[0].asDict()
     assert out == {
         "n_docs": 7,
-        "pass_word_count": 5,     # 4 (31 words) and 7 (4 words) fail
-        "pass_mean_word_len": 5,  # 2 (len-1 words) and 5 (mostly len-3) fail
-        "pass_symbol_ratio": 6,   # 3 fails
-        "pass_line_rules": 6,     # 4 (all bullet lines) fails
-        "pass_alpha_words": 5,    # 3 (#### words) and 5 (digit words) fail
-        "pass_stopwords": 6,      # 6 (no stopwords) fails
-        "pass_all": 1,            # only doc 1
+        "pass_word_count": 5,     # 20 (31 words) and 23 (4 words) fail
+        "pass_mean_word_len": 5,  # 18 (len-1 words) and 21 (mostly len-3) fail
+        "pass_symbol_ratio": 6,   # 19 fails
+        "pass_line_rules": 6,     # 20 (all bullet lines) fails
+        "pass_alpha_words": 5,    # 19 (#### words) and 21 (digit words) fail
+        "pass_stopwords": 6,      # 22 (no stopwords) fails
+        "pass_all": 1,            # only doc 17
     }
+
+
+def test_gopher_line_rule_moves_both_ways_on_real_corpus(spark):
+    """VERDICT r6 #7: the registered query's bullet/ellipsis counters
+    must carry real signal at every sf — the doc_id%13 augmentation
+    slices make pass_line_rules strictly interior (some augmented docs
+    fail rule 4 by bullets/ellipses, some pass with live counts)."""
+    out = ops.queries()["gopher_rules"](spark, SF_DIR).collect()[0]
+    assert 0 < out["pass_line_rules"] < out["n_docs"], (
+        f"pass_line_rules={out['pass_line_rules']} of {out['n_docs']} — "
+        "rule 4 is degenerate again"
+    )

@@ -293,12 +293,51 @@ def merge_rows(rows) -> None:
     print(f"merged {len(rows)} rows into SCALING.md")
 
 
+def write_section(title: str, intro: list[str], rows, replicas: int) -> None:
+    """Replace-or-append a DEDICATED '## <title>' section at the end of
+    SCALING.md (used by octave probes at non-8× replica counts, whose
+    rows must never merge into the main 8× table)."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
+    )
+    with open(path) as f:
+        lines = f.read().splitlines()
+    # drop any existing section with this title (to its next '## ' or EOF)
+    out, skipping = [], False
+    for ln in lines:
+        if ln.strip() == f"## {title}":
+            skipping = True
+            continue
+        if skipping and ln.startswith("## "):
+            skipping = False
+        if not skipping:
+            out.append(ln)
+    while out and out[-1].strip() == "":
+        out.pop()
+    out += ["", f"## {title}", ""] + intro + [
+        "",
+        f"| query | 1x s | {replicas}x s | ratio |",
+        "|---|---|---|---|",
+    ]
+    out += [f"| {n} | {a:.2f} | {b:.2f} | {r:.2f} |" for n, a, b, r in rows]
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote section '{title}' ({len(rows)} rows) into SCALING.md")
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    args = [
+        a
+        for a in sys.argv[1:]
+        if not a.startswith("--only") and not a.startswith("--section")
+    ]
     only = None
+    section = None
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = a.split("=", 1)[1].split(",")
+        if a.startswith("--section="):
+            section = a.split("=", 1)[1]
     replicas = int(args[0]) if args else 8
     spark = get_spark("scale-probe")
     t0 = time.time()
@@ -318,7 +357,20 @@ def main() -> None:
             t8x = time.time() - t0
             rows.append((name, t1x, t8x, t8x / t1x))
             print(f"{name}: 1x={t1x:.2f}s {replicas}x={t8x:.2f}s ratio={t8x/t1x:.2f}")
-        merge_rows(rows)
+        if section:
+            write_section(
+                section,
+                [
+                    f"Same probe harness at {replicas}× replicas (verbatim",
+                    "replication — the duplicate-explosion shape). Run",
+                    f"`python tools/scale_probe.py {replicas}"
+                    f" --only=... --section={section}`.",
+                ],
+                rows,
+                replicas,
+            )
+        else:
+            merge_rows(rows)
         return
     for name in PROBES:
         t0 = time.time()
