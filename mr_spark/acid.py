@@ -96,6 +96,7 @@ schema-evolution semantics through the standard reader API.
 
 from __future__ import annotations
 
+import builtins
 import json
 import os
 import shutil
@@ -251,11 +252,27 @@ def _footer_stats(full_path: str, bloom_cols: tuple[str, ...] = ()) -> dict:
 
     md = pq.ParquetFile(full_path).metadata
     stats: dict[str, list] = {}
+    # NULL COUNTS (reserved "__nulls__" key, like "__bloom__"): summed
+    # across row groups; a single row group without a recorded null_count
+    # poisons the column (absent = unknown, readers stay conservative).
+    # A column proven NULL-free is what lets predicate DML drop a
+    # fully-covered file metadata-only — NULL rows never match a
+    # BETWEEN predicate, so "min/max inside bounds" alone cannot prove
+    # every ROW matches.
+    nulls: dict[str, int] = {}
+    nulls_unknown: set[str] = set()
     for rg in range(md.num_row_groups):
         rgm = md.row_group(rg)
         for ci in range(rgm.num_columns):
             col = rgm.column(ci)
             st = col.statistics
+            nc = st.null_count if st is not None else None
+            if nc is None:
+                nulls_unknown.add(col.path_in_schema)
+            else:
+                nulls[col.path_in_schema] = (
+                    nulls.get(col.path_in_schema, 0) + nc
+                )
             if st is None or not st.has_min_max:
                 continue
             mn, mx = st.min, st.max
@@ -273,6 +290,9 @@ def _footer_stats(full_path: str, bloom_cols: tuple[str, ...] = ()) -> dict:
                 if cur is None
                 else [min(cur[0], mn), max(cur[1], mx)]
             )
+    known_nulls = {c: n for c, n in nulls.items() if c not in nulls_unknown}
+    if known_nulls:
+        stats["__nulls__"] = known_nulls
     if bloom_cols:
         present = [c for c in bloom_cols if c in md.schema.names]
         if present:
@@ -1443,6 +1463,44 @@ class SnapshotTable:
     def _bloom_cols(m: dict) -> tuple[str, ...]:
         return tuple(m.get("bloom_cols", ()))
 
+    def _align_source_types(self, m: dict, source: DataFrame):
+        """Upcast a write source's columns to the table's types BEFORE
+        any bucketing: the engine hashes int and bigint to different
+        Murmur3 values, so a narrow-typed column (the key especially —
+        e.g. after widen_column, or a foreachBatch frame built with int
+        literals) bucketed under its own type would land rows where a
+        correctly-typed future lookup never reads. Lossless widenings
+        (``_WIDENINGS``) upcast silently — Delta's typeWidening rule;
+        anything else raises rather than silently mis-bucket. Returns
+        (aligned source, table StructType, [source fields not in the
+        table schema]) — the caller decides whether unknown fields mean
+        schema evolution or an error."""
+        from pyspark.sql.types import StructType
+
+        table_schema = StructType.fromJson(json.loads(m["schema"]))
+        existing = {f.name: f for f in table_schema.fields}
+        added = []
+        for f in source.schema.fields:
+            have = existing.get(f.name)
+            if have is None:
+                added.append(f)
+            elif have.dataType != f.dataType:
+                if (
+                    f.dataType.simpleString(),
+                    have.dataType.simpleString(),
+                ) in self._WIDENINGS:
+                    source = source.withColumn(
+                        f.name, F.col(f.name).cast(have.dataType)
+                    )
+                else:
+                    raise ValueError(
+                        f"source column {f.name!r} has type "
+                        f"{f.dataType.simpleString()} but the table stores "
+                        f"{have.dataType.simpleString()} — type changes "
+                        "require a rewrite, not a keyed write"
+                    )
+        return source, table_schema, added
+
     # ---- value partitioning helpers ---------------------------------------
 
     @staticmethod
@@ -1512,6 +1570,15 @@ class SnapshotTable:
     @staticmethod
     def _colmap(m: dict) -> dict:
         return m.get("colmap", {})
+
+    @staticmethod
+    def _key_type(m: dict):
+        """The bucket key's declared type (for cast-before-hash: int and
+        bigint hash to different Murmur3 values)."""
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        return next(f.dataType for f in schema.fields if f.name == m["key"])
 
     @classmethod
     def _phys(cls, m: dict, col: str) -> str:
@@ -1712,6 +1779,113 @@ class SnapshotTable:
             else:
                 nxt.pop("generated", None)
         return self._commit(nxt, base, op={"operation": "DROP COLUMN", "column": col})
+
+    # Lossless widenings a parquet scan can apply at read time (measured
+    # on this engine: Spark 4's vectorized reader upcasts int32→int64,
+    # int32→float64, float32→float64 transparently) — Delta's TYPE
+    # WIDENING set, minus the decimal/date families this table never
+    # stores narrow forms of. Keyed by (from.simpleString, to.simpleString).
+    _WIDENINGS = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+        ("float", "double"),
+    }
+
+    def widen_column(self, col: str, new_type: str) -> int:
+        """ALTER TABLE ALTER COLUMN TYPE — METADATA-ONLY type widening
+        (Delta 3.2's typeWidening feature): the manifest schema records
+        the WIDER type; data files keep their narrow physical encoding
+        and every reader upcasts at scan time (the engine reads int32
+        parquet pages under a bigint/double requested schema natively —
+        probed on this Spark build), so the commit moves zero bytes at
+        any table size. New writes store the wide type; old and new
+        files mix freely under the manifest schema. Only LOSSLESS
+        widenings are allowed (int→bigint, int/float→double, …);
+        narrowing or lossy changes raise.
+
+        Refusals, each a real hazard, not caution: the BUCKET KEY (the
+        engine hashes int and bigint to different Murmur3 values — every
+        row would land in the wrong bucket), the PARTITION column (the
+        canonical string form changes — '1' vs '1.0' — orphaning every
+        composite bucket id), BLOOM-indexed columns (stored blooms
+        hashed the narrow values; a wide-typed probe would return false
+        NEGATIVES and skip files that hold matches), identity columns,
+        and columns referenced by CHECK constraints or generated-column
+        expressions (the stored expression's type would silently change
+        under it — Delta requires dropping those first).
+
+        After widening, append/merge sources may still carry the NARROW
+        type: they are upcast on entry (Delta's behavior), so existing
+        pipelines keep writing unchanged."""
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        base = self.latest_version()
+        m = self._manifest(base)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        fields = {f.name: f for f in schema.fields}
+        if col not in fields:
+            raise ValueError(f"no such column: {col!r}")
+        new_dt = _parse_datatype_string(new_type)
+        cur = fields[col].dataType
+        if cur == new_dt:
+            return base  # already that type — no-op, no empty commit
+        if (cur.simpleString(), new_dt.simpleString()) not in self._WIDENINGS:
+            raise ValueError(
+                f"cannot change {col!r} from {cur.simpleString()} to "
+                f"{new_dt.simpleString()} — only lossless widenings are "
+                "metadata-only; anything else requires a rewrite"
+            )
+        if col == m["key"]:
+            raise ValueError(
+                f"cannot widen the bucket key {col!r}: int and bigint "
+                "hash differently, so every existing bucket assignment "
+                "would be wrong"
+            )
+        if col == m.get("partition_by"):
+            raise ValueError(
+                f"cannot widen the partition column {col!r}: the "
+                "canonical partition-value string would change under "
+                "every existing composite bucket id"
+            )
+        if col in self._bloom_cols(m):
+            raise ValueError(
+                f"cannot widen bloom-indexed column {col!r}: stored "
+                "blooms hashed the narrow values and would prune files "
+                "that hold matches — drop the index (rewrite) first"
+            )
+        if col in m.get("identity", {}):
+            raise ValueError(f"cannot widen identity column {col!r}")
+        cons = self._constraint_mentions(m, col)
+        if cons:
+            raise ValueError(
+                f"cannot widen {col!r}: referenced by CHECK constraint(s) "
+                f"{cons} — drop them first"
+            )
+        gens = self._generated_mentions(m, col)
+        if gens:
+            raise ValueError(
+                f"cannot widen {col!r}: it is (or is referenced by) "
+                f"generated column(s) {gens}"
+            )
+        nxt = self._next_manifest(m, dict(m["files"]), {})
+        nxt["schema"] = StructType(
+            [
+                StructField(col, new_dt, f.nullable) if f.name == col else f
+                for f in schema.fields
+            ]
+        ).json()
+        return self._commit(
+            nxt,
+            base,
+            op={
+                "operation": "WIDEN COLUMN",
+                "column": col,
+                "from": cur.simpleString(),
+                "to": new_dt.simpleString(),
+            },
+        )
 
     # ---- RESTORE / SHALLOW CLONE / COPY INTO -----------------------------
 
@@ -2358,11 +2532,23 @@ class SnapshotTable:
         source: DataFrame,
         batch_id: int | None = None,
         app_id: str = "default",
+        merge_schema: bool = False,
     ) -> int:
         """MERGE INTO: source rows replace target rows with the same key;
         unmatched source rows insert. Copy-on-write at BUCKET granularity:
         only buckets containing source keys are rewritten; every other
         bucket is carried into the new manifest by reference.
+
+        SCHEMA EVOLUTION (Delta's MERGE ``autoMerge``): with
+        ``merge_schema=True``, source columns not yet in the table are
+        ADDED to the manifest schema in the same commit — carried target
+        rows and pre-existing files read NULL for them (the log owns the
+        schema, like append's mergeSchema; fresh physical names under
+        column mapping so a re-added dropped column never resurrects old
+        bytes). Without the flag, new columns raise. A same-name column
+        with a different type always raises — type changes need a
+        rewrite. A concurrent schema change conflicts via the
+        table-identity check, never silently merges.
 
         ``(app_id, batch_id)`` is the idempotence tag for streaming
         foreachBatch sinks (Delta's txn-by-appId): if the committed
@@ -2398,6 +2584,9 @@ class SnapshotTable:
                 "merge_upsert source has multiple rows for the same key; "
                 "deduplicate the source first"
             )
+        # type alignment BEFORE __bucket (lossless upcasts; mismatches
+        # raise) — see _align_source_types for why this must come first
+        source, table_schema, added = self._align_source_types(m, source)
         source = self._true_partition_value(m, source)
         self._check_partition_values(m, source)
         src = source.withColumn("__bucket", self._bucket_expr(m))
@@ -2413,13 +2602,23 @@ class SnapshotTable:
             for b in affected
             for rel in m["files"].get(b, [])
         ]
-        extra = [c for c in source.columns if c not in self._schema_names(m)]
-        if extra:
+        if added and not merge_schema:
             raise ValueError(
                 f"merge_upsert source has columns not in the table schema: "
-                f"{extra}; evolve the schema with append(merge_schema=True) "
-                "first"
+                f"{[f.name for f in added]}; pass merge_schema=True "
+                "(Delta's autoMerge) or evolve with "
+                "append(merge_schema=True) first"
             )
+        # fresh physical slots for evolved names whose slot is taken by a
+        # live column or a dropped column's tombstone (append's rule)
+        cmap = dict(self._colmap(m))
+        if added:
+            used_phys = {
+                cmap.get(f.name, f.name) for f in table_schema.fields
+            } | set(m.get("phys_tombstones", []))
+            for f in added:
+                if f.name in used_phys:
+                    cmap[f.name] = f"{f.name}_{uuid.uuid4().hex[:8]}"
         self._check_constraints(m, source)
         ident_col = next(iter(m["identity"])) if m.get("identity") else None
         new_hw = None
@@ -2489,7 +2688,7 @@ class SnapshotTable:
         merged = self._recompute_generated(m, merged)
         try:
             new_files, new_stats = self._write_bucket_files(
-                merged, self._bloom_cols_phys(m), colmap=self._colmap(m),
+                merged, self._bloom_cols_phys(m), colmap=cmap,
                 partition_by=m.get("partition_by"),
             )
         finally:
@@ -2501,7 +2700,7 @@ class SnapshotTable:
                 if b not in set(affected)
             }
             files.update(new_files)
-            return self._next_manifest(
+            nxt = self._next_manifest(
                 mb,
                 files,
                 new_stats,
@@ -2509,12 +2708,21 @@ class SnapshotTable:
                 app_id,
                 identity={ident_col: new_hw} if new_hw is not None else None,
             )
+            if added:
+                nxt["schema"] = StructType(table_schema.fields + added).json()
+                if cmap:
+                    nxt["colmap"] = cmap
+            return nxt
 
         return self._commit_rebased(
             m,
             base,
             assemble,
-            op={"operation": "MERGE", "clauses": ["upsert"]},
+            op={
+                "operation": "MERGE",
+                "clauses": ["upsert"],
+                "schema_evolved": bool(added),
+            },
             touched=affected,
             batch_id=batch_id,
             app_id=app_id,
@@ -2668,6 +2876,9 @@ class SnapshotTable:
                 "merge source has multiple rows for the same key; "
                 "deduplicate the source first"
             )
+        # same pre-bucketing type alignment as merge_upsert (unknown
+        # columns fall through to this method's own refusal below)
+        source, _, _ = self._align_source_types(m, source)
         source = self._true_partition_value(m, source)
         self._check_partition_values(m, source)
         src = source.withColumn("__bucket", self._bucket_expr(m))
@@ -2868,6 +3079,15 @@ class SnapshotTable:
             if have is None:
                 added.append(f)
             elif have.dataType != f.dataType:
+                if (
+                    f.dataType.simpleString(),
+                    have.dataType.simpleString(),
+                ) in self._WIDENINGS:
+                    # a narrow source after widen_column upcasts on entry
+                    # (Delta's typeWidening rule) — old pipelines keep
+                    # writing unchanged
+                    df = df.withColumn(f.name, F.col(f.name).cast(have.dataType))
+                    continue
                 raise ValueError(
                     f"append column {f.name!r} has type "
                     f"{f.dataType.simpleString()} but the table stores "
@@ -3209,10 +3429,13 @@ class SnapshotTable:
         # partitioned table the plain hash ids expand (via
         # _affected_buckets) to every existing composite bucket with a
         # matching hash suffix — a key's rows are found whatever their
-        # partition; a delete never creates buckets
-        k = keys.select(key).distinct().withColumn(
-            "__bucket", _bucket_col(key, n_buckets)
-        )
+        # partition; a delete never creates buckets. The key column is
+        # cast to the TABLE's key type before hashing (int and bigint
+        # hash differently — a narrow-typed keys frame would probe the
+        # wrong buckets and silently miss its victims)
+        k = keys.select(
+            F.col(key).cast(self._key_type(m)).alias(key)
+        ).distinct().withColumn("__bucket", _bucket_col(key, n_buckets))
         affected = self._affected_buckets(
             m,
             [str(r["__bucket"]) for r in k.select("__bucket").distinct().collect()],
@@ -3266,9 +3489,10 @@ class SnapshotTable:
         base = self.latest_version()
         m = self._manifest(base)
         key, n_buckets = m["key"], m["n_buckets"]
-        k = keys.select(key).distinct().withColumn(
-            "__bucket", _bucket_col(key, n_buckets)
-        )
+        # cast-before-hash, same rule as the cow path
+        k = keys.select(
+            F.col(key).cast(self._key_type(m)).alias(key)
+        ).distinct().withColumn("__bucket", _bucket_col(key, n_buckets))
         # hash-suffix expansion across partitions, same as the cow path
         affected = self._affected_buckets(
             m,
@@ -3329,6 +3553,550 @@ class SnapshotTable:
             touched=affected,
         )
 
+    # ---- predicate DML: DELETE WHERE / UPDATE SET ... WHERE ---------------
+    #
+    # Delta's two everyday DML statements, on the same conjunctive-range
+    # ``where`` grammar as read()/data_paths(): (col, lo, hi) tuples ANDed.
+    # Both plan against MANIFEST STATS ALONE — every file is classified
+    # disjoint / fully-covered / straddling before anything is read:
+    #
+    #   * disjoint files are untouched (the pruning ladder in reverse);
+    #   * FULLY-covered files need no read at all — DELETE drops them
+    #     metadata-only (Delta removes whole-file matches without
+    #     rewrite), which makes drop-a-region O(affected files) manifest
+    #     work at any table size. Full coverage needs min/max inside the
+    #     bounds AND a recorded zero null count ("__nulls__" footer
+    #     stats) — NULL rows never match a BETWEEN, so bounds alone
+    #     cannot prove every row matches. On a value-partitioned table an
+    #     equality conjunct on the partition column classifies whole
+    #     partitions exactly (the composite bucket id IS the value);
+    #   * only STRADDLING files pay data movement, and under mode="dv"
+    #     not even they are rewritten (merge-on-read, like delete_keys).
+
+    @classmethod
+    def _pred_json(cls, where) -> list | None:
+        """The predicate as a JSON-safe operation-record payload (bounds
+        that aren't JSON scalars — dates, timestamps — record as their
+        string form; the record is documentation, not replayed)."""
+        preds = cls._where_list(where)
+        if not preds:
+            return None
+
+        def safe(v):
+            return (
+                v
+                if isinstance(v, (bool, int, float, str, type(None)))
+                else str(v)
+            )
+
+        return [[col, safe(lo), safe(hi)] for col, lo, hi in preds]
+
+    @classmethod
+    def _pred_expr(cls, where, col_of=None) -> F.Column:
+        """The row-level predicate Column for a ``where`` conjunction;
+        ``col_of`` maps logical names (e.g. to physical, for raw file
+        scans under column mapping)."""
+        c = F.lit(True)
+        for col, lo, hi in cls._where_list(where):
+            name = col_of(col) if col_of else col
+            c = c & F.col(name).between(F.lit(lo), F.lit(hi))
+        return c
+
+    def _classify_files(
+        self, m: dict, where
+    ) -> tuple[dict[str, list], dict[str, list]]:
+        """Stats-only trichotomy of the manifest's files under a
+        conjunctive range predicate: returns ``({bucket: [fully-covered
+        rels]}, {bucket: [straddling rels]})``; provably-disjoint files
+        are absent from both. Fully-covered is only claimed where it is
+        PROOF (exact partition values; min/max strictly inside bounds
+        with a recorded zero null count); everything unprovable lands in
+        straddling, whose row-level filter keeps the result exact —
+        the same advisory-pruning contract as data_paths()."""
+        preds = self._where_list(where)
+        names = self._schema_names(m)
+        unknown = [col for col, _, _ in preds if col not in names]
+        if unknown:
+            raise ValueError(
+                f"predicate references columns not in the table schema: "
+                f"{unknown}"
+            )
+        pcol = m.get("partition_by")
+        stats = m.get("stats", {})
+        full: dict[str, list] = {}
+        straddle: dict[str, list] = {}
+        for b, rels in m["files"].items():
+            pval = _part_of(b) if pcol else None
+            for rel in rels:
+                fstats = stats.get(rel, {})
+                nulls = fstats.get("__nulls__", {})
+                verdict = "full"
+                for col, lo, hi in preds:
+                    if pcol and col == pcol and lo == hi:
+                        # partition value is exact in both directions
+                        # (write-time guard refuses NULL partition values)
+                        if pval != str(lo):
+                            verdict = "disjoint"
+                            break
+                        continue
+                    phys = self._phys(m, col)
+                    covered = False
+                    s = fstats.get(phys)
+                    if s is not None:
+                        try:
+                            if s[1] < lo or s[0] > hi:
+                                verdict = "disjoint"
+                                break
+                            covered = (
+                                lo <= s[0]
+                                and s[1] <= hi
+                                and nulls.get(phys) == 0
+                            )
+                        except TypeError:
+                            covered = False  # incomparable bound types
+                    if lo == hi:
+                        bloom = fstats.get("__bloom__", {}).get(phys)
+                        if bloom is not None and not _bloom_might_contain(
+                            bloom, lo
+                        ):
+                            verdict = "disjoint"
+                            break
+                    if not covered and verdict == "full":
+                        verdict = "straddle"
+                if verdict == "full":
+                    full.setdefault(b, []).append(rel)
+                elif verdict == "straddle":
+                    straddle.setdefault(b, []).append(rel)
+        return full, straddle
+
+    def _write_dv_sidecar(self, hits: DataFrame) -> tuple[str, int]:
+        """Write (data_file, pos) victim pairs as ONE parquet sidecar
+        under data/ (uuid name — vacuum's unreferenced-file sweep covers
+        it); returns (relative path, row count) — the count comes from
+        the sidecar's own footer, one metadata read, so DV commits can
+        report exact row metrics without a separate Spark count job."""
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        hits.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            fn for fn in sorted(os.listdir(staging)) if fn.endswith(".parquet")
+        )
+        dv_rel = os.path.join("data", f"dv_{uuid.uuid4().hex}.parquet")
+        os.rename(os.path.join(staging, part), os.path.join(self.path, dv_rel))
+        shutil.rmtree(staging)
+        n = pq.ParquetFile(os.path.join(self.path, dv_rel)).metadata.num_rows
+        return dv_rel, n
+
+    def _dv_scan(self, m: dict, rels: list[str]):
+        """Raw physical scan of manifest entries with DV bookkeeping
+        columns (__dv_file, __dv_pos), rows already dead under the
+        manifest's deletion vectors EXCLUDED — the shared front half of
+        every merge-on-read DML path. Columns carry PHYSICAL names."""
+        fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        scan = (
+            self.spark.read.schema(self._physical_schema(m))
+            .parquet(*[self._entry_full(rel) for rel in rels])
+            .withColumn("__dv_file", fname)
+            .withColumn("__dv_pos", F.col("_metadata.row_index"))
+        )
+        dvs = m.get("dvs", {})
+        already = sorted({dv for rel in rels for dv in dvs.get(rel, [])})
+        if already:
+            dead0 = (
+                self.spark.read.parquet(
+                    *[os.path.join(self.path, d) for d in already]
+                )
+                .select(
+                    F.col("data_file").alias("__dv_file"),
+                    F.col("pos").alias("__dv_pos"),
+                )
+                .distinct()
+            )
+            scan = scan.join(dead0, ["__dv_file", "__dv_pos"], "left_anti")
+        return scan
+
+    def delete(self, where=None, mode: str = "cow") -> int:
+        """Predicate DELETE — Delta's ``DELETE FROM t [WHERE ...]``.
+        ``where`` is the read-side range grammar: ``(col, lo, hi)`` or a
+        list of such conjuncts; ``None`` deletes every row.
+
+        Cost ladder (see the DML header comment): ``where=None`` and
+        fully-covered files are PURE MANIFEST METADATA — zero bytes
+        read, zero written (old versions stay time-travelable; vacuum
+        reclaims after retention). Straddling files are rewritten
+        without their matching rows under ``mode="cow"`` (default), or
+        left byte-identical under ``mode="dv"`` with their victims'
+        (file, row position) pairs in a deletion-vector sidecar — the
+        O(|deleted rows|) merge-on-read commit, same lifecycle as
+        delete_keys(mode='dv'). Rows where the predicate is NULL are
+        KEPT (SQL: WHERE NULL does not match). ``last_dml`` and the
+        commit's operation metrics record the trichotomy, so a query
+        can certify that a partition-range delete moved no data.
+
+        Scale: deleting a retention window from a 100 TB time-partitioned
+        table = O(partition buckets) manifest work + a rewrite (or DV
+        sidecar) of only the two boundary-straddling file sets."""
+        if mode not in ("cow", "dv"):
+            raise ValueError(f"delete mode must be 'cow' or 'dv', got {mode!r}")
+        base = self.latest_version()
+        m = self._manifest(base)
+        n_total = sum(len(rels) for rels in m["files"].values())
+        if not self._where_list(where):
+            # DELETE FROM t: drop every file THIS SNAPSHOT holds —
+            # manifest metadata only (a concurrently-appended file is
+            # not ours to delete and survives the rebase, Delta's rule)
+            dropped = {rel for rels in m["files"].values() for rel in rels}
+            self.last_dml = {
+                "files_fully_removed": len(dropped),
+                "files_rewritten": 0,
+                "files_untouched": 0,
+            }
+
+            def assemble(mb: dict) -> dict:
+                files = {}
+                for b, rels in mb["files"].items():
+                    kept = [r for r in rels if r not in dropped]
+                    if kept:
+                        files[b] = kept
+                return self._next_manifest(mb, files)
+
+            return self._commit_rebased(
+                m,
+                base,
+                assemble,
+                op={
+                    "operation": "DELETE",
+                    "mode": "metadata",
+                    "predicate": None,
+                    "metrics": dict(self.last_dml),
+                },
+                touched=sorted(m["files"]),
+            )
+        full, straddle = self._classify_files(m, where)
+        if not full and not straddle:
+            # stats prove no file holds a matching row — nothing to do,
+            # no empty commit (Delta also skips the write)
+            self.last_dml = {
+                "files_fully_removed": 0,
+                "files_rewritten": 0,
+                "files_untouched": n_total,
+            }
+            return base
+        straddle_rels = [rel for rels in straddle.values() for rel in rels]
+        full_rels = {rel for rels in full.values() for rel in rels}
+        touched = sorted(set(full) | set(straddle))
+        pred_json = self._pred_json(where)
+        if mode == "dv":
+            dv_rel, n_dead = (None, 0)
+            if straddle_rels:
+                pred = self._pred_expr(
+                    where, col_of=lambda c: self._phys(m, c)
+                )
+                hits = (
+                    self._dv_scan(m, straddle_rels)
+                    .where(F.coalesce(pred, F.lit(False)))
+                    .select(
+                        F.col("__dv_file").alias("data_file"),
+                        F.col("__dv_pos").alias("pos"),
+                    )
+                )
+                dv_rel, n_dead = self._write_dv_sidecar(hits)
+                if n_dead == 0:
+                    os.remove(os.path.join(self.path, dv_rel))
+                    dv_rel = None
+            if dv_rel is None and not full_rels:
+                self.last_dml = {
+                    "files_fully_removed": 0,
+                    "files_rewritten": 0,
+                    "files_untouched": n_total,
+                }
+                return base  # advisory straddle set held no victims
+            self.last_dml = {
+                "files_fully_removed": len(full_rels),
+                "files_rewritten": 0,
+                "files_untouched": n_total - len(full_rels) - len(straddle_rels),
+                "rows_deleted_by_dv": n_dead,
+            }
+
+            def assemble_dv(mb: dict) -> dict:
+                files = {}
+                for b, rels in mb["files"].items():
+                    kept = [r for r in rels if r not in full_rels]
+                    if kept:
+                        files[b] = kept
+                dvs_b = dict(mb.get("dvs", {}))
+                if dv_rel is not None:
+                    for rel in straddle_rels:
+                        dvs_b[rel] = dvs_b.get(rel, []) + [dv_rel]
+                return self._next_manifest(mb, files, {}, dvs=dvs_b)
+
+            return self._commit_rebased(
+                m,
+                base,
+                assemble_dv,
+                op={
+                    "operation": "DELETE",
+                    "mode": "dv",
+                    "predicate": pred_json,
+                    "metrics": dict(self.last_dml),
+                },
+                touched=touched,
+            )
+        # copy-on-write: rewrite ONLY the straddling files, without their
+        # matching rows; fully-covered files leave metadata-only
+        if straddle_rels:
+            pred = self._pred_expr(where)
+            remaining = (
+                self._read_files(
+                    [self._entry_full(r) for r in straddle_rels], m
+                )
+                .where(~F.coalesce(pred, F.lit(False)))
+                .withColumn("__bucket", self._bucket_expr(m))
+            )
+            new_files, new_stats = self._write_bucket_files(
+                remaining,
+                self._bloom_cols_phys(m),
+                colmap=self._colmap(m),
+                partition_by=m.get("partition_by"),
+            )
+        else:
+            new_files, new_stats = {}, {}
+        dropped = full_rels | set(straddle_rels)
+        self.last_dml = {
+            "files_fully_removed": len(full_rels),
+            "files_rewritten": len(straddle_rels),
+            "files_untouched": n_total - len(dropped),
+        }
+
+        def assemble_cow(mb: dict) -> dict:
+            files = {}
+            for b, rels in mb["files"].items():
+                kept = [r for r in rels if r not in dropped]
+                if kept:
+                    files[b] = kept
+            for b, rels in new_files.items():
+                files[b] = files.get(b, []) + rels
+            return self._next_manifest(mb, files, new_stats)
+
+        return self._commit_rebased(
+            m,
+            base,
+            assemble_cow,
+            op={
+                "operation": "DELETE",
+                "mode": "cow",
+                "predicate": pred_json,
+                "metrics": dict(self.last_dml),
+            },
+            touched=touched,
+        )
+
+    def update(self, set: dict[str, str], where=None, mode: str = "cow") -> int:
+        """Predicate UPDATE — Delta's ``UPDATE t SET col = expr [WHERE
+        ...]``. ``set`` maps columns to SQL expressions evaluated over
+        each matching row's PRE-image (all right-hand sides see the old
+        values, standard SQL); results are cast to the column's type.
+        ``where`` uses the same conjunctive range grammar as delete().
+
+        Interactions, in write order (the ADVICE-r6 ordering rule:
+        generated values are truth BEFORE partition checks and bucket
+        assignment):
+
+        * identity columns cannot be SET (GENERATED ALWAYS) and ride
+          through rewrites unchanged — an update never re-allocates;
+        * generated columns cannot be SET directly; they are RECOMPUTED
+          on the post-image when their inputs change (Delta's rule);
+        * updating the bucketing KEY or the PARTITION column is allowed:
+          rows are re-bucketed and land in their new partition's
+          directory (Delta: rows move partitions), with the usual
+          partition-value guards;
+        * CHECK constraints validate the post-image rows; a violation
+          commits nothing.
+
+        ``mode="cow"`` (default) rewrites only the affected files
+        (fully-covered + straddling; disjoint files untouched).
+        ``mode="dv"`` is the merge-on-read UPDATE — Delta's DV update:
+        old versions of the matching rows are marked dead in a
+        deletion-vector sidecar and their post-images are APPENDED as
+        new files, so commit cost is O(|updated rows|), not O(affected
+        files) — at 100 TB, a 100-row correction against a wide
+        partition commits in seconds; reads pay the DV anti-join until
+        compact() purges. Rows where the predicate is NULL are not
+        updated."""
+        from pyspark.sql.types import StructType
+
+        if mode not in ("cow", "dv"):
+            raise ValueError(f"update mode must be 'cow' or 'dv', got {mode!r}")
+        base = self.latest_version()
+        m = self._manifest(base)
+        names = self._schema_names(m)
+        unknown = [c for c in set if c not in names]
+        if unknown:
+            raise ValueError(
+                f"SET targets not in the table schema: {unknown}"
+            )
+        for c in set:
+            if c in m.get("identity", {}):
+                raise ValueError(
+                    f"column {c!r} is GENERATED ALWAYS AS IDENTITY — "
+                    "it cannot be SET"
+                )
+            if c in m.get("generated", {}):
+                raise ValueError(
+                    f"column {c!r} is a generated column — it is "
+                    "recomputed automatically when its inputs change, "
+                    "not SET directly"
+                )
+        full, straddle = self._classify_files(m, where)
+        affected_rels = [
+            rel
+            for d in (full, straddle)
+            for rels in d.values()
+            for rel in rels
+        ]
+        n_total = sum(len(rels) for rels in m["files"].values())
+        if not affected_rels:
+            self.last_dml = {
+                "files_rewritten": 0,
+                "files_untouched": n_total,
+            }
+            return base
+        touched = sorted(builtins.set(full) | builtins.set(straddle))
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        types = {f.name: f.dataType for f in schema.fields}
+
+        def post_image(pre: DataFrame) -> DataFrame:
+            """Apply SET simultaneously (pre-image semantics), recompute
+            generated columns, then validate — in that order."""
+            assigns = {
+                c: F.expr(f"({e})").cast(types[c]) for c, e in set.items()
+            }
+            out = pre.select(
+                *[
+                    assigns.get(f.name, F.col(f.name)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            out = self._recompute_generated(m, out)
+            self._check_constraints(m, out)
+            self._check_partition_values(m, out)
+            return out
+
+        pred_json = self._pred_json(where)
+        if mode == "dv":
+            pred = self._pred_expr(where, col_of=lambda c: self._phys(m, c))
+            matched = (
+                self._dv_scan(m, affected_rels)
+                .where(F.coalesce(pred, F.lit(False)))
+                .persist()
+            )
+            try:
+                cmap = self._colmap(m)
+                pre = matched.select(
+                    *[
+                        F.col(cmap.get(f.name, f.name)).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
+                updated = post_image(pre).withColumn(
+                    "__bucket", self._bucket_expr(m)
+                )
+                new_files, new_stats = self._write_bucket_files(
+                    updated,
+                    self._bloom_cols_phys(m),
+                    colmap=cmap,
+                    partition_by=m.get("partition_by"),
+                )
+                if not new_files:
+                    self.last_dml = {
+                        "files_rewritten": 0,
+                        "files_untouched": n_total,
+                        "rows_updated": 0,
+                    }
+                    return base  # advisory affected set held no victims
+                hits = matched.select(
+                    F.col("__dv_file").alias("data_file"),
+                    F.col("__dv_pos").alias("pos"),
+                )
+                dv_rel, n_dead = self._write_dv_sidecar(hits)
+            finally:
+                matched.unpersist()
+            self.last_dml = {
+                "files_rewritten": 0,
+                "files_untouched": n_total,
+                "rows_updated": n_dead,
+            }
+
+            def assemble_dv(mb: dict) -> dict:
+                files = dict(mb["files"])
+                for b, rels in new_files.items():
+                    files[b] = files.get(b, []) + rels
+                dvs_b = dict(mb.get("dvs", {}))
+                for rel in affected_rels:
+                    dvs_b[rel] = dvs_b.get(rel, []) + [dv_rel]
+                return self._next_manifest(mb, files, new_stats, dvs=dvs_b)
+
+            return self._commit_rebased(
+                m,
+                base,
+                assemble_dv,
+                op={
+                    "operation": "UPDATE",
+                    "mode": "dv",
+                    "predicate": pred_json,
+                    "metrics": dict(self.last_dml),
+                },
+                touched=touched,
+            )
+        # copy-on-write: one pass over the affected files; unmatched rows
+        # carried verbatim, matched rows replaced by their post-image;
+        # __bucket recomputed AFTER generated recompute, so key/partition
+        # updates route rows to their new buckets and directories
+        src = self._read_files(
+            [self._entry_full(r) for r in affected_rels], m
+        )
+        pred = F.coalesce(self._pred_expr(where), F.lit(False))
+        out = (
+            post_image(src.where(pred))
+            .unionByName(src.where(~pred))
+            .withColumn("__bucket", self._bucket_expr(m))
+        )
+        new_files, new_stats = self._write_bucket_files(
+            out,
+            self._bloom_cols_phys(m),
+            colmap=self._colmap(m),
+            partition_by=m.get("partition_by"),
+        )
+        dropped = builtins.set(affected_rels)
+        self.last_dml = {
+            "files_rewritten": len(affected_rels),
+            "files_untouched": n_total - len(affected_rels),
+        }
+
+        def assemble_cow(mb: dict) -> dict:
+            files = {}
+            for b, rels in mb["files"].items():
+                kept = [r for r in rels if r not in dropped]
+                if kept:
+                    files[b] = kept
+            for b, rels in new_files.items():
+                files[b] = files.get(b, []) + rels
+            return self._next_manifest(mb, files, new_stats)
+
+        return self._commit_rebased(
+            m,
+            base,
+            assemble_cow,
+            op={
+                "operation": "UPDATE",
+                "mode": "cow",
+                "predicate": pred_json,
+                "metrics": dict(self.last_dml),
+            },
+            touched=touched,
+        )
+
     def compact(
         self,
         zorder_by: tuple | None = None,
@@ -3371,7 +4139,17 @@ class SnapshotTable:
             sval = str(partition)
             pool = {b: r for b, r in pool.items() if _part_of(b) == sval}
         if zorder_by is None:
-            targets = sorted(b for b, rels in pool.items() if len(rels) > 1)
+            # multi-file buckets (append debris) AND any bucket whose
+            # files carry deletion vectors — OPTIMIZE is the DV purge
+            # point (Delta rewrites DV-carrying files regardless of
+            # size), so a single-file bucket with dead rows still
+            # rewrites to apply-and-drop them
+            dvs = m.get("dvs", {})
+            targets = sorted(
+                b
+                for b, rels in pool.items()
+                if len(rels) > 1 or any(rel in dvs for rel in rels)
+            )
         else:
             targets = sorted(pool)  # clustered rewrite touches all in scope
         if not targets:

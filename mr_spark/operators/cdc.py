@@ -1193,7 +1193,7 @@ def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     exp = [
         (1, "CREATE", {}),
-        (2, "MERGE", {"clauses": ["upsert"]}),
+        (2, "MERGE", {"clauses": ["upsert"], "schema_evolved": False}),
         (3, "DELETE", {"mode": "cow"}),
         (4, "APPEND", {"schema_evolved": False}),
     ]
@@ -3435,4 +3435,314 @@ def snapshot_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM mrspark_snap_v1 GROUP BY o_orderpriority) v
           ON c.priority = v.priority
         """
+    )
+
+
+def _dml_delete_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """3-version history for the predicate-DELETE query: v1 = orders,
+    value-partitioned by priority; v2 = DELETE WHERE priority =
+    '1-URGENT' (classifies the whole partition fully-covered — pure
+    manifest metadata); v3 = merge-on-read DELETE WHERE o_orderkey <=
+    max_key//10 (DV sidecar; the bound derives from the data so the
+    victim set is nonempty at every sf and scaled corpus). Memoized per
+    process (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 3)
+    cached = _FIXTURES.get(key)
+    if _fixture_alive(cached, spark, 3):
+        return cached
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    t = SnapshotTable.create(
+        spark,
+        _snapshot_demo_path(demo),
+        o,
+        key="o_orderkey",
+        n_buckets=4,
+        partition_by="o_orderpriority",
+    )
+    t.delete(where=("o_orderpriority", "1-URGENT", "1-URGENT"))
+    k_hi = o.agg(F.expr("max(o_orderkey) div 10")).first()[0]
+    t.delete(where=("o_orderkey", 1, int(k_hi)), mode="dv")
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "acid_delete_where",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE o_orderpriority <> '1-URGENT'
+      AND o_orderkey NOT BETWEEN 1 AND
+          (SELECT MAX(o_orderkey) // 10 FROM orders)
+    GROUP BY 1
+    """,
+)
+def acid_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE — Delta's ``DELETE FROM t WHERE ...``
+    (SnapshotTable.delete — mr_spark/acid.py). Every file is classified
+    from MANIFEST STATS ALONE before anything is read: provably-disjoint
+    files untouched, provably fully-covered files dropped metadata-only
+    (min/max inside bounds + recorded zero null count; exact partition
+    values on value-partitioned tables), and only boundary-straddling
+    files pay data movement — rewritten under mode='cow', or left
+    byte-identical under mode='dv' with victims recorded in a
+    deletion-vector sidecar. The query RAISES unless (a) the
+    partition-range delete's commit metrics show ZERO files rewritten
+    (drop-a-region is O(manifest), like Delta removing whole-file
+    matches without rewrite) and (b) the DV delete wrote NO data file —
+    every surviving v3 file already existed in v2 and a DV map appeared.
+
+    Scale: deleting a retention window from a 100 TB time-partitioned
+    table = O(partition buckets) manifest work plus a DV sidecar (or
+    rewrite) of only the boundary-straddling files — never a table
+    scan. Rows where the predicate is NULL are kept (SQL semantics)."""
+    t = _dml_delete_fixture(spark, sf_dir, "acid_dml_del_demo")
+    h = {r["version"]: r for r in t.history()}
+    mx = h[2]["params"]["metrics"]
+    if h[2]["operation"] != "DELETE" or mx["files_rewritten"] != 0 or (
+        mx["files_fully_removed"] == 0
+    ):
+        raise RuntimeError(
+            "partition-range DELETE was not metadata-only — the "
+            "fully-covered classification is broken"
+        )
+    m2, m3 = t._manifest(2), t._manifest(3)
+    v2_files = {rel for rels in m2["files"].values() for rel in rels}
+    v3_files = {rel for rels in m3["files"].values() for rel in rels}
+    if not v3_files <= v2_files or not m3.get("dvs"):
+        raise RuntimeError(
+            "DV DELETE wrote or rewrote data files — merge-on-read "
+            "degraded to copy-on-write"
+        )
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def _dml_update_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """3-version history for the predicate-UPDATE query: v1 = orders,
+    value-partitioned by priority; v2 = copy-on-write UPDATE SET
+    o_totalprice = o_totalprice * 2 WHERE priority = '5-LOW' (only that
+    partition's files rewritten — *2 is exact in binary, so the DuckDB
+    oracle replays it bit-for-bit); v3 = merge-on-read UPDATE moving
+    every o_orderkey <= max_key//10 into a NEW partition value
+    ('0-MOVED') — old row versions die by deletion vector, post-images
+    append under the new partition's directory. Memoized per process."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 3)
+    cached = _FIXTURES.get(key)
+    if _fixture_alive(cached, spark, 3):
+        return cached
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    t = SnapshotTable.create(
+        spark,
+        _snapshot_demo_path(demo),
+        o,
+        key="o_orderkey",
+        n_buckets=4,
+        partition_by="o_orderpriority",
+    )
+    t.update(
+        {"o_totalprice": "o_totalprice * 2"},
+        where=("o_orderpriority", "5-LOW", "5-LOW"),
+    )
+    k_hi = o.agg(F.expr("max(o_orderkey) div 10")).first()[0]
+    t.update(
+        {"o_orderpriority": "'0-MOVED'"},
+        where=("o_orderkey", 1, int(k_hi)),
+        mode="dv",
+    )
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "acid_update_where",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '5-LOW'
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS price,
+             o_orderpriority
+      FROM orders
+    )
+    SELECT CASE WHEN o_orderkey BETWEEN 1 AND
+                     (SELECT MAX(o_orderkey) // 10 FROM orders)
+                THEN '0-MOVED' ELSE o_orderpriority END AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM upd GROUP BY 1
+    """,
+)
+def acid_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate UPDATE — Delta's ``UPDATE t SET col = expr WHERE ...``
+    (SnapshotTable.update — mr_spark/acid.py). SET right-hand sides see
+    the PRE-image (standard SQL), results cast to the column type;
+    generated columns recompute, identity columns refuse, CHECK
+    constraints validate the post-image; updating the PARTITION column
+    (or the bucketing key) re-buckets the rows — they land in their new
+    partition's directory, Delta's rows-move-partitions rule.
+
+    Two modes, both certified live: the copy-on-write v2 rewrote ONLY
+    the matched partition's files (the query RAISES unless its commit
+    metrics show untouched files and the other partitions' file lists
+    are byte-identical across v1→v2); the merge-on-read v3 (Delta's
+    DV update) wrote NO replacement for the old rows — every v2 file
+    survives into v3, victims die in a deletion-vector sidecar, and the
+    post-images appended under the new '0-MOVED' partition directory,
+    visible to a partition-PRUNED read (the pruning ladder engages on
+    the moved value or the query raises).
+
+    Scale: a 100-row correction against a 100 TB table commits as
+    O(|updated rows|) under mode='dv' — sidecar + appended post-images
+    — instead of rewriting every affected file; reads pay the DV
+    anti-join until OPTIMIZE purges (compact applies-and-drops DVs)."""
+    t = _dml_update_fixture(spark, sf_dir, "acid_dml_upd_demo")
+    h = {r["version"]: r for r in t.history()}
+    if h[2]["operation"] != "UPDATE" or (
+        h[2]["params"]["metrics"]["files_untouched"] == 0
+    ):
+        raise RuntimeError(
+            "copy-on-write UPDATE rewrote unaffected partitions — the "
+            "stats classification is broken"
+        )
+    m1, m2, m3 = t._manifest(1), t._manifest(2), t._manifest(3)
+    for b, rels in m1["files"].items():
+        if not b.startswith("5-LOW|") and m2["files"].get(b) != rels:
+            raise RuntimeError(
+                f"UPDATE of the 5-LOW partition touched bucket {b}"
+            )
+    v2_files = {rel for rels in m2["files"].values() for rel in rels}
+    v3_files = {rel for rels in m3["files"].values() for rel in rels}
+    if not v2_files <= v3_files or not m3.get("dvs"):
+        raise RuntimeError(
+            "DV UPDATE rewrote data files — merge-on-read degraded to "
+            "copy-on-write"
+        )
+    moved = t.read(where=("o_orderpriority", "0-MOVED", "0-MOVED"))
+    if t.last_partition_prune is None or moved.limit(1).count() == 0:
+        raise RuntimeError(
+            "partition-moved rows invisible to a partition-pruned read"
+        )
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def _widen_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """3-version history for the type-widening query: v1 = even-key
+    orders with o_totalprice narrowed to FLOAT; v2 = widen_column to
+    DOUBLE (metadata-only — zero files moved); v3 = append of the
+    odd-key half STILL CARRYING FLOAT (narrow sources upcast on entry
+    after a widen, so old pipelines keep writing). Memoized per
+    process (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 3)
+    cached = _FIXTURES.get(key)
+    if _fixture_alive(cached, spark, 3):
+        return cached
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("float").alias("price"),
+        "o_orderpriority",
+    )
+    k = F.col("o_orderkey")
+    t = SnapshotTable.create(
+        spark,
+        _snapshot_demo_path(demo),
+        o.where(k % 2 == 0),
+        key="o_orderkey",
+        n_buckets=4,
+    )
+    t.widen_column("price", "double")
+    t.append(o.where(k % 2 == 1))  # still float: upcasts on entry
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "acid_type_widening",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(
+             CAST(CAST(o_totalprice AS REAL) AS DOUBLE) * 100, 0
+           ) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def acid_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING (Delta 3.2's typeWidening feature,
+    SnapshotTable.widen_column — mr_spark/acid.py): ALTER COLUMN TYPE
+    float→double as a METADATA-ONLY commit — the manifest schema takes
+    the wider type, every data file keeps its narrow pages, and the
+    parquet scan upcasts at read time (measured native on this engine).
+    The query RAISES unless (a) the widen commit moved ZERO files (v2's
+    file map is identical to v1's), (b) the live schema reads DOUBLE
+    while time travel to v1 still reads FLOAT (the log owns the schema
+    in both directions), and (c) the post-widen append of a STILL-FLOAT
+    frame landed correctly — narrow sources upcast on entry
+    (cast-before-hash: the engine hashes int and bigint / float and
+    double differently, so upcasting after bucketing would mis-route
+    rows; certified by the exact per-priority totals below).
+
+    Values quantize to integer cents (ROUND(price*100) — the house
+    exact-arithmetic rule) so the FLOAT narrowing replays bit-for-bit
+    in DuckDB: both engines compute the identical float32→double value
+    before quantizing; sums are exact BIGINT arithmetic.
+
+    Scale: widening a column of a 100 TB table is one manifest commit —
+    Delta grew this feature precisely because the alternative (rewrite
+    every file to the wider type) is a full-table job."""
+    t = _widen_fixture(spark, sf_dir, "acid_widen_demo")
+    if t._manifest(2)["files"] != t._manifest(1)["files"]:
+        raise RuntimeError(
+            "widen_column moved data files — the metadata-only property "
+            "is gone"
+        )
+    h = {r["version"]: r for r in t.history()}
+    if h[2]["operation"] != "WIDEN COLUMN":
+        raise RuntimeError("v2 is not the widen commit")
+    if dict(t.read().dtypes)["price"] != "double" or (
+        dict(t.read(1).dtypes)["price"] != "float"
+    ):
+        raise RuntimeError(
+            "schema did not widen live (or time travel lost the narrow "
+            "pre-widen schema)"
+        )
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("price") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
     )

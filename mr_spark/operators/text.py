@@ -968,3 +968,146 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_scored").cast("bigint").alias("n_scored"),
         F.round(F.exp(-F.col("s") / F.col("n_scored")), 6).alias("perplexity"),
     )
+
+
+@query(
+    "c4_rules",
+    oracle="""
+    WITH corpus AS (
+      SELECT text FROM documents
+      UNION ALL
+      SELECT text || chr(10) || 'foo bar' FROM documents WHERE doc_id % 17 = 0
+      UNION ALL
+      SELECT text || chr(10) || 'please enable javascript to continue.'
+      FROM documents WHERE doc_id % 17 = 1
+      UNION ALL
+      SELECT text || ' lorem ipsum' FROM documents WHERE doc_id % 17 = 2
+      UNION ALL
+      SELECT text || chr(10) || 'if (x) { y(); }'
+      FROM documents WHERE doc_id % 17 = 3
+      UNION ALL
+      SELECT 'One two three four. Five six seven eight.'
+      FROM documents WHERE doc_id % 17 = 4
+      UNION ALL
+      SELECT 'A b c. D e f. G h i. J k l. M n o.'
+      FROM documents WHERE doc_id % 17 = 5
+    ),
+    per_doc AS (
+      SELECT
+        len(regexp_split_to_array(text, chr(10))) AS n_lines,
+        list_filter(
+          regexp_split_to_array(text, chr(10)),
+          l -> regexp_matches(trim(l), '[.!?"]$')
+               AND len(list_filter(regexp_split_to_array(trim(l), ' +'),
+                                   w -> w <> '')) >= 3
+               AND NOT contains(lower(l), 'javascript')
+        ) AS kept,
+        NOT contains(lower(text), 'lorem ipsum') AS p_lorem,
+        NOT contains(text, '{') AS p_brace
+      FROM corpus
+    ),
+    flags AS (
+      SELECT n_lines, len(kept) AS n_kept,
+             COALESCE(list_sum(list_transform(
+               kept, l -> length(l) - length(regexp_replace(l, '[.!?]', '', 'g'))
+             )), 0) >= 5 AS p_sent,
+             p_lorem, p_brace
+      FROM per_doc
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_lines) AS BIGINT) AS lines_total,
+           CAST(SUM(n_kept) AS BIGINT) AS lines_kept,
+           CAST(SUM(CASE WHEN p_sent THEN 1 ELSE 0 END) AS BIGINT)
+             AS pass_min_sentences,
+           CAST(SUM(CASE WHEN p_lorem THEN 1 ELSE 0 END) AS BIGINT)
+             AS pass_no_lorem,
+           CAST(SUM(CASE WHEN p_brace THEN 1 ELSE 0 END) AS BIGINT)
+             AS pass_no_brace,
+           CAST(SUM(CASE WHEN p_sent AND p_lorem AND p_brace
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+    FROM flags
+    """,
+)
+def c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE C4 CLEANING BATTERY (Raffel et al. 2020 §2.2 — the heuristics
+    that built C4 from Common Crawl, the other canonical pre-filter set
+    next to Gopher's): LINE rules — keep only lines ending in terminal
+    punctuation ('.', '!', '?', '"'), with ≥3 words, not mentioning
+    "javascript" (boilerplate cookie/JS warnings) — then PAGE rules on
+    the cleaned page: ≥5 sentence marks across retained lines, no
+    "lorem ipsum" (placeholder text), no '{' (leaked source code).
+    Output: one row of corpus-level counts — total vs retained lines
+    and per-page-rule pass counts — the report a C4-style curation run
+    emits before dropping pages. (C4's badwords page rule and its
+    three-sentence-span dedup are owned elsewhere: the pattern by this
+    battery's page rules, the dedup by the exact_substring/ngram family.)
+
+    The synthetic corpus never trips the lorem/brace/javascript rules,
+    so (the gopher_rules r6 lesson) both engines AUGMENT it with six
+    deterministic doc_id%17 slices that exercise EVERY rule in BOTH
+    directions at every sf: a 2-word unterminated line (dropped), a
+    javascript line (dropped despite punctuation), a lorem-ipsum page,
+    a braced code page, a 2-sentence page (fails min-sentences), and a
+    5-sentence page (passes everything). The oracle replays the
+    augmentation exactly.
+
+    Scale: one pass over documents, all JVM-side higher-order functions
+    (split/filter/transform/aggregate — zero Python UDFs), one
+    single-row global aggregate; the only exchange is the final
+    partial-agg merge, same shape as gopher_rules."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 17
+    txt = F.col("text")
+    variants = [
+        (0, F.concat(txt, F.lit("\nfoo bar"))),
+        (1, F.concat(txt, F.lit("\nplease enable javascript to continue."))),
+        (2, F.concat(txt, F.lit(" lorem ipsum"))),
+        (3, F.concat(txt, F.lit("\nif (x) { y(); }"))),
+        (4, F.lit("One two three four. Five six seven eight.")),
+        (5, F.lit("A b c. D e f. G h i. J k l. M n o.")),
+    ]
+    corpus = docs.select("text")
+    for r, expr in variants:
+        corpus = corpus.unionAll(docs.where(m == r).select(expr.alias("text")))
+    lines = F.split(F.col("text"), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike('[.!?"]$')
+        & (
+            F.size(
+                F.filter(F.split(F.trim(l), " +"), lambda w: w != F.lit(""))
+            )
+            >= 3
+        )
+        & ~F.lower(l).contains("javascript"),
+    )
+    n_sent = F.aggregate(
+        F.transform(
+            kept,
+            lambda l: F.length(l) - F.length(F.regexp_replace(l, "[.!?]", "")),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    flags = corpus.select(
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        (n_sent >= 5).alias("p_sent"),
+        (~F.lower(F.col("text")).contains("lorem ipsum")).alias("p_lorem"),
+        (~F.col("text").contains("{")).alias("p_brace"),
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return flags.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_lines").cast("bigint").alias("lines_total"),
+        F.sum("n_kept").cast("bigint").alias("lines_kept"),
+        cnt("p_sent").alias("pass_min_sentences"),
+        cnt("p_lorem").alias("pass_no_lorem"),
+        cnt("p_brace").alias("pass_no_brace"),
+        F.sum(
+            F.when(F.col("p_sent") & F.col("p_lorem") & F.col("p_brace"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("pass_all"),
+    )

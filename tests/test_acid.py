@@ -2555,3 +2555,128 @@ def test_version_at_skips_record_expired_mid_walk(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(os.path, "getmtime", racing)
     assert t.version_at(_time.time() + 60) == 2
+
+
+def test_schema_evolution_merge_automerge(spark, tmp_path):
+    """merge_upsert(merge_schema=True) — Delta's MERGE autoMerge: source
+    columns not in the table evolve the schema IN the merge commit;
+    carried rows and pre-existing files read NULL for them; type
+    conflicts still raise; under column mapping a re-added dropped
+    column gets a fresh physical slot (no byte resurrection)."""
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")])
+    src = spark.createDataFrame(
+        [(2, "B", 9.5), (4, "d", 1.5)], "k bigint, v string, score double"
+    )
+    with pytest.raises(ValueError, match="autoMerge"):
+        t.merge_upsert(src)
+    v = t.merge_upsert(src, merge_schema=True)
+    got = sorted(
+        (r["k"], r["v"], r["score"]) for r in t.read().collect()
+    )
+    assert got == [(1, "a", None), (2, "B", 9.5), (3, "c", None), (4, "d", 1.5)]
+    # pre-evolution version still reads the old schema
+    assert t.read(1).columns == ["k", "v"]
+    h = {r["version"]: r for r in t.history()}
+    assert h[v]["params"]["schema_evolved"] is True
+    # type conflict on an existing column raises even with the flag
+    bad = spark.createDataFrame([(5, 7)], "k bigint, v bigint")
+    with pytest.raises(ValueError, match="type"):
+        t.merge_upsert(bad, merge_schema=True)
+    # a fresh reader sees the evolved schema
+    fresh = SnapshotTable(spark, t.path)
+    assert fresh.read().columns == ["k", "v", "score"]
+
+
+def test_merge_automerge_dropped_column_fresh_physical(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    ev = spark.createDataFrame(
+        [(3, "c", 99)], "k bigint, v string, extra bigint"
+    )
+    t.append(ev, merge_schema=True)
+    t.drop_column("extra")
+    # re-add via MERGE: old files' "extra" bytes must NOT come back
+    t.merge_upsert(
+        spark.createDataFrame([(1, "A", 7)], "k bigint, v string, extra bigint"),
+        merge_schema=True,
+    )
+    got = {r["k"]: r["extra"] for r in t.read().collect()}
+    assert got == {1: 7, 2: None, 3: None}
+    m = t._manifest(t.latest_version())
+    assert m.get("colmap", {}).get("extra", "extra") != "extra"
+
+
+def test_type_widening_metadata_only(spark, tmp_path):
+    """widen_column — Delta's typeWidening: the manifest schema takes the
+    wider type, data files keep their narrow pages (zero movement), the
+    scan upcasts; time travel predates the widening; narrow sources
+    upcast on entry afterwards; lossy changes and hazardous columns
+    refuse."""
+    df = spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5)], "k bigint, n int, f float"
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "w"), df, key="k", n_buckets=2
+    )
+    v = t.widen_column("n", "bigint")
+    assert t._manifest(v)["files"] == t._manifest(1)["files"]  # no rewrite
+    assert dict(t.read().dtypes)["n"] == "bigint"
+    assert dict(t.read(1).dtypes)["n"] == "int"  # time travel: old schema
+    t.widen_column("f", "double")
+    assert sorted((r["k"], r["n"], r["f"]) for r in t.read().collect()) == [
+        (1, 10, 1.5), (2, 20, 2.5)
+    ]
+    # narrow-typed append and merge sources upcast on entry and their
+    # keys hash into the RIGHT buckets (cast-before-hash)
+    t.append(spark.createDataFrame([(3, 30, 3.5)], "k bigint, n int, f float"))
+    t.merge_upsert(
+        spark.createDataFrame([(2, 99, 9.5)], "k bigint, n int, f float")
+    )
+    rows = sorted((r["k"], r["n"], r["f"]) for r in t.read().collect())
+    assert rows == [(1, 10, 1.5), (2, 99, 9.5), (3, 30, 3.5)]
+    # predicate DML sees the widened column
+    t.delete(where=("n", 99, 99))
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3]
+    # lossy / narrowing refused
+    with pytest.raises(ValueError, match="lossless"):
+        t.widen_column("n", "int")
+    with pytest.raises(ValueError, match="lossless"):
+        t.widen_column("k", "double")
+    # survives a fresh reader + checkpointed restore
+    fresh = SnapshotTable(spark, t.path)
+    assert dict(fresh.read().dtypes)["n"] == "bigint"
+
+
+def test_type_widening_refuses_hazard_columns(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 10, 5)], "k int, part int, b int"
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "wh"), df, key="k", n_buckets=2,
+        partition_by="part", bloom_cols=("b",),
+    )
+    with pytest.raises(ValueError, match="bucket key"):
+        t.widen_column("k", "bigint")  # int/bigint hash differently
+    with pytest.raises(ValueError, match="partition"):
+        t.widen_column("part", "bigint")  # canonical value would change
+    with pytest.raises(ValueError, match="bloom"):
+        t.widen_column("b", "bigint")  # stored blooms hashed narrow values
+    df2 = spark.createDataFrame([(1, 10)], "k bigint, n int")
+    t2 = SnapshotTable.create(
+        spark, str(tmp_path / "wc"), df2, key="k", n_buckets=2,
+    )
+    t2.add_constraint("n_pos", "n > 0")
+    with pytest.raises(ValueError, match="constraint"):
+        t2.widen_column("n", "bigint")
+
+
+def test_narrow_keys_frame_hits_right_buckets(spark, tmp_path):
+    """cast-before-hash: an int-typed keys frame against a bigint-keyed
+    table must locate (and delete) its victims — hash(int) != hash(bigint)
+    would silently miss them."""
+    t = _mk(spark, tmp_path, [(k, f"v{k}") for k in range(20)])
+    t.delete_keys(spark.createDataFrame([(3,), (7,)], "k int"))
+    assert sorted(r["k"] for r in t.read().collect()) == sorted(
+        k for k in range(20) if k not in (3, 7)
+    )
+    t.delete_keys(spark.createDataFrame([(5,)], "k int"), mode="dv")
+    assert 5 not in {r["k"] for r in t.read().collect()}

@@ -1,0 +1,353 @@
+"""Predicate DML protocol tests — SnapshotTable.delete(where=...) and
+.update(set=..., where=...) (mr_spark/acid.py), Delta's DELETE/UPDATE:
+
+* the stats trichotomy (disjoint untouched / fully-covered dropped
+  metadata-only / straddling rewritten or DV'd),
+* copy-on-write vs merge-on-read modes and their manifest shapes,
+* SET semantics (pre-image RHS, type cast, generated recompute,
+  identity refusal, constraint enforcement, partition moves),
+* interaction with time travel, CDF, DVs, compaction and conflicts.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_spark.acid import ConstraintViolation, SnapshotTable
+
+
+def _mk(spark, tmp_path, rows, name="tbl", **kw):
+    df = spark.createDataFrame(rows, "k bigint, grp string, x double")
+    return SnapshotTable.create(
+        spark, str(tmp_path / name), df, key="k", n_buckets=4, **kw
+    )
+
+
+ROWS = [(k, "even" if k % 2 == 0 else "odd", float(k)) for k in range(40)]
+
+
+def _vals(t, version=None):
+    return sorted(
+        (r["k"], r["grp"], r["x"]) for r in t.read(version=version).collect()
+    )
+
+
+# ---- DELETE ---------------------------------------------------------------
+
+
+def test_delete_cow_rows_and_null_semantics(spark, tmp_path):
+    rows = ROWS + [(100, None, None)]  # NULL x: predicate is NULL -> kept
+    t = _mk(spark, tmp_path, rows)
+    t.delete(where=("x", 10.0, 19.0))
+    got = _vals(t)
+    exp = sorted(
+        (k, g, x) for k, g, x in rows if x is None or not (10.0 <= x <= 19.0)
+    )
+    assert got == exp
+
+
+def test_delete_full_table_is_metadata_only(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    files_v1 = {
+        rel for rels in t._manifest(1)["files"].values() for rel in rels
+    }
+    v = t.delete()
+    assert t.read().count() == 0
+    assert t.last_dml["files_rewritten"] == 0
+    assert t.last_dml["files_fully_removed"] == len(files_v1)
+    # zero data movement: no new data files exist beyond v1's
+    assert t._manifest(v)["files"] == {}
+    for rel in files_v1:  # old files intact for time travel
+        assert os.path.exists(os.path.join(t.path, rel))
+    assert t.read(version=1).count() == len(ROWS)
+
+
+def test_delete_covering_range_drops_files_without_read(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    v = t.delete(where=("x", -1.0, 1000.0))  # covers every file's [min,max]
+    assert t.read().count() == 0
+    assert t.last_dml["files_rewritten"] == 0
+    assert t.last_dml["files_fully_removed"] > 0
+    assert t._manifest(v)["files"] == {}
+
+
+def test_delete_null_rows_block_full_coverage(spark, tmp_path):
+    # a file holding NULL x rows must NOT be dropped whole by a covering
+    # range — NULLs never match, so the drop would over-delete
+    rows = ROWS + [(200, "none", None)]
+    t = _mk(spark, tmp_path, rows)
+    t.delete(where=("x", -1.0, 1000.0))
+    assert t.last_dml["files_rewritten"] > 0  # NULL-carrying files rewrote
+    got = _vals(t)
+    assert got == [(200, "none", None)]
+
+
+def test_delete_partition_equality_is_metadata_only(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS, partition_by="grp")
+    t.delete(where=("grp", "even", "even"))
+    assert t.last_dml["files_rewritten"] == 0
+    assert t.last_dml["files_fully_removed"] > 0
+    assert t.last_dml["files_untouched"] > 0  # the other partition
+    assert {r["grp"] for r in t.read().collect()} == {"odd"}
+
+
+def test_delete_disjoint_predicate_commits_nothing(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    v0 = t.latest_version()
+    assert t.delete(where=("x", 500.0, 600.0)) == v0
+    assert t.latest_version() == v0
+    assert t.last_dml["files_fully_removed"] == 0
+    assert t.last_dml["files_rewritten"] == 0
+
+
+def test_delete_unknown_column_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.delete(where=("nope", 1, 2))
+    with pytest.raises(ValueError, match="mode"):
+        t.delete(where=("x", 1.0, 2.0), mode="zap")
+
+
+def test_delete_dv_is_merge_on_read_and_compact_purges(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    v = t.delete(where=("x", 10.0, 19.0), mode="dv")
+    m1, m2 = t._manifest(v - 1), t._manifest(v)
+    assert m1["files"] == m2["files"]  # zero data files touched
+    assert m2.get("dvs")
+    assert t.last_dml["rows_deleted_by_dv"] == 10
+    exp = sorted((k, g, x) for k, g, x in ROWS if not (10.0 <= x <= 19.0))
+    assert _vals(t) == exp
+    # re-deleting the same range is a no-op: victims already dead
+    v0 = t.latest_version()
+    assert t.delete(where=("x", 10.0, 19.0), mode="dv") == v0
+    # compaction applies and drops the DVs
+    t.compact(files_per_bucket=1)
+    assert not t._manifest(t.latest_version()).get("dvs")
+    assert _vals(t) == exp
+
+
+def test_delete_mixed_full_and_straddle(spark, tmp_path):
+    # partition equality (full drop) AND a range that straddles within it
+    t = _mk(spark, tmp_path, ROWS, partition_by="grp")
+    t.delete([("grp", "odd", "odd"), ("x", 0.0, 20.0)])
+    exp = sorted(
+        (k, g, x)
+        for k, g, x in ROWS
+        if not (g == "odd" and 0.0 <= x <= 20.0)
+    )
+    assert _vals(t) == exp
+    # only the odd partition's files were candidates
+    assert t.last_dml["files_untouched"] > 0
+
+
+def test_delete_operation_metrics_in_history(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    t.delete(where=("x", 10.0, 19.0))
+    h = t.history(limit=1)[0]
+    assert h["operation"] == "DELETE"
+    assert h["params"]["predicate"] == [["x", 10.0, 19.0]]
+    assert "metrics" in h["params"]
+
+
+# ---- UPDATE ---------------------------------------------------------------
+
+
+def test_update_preimage_semantics_and_cast(spark, tmp_path):
+    # both RHS see PRE-image values: swapping via x = k, k = x is exact;
+    # the k expression (double) casts back to the column's bigint type
+    t = _mk(spark, tmp_path, ROWS)
+    t.update({"x": "CAST(k AS DOUBLE) * 10", "k": "k + 1000"},
+             where=("x", 0.0, 9.0))
+    got = _vals(t)
+    exp = sorted(
+        (k + 1000, g, float(k) * 10) if 0.0 <= x <= 9.0 else (k, g, x)
+        for k, g, x in ROWS
+    )
+    assert got == exp
+
+
+def test_update_all_rows_without_where(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    t.update({"x": "x + 0.5"})
+    assert _vals(t) == sorted((k, g, x + 0.5) for k, g, x in ROWS)
+
+
+def test_update_null_predicate_rows_not_updated(spark, tmp_path):
+    rows = ROWS + [(100, None, None)]
+    t = _mk(spark, tmp_path, rows)
+    t.update({"grp": "'hit'"}, where=("x", 0.0, 1000.0))
+    got = dict((r["k"], r["grp"]) for r in t.read().collect())
+    assert got[100] is None  # NULL never matches
+    assert got[0] == "hit"
+
+
+def test_update_only_affected_files_rewritten(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS, partition_by="grp")
+    before = t._manifest(t.latest_version())["files"]
+    t.update({"x": "x + 100"}, where=("grp", "even", "even"))
+    after = t._manifest(t.latest_version())["files"]
+    # odd partition's buckets byte-identical (carried by reference)
+    for b, rels in before.items():
+        if b.startswith("odd|"):
+            assert after[b] == rels
+    assert t.last_dml["files_untouched"] > 0
+
+
+def test_update_moves_rows_across_partitions(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS, partition_by="grp")
+    t.update({"grp": "'third'"}, where=("x", 0.0, 9.0))
+    pruned = t.read(where=("grp", "third", "third"))
+    assert pruned.count() == 10
+    assert t.last_partition_prune is not None  # pruning engaged
+    assert os.path.isdir(os.path.join(t.path, "data", "grp=third"))
+    assert t.read().where(F.col("grp") == "even").count() == 15
+
+
+def test_update_rebuckets_key_changes(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    t.update({"k": "k + 1000"}, where=("x", 0.0, 3.0))
+    # merge on a MOVED key must find the row in its new bucket
+    src = spark.createDataFrame([(1001, "merged", -1.0)],
+                                "k bigint, grp string, x double")
+    t.merge_upsert(src)
+    got = {r["k"]: r["grp"] for r in t.read().collect()}
+    assert got[1001] == "merged"
+    assert 1 not in got
+
+
+def test_update_identity_and_generated_refusals(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2.0)], "k bigint, x double")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "ident"), df, key="k", n_buckets=2,
+        identity="rid",
+    )
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t.update({"rid": "1"}, where=("k", 1, 1))
+    df2 = spark.createDataFrame([(1, 2.0)], "k bigint, x double")
+    t2 = SnapshotTable.create(
+        spark, str(tmp_path / "gen"), df2, key="k", n_buckets=2,
+        generated={"x2": "x * 2"},
+    )
+    with pytest.raises(ValueError, match="generated"):
+        t2.update({"x2": "99"}, where=("k", 1, 1))
+
+
+def test_update_recomputes_generated_from_new_inputs(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "k bigint, x double")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "gen2"), df, key="k", n_buckets=2,
+        generated={"x2": "x * 2"},
+    )
+    t.update({"x": "x + 10"}, where=("k", 1, 1))
+    got = {r["k"]: (r["x"], r["x2"]) for r in t.read().collect()}
+    assert got[1] == (12.0, 24.0)
+    assert got[2] == (3.0, 6.0)
+
+
+def test_update_constraint_violation_commits_nothing(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    t.add_constraint("x_nonneg", "x >= 0")
+    v0 = t.latest_version()
+    with pytest.raises(ConstraintViolation):
+        t.update({"x": "-x - 1"}, where=("k", 0, 5))
+    assert t.latest_version() == v0
+    assert _vals(t) == sorted(ROWS)
+
+
+def test_update_dv_appends_postimages_without_rewrites(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    before = t._manifest(t.latest_version())["files"]
+    v = t.update({"x": "x * 2"}, where=("x", 0.0, 4.0), mode="dv")
+    m = t._manifest(v)
+    for b, rels in before.items():  # every old file carried
+        assert set(rels) <= set(m["files"].get(b, []))
+    assert m.get("dvs")
+    assert t.last_dml["rows_updated"] == 5
+    exp = sorted(
+        (k, g, x * 2 if 0.0 <= x <= 4.0 else x) for k, g, x in ROWS
+    )
+    assert _vals(t) == exp
+    # time travel to the pre-update version is exact
+    assert _vals(t, version=v - 1) == sorted(ROWS)
+
+
+def test_update_dv_noop_when_no_rows_match(spark, tmp_path):
+    # stats keep a file as straddle candidate, but no row matches
+    t = _mk(spark, tmp_path, ROWS)
+    v0 = t.latest_version()
+    assert t.update({"x": "0.0"}, where=("x", 10.4, 10.6), mode="dv") == v0
+
+
+def test_dml_changes_feed_sees_delete_and_update(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    v1 = t.latest_version()
+    t.delete(where=("x", 0.0, 1.0))
+    v_upd = t.update({"grp": "'bumped'"}, where=("x", 2.0, 2.0))
+    ch = t.changes(v1, v_upd)
+    kinds = {
+        (r["k"], r["_change_type"]) for r in ch.select("k", "_change_type").collect()
+    }
+    assert (0, "delete") in kinds and (1, "delete") in kinds
+    assert (2, "update_preimage") in kinds and (2, "update_postimage") in kinds
+
+
+def test_delete_conflicts_with_overlapping_writer(spark, tmp_path):
+    from mr_spark.acid import ConflictError
+
+    t = _mk(spark, tmp_path, ROWS)
+    t2 = SnapshotTable(spark, t.path)
+    # concurrent merge rewrites a bucket the delete's cow read covers
+    t._pre_commit_hook = lambda: t2.merge_upsert(
+        spark.createDataFrame([(0, "even", 0.0)], "k bigint, grp string, x double")
+    )
+    with pytest.raises(ConflictError):
+        t.delete(where=("x", 0.0, 5.0))
+
+
+def test_delete_rebases_over_disjoint_partition_append(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS, partition_by="grp")
+    t2 = SnapshotTable(spark, t.path)
+    extra = spark.createDataFrame(
+        [(1000, "new", 1000.0)], "k bigint, grp string, x double"
+    )
+    t._pre_commit_hook = lambda: t2.append(extra)
+    t.delete(where=("grp", "even", "even"))
+    assert t.last_commit_retries == 1
+    grps = {r["grp"] for r in t.read().collect()}
+    assert grps == {"odd", "new"}
+
+
+def test_dml_on_renamed_column_table(spark, tmp_path):
+    # column mapping: predicate and SET target use LOGICAL names while
+    # files store the old physical name — both modes must translate
+    t = _mk(spark, tmp_path, ROWS)
+    t.rename_column("x", "score")
+    t.delete(where=("score", 0.0, 4.0), mode="dv")
+    t.update({"score": "score + 1000"}, where=("score", 5.0, 9.0))
+    got = sorted((r["k"], r["score"]) for r in t.read().collect())
+    exp = sorted(
+        (k, x + 1000 if 5.0 <= x <= 9.0 else x)
+        for k, _, x in ROWS
+        if not (0.0 <= x <= 4.0)
+    )
+    assert got == exp
+
+
+def test_update_preserves_identity_values(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(k, float(k)) for k in range(10)], "k bigint, x double"
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "ident2"), df, key="k", n_buckets=2,
+        identity="rid",
+    )
+    before = {r["k"]: r["rid"] for r in t.read().collect()}
+    t.update({"x": "x * 10"}, where=("k", 0, 4))
+    after = {r["k"]: r["rid"] for r in t.read().collect()}
+    assert after == before  # rewrite carries ids; no re-allocation
+    t.append(spark.createDataFrame([(100, 1.0)], "k bigint, x double"))
+    rids = [r["rid"] for r in t.read().collect()]
+    assert len(set(rids)) == len(rids)  # high-water mark never reused

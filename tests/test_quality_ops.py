@@ -219,3 +219,49 @@ def test_gopher_line_rule_moves_both_ways_on_real_corpus(spark):
         f"pass_line_rules={out['pass_line_rules']} of {out['n_docs']} — "
         "rule 4 is degenerate again"
     )
+
+
+def test_c4_rules_on_constructed_corpus(spark, tmp_path):
+    """Hand-built documents exercise every C4 rule in BOTH directions;
+    doc_ids 6..12 (mod 17) sit OUTSIDE the query's augmentation slices,
+    so the expectations below count exactly these five docs."""
+    import os
+
+    five_sent = "The cat sat here. " * 5  # 5 sentences, 4-word lines
+    docs = [
+        (23, five_sent.strip()),                       # passes everything
+        (24, "no terminal punct here\nshort."),        # kept=1 line, 1 sent: fails min-sentences
+        (25, five_sent + " lorem ipsum is here."),     # fails no_lorem
+        (26, five_sent + "\ncode { x } ahead."),       # fails no_brace
+        (27, "please enable javascript now. " * 5),    # all lines dropped: fails min-sentences
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    df.select("doc_id", "text", F.lit("en").alias("lang"),
+              F.lit("t").alias("source"),
+              F.length("text").cast("bigint").alias("n_chars")) \
+      .coalesce(1).write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    from mr_spark.operators.text import c4_rules
+
+    out = c4_rules(spark, str(tmp_path)).collect()[0].asDict()
+    assert out == {
+        "n_docs": 5,
+        "lines_total": 7,          # 1 + 2 + 1 + 2 + 1 (per-doc line counts)
+        "lines_kept": 4,           # 23:1; 24:0 (no punct / <3 words);
+                                   # 25:1; 26:2; 27:0 (javascript line)
+        "pass_min_sentences": 3,   # 24 (0 kept lines) and 27 (0 kept) fail
+        "pass_no_lorem": 4,        # 25 fails
+        "pass_no_brace": 4,        # 26 fails
+        "pass_all": 1,             # only 23 passes every page rule
+    }
+
+
+def test_c4_rules_move_both_ways_on_real_corpus(spark):
+    """Every C4 counter must be strictly interior at every sf — the
+    doc_id%17 augmentation slices guarantee both directions."""
+    out = ops.queries()["c4_rules"](spark, SF_DIR).collect()[0]
+    for col in ("pass_min_sentences", "pass_no_lorem", "pass_no_brace",
+                "pass_all"):
+        assert 0 < out[col] < out["n_docs"], (
+            f"{col}={out[col]} of {out['n_docs']} — degenerate"
+        )
+    assert 0 < out["lines_kept"] < out["lines_total"]

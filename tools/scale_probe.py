@@ -170,6 +170,13 @@ PROBES = [
     "snapshot_sink_partitioned",
     # round-7: pure-SQL view surface over snapshot tables
     "snapshot_sql_view",
+    # round-7: predicate DML (DELETE WHERE / UPDATE SET, cow + DV)
+    "acid_delete_where",
+    "acid_update_where",
+    # round-7: C4 cleaning battery (Raffel et al. 2020)
+    "c4_rules",
+    # round-7: metadata-only type widening read path
+    "acid_type_widening",
 ]
 
 KEY_SHIFTS = {
