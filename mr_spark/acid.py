@@ -2584,6 +2584,8 @@ class SnapshotTable:
                 "merge_upsert source has multiple rows for the same key; "
                 "deduplicate the source first"
             )
+        from pyspark.sql.types import StructType
+
         # type alignment BEFORE __bucket (lossless upcasts; mismatches
         # raise) — see _align_source_types for why this must come first
         source, table_schema, added = self._align_source_types(m, source)
@@ -4347,6 +4349,7 @@ class SnapshotTable:
         feed: DataFrame,
         batch_id: int | None = None,
         app_id: str = "cdf_apply",
+        merge_schema: bool = False,
     ) -> int:
         """Apply one change-feed slice (the schema :meth:`changes` emits:
         ``_change_type`` + table columns) to THIS table in ONE atomic
@@ -4367,7 +4370,12 @@ class SnapshotTable:
         Like MERGE (and DLT), the batch must carry at most ONE post-state
         row per key — raises otherwise. Feeds created by appending
         duplicate-key copies need multiset apply, not keyed apply; use
-        the feed directly (e.g. maintain_agg_view) for those."""
+        the feed directly (e.g. maintain_agg_view) for those.
+
+        SCHEMA EVOLUTION: with ``merge_schema=True``, feed columns not
+        yet in this table evolve its schema in the same commit (the
+        autoMerge rule from merge_upsert) — so a replica keeps following
+        an upstream that evolved; without the flag, new columns raise."""
         base = self.latest_version()
         m = self._manifest(base)
         recorded = self._txns(m).get(app_id)
@@ -4382,23 +4390,43 @@ class SnapshotTable:
         feed.persist()
         try:
             return self._apply_changes_inner(
-                feed, m, base, key, n_buckets, batch_id, app_id
+                feed, m, base, key, n_buckets, batch_id, app_id, merge_schema
             )
         finally:
             feed.unpersist()
 
     def _apply_changes_inner(
-        self, feed, m, base, key, n_buckets, batch_id, app_id
+        self, feed, m, base, key, n_buckets, batch_id, app_id,
+        merge_schema=False,
     ) -> int:
+        from pyspark.sql.types import StructType
+        # cast-before-hash (the _align_source_types rule): the feed's
+        # key drives the touched-bucket planning below, and a
+        # narrow-typed key (int feed against a bigint table) would hash
+        # into buckets a correctly-typed lookup never reads
+        feed = feed.withColumn(key, F.col(key).cast(self._key_type(m)))
         post = feed.where(
             F.col("_change_type").isin("insert", "update_postimage")
         ).drop("_change_type")
-        extra = [c for c in post.columns if c not in self._schema_names(m)]
-        if extra:
+        # value columns upcast too (lossless only) so post-widening
+        # feeds keep replicating unchanged; `added` = columns an evolved
+        # upstream grew that this replica doesn't have yet
+        post, table_schema, added = self._align_source_types(m, post)
+        if added and not merge_schema:
             raise ValueError(
                 f"apply_changes feed has columns not in the table schema: "
-                f"{extra}; evolve the schema first"
+                f"{[f.name for f in added]}; pass merge_schema=True "
+                "(schema-evolving CDC apply) or evolve the target first"
             )
+        # fresh physical slots for evolved names (append/merge's rule)
+        cmap = dict(self._colmap(m))
+        if added:
+            used_phys = {
+                cmap.get(f.name, f.name) for f in table_schema.fields
+            } | set(m.get("phys_tombstones", []))
+            for f in added:
+                if f.name in used_phys:
+                    cmap[f.name] = f"{f.name}_{uuid.uuid4().hex[:8]}"
         dup = (
             post.groupBy(key)
             .agg(F.count("*").alias("c"))
@@ -4503,7 +4531,7 @@ class SnapshotTable:
         merged = self._recompute_generated(m, merged)
         try:
             new_files, new_stats = self._write_bucket_files(
-                merged, self._bloom_cols_phys(m), colmap=self._colmap(m),
+                merged, self._bloom_cols_phys(m), colmap=cmap,
                 partition_by=m.get("partition_by"),
             )
         finally:
@@ -4515,7 +4543,7 @@ class SnapshotTable:
                 if b not in set(affected)
             }
             files.update(new_files)
-            return self._next_manifest(
+            nxt = self._next_manifest(
                 mb,
                 files,
                 new_stats,
@@ -4523,12 +4551,17 @@ class SnapshotTable:
                 app_id,
                 identity={ident_col: new_hw} if new_hw is not None else None,
             )
+            if added:
+                nxt["schema"] = StructType(table_schema.fields + added).json()
+                if cmap:
+                    nxt["colmap"] = cmap
+            return nxt
 
         return self._commit_rebased(
             m,
             base,
             assemble,
-            op={"operation": "CDC APPLY"},
+            op={"operation": "CDC APPLY", "schema_evolved": bool(added)},
             touched=affected,
             batch_id=batch_id,
             app_id=app_id,

@@ -1,5 +1,6 @@
 """Model-based property test for SnapshotTable (mr_spark/acid.py):
-random operation sequences (merge / blind append / keyed delete / restore /
+random operation sequences (merge / blind append / keyed delete /
+predicate DELETE-and-UPDATE in cow and deletion-vector modes / restore /
 compact) run both against the real table and an in-memory multiset
 model; after every op the table's read() must equal the model, and the
 per-commit change feed must equal the model's multiset diff under the
@@ -48,6 +49,19 @@ def _op():
     merge_cl = st.dictionaries(KEYS, VALS, min_size=1, max_size=3).map(
         lambda d: ("merge_cl", sorted(d.items()))
     )
+    # predicate DML (round 7): DELETE WHERE k BETWEEN lo AND hi, and
+    # UPDATE SET v = <const> WHERE k BETWEEN lo AND hi — each in both
+    # copy-on-write and merge-on-read (deletion vector) modes; the model
+    # applies the same range filter row by row
+    krange = st.tuples(KEYS, KEYS).map(lambda p: (min(p), max(p)))
+    delete_where = krange.map(lambda r: ("delete_where", r))
+    delete_where_dv = krange.map(lambda r: ("delete_where_dv", r))
+    update_where = st.tuples(krange, VALS).map(
+        lambda p: ("update_where", (p[0][0], p[0][1], p[1]))
+    )
+    update_where_dv = st.tuples(krange, VALS).map(
+        lambda p: ("update_where_dv", (p[0][0], p[0][1], p[1]))
+    )
     compact = st.just(("compact", None))
     # RESTORE to a random earlier version (index resolved mod the live
     # version count at runtime) — the model rolls back to its recorded
@@ -56,7 +70,9 @@ def _op():
         lambda i: ("restore", i)
     )
     return st.one_of(
-        merge, merge_cl, append, delete, delete_dv, compact, restore
+        merge, merge_cl, append, delete, delete_dv,
+        delete_where, delete_where_dv, update_where, update_where_dv,
+        compact, restore,
     )
 
 
@@ -92,7 +108,7 @@ def _view_of(model: list) -> dict:
 
 
 @settings(
-    max_examples=6,
+    max_examples=10,  # 6 before round 7; the DML ops widened the kind space
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -172,6 +188,27 @@ def test_snapshot_table_matches_multiset_model(spark, tmp_path_factory, ops):
             if new_version == version:
                 continue  # no bucket held the keys: no commit (like compact)
             model = [r for r in model if r[0] not in set(arg)]
+        elif kind in ("delete_where", "delete_where_dv"):
+            lo, hi = arg
+            new_version = t.delete(
+                where=("k", lo, hi),
+                mode="dv" if kind.endswith("_dv") else "cow",
+            )
+            if new_version == version:
+                continue  # provably no matching file / no victims
+            model = [r for r in model if not (lo <= r[0] <= hi)]
+        elif kind in ("update_where", "update_where_dv"):
+            lo, hi, nv = arg
+            new_version = t.update(
+                {"v": f"'{nv}'"},
+                where=("k", lo, hi),
+                mode="dv" if kind.endswith("_dv") else "cow",
+            )
+            if new_version == version:
+                continue  # no affected files / no matching rows (dv)
+            model = [
+                (k, nv) if lo <= k <= hi else (k, v) for k, v in model
+            ]
         elif kind == "restore":
             target = 1 + (arg % version)
             new_version = t.restore(target)

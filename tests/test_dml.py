@@ -351,3 +351,30 @@ def test_update_preserves_identity_values(spark, tmp_path):
     t.append(spark.createDataFrame([(100, 1.0)], "k bigint, x double"))
     rids = [r["rid"] for r in t.read().collect()]
     assert len(set(rids)) == len(rids)  # high-water mark never reused
+
+
+def test_dv_sidecar_lifecycle_vacuum_reclaims(spark, tmp_path):
+    """A DML deletion-vector sidecar is LIVE while any retained version
+    references it, and garbage after compact purges the DVs and the
+    referencing versions expire — vacuum's sweep covers the full
+    lifecycle (the sidecar lives under data/ precisely for this)."""
+    t = _mk(spark, tmp_path, ROWS)
+    t.delete(where=("x", 10.0, 14.0), mode="dv")
+    m = t._manifest(t.latest_version())
+    sidecars = sorted({dv for lst in m["dvs"].values() for dv in lst})
+    assert sidecars
+    for rel in sidecars:
+        assert os.path.exists(os.path.join(t.path, rel))
+    # still referenced: a zero-retention vacuum must NOT touch it
+    t.vacuum(min_age_seconds=0.0)
+    for rel in sidecars:
+        assert os.path.exists(os.path.join(t.path, rel))
+    t.compact(files_per_bucket=1)  # applies and drops the DVs
+    assert not t._manifest(t.latest_version()).get("dvs")
+    # old versions still reference the sidecar until they expire
+    gone = t.vacuum(min_age_seconds=0.0, version_retention_seconds=0.0)
+    for rel in sidecars:
+        assert rel in gone
+        assert not os.path.exists(os.path.join(t.path, rel))
+    exp = sorted((k, g, x) for k, g, x in ROWS if not (10.0 <= x <= 14.0))
+    assert _vals(t) == exp

@@ -1037,3 +1037,37 @@ def test_register_snapshot_view_pure_sql_surface(spark, tmp_path):
     assert joined == 6  # k=10 exists only in the current view
     for n in ("snap_cur", "snap_v1", "snap_w"):
         spark.catalog.dropTempView(n)
+
+
+def test_snapshot_source_reads_widened_table(spark, tmp_path):
+    """After widen_column, the V2 batch source must serve the WIDE
+    manifest schema over the narrow parquet pages (its pyarrow scan
+    yields Python objects, so int32 pages surface as bigint rows) —
+    including files written BEFORE and AFTER the widening, and DML on
+    the widened column."""
+    from mr_spark.acid import SnapshotTable
+    from mr_spark.sources.snapshot_source import register
+
+    df = spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5)], "k bigint, n int, f float"
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "wt"), df, key="k", n_buckets=2
+    )
+    t.widen_column("n", "bigint")
+    t.widen_column("f", "double")
+    t.append(spark.createDataFrame([(3, 30, 3.5)], "k bigint, n int, f float"))
+    t.update({"n": "n + 1000"}, where=("k", 2, 2))
+    register(spark)
+    out = spark.read.format("snapshot").option("path", t.path).load()
+    assert dict(out.dtypes) == {"k": "bigint", "n": "bigint", "f": "double"}
+    got = sorted((r["k"], r["n"], r["f"]) for r in out.collect())
+    assert got == [(1, 10, 1.5), (2, 1020, 2.5), (3, 30, 3.5)]
+    # row-level where over the widened column still filters exactly
+    hit = (
+        spark.read.format("snapshot")
+        .option("path", t.path)
+        .option("where", "n >= 1000")
+        .load()
+    )
+    assert [r["k"] for r in hit.collect()] == [2]
