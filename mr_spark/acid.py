@@ -571,6 +571,13 @@ class SnapshotTable:
         for rels in removes.values():
             for rel in rels:
                 stats.pop(rel, None)
+        # stats refresh on CARRIED files (ANALYZE): keyed overrides; a
+        # None value erases the entry (stats became uncomputable)
+        for rel, st in delta.get("stats_updates", {}).items():
+            if st is None:
+                stats.pop(rel, None)
+            else:
+                stats[rel] = st
         m = {
             "version": delta["version"],
             # key rename (column mapping) rides deltas like schema
@@ -654,6 +661,23 @@ class SnapshotTable:
             if ad:
                 adds[b] = ad
         d: dict = {"delta": True, "removes": removes, "adds": adds}
+        # stats refreshed on CARRIED files (ANALYZE's whole effect, and
+        # nothing else's — ordinary commits never touch carried stats,
+        # so this is empty and costs nothing on the common path)
+        bstats = base.get("stats", {})
+        carried = {
+            rel
+            for b in nxt["files"]
+            for rel in nxt["files"][b]
+            if rel in {f for f in base["files"].get(b, [])}
+        }
+        stat_updates = {
+            rel: nstats.get(rel)
+            for rel in carried
+            if nstats.get(rel) != bstats.get(rel)
+        }
+        if stat_updates:
+            d["stats_updates"] = stat_updates
         base_dvs, nxt_dvs = base.get("dvs", {}), nxt.get("dvs", {})
         dv_adds: dict = {}
         dv_removes: dict = {}
@@ -4097,6 +4121,55 @@ class SnapshotTable:
                 "metrics": dict(self.last_dml),
             },
             touched=touched,
+        )
+
+    def analyze(self, blooms: bool = True) -> int:
+        """Recompute every live file's manifest statistics from its
+        parquet FOOTER (plus bloom rebuilds for indexed columns unless
+        ``blooms=False``) in one METADATA-ONLY commit — the ANALYZE /
+        COMPUTE STATISTICS maintenance command. No data file is read
+        beyond footers (and the indexed columns for blooms); no file
+        moves.
+
+        Why a user runs it: stats carry the schema of the writer that
+        produced them. A table written by an older engine version lacks
+        the null-count stats ("__nulls__") that predicate DELETE's
+        fully-covered classification needs — so a drop-a-region delete
+        on a legacy table pays a rewrite it could have proven
+        unnecessary. One analyze() upgrades the whole table's pruning
+        power in place. Footer reads run through the same
+        driver-threadpool / distributed-job ladder as every write's
+        stats collection (never a serial driver loop).
+
+        Concurrency: purely additive (touched=None) — stats are keyed
+        per file, a concurrent rewrite's files keep their own fresh
+        stats, and files it removed drop out of the successor manifest
+        automatically."""
+        base = self.latest_version()
+        m = self._manifest(base)
+        rel_full = [
+            (rel, self._entry_full(rel))
+            for rels in m["files"].values()
+            for rel in rels
+        ]
+        if not rel_full:
+            return base  # empty table: nothing to analyze
+        new_stats = self._collect_stats(
+            rel_full, self._bloom_cols_phys(m) if blooms else ()
+        )
+        if all(m.get("stats", {}).get(r) == s for r, s in new_stats.items()):
+            return base  # stats already current — no empty commit
+
+        def assemble(mb: dict) -> dict:
+            return self._next_manifest(
+                mb, {b: list(r) for b, r in mb["files"].items()}, new_stats
+            )
+
+        return self._commit_rebased(
+            m,
+            base,
+            assemble,
+            op={"operation": "ANALYZE", "files": len(rel_full)},
         )
 
     def compact(

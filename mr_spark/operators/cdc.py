@@ -3746,3 +3746,99 @@ def acid_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
+
+
+def _analyze_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """3-version history for the ANALYZE query: v1 = orders; v2 = a
+    hand-committed stats strip simulating a LEGACY writer (min/max kept,
+    null counts removed — what pre-null-count manifests look like);
+    v3 = analyze() recomputing full stats metadata-only. Memoized per
+    process (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 3)
+    cached = _FIXTURES.get(key)
+    if _fixture_alive(cached, spark, 3):
+        return cached
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    t = SnapshotTable.create(
+        spark, _snapshot_demo_path(demo), o, key="o_orderkey", n_buckets=4
+    )
+    m = t._manifest(1)
+    legacy = t._next_manifest(
+        m,
+        {b: list(r) for b, r in m["files"].items()},
+        {
+            rel: {k: v for k, v in s.items() if k != "__nulls__"}
+            for rel, s in m["stats"].items()
+        },
+    )
+    t._commit(legacy, 1, op={"operation": "LEGACY STATS"})
+    t.analyze()
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "acid_analyze_stats",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def acid_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE / COMPUTE STATISTICS (SnapshotTable.analyze —
+    mr_spark/acid.py): recompute every live file's manifest stats from
+    parquet footers in one METADATA-ONLY commit, carried to readers by
+    a new ``stats_updates`` delta field (the delta log previously only
+    shipped stats for ADDED files — a stats-only refresh on carried
+    files is exactly what ANALYZE is). The query RAISES unless (a) the
+    analyze commit moved zero files, (b) under the LEGACY stats
+    (v2 — null counts stripped, what an older writer's manifests hold)
+    a covering predicate can NOT prove any file fully covered, and
+    (c) after analyze the SAME predicate proves EVERY file fully
+    covered — the classification that lets predicate DELETE drop
+    whole files metadata-only instead of rewriting them.
+
+    Scale: one footer read per live file (driver threadpool below 32
+    files, one distributed job above — the same ladder as write-time
+    stats), zero data movement: upgrading a 100 TB table's pruning
+    power costs minutes of metadata work, not a rewrite."""
+    t = _analyze_fixture(spark, sf_dir, "acid_analyze_demo")
+    if t._manifest(3)["files"] != t._manifest(2)["files"]:
+        raise RuntimeError("ANALYZE moved data files")
+    h = {r["version"]: r for r in t.history()}
+    if h[3]["operation"] != "ANALYZE":
+        raise RuntimeError("v3 is not the analyze commit")
+    lo, hi = (
+        t.read()
+        .agg(F.min("o_totalprice"), F.max("o_totalprice"))
+        .first()
+    )
+    covering = ("o_totalprice", float(lo), float(hi))
+    full_legacy, _ = t._classify_files(t._manifest(2), covering)
+    if full_legacy:
+        raise RuntimeError(
+            "legacy stats (no null counts) must not prove full coverage"
+        )
+    full_now, straddle_now = t._classify_files(t._manifest(3), covering)
+    if straddle_now or not full_now:
+        raise RuntimeError(
+            "analyzed stats failed to prove full coverage — the "
+            "metadata-only DELETE upgrade is broken"
+        )
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

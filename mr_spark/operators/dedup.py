@@ -1032,3 +1032,105 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "line_dedup_stats",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, 'subscribe to our newsletter today.'
+      FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id + 20000000,
+             'we use cookies to improve your experience.' || chr(10) ||
+             'accept all cookies.'
+      FROM documents WHERE doc_id % 11 = 1
+    ),
+    lines AS (
+      SELECT doc_id, trim(l) AS line
+      FROM corpus, UNNEST(regexp_split_to_array(text, chr(10))) AS t(l)
+      WHERE trim(l) <> ''
+    ),
+    per AS (
+      SELECT line, COUNT(*) AS n_inst, COUNT(DISTINCT doc_id) AS nd
+      FROM lines GROUP BY line
+    )
+    SELECT CAST(SUM(n_inst) AS BIGINT) AS lines_total,
+           CAST(COUNT(*) AS BIGINT) AS lines_distinct,
+           CAST(SUM(n_inst) - COUNT(*) AS BIGINT) AS dup_instances,
+           CAST(SUM(CASE WHEN nd >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS boilerplate_lines,
+           CAST(SUM(CASE WHEN nd >= 3 THEN n_inst ELSE 0 END) AS BIGINT)
+             AS boilerplate_instances,
+           CAST(SUM((n_inst - 1) * length(line)) AS BIGINT)
+             AS chars_removable
+    FROM per
+    """,
+)
+def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-LEVEL DEDUPLICATION REPORT — the boilerplate-removal signal
+    of C4's line filtering and FineWeb/RefinedWeb's cross-document line
+    dedup (navigation bars, cookie banners, newsletter footers repeat
+    across thousands of pages; dropping repeated lines is one of the
+    highest-leverage web-corpus cleaning steps). Per distinct trimmed
+    non-empty line: instance count and document frequency; reported as
+    one corpus-level row — total vs distinct lines, duplicate
+    instances, boilerplate lines (doc frequency ≥ 3), and the exact
+    characters a keep-one-copy line dedup would remove.
+
+    The synthetic corpus has no cross-document repeated lines, so both
+    engines AUGMENT it with two deterministic boilerplate slices (a
+    newsletter footer for doc_id%11=0 as new single-line docs, a
+    two-line cookie banner for %11=1) — the boilerplate counters carry
+    real signal that scales with sf, and the oracle replays the
+    augmentation exactly.
+
+    Scale: ONE shuffle — groupBy(line) with map-side partial
+    aggregation (heavily duplicated lines collapse before the
+    exchange, exactly the skew this workload has), then a single-row
+    global aggregate. No joins, no windows, no pair emission."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 11
+    corpus = docs.select("doc_id", "text")
+    corpus = corpus.unionAll(
+        docs.where(m == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.lit("subscribe to our newsletter today.").alias("text"),
+        )
+    )
+    corpus = corpus.unionAll(
+        docs.where(m == 1).select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"),
+            F.lit(
+                "we use cookies to improve your experience.\n"
+                "accept all cookies."
+            ).alias("text"),
+        )
+    )
+    lines = (
+        corpus.select(
+            "doc_id", F.explode(F.split("text", "\n")).alias("raw")
+        )
+        .select("doc_id", F.trim("raw").alias("line"))
+        .where(F.col("line") != "")
+    )
+    per = lines.groupBy("line").agg(
+        F.count("*").alias("n_inst"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    return per.agg(
+        F.sum("n_inst").cast("bigint").alias("lines_total"),
+        F.count("*").cast("bigint").alias("lines_distinct"),
+        (F.sum("n_inst") - F.count("*")).cast("bigint").alias("dup_instances"),
+        F.sum(F.when(F.col("nd") >= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("boilerplate_lines"),
+        F.sum(F.when(F.col("nd") >= 3, F.col("n_inst")).otherwise(0))
+        .cast("bigint")
+        .alias("boilerplate_instances"),
+        F.sum((F.col("n_inst") - 1) * F.length("line"))
+        .cast("bigint")
+        .alias("chars_removable"),
+    )

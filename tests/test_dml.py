@@ -378,3 +378,43 @@ def test_dv_sidecar_lifecycle_vacuum_reclaims(spark, tmp_path):
         assert not os.path.exists(os.path.join(t.path, rel))
     exp = sorted((k, g, x) for k, g, x in ROWS if not (10.0 <= x <= 14.0))
     assert _vals(t) == exp
+
+
+def test_analyze_upgrades_legacy_stats_for_metadata_delete(spark, tmp_path):
+    """ANALYZE recomputes per-file stats metadata-only: a manifest whose
+    stats predate null counts (older writer) cannot prove full coverage
+    — a covering DELETE pays a rewrite; after analyze() the same delete
+    drops every file without reading data."""
+    t = _mk(spark, tmp_path, ROWS)
+    m = t._manifest(1)
+    legacy = t._next_manifest(
+        m,
+        {b: list(r) for b, r in m["files"].items()},
+        {
+            rel: {k: v for k, v in s.items() if k != "__nulls__"}
+            for rel, s in m["stats"].items()
+        },
+    )
+    t._commit(legacy, 1, op={"operation": "LEGACY"})
+    full, straddle = t._classify_files(t._manifest(2), ("x", -1.0, 1000.0))
+    assert not full and straddle  # cannot prove full coverage
+    v = t.analyze()
+    assert v == 3
+    assert t._manifest(3)["files"] == t._manifest(2)["files"]  # no movement
+    h = {r["version"]: r for r in t.history()}
+    assert h[3]["operation"] == "ANALYZE"
+    # a FRESH reader reconstructs the refreshed stats through the
+    # delta fold (stats_updates is a new delta field) and proves full
+    # coverage the same way
+    fresh = SnapshotTable(spark, t.path)
+    f_full, f_straddle = fresh._classify_files(
+        fresh._manifest(3), ("x", -1.0, 1000.0)
+    )
+    assert f_full and not f_straddle
+    t.delete(where=("x", -1.0, 1000.0))
+    assert t.last_dml["files_rewritten"] == 0
+    assert t.last_dml["files_fully_removed"] > 0
+    assert t.read().count() == 0
+    # re-analyzing current stats is a no-op, no empty commit
+    t2 = _mk(spark, tmp_path, ROWS, name="tbl2")
+    assert t2.analyze() == 1

@@ -177,6 +177,9 @@ PROBES = [
     "c4_rules",
     # round-7: metadata-only type widening read path
     "acid_type_widening",
+    # round-7: ANALYZE stats recompute + line-level dedup report
+    "acid_analyze_stats",
+    "line_dedup_stats",
 ]
 
 KEY_SHIFTS = {
