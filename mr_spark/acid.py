@@ -1877,7 +1877,9 @@ class SnapshotTable:
             raise ValueError(
                 f"cannot widen bloom-indexed column {col!r}: stored "
                 "blooms hashed the narrow values and would prune files "
-                "that hold matches — drop the index (rewrite) first"
+                "that hold matches — drop_bloom_index(col) first (probes "
+                "gate on the current index list, so the stale blooms "
+                "become inert)"
             )
         if col in m.get("identity", {}):
             raise ValueError(f"cannot widen identity column {col!r}")
@@ -1909,6 +1911,52 @@ class SnapshotTable:
                 "from": cur.simpleString(),
                 "to": new_dt.simpleString(),
             },
+        )
+
+    def add_bloom_index(self, col: str) -> int:
+        """CREATE BLOOMFILTER INDEX — METADATA-ONLY (Delta's rule: the
+        index applies to files written AFTER the change): ``col`` joins
+        ``bloom_cols``, so every subsequent write builds a per-file
+        bloom over it. EXISTING files gain blooms the moment you run
+        :meth:`analyze` (its footer+bloom recompute covers every live
+        file) — the composition Delta lacks, where pre-existing files
+        simply stay unindexed until rewritten. Point-lookup reads prune
+        with whatever blooms exist; files without one are kept
+        conservatively."""
+        base = self.latest_version()
+        m = self._manifest(base)
+        if col not in self._schema_names(m):
+            raise ValueError(f"no such column: {col!r}")
+        cur = list(self._bloom_cols(m))
+        if col in cur:
+            return base  # already indexed — no empty commit
+        nxt = self._next_manifest(m, dict(m["files"]), {})
+        nxt["bloom_cols"] = cur + [col]
+        return self._commit(
+            nxt, base, op={"operation": "ADD BLOOM INDEX", "column": col}
+        )
+
+    def drop_bloom_index(self, col: str) -> int:
+        """DROP BLOOMFILTER INDEX — METADATA-ONLY: ``col`` leaves
+        ``bloom_cols``; new writes stop building blooms for it, and
+        every reader stops PROBING the already-stored ones (probes are
+        gated on the CURRENT index list — the stale per-file blooms
+        remain in the stats, still technically valid for their
+        immutable files, but inert; that gate is what makes a later
+        :meth:`widen_column` of this column safe, since widening
+        changes the canonical probe text and a stale probe would
+        false-negative)."""
+        base = self.latest_version()
+        m = self._manifest(base)
+        cur = list(self._bloom_cols(m))
+        if col not in cur:
+            return base  # not indexed — no empty commit
+        nxt = self._next_manifest(m, dict(m["files"]), {})
+        nxt["bloom_cols"] = [c for c in cur if c != col]
+        if not nxt["bloom_cols"]:
+            nxt.pop("bloom_cols")
+        return self._commit(
+            nxt, base, op={"operation": "DROP BLOOM INDEX", "column": col}
         )
 
     # ---- RESTORE / SHALLOW CLONE / COPY INTO -----------------------------
@@ -2326,6 +2374,7 @@ class SnapshotTable:
             (self._phys(m, col), lo, hi)
             for col, lo, hi in self._where_list(where)
         ]
+        bloom_phys = set(self._bloom_cols_phys(m))
         # PARTITION PRUNING (value-partitioned layout): an EQUALITY
         # predicate on the partition column eliminates whole partitions
         # from the bucket map — O(buckets) string compares on the
@@ -2370,7 +2419,12 @@ class SnapshotTable:
                             # column) — keep the file conservatively; the
                             # row-level filter still applies
                             pass
-                    if use_blooms and lo == hi:
+                    # probe only CURRENTLY-indexed columns: a dropped
+                    # index's stale per-file blooms stay in the stats
+                    # (immutable files — still valid) but must be inert,
+                    # e.g. a later widen_column changes the canonical
+                    # probe text and a stale probe would false-negative
+                    if use_blooms and lo == hi and col in bloom_phys:
                         bloom = fstats.get("__bloom__", {}).get(col)
                         if bloom is not None and not _bloom_might_contain(
                             bloom, lo
@@ -3649,6 +3703,7 @@ class SnapshotTable:
             )
         pcol = m.get("partition_by")
         stats = m.get("stats", {})
+        bloom_phys = set(self._bloom_cols_phys(m))
         full: dict[str, list] = {}
         straddle: dict[str, list] = {}
         for b, rels in m["files"].items():
@@ -3680,7 +3735,8 @@ class SnapshotTable:
                             )
                         except TypeError:
                             covered = False  # incomparable bound types
-                    if lo == hi:
+                    if lo == hi and phys in bloom_phys:
+                        # same currently-indexed gate as data_paths
                         bloom = fstats.get("__bloom__", {}).get(phys)
                         if bloom is not None and not _bloom_might_contain(
                             bloom, lo

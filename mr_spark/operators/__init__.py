@@ -78,9 +78,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver row yet — plus q12, red in r01 on a (now fixed) dtype artifact —
 # in the checked prefix, and rotate per round as driver rows accumulate.
 #
-# Round-7 prefix (VERDICT r6 #2): first the 8 NEW queries (predicate
-# DML pair, C4 battery, type widening, ANALYZE, line dedup,
-# partitioned V2 sink, SQL view surface), then every
+# Round-7 prefix (VERDICT r6 #2): first the 9 NEW queries (predicate
+# DML pair, C4 battery, type widening, ANALYZE, line dedup, bloom
+# index lifecycle, partitioned V2 sink, SQL view surface), then every
 # query whose implementation changed this round — gopher_rules
 # (bullet/ellipsis corpus augmentation), the V2 sink pair (partitioned
 # write support), the three batch/stream source queries (path-URI
@@ -102,6 +102,7 @@ _CHECK_PRIORITY = [
     #    surface (catalog DDL engine-gap pinned) --
     "acid_delete_where", "acid_update_where", "c4_rules",
     "acid_type_widening", "acid_analyze_stats", "line_dedup_stats",
+    "acid_bloom_lifecycle",
     "snapshot_sink_partitioned", "snapshot_sql_view",
     # -- changed this round --
     "gopher_rules",              # corpus augmentation (rule-4 signal)
@@ -125,11 +126,11 @@ _CHECK_PRIORITY = [
     "centroid_confusion", "char_ngram_entropy", "chi2_association",
     "copurchase_pairs", "corpus_datacard", "cuped_adjusted_ab",
     "ewma_daily", "hard_negative_mining", "k_anonymity_audit",
-    "kaplan_meier", "label_outlier_scores",
-    # (lm_surprisal, market_concentration, psi_drift,
-    #  referential_integrity, repetition_quality, rolling_active_users
-    #  displaced to the r08 rotation head by the 6 second-session
-    #  additions — see COVERAGE.md)
+    "kaplan_meier",
+    # (label_outlier_scores, lm_surprisal, market_concentration,
+    #  psi_drift, referential_integrity, repetition_quality,
+    #  rolling_active_users displaced to the r08 rotation head by the 7
+    #  second-session additions — see COVERAGE.md)
 ]
 
 

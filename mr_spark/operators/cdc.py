@@ -3842,3 +3842,105 @@ def acid_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+def _bloom_lifecycle_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """4-version history for the bloom-lifecycle query: v1 = orders with
+    NO bloom index; v2 = ADD BLOOM INDEX o_orderkey (metadata-only —
+    new writes build blooms, existing files unindexed); v3 = analyze()
+    retro-building blooms for every live file; v4 = DROP BLOOM INDEX
+    (metadata-only — stored blooms become inert). Memoized per process
+    (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 4)
+    cached = _FIXTURES.get(key)
+    if _fixture_alive(cached, spark, 4):
+        return cached
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    t = SnapshotTable.create(
+        spark, _snapshot_demo_path(demo), o, key="o_orderkey", n_buckets=8
+    )
+    t.add_bloom_index("o_orderkey")
+    t.analyze()
+    t.drop_bloom_index("o_orderkey")
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "acid_bloom_lifecycle",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def acid_bloom_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM INDEX LIFECYCLE (add_bloom_index / drop_bloom_index —
+    mr_spark/acid.py): both ALTERs are METADATA-ONLY commits. ADD means
+    new writes build per-file blooms; EXISTING files gain them the
+    moment analyze() runs (its footer+bloom recompute covers every live
+    file — the retroactive indexing Delta lacks, where pre-existing
+    files stay unindexed until rewritten). DROP flips the index off and
+    every reader stops PROBING the stored blooms (probes gate on the
+    CURRENT index list) — the stale blooms stay valid for their
+    immutable files but inert, which is exactly what makes a later
+    widen_column of the column safe.
+
+    The query RAISES unless (a) v1→v4 never moved a data file, (b) a
+    point lookup under the LIVE index (v3) prunes STRICTLY more files
+    than ranges alone (hash-scattered keys make [min,max] useless —
+    only the bloom can prove absence), and (c) after the DROP the same
+    lookup stops engaging blooms (file count back to the range-only
+    ladder) while the row-level result stays exact.
+
+    Scale: indexing a 100 TB table = one metadata commit + one
+    analyze() footer/bloom pass (distributed, column-pruned to the
+    indexed column) — never a data rewrite; dropping it is one commit."""
+    t = _bloom_lifecycle_fixture(spark, sf_dir, "acid_bloom_cycle_demo")
+    ms = {v: t._manifest(v) for v in (1, 2, 3, 4)}
+    if not (ms[1]["files"] == ms[2]["files"] == ms[3]["files"] == ms[4]["files"]):
+        raise RuntimeError("bloom index lifecycle moved data files")
+    # probe a MIDDLE key (an actual element via percentile_approx): the
+    # extreme keys are the one case [min,max] ranges handle; a key in
+    # the interior is covered by every file's range and only the bloom
+    # can prove absence — the workload the index exists for
+    key0 = (
+        t.read()
+        .agg(F.expr("percentile_approx(o_orderkey, 0.5)"))
+        .first()[0]
+    )
+    probe = ("o_orderkey", int(key0), int(key0))
+    n_range = len(t.data_paths(version=3, where=probe, use_blooms=False))
+    n_bloom = len(t.data_paths(version=3, where=probe))
+    if not n_bloom < n_range:
+        raise RuntimeError(
+            "live bloom index failed to prune beyond ranges — the "
+            "point-lookup ladder is broken"
+        )
+    n_dropped = len(t.data_paths(version=4, where=probe))
+    if n_dropped != n_range:
+        raise RuntimeError(
+            "dropped bloom index still engages (or range pruning "
+            "changed) — stale blooms must be inert"
+        )
+    got = sorted(
+        r["o_orderkey"] for r in t.read(where=probe).collect()
+    )
+    if got != [int(key0)]:
+        raise RuntimeError("point lookup after drop lost exactness")
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

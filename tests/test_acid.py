@@ -2680,3 +2680,63 @@ def test_narrow_keys_frame_hits_right_buckets(spark, tmp_path):
     )
     t.delete_keys(spark.createDataFrame([(5,)], "k int"), mode="dv")
     assert 5 not in {r["k"] for r in t.read().collect()}
+
+
+def test_bloom_index_lifecycle(spark, tmp_path):
+    """ADD/DROP BLOOMFILTER INDEX are metadata-only; analyze()
+    retro-builds blooms for existing files; after a drop the stale
+    stored blooms are INERT (probes gate on the current index list),
+    which is what makes widening the column safe afterwards."""
+    rows = [(k, f"u{k:05d}") for k in range(200)]
+    df = spark.createDataFrame(rows, "k bigint, uid string")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "bl"), df, key="k", n_buckets=4
+    )
+    probe = ("uid", "u00007", "u00007")
+    base_files = len(t.data_paths(where=probe))
+    v = t.add_bloom_index("uid")
+    assert t._manifest(v)["files"] == t._manifest(v - 1)["files"]
+    # existing files carry no blooms yet: pruning unchanged
+    assert len(t.data_paths(where=probe)) == base_files
+    t.analyze()  # retro-builds blooms for every live file
+    pruned = len(t.data_paths(where=probe))
+    assert pruned < base_files  # hash-scattered uid: ranges prune nothing
+    got = sorted(r["k"] for r in t.read(where=probe).collect())
+    assert got == [7]
+    # new writes build blooms too
+    t.append(spark.createDataFrame([(1000, "u01000")], "k bigint, uid string"))
+    m = t._manifest(t.latest_version())
+    new_rel = [
+        rel
+        for rels in m["files"].values()
+        for rel in rels
+        if "__bloom__" in m["stats"].get(rel, {})
+    ]
+    assert new_rel
+    # drop: metadata-only, probes stop engaging, reads stay correct
+    v = t.drop_bloom_index("uid")
+    assert "bloom_cols" not in t._manifest(v)
+    assert len(t.data_paths(where=probe)) >= base_files  # blooms inert
+    assert sorted(r["k"] for r in t.read(where=probe).collect()) == [7]
+    # idempotent no-op + unknown-column refusal
+    assert t.drop_bloom_index("uid") == v
+    with pytest.raises(ValueError, match="no such column"):
+        t.add_bloom_index("nope")
+
+
+def test_widen_after_drop_bloom_index(spark, tmp_path):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k bigint, n int")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "wb"), df, key="k", n_buckets=2,
+        bloom_cols=("n",),
+    )
+    with pytest.raises(ValueError, match="bloom"):
+        t.widen_column("n", "bigint")
+    t.drop_bloom_index("n")
+    t.widen_column("n", "bigint")  # now safe: stale blooms never probed
+    assert dict(t.read().dtypes)["n"] == "bigint"
+    # the point read on the widened column is CORRECT (the stale bloom
+    # hashed "10"; a probing reader would hash the same canonical text
+    # for bigint 10 — but a future int->double widen changes it, which
+    # is exactly why probes gate on the index list)
+    assert [r["k"] for r in t.read(where=("n", 10, 10)).collect()] == [1]

@@ -180,6 +180,8 @@ PROBES = [
     # round-7: ANALYZE stats recompute + line-level dedup report
     "acid_analyze_stats",
     "line_dedup_stats",
+    # round-7: bloom index lifecycle (add/analyze-backfill/drop)
+    "acid_bloom_lifecycle",
 ]
 
 KEY_SHIFTS = {
