@@ -4010,6 +4010,11 @@ class SnapshotTable:
 
         if mode not in ("cow", "dv"):
             raise ValueError(f"update mode must be 'cow' or 'dv', got {mode!r}")
+        if not set:
+            raise ValueError(
+                "update requires at least one SET assignment — an empty "
+                "SET would commit a full rewrite that changes nothing"
+            )
         base = self.latest_version()
         m = self._manifest(base)
         names = self._schema_names(m)

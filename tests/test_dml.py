@@ -418,3 +418,11 @@ def test_analyze_upgrades_legacy_stats_for_metadata_delete(spark, tmp_path):
     # re-analyzing current stats is a no-op, no empty commit
     t2 = _mk(spark, tmp_path, ROWS, name="tbl2")
     assert t2.analyze() == 1
+
+
+def test_update_empty_set_refused(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    v0 = t.latest_version()
+    with pytest.raises(ValueError, match="at least one SET"):
+        t.update({}, where=("x", 0.0, 5.0))
+    assert t.latest_version() == v0
