@@ -665,11 +665,12 @@ class SnapshotTable:
         # nothing else's — ordinary commits never touch carried stats,
         # so this is empty and costs nothing on the common path)
         bstats = base.get("stats", {})
+        base_sets = {b: set(rels) for b, rels in base["files"].items()}
         carried = {
             rel
-            for b in nxt["files"]
-            for rel in nxt["files"][b]
-            if rel in {f for f in base["files"].get(b, [])}
+            for b, rels in nxt["files"].items()
+            for rel in rels
+            if rel in base_sets.get(b, ())
         }
         stat_updates = {
             rel: nstats.get(rel)
@@ -1603,6 +1604,36 @@ class SnapshotTable:
 
         schema = StructType.fromJson(json.loads(m["schema"]))
         return next(f.dataType for f in schema.fields if f.name == m["key"])
+
+    def _lossless_keys(self, keys: DataFrame, m: dict) -> DataFrame:
+        """The keys frame projected to the table's key type, DROPPING
+        keys that provably cannot exist in the table (the cast does not
+        round-trip). A wider-typed keys frame may carry values outside
+        the key type's range — under ANSI mode a plain cast aborts the
+        whole delete with CAST_OVERFLOW, and with ANSI off it WRAPS, so
+        bigint 2**32+3 against an int-keyed table would silently delete
+        key 3. Deleting a key the table cannot hold is a no-op by
+        contract, so such keys are filtered, not cast: try_cast (NULL on
+        overflow/malformed under any ANSI setting) plus a cast-back
+        round-trip equality (catches lossy-but-legal casts like
+        double 3.5 -> int 3). NULL keys never equi-join and are dropped
+        with the same filter."""
+        key = m["key"]
+        tgt = self._key_type(m)
+        src = keys.schema[key].dataType
+        if src == tgt:
+            return keys.select(key)
+        return (
+            keys.select(
+                F.col(key).alias("__orig"),
+                F.col(key).try_cast(tgt).alias(key),
+            )
+            .where(
+                F.col(key).isNotNull()
+                & (F.col(key).cast(src) == F.col("__orig"))
+            )
+            .select(key)
+        )
 
     @classmethod
     def _phys(cls, m: dict, col: str) -> str:
@@ -3510,12 +3541,14 @@ class SnapshotTable:
         # _affected_buckets) to every existing composite bucket with a
         # matching hash suffix — a key's rows are found whatever their
         # partition; a delete never creates buckets. The key column is
-        # cast to the TABLE's key type before hashing (int and bigint
+        # brought to the TABLE's key type before hashing (int and bigint
         # hash differently — a narrow-typed keys frame would probe the
-        # wrong buckets and silently miss its victims)
-        k = keys.select(
-            F.col(key).cast(self._key_type(m)).alias(key)
-        ).distinct().withColumn("__bucket", _bucket_col(key, n_buckets))
+        # wrong buckets and silently miss its victims); keys that cannot
+        # round-trip the cast cannot exist in the table and are dropped,
+        # not cast (_lossless_keys — the no-such-key-is-a-no-op rule)
+        k = self._lossless_keys(keys, m).distinct().withColumn(
+            "__bucket", _bucket_col(key, n_buckets)
+        )
         affected = self._affected_buckets(
             m,
             [str(r["__bucket"]) for r in k.select("__bucket").distinct().collect()],
@@ -3562,17 +3595,18 @@ class SnapshotTable:
         excluded by the DV-aware read, so re-deleting is a no-op), write
         them as ONE parquet sidecar, and commit a manifest that differs
         ONLY in its ``dvs`` map — zero data files touched. The sidecar is
-        commit-granular (attached to every file of the affected buckets;
-        readers filter by file name, so files without victims just carry
-        a reference) — Delta writes per-file DV bitmaps instead, which
-        matters once DVs accumulate; compaction purges both designs."""
+        commit-granular but attached ONLY to the files that actually
+        lost rows (readers filter by file name; a zero-victim file
+        carrying a reference would pay the anti-join for nothing) —
+        Delta writes per-file DV bitmaps instead, which matters once DVs
+        accumulate; compaction purges both designs."""
         base = self.latest_version()
         m = self._manifest(base)
         key, n_buckets = m["key"], m["n_buckets"]
-        # cast-before-hash, same rule as the cow path
-        k = keys.select(
-            F.col(key).cast(self._key_type(m)).alias(key)
-        ).distinct().withColumn("__bucket", _bucket_col(key, n_buckets))
+        # lossless cast-before-hash, same rule as the cow path
+        k = self._lossless_keys(keys, m).distinct().withColumn(
+            "__bucket", _bucket_col(key, n_buckets)
+        )
         # hash-suffix expansion across partitions, same as the cow path
         affected = self._affected_buckets(
             m,
@@ -3606,20 +3640,23 @@ class SnapshotTable:
         # one sidecar per commit: O(|deleted|) rows, coalesced like
         # Delta's single DV blob; lands under data/ with a uuid name so
         # vacuum's unreferenced-file sweep covers it too
-        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
-        hits.coalesce(1).write.mode("overwrite").parquet(staging)
-        part = next(
-            fn for fn in sorted(os.listdir(staging)) if fn.endswith(".parquet")
-        )
-        dv_rel = os.path.join("data", f"dv_{uuid.uuid4().hex}.parquet")
-        os.rename(os.path.join(staging, part), os.path.join(self.path, dv_rel))
-        shutil.rmtree(staging)
+        dv_rel, n_dead, dv_victims = self._write_dv_sidecar(hits)
+        if n_dead == 0:
+            # none of the probed buckets held these keys — no commit
+            os.remove(os.path.join(self.path, dv_rel))
+            return base
+
         def assemble(mb: dict) -> dict:
             # re-derive from the (possibly rebased) manifest: OTHER
-            # buckets' DV state may have changed; ours is conflict-checked
+            # buckets' DV state may have changed; ours is conflict-checked.
+            # Attach only to files the sidecar actually names — a
+            # zero-victim file carrying a DV reference would pay the
+            # anti-join on every read and flag its bucket for an
+            # unnecessary purge rewrite at the next OPTIMIZE (ADVICE r7)
             dvs_b = dict(mb.get("dvs", {}))
             for rel in rels:
-                dvs_b[rel] = dvs_b.get(rel, []) + [dv_rel]
+                if os.path.basename(rel) in dv_victims:
+                    dvs_b[rel] = dvs_b.get(rel, []) + [dv_rel]
             return self._next_manifest(mb, dict(mb["files"]), {}, dvs=dvs_b)
 
         # touched = the buckets whose files this DV scan read: a
@@ -3751,12 +3788,18 @@ class SnapshotTable:
                     straddle.setdefault(b, []).append(rel)
         return full, straddle
 
-    def _write_dv_sidecar(self, hits: DataFrame) -> tuple[str, int]:
+    def _write_dv_sidecar(self, hits: DataFrame) -> tuple[str, int, set]:
         """Write (data_file, pos) victim pairs as ONE parquet sidecar
         under data/ (uuid name — vacuum's unreferenced-file sweep covers
-        it); returns (relative path, row count) — the count comes from
-        the sidecar's own footer, one metadata read, so DV commits can
-        report exact row metrics without a separate Spark count job."""
+        it); returns (relative path, row count, distinct victim file
+        names). The count comes from the sidecar's own footer (one
+        metadata read) and the file set from its dictionary-encoded
+        data_file column — so DV commits report exact row metrics AND
+        attach the sidecar ONLY to files that actually lost rows,
+        without a separate Spark job. Attaching to zero-victim files
+        would make every future read of them pay the DV anti-join for
+        nothing and would mis-classify their buckets as DV-purge
+        targets at the next OPTIMIZE (ADVICE r7)."""
         import pyarrow.parquet as pq
 
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
@@ -3767,8 +3810,17 @@ class SnapshotTable:
         dv_rel = os.path.join("data", f"dv_{uuid.uuid4().hex}.parquet")
         os.rename(os.path.join(staging, part), os.path.join(self.path, dv_rel))
         shutil.rmtree(staging)
-        n = pq.ParquetFile(os.path.join(self.path, dv_rel)).metadata.num_rows
-        return dv_rel, n
+        full = os.path.join(self.path, dv_rel)
+        n = pq.ParquetFile(full).metadata.num_rows
+        victims: set = set()
+        if n:
+            victims = set(
+                pq.read_table(full, columns=["data_file"])
+                .column("data_file")
+                .unique()
+                .to_pylist()
+            )
+        return dv_rel, n, victims
 
     def _dv_scan(self, m: dict, rels: list[str]):
         """Raw physical scan of manifest entries with DV bookkeeping
@@ -3870,7 +3922,7 @@ class SnapshotTable:
         touched = sorted(set(full) | set(straddle))
         pred_json = self._pred_json(where)
         if mode == "dv":
-            dv_rel, n_dead = (None, 0)
+            dv_rel, n_dead, dv_victims = (None, 0, set())
             if straddle_rels:
                 pred = self._pred_expr(
                     where, col_of=lambda c: self._phys(m, c)
@@ -3883,7 +3935,7 @@ class SnapshotTable:
                         F.col("__dv_pos").alias("pos"),
                     )
                 )
-                dv_rel, n_dead = self._write_dv_sidecar(hits)
+                dv_rel, n_dead, dv_victims = self._write_dv_sidecar(hits)
                 if n_dead == 0:
                     os.remove(os.path.join(self.path, dv_rel))
                     dv_rel = None
@@ -3909,8 +3961,11 @@ class SnapshotTable:
                         files[b] = kept
                 dvs_b = dict(mb.get("dvs", {}))
                 if dv_rel is not None:
+                    # only files the sidecar actually names: advisory
+                    # straddlers with zero victims stay DV-free
                     for rel in straddle_rels:
-                        dvs_b[rel] = dvs_b.get(rel, []) + [dv_rel]
+                        if os.path.basename(rel) in dv_victims:
+                            dvs_b[rel] = dvs_b.get(rel, []) + [dv_rel]
                 return self._next_manifest(mb, files, {}, dvs=dvs_b)
 
             return self._commit_rebased(
@@ -4106,7 +4161,7 @@ class SnapshotTable:
                     F.col("__dv_file").alias("data_file"),
                     F.col("__dv_pos").alias("pos"),
                 )
-                dv_rel, n_dead = self._write_dv_sidecar(hits)
+                dv_rel, n_dead, dv_victims = self._write_dv_sidecar(hits)
             finally:
                 matched.unpersist()
             self.last_dml = {
@@ -4120,8 +4175,11 @@ class SnapshotTable:
                 for b, rels in new_files.items():
                     files[b] = files.get(b, []) + rels
                 dvs_b = dict(mb.get("dvs", {}))
+                # only files the sidecar actually names (ADVICE r7):
+                # advisory-affected files with zero victims stay DV-free
                 for rel in affected_rels:
-                    dvs_b[rel] = dvs_b.get(rel, []) + [dv_rel]
+                    if os.path.basename(rel) in dv_victims:
+                        dvs_b[rel] = dvs_b.get(rel, []) + [dv_rel]
                 return self._next_manifest(mb, files, new_stats, dvs=dvs_b)
 
             return self._commit_rebased(
@@ -4537,8 +4595,25 @@ class SnapshotTable:
         # cast-before-hash (the _align_source_types rule): the feed's
         # key drives the touched-bucket planning below, and a
         # narrow-typed key (int feed against a bigint table) would hash
-        # into buckets a correctly-typed lookup never reads
-        feed = feed.withColumn(key, F.col(key).cast(self._key_type(m)))
+        # into buckets a correctly-typed lookup never reads. The cast is
+        # gated on the SAME lossless-widening contract every value
+        # column gets (and merge_upsert enforces for all columns): a
+        # string/double/overflowing feed key must raise here, not abort
+        # the job mid-write under ANSI or silently target the wrong
+        # rows with a wrapped cast under non-ANSI
+        feed_kt, tbl_kt = feed.schema[key].dataType, self._key_type(m)
+        if feed_kt != tbl_kt:
+            if (
+                feed_kt.simpleString(),
+                tbl_kt.simpleString(),
+            ) not in self._WIDENINGS:
+                raise ValueError(
+                    f"apply_changes feed key {key!r} has type "
+                    f"{feed_kt.simpleString()} but the table stores "
+                    f"{tbl_kt.simpleString()} — only lossless widenings "
+                    "are coerced; fix the feed's key type"
+                )
+            feed = feed.withColumn(key, F.col(key).cast(tbl_kt))
         post = feed.where(
             F.col("_change_type").isin("insert", "update_postimage")
         ).drop("_change_type")

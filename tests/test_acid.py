@@ -2682,6 +2682,33 @@ def test_narrow_keys_frame_hits_right_buckets(spark, tmp_path):
     assert 5 not in {r["k"] for r in t.read().collect()}
 
 
+def test_delete_keys_impossible_values_are_noops(spark, tmp_path):
+    """A WIDER-typed keys frame with values the table's key type cannot
+    hold must be a no-op for those keys (no such key exists), not an
+    ANSI CAST_OVERFLOW job abort — and under non-ANSI a plain cast
+    would WRAP (2**32+3 -> 3) and silently delete the wrong key
+    (ADVICE r7). Lossy-but-legal casts (double 3.5 -> int 3) are the
+    same hazard and the same rule: drop the key, not the wrong row."""
+    df = spark.createDataFrame([(k, f"v{k}") for k in range(10)], "k int, v string")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "itbl"), df, key="k", n_buckets=4
+    )
+    # overflow value + one genuine victim in the same frame, both modes
+    t.delete_keys(spark.createDataFrame([(2**32 + 3, ), (7,)], "k bigint"))
+    assert sorted(r["k"] for r in t.read().collect()) == [
+        k for k in range(10) if k != 7
+    ]
+    t.delete_keys(
+        spark.createDataFrame([(2**32 + 4,), (5,)], "k bigint"), mode="dv"
+    )
+    assert sorted(r["k"] for r in t.read().collect()) == [
+        k for k in range(10) if k not in (5, 7)
+    ]
+    # lossy double: 3.5 must NOT delete key 3; 4.0 round-trips and does
+    t.delete_keys(spark.createDataFrame([(3.5,), (4.0,)], "k double"))
+    assert sorted(r["k"] for r in t.read().collect()) == [0, 1, 2, 3, 6, 8, 9]
+
+
 def test_bloom_index_lifecycle(spark, tmp_path):
     """ADD/DROP BLOOMFILTER INDEX are metadata-only; analyze()
     retro-builds blooms for existing files; after a drop the stale

@@ -64,6 +64,34 @@ def test_apply_changes_narrow_feed_types_align(spark, tmp_path):
     assert got == [(2, 99), (3, 333)]
 
 
+def test_apply_changes_refuses_non_lossless_feed_key(spark, tmp_path):
+    """The feed KEY gets the same lossless-widening contract as every
+    value column (ADVICE r7): a string/double feed key against a bigint
+    table must raise up front — a silent coercion would either abort
+    the job mid-write under ANSI or target the wrong rows under
+    non-ANSI's wrapping cast."""
+    from mr_spark.acid import SnapshotTable
+
+    t = SnapshotTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        spark.createDataFrame([(1, 10), (2, 20)], "k bigint, n bigint"),
+        key="k",
+        n_buckets=2,
+    )
+    for bad_feed in (
+        spark.createDataFrame(
+            [("insert", "3", 30)], "_change_type string, k string, n bigint"
+        ),
+        spark.createDataFrame(
+            [("insert", 3.0, 30)], "_change_type string, k double, n bigint"
+        ),
+    ):
+        with pytest.raises(ValueError, match="lossless"):
+            t.apply_changes(bad_feed)
+    assert t.read().count() == 2  # nothing committed
+
+
 def test_apply_changes_merge_schema_evolves_replica(spark, tmp_path):
     """A replica whose upstream evolved keeps replicating with
     merge_schema=True: the new column lands in the same CDC-apply

@@ -274,6 +274,34 @@ def test_update_dv_appends_postimages_without_rewrites(spark, tmp_path):
     assert _vals(t, version=v - 1) == sorted(ROWS)
 
 
+def test_dv_sidecar_attaches_only_to_victim_files(spark, tmp_path):
+    """The DV reference lands ONLY on files the sidecar actually names
+    (ADVICE r7): an advisory straddler that contributed zero victims
+    must stay DV-free — otherwise every read of it pays the anti-join
+    needlessly and compact() flags its bucket for an unnecessary purge
+    rewrite. Point predicate [10,10] straddles every file's wide
+    [min,max] but only ONE file holds x=10."""
+    t = _mk(spark, tmp_path, ROWS)
+    n_files = sum(
+        len(rels) for rels in t._manifest(t.latest_version())["files"].values()
+    )
+    assert n_files >= 2
+    v = t.update({"grp": "'hit'"}, where=("x", 10.0, 10.0), mode="dv")
+    dvs = t._manifest(v).get("dvs", {})
+    assert len(dvs) == 1  # not every advisory-affected file
+    (rel,) = dvs
+    raw = spark.read.parquet(os.path.join(t.path, rel))
+    assert raw.where(F.col("x") == 10.0).count() == 1  # the real victim file
+    assert [r["grp"] for r in t.read().where("k = 10").collect()] == ["hit"]
+    # predicate dv delete: same rule — exactly one file's DV list grows
+    before = t._manifest(t.latest_version()).get("dvs", {})
+    v = t.delete(where=("x", 11.0, 11.0), mode="dv")
+    after = t._manifest(v).get("dvs", {})
+    grew = [r for r in after if len(after[r]) > len(before.get(r, []))]
+    assert len(grew) == 1
+    assert 11.0 not in {r["x"] for r in t.read().collect()}
+
+
 def test_update_dv_noop_when_no_rows_match(spark, tmp_path):
     # stats keep a file as straddle candidate, but no row matches
     t = _mk(spark, tmp_path, ROWS)
