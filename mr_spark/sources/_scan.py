@@ -45,10 +45,12 @@ def read_file_rows(
 ) -> list[tuple]:
     """One file's live rows as tuples in ``logical_cols`` order.
 
-    ``preds`` are (logical_col, op, literal) conjuncts applied EXACTLY
-    row-level with vectorized pyarrow compute (op in eq/gt/gte/lt/lte) —
-    SQL WHERE semantics: a NULL comparison never matches, and a
-    predicate on a column this file predates (all-NULL) matches nothing.
+    ``preds`` are normalized conjuncts from mr_spark/predicates.py
+    (AND of OR'd atoms: ranges, comparisons incl. ``<>``, IN-lists,
+    IS [NOT] NULL) applied EXACTLY row-level with vectorized pyarrow
+    compute — SQL WHERE semantics: a NULL comparison never matches
+    (``IS NULL`` of course does), and a value predicate on a column
+    this file predates (all-NULL) matches nothing.
     """
     import pyarrow.parquet as pq
 
@@ -59,7 +61,7 @@ def read_file_rows(
     wanted = [p for p in phys if p in in_file]
     # predicate columns must be decoded even if a caller ever prunes
     # them from the projection
-    pred_phys = [colmap.get(c, c) for c, _, _ in (preds or [])]
+    pred_phys = [colmap.get(a[1], a[1]) for atoms in (preds or []) for a in atoms]
     wanted += [p for p in pred_phys if p in in_file and p not in wanted]
     if wanted:
         tbl = pq.read_table(file_path, columns=wanted)
@@ -87,18 +89,40 @@ def read_file_rows(
 
         cmp = {
             "eq": pc.equal,
+            "ne": pc.not_equal,
             "gt": pc.greater,
             "gte": pc.greater_equal,
             "lt": pc.less,
             "lte": pc.less_equal,
         }
+
+        def atom_mask(a):
+            p = colmap.get(a[1], a[1])
+            absent = tbl is None or p not in in_file
+            if a[0] == "null":
+                if absent:  # all-NULL column: IS NULL matches all rows
+                    return pa.array([a[2]] * n)
+                m = pc.is_null(tbl.column(p))
+                return m if a[2] else pc.invert(m)
+            if absent:  # value predicate on an all-NULL column
+                return pa.array([False] * n)
+            c = tbl.column(p)
+            if a[0] == "between":
+                m = pc.and_kleene(
+                    pc.greater_equal(c, pa.scalar(a[2])),
+                    pc.less_equal(c, pa.scalar(a[3])),
+                )
+            elif a[0] == "in":
+                m = pc.is_in(c, value_set=pa.array(list(a[2])))
+            else:  # ("cmp", col, op, val)
+                m = cmp[a[2]](c, pa.scalar(a[3]))
+            return pc.fill_null(m, False)
+
         mask = None
-        for col, op, val in preds:
-            p = colmap.get(col, col)
-            if tbl is not None and p in in_file:
-                m = pc.fill_null(cmp[op](tbl.column(p), pa.scalar(val)), False)
-            else:  # all-NULL column: no row can match
-                m = pa.array([False] * n)
+        for atoms in preds:
+            m = atom_mask(atoms[0])
+            for a in atoms[1:]:
+                m = pc.or_(m, atom_mask(a))
             mask = m if mask is None else pc.and_(mask, m)
         keep = mask.to_pylist()
     data = [

@@ -33,9 +33,12 @@ partitions. tests/test_sources.py pins both the hazard (an engine
 canary that fails when a future Spark fixes the cache — the signal to
 restore pushFilters pruning) and this source's mixed-query correctness.
 
-``where`` grammar: ``<col> <op> <literal>`` conjuncts joined by AND;
-ops ``= == > >= < <=``; literals are single-quoted strings or bare
-int/float. Example: ``option("where", "day = '2024-01-03' AND k >= 10")``.
+``where`` grammar (mr_spark/predicates.py, shared with the table's
+read/DML planners): comparators ``= == <> != > >= < <=``, ``BETWEEN a
+AND b``, ``IN (...)``, ``NOT IN (...)``, ``IS [NOT] NULL``, and
+parenthesised OR groups, joined by AND; literals are single-quoted
+strings or bare int/float. Example: ``option("where", "day =
+'2024-01-03' AND (k >= 10 OR k IN (1, 2))")``.
 
 Scale: the pruning decision is O(live files) driver-side metadata work
 with ZERO file opens — at 10^5 files a point lookup plans in manifest
@@ -47,7 +50,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -91,10 +93,11 @@ class SnapshotDataSource(DataSource):
       read the latest version committed at or before the instant
       (mutually exclusive with ``version``)
     * ``where``: pruning predicate with exact SQL WHERE semantics —
-      ``"<col> <op> <literal>"`` conjuncts joined by AND. Prunes files
-      from the manifest at planning (partition values, footer ranges,
-      bloom probes) and re-applies row-level on executors. See the
-      module docstring for why this is an option and not pushFilters.
+      comparisons / BETWEEN / IN / IS [NOT] NULL / OR groups joined by
+      AND (module docstring has the grammar). Prunes files from the
+      manifest at planning (partition values, footer ranges, bloom
+      probes) and re-applies row-level on executors. See the module
+      docstring for why this is an option and not pushFilters.
     """
 
     @classmethod
@@ -169,47 +172,22 @@ class _FilePartition(InputPartition):
         self.schema_json = schema_json
         # logical -> physical in-file column names (column mapping)
         self.colmap = colmap or {}
-        # (logical_col, op, literal) conjuncts re-applied EXACTLY
-        # row-level by the executor (see module docstring)
+        # normalized predicate conjuncts (mr_spark/predicates.py,
+        # logical names) re-applied EXACTLY row-level by the executor
         self.preds = preds or []
 
 
-_WHERE_OPS = {"==": "eq", "=": "eq", ">=": "gte", ">": "gt", "<=": "lte", "<": "lt"}
-_WHERE_RE = re.compile(r"\s*([A-Za-z_][\w]*)\s*(==|>=|<=|=|>|<)\s*(.+?)\s*\Z")
+def parse_where(expr: str) -> list[list[tuple]]:
+    """``option("where", ...)`` -> normalized conjuncts (the shared
+    grammar in mr_spark/predicates.py): the six comparators, BETWEEN,
+    IN (...), NOT IN (...), IS [NOT] NULL, and parenthesised OR groups,
+    joined by AND. Strings single-quoted ('' escapes); bare literals
+    parse as int then float. Anything else is a loud error — this is a
+    data-skipping predicate, not a SQL dialect. Superset of the
+    original ``<col> <op> <literal> [AND ...]`` option grammar."""
+    from ..predicates import parse_sql_where
 
-
-def parse_where(expr: str) -> list[tuple[str, str, object]]:
-    """``option("where", ...)`` grammar -> (col, op, value) conjuncts.
-    Strings must be single-quoted; bare literals parse as int then
-    float. Anything else is a loud error — this is a pruning predicate,
-    not a SQL dialect (notably, a literal containing ' AND ' inside its
-    quotes is split first and fails the clause parse loudly)."""
-    preds: list[tuple[str, str, object]] = []
-    for clause in re.split(r"\s+AND\s+", expr.strip(), flags=re.IGNORECASE):
-        m = _WHERE_RE.match(clause)
-        if not m:
-            raise ValueError(
-                f"cannot parse where clause {clause!r} — expected "
-                "\"<col> <op> <literal>\" conjuncts joined by AND, ops "
-                "= == > >= < <="
-            )
-        col, op, lit = m.groups()
-        val: object
-        if len(lit) >= 2 and lit[0] == "'" and lit[-1] == "'":
-            val = lit[1:-1]
-        else:
-            try:
-                val = int(lit)
-            except ValueError:
-                try:
-                    val = float(lit)
-                except ValueError:
-                    raise ValueError(
-                        f"unquoted non-numeric literal {lit!r} in where "
-                        "clause — quote strings: col = 'value'"
-                    ) from None
-        preds.append((col, _WHERE_OPS[op], val))
-    return preds
+    return parse_sql_where(expr)
 
 
 class SnapshotReader(DataSourceReader):
@@ -223,37 +201,38 @@ class SnapshotReader(DataSourceReader):
             v = options.get("version")
             self.version = int(v) if v is not None else None
         w = options.get("where")
-        self._preds: list[tuple[str, str, object]] = (
-            parse_where(w) if w else []
-        )
+        self._preds: list[list[tuple]] = parse_where(w) if w else []
 
     # ---- planning (driver): manifest-only pruning ---------------------
 
     def _keep_file(
-        self, fstats: dict, bloom_cols: tuple, preds: list | None = None
+        self,
+        fstats: dict,
+        bloom_cols: tuple,
+        cmap: dict,
+        pval: str | None = None,
+        pcol: str | None = None,
     ) -> bool:
+        """Skip a file only on PROOF of disjointness with some conjunct
+        — the same verdict ladder as acid's data_paths (ranges, IN, OR
+        groups, null tests, bloom point probes, exact partition
+        values), via the shared predicates module."""
         from ..acid import _bloom_might_contain
+        from ..predicates import conjunct_verdict
 
-        for col, op, val in preds if preds is not None else self._preds:
-            s = fstats.get(col)
-            if s is not None:
-                mn, mx = s[0], s[1]
-                try:
-                    if (
-                        (op == "eq" and (val < mn or val > mx))
-                        or (op == "gte" and mx < val)
-                        or (op == "gt" and mx <= val)
-                        or (op == "lte" and mn > val)
-                        or (op == "lt" and mn >= val)
-                    ):
-                        return False
-                except TypeError:
-                    pass  # bound/stat types don't compare — keep the file
-            if op == "eq" and col in bloom_cols:
-                bloom = fstats.get("__bloom__", {}).get(col)
-                if bloom is not None and not _bloom_might_contain(bloom, val):
-                    return False  # proven absent — no false negatives
-        return True
+        return not any(
+            conjunct_verdict(
+                atoms,
+                fstats,
+                phys_of=lambda c: cmap.get(c, c),
+                pval=pval,
+                pcol=pcol,
+                bloom_phys=set(bloom_cols),
+                bloom_might_contain=_bloom_might_contain,
+            )
+            == "disjoint"
+            for atoms in self._preds
+        )
 
     def partitions(self) -> Sequence[InputPartition]:
         from ..acid import _part_of
@@ -274,33 +253,32 @@ class SnapshotReader(DataSourceReader):
         buckets = m["files"]
         pcol = m.get("partition_by")
         if pcol:
-            keep_vals = [
-                str(val)
-                for col, op, val in self._preds
-                if col == pcol and op == "eq"
-            ]
-            if keep_vals:
+            keep_vals: set | None = None
+            from ..predicates import pcol_point_values
+
+            for atoms in self._preds:
+                vals = pcol_point_values(atoms, pcol)
+                if vals is not None:
+                    keep_vals = vals if keep_vals is None else keep_vals & vals
+            if keep_vals is not None:
                 buckets = {
                     b: rels
                     for b, rels in buckets.items()
                     if _part_of(b) in keep_vals
                 }
         # predicates arrive under LOGICAL names; stats and blooms are
-        # keyed by the PHYSICAL in-file names (column mapping). Remap
-        # into a LOCAL list — mutating self._preds would double-apply
-        # the colmap if partitions() ran twice (replanned reader), and a
-        # swap-rename colmap would then bind preds to the WRONG column
-        phys_preds = [
-            (cmap.get(col, col), op, val) for col, op, val in self._preds
-        ]
+        # keyed by the PHYSICAL in-file names (column mapping) —
+        # _keep_file maps through a phys_of callable on a LOCAL basis,
+        # so a replanned reader can never double-apply the colmap
         bloom_cols = tuple(
             cmap.get(c, c) for c in m.get("bloom_cols", ())
         )
         parts: list[InputPartition] = []
-        for rels in buckets.values():
+        for b, rels in buckets.items():
+            pval = _part_of(b) if pcol else None
             for rel in rels:
                 if not self._keep_file(
-                    stats.get(rel, {}), bloom_cols, phys_preds
+                    stats.get(rel, {}), bloom_cols, cmap, pval, pcol
                 ):
                     continue
                 parts.append(
@@ -511,9 +489,24 @@ def register_snapshot_view(spark, name: str, path: str, **options) -> None:
     test_spark_catalog_table_options_engine_canary — when a fixed Spark
     arrives the canary fails, signaling the DDL surface can replace
     this helper. All options (version, timestamp_as_of, where, ...)
-    pass through."""
+    pass through.
+
+    The binding is also recorded for the SQL-text DML dispatcher
+    (mr_spark/sql_dml.py): an UNPINNED view (no version /
+    timestamp_as_of / where) is writable through ``execute_dml`` —
+    ``DELETE FROM <name> WHERE ...`` etc.; pinned views are read-only
+    history and the dispatcher refuses them by consulting this record."""
     register(spark)
     r = spark.read.format("snapshot").option("path", path)
     for k, v in options.items():
         r = r.option(k, str(v))
     r.load().createOrReplaceTempView(name)
+    _VIEW_BINDINGS[name.lower()] = {
+        "path": path,
+        "pinned": bool(options),
+    }
+
+
+# view name (lowercased) -> {"path", "pinned"} — the SQL-text DML
+# dispatcher's name resolution (see register_snapshot_view)
+_VIEW_BINDINGS: dict[str, dict] = {}

@@ -1,0 +1,344 @@
+"""SQL-text DML over snapshot views — ``execute_dml(spark, "DELETE
+FROM v WHERE ...")`` routing statement text to SnapshotTable methods
+(VERDICT r7 #3: completes the pure-SQL session story that
+register_snapshot_view's read surface started, while ``CREATE TABLE
+... USING snapshot`` stays blocked by the measured catalog-properties
+engine gap pinned in tests/test_sources.py).
+
+Statements (case-insensitive keywords; names resolve through
+register_snapshot_view's bindings — unpinned views only, a
+version/timestamp-pinned view is read-only history):
+
+* ``DELETE FROM <view> [WHERE <pred>]``
+* ``UPDATE <view> SET col = <expr> [, col = <expr> ...] [WHERE <pred>]``
+* ``MERGE INTO <view> [AS] t USING <any table/view> [AS] s
+  ON t.<key> = s.<key>
+  [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = <expr>, ...]
+  [WHEN MATCHED [AND <cond>] THEN DELETE]
+  [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+  [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ... | DELETE]``
+
+``<pred>`` is the shared data-skipping grammar (mr_spark/predicates.py
+— comparisons, BETWEEN, IN, NOT IN, IS [NOT] NULL, parenthesised OR
+groups, joined by AND), so SQL-text DELETE/UPDATE plans from manifest
+stats exactly like the Python API: the trichotomy, metadata-only
+drops, and DV modes all apply (``mode="dv"`` selects merge-on-read).
+SET/merge expressions pass through to the engine as Spark SQL and must
+reference merge rows via the REQUIRED aliases ``t`` (target) and ``s``
+(source) — enforcing the aliases keeps pass-through sound. Anything
+outside the grammar fails loudly; nothing falls back to a silent full
+scan.
+
+After a successful write the view is RE-REGISTERED over the same path,
+so the next ``spark.sql`` against it reads the new version regardless
+of any engine-side relation caching.
+
+Scale: the statement itself adds no work — it parses to the same
+predicate conjuncts and method calls as the Python API, so a SQL-only
+retention job gets the identical O(manifest) planning.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["execute_dml"]
+
+
+def _strip_quotes_spans(text: str):
+    """Index ranges of single-quoted literals ('' escapes)."""
+    spans = []
+    i = 0
+    while i < len(text):
+        if text[i] == "'":
+            j = i + 1
+            while j < len(text):
+                if text[j] == "'":
+                    if j + 1 < len(text) and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, j))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _find_top_keyword(text: str, keyword: str, start: int = 0) -> int:
+    """Position of ``keyword`` (word-bounded, case-insensitive) outside
+    quotes and parentheses, or -1."""
+    spans = _strip_quotes_spans(text)
+
+    def quoted(pos):
+        return any(a <= pos <= b for a, b in spans)
+
+    depth = 0
+    pat = re.compile(rf"\b{keyword}\b", re.IGNORECASE)
+    for i, ch in enumerate(text):
+        if quoted(i):
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and i >= start:
+            m = pat.match(text, i)
+            if m:
+                return i
+    return -1
+
+
+def _split_top_commas(text: str) -> list[str]:
+    spans = _strip_quotes_spans(text)
+
+    def quoted(pos):
+        return any(a <= pos <= b for a, b in spans)
+
+    parts, depth, last = [], 0, 0
+    for i, ch in enumerate(text):
+        if quoted(i):
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[last:i])
+            last = i + 1
+    parts.append(text[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _resolve(view: str):
+    from .sources.snapshot_source import _VIEW_BINDINGS
+
+    b = _VIEW_BINDINGS.get(view.lower())
+    if b is None:
+        raise ValueError(
+            f"{view!r} is not a registered snapshot view — bind it with "
+            "register_snapshot_view(spark, name, path) first"
+        )
+    if b["pinned"]:
+        raise ValueError(
+            f"view {view!r} is pinned (version / timestamp_as_of / "
+            "where) — pinned views are read-only history; register an "
+            "unpinned view over the same path to write"
+        )
+    return b["path"]
+
+
+def _table(spark, view: str):
+    from .acid import SnapshotTable
+
+    return SnapshotTable(spark, _resolve(view))
+
+
+def _rebind(spark, view: str) -> None:
+    """Re-register the view after a write so the next spark.sql reads
+    the new version regardless of engine-side relation caching."""
+    from .sources.snapshot_source import register_snapshot_view
+
+    register_snapshot_view(spark, view, _resolve(view))
+
+
+def _parse_where_tail(tail: str):
+    from .predicates import parse_sql_where
+
+    tail = tail.strip()
+    if not tail:
+        return None
+    return parse_sql_where(tail)
+
+
+def _parse_set_list(text: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for item in _split_top_commas(text):
+        m = re.match(r"^\s*([A-Za-z_]\w*)\s*=\s*(.+)$", item, re.DOTALL)
+        if not m:
+            raise ValueError(
+                f"cannot parse SET assignment {item!r} — expected "
+                "col = <expr>"
+            )
+        col, expr = m.group(1), m.group(2).strip()
+        if col in out:
+            raise ValueError(f"column {col!r} assigned twice in SET")
+        out[col] = expr
+    if not out:
+        raise ValueError("empty SET list")
+    return out
+
+
+_MERGE_HEAD = re.compile(
+    r"^\s*MERGE\s+INTO\s+([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)\s+"
+    r"USING\s+([A-Za-z_][\w.]*)\s+(?:AS\s+)?([A-Za-z_]\w*)\s+"
+    r"ON\s+(.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_ON_COND = re.compile(
+    r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$"
+)
+
+
+def _parse_merge(spark, stmt: str):
+    # split off the WHEN clauses first (quote/paren aware)
+    clauses = []
+    rest = stmt
+    positions = []
+    start = 0
+    while True:
+        i = _find_top_keyword(rest, "WHEN", start)
+        if i < 0:
+            break
+        positions.append(i)
+        start = i + 4
+    if positions:
+        head = rest[: positions[0]]
+        for a, b in zip(positions, positions[1:] + [len(rest)]):
+            clauses.append(rest[a:b].strip())
+    else:
+        head = rest
+    m = _MERGE_HEAD.match(head)
+    if not m:
+        raise ValueError(
+            "cannot parse MERGE header — expected MERGE INTO <view> "
+            "[AS] t USING <table> [AS] s ON t.<key> = s.<key>"
+        )
+    target, t_alias, source, s_alias, on = m.groups()
+    if (t_alias.lower(), s_alias.lower()) != ("t", "s"):
+        raise ValueError(
+            "MERGE requires the aliases 't' (target) and 's' (source) — "
+            "clause expressions pass through to the engine under those "
+            f"names (got {t_alias!r}, {s_alias!r})"
+        )
+    oc = _ON_COND.match(on)
+    if not oc:
+        raise ValueError(
+            "MERGE ON must be a single key equality t.<key> = s.<key> "
+            f"(got {on!r}) — the snapshot MERGE is bucket-keyed"
+        )
+    a1, c1, a2, c2 = oc.groups()
+    refs = {a1.lower(): c1, a2.lower(): c2}
+    if set(refs) != {"t", "s"} or refs["t"] != refs["s"]:
+        raise ValueError(
+            "MERGE ON must equate the SAME column across t and s "
+            f"(got {on!r})"
+        )
+    key = refs["t"]
+    kw: dict = {}
+    _CL = re.compile(
+        r"^WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
+        r"(?:\s+AND\s+(.+?))?\s+THEN\s+(.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    for cl in clauses:
+        m2 = _CL.match(cl)
+        if not m2:
+            raise ValueError(f"cannot parse MERGE clause {cl!r}")
+        kind = re.sub(r"\s+", " ", m2.group(1).upper())
+        cond = m2.group(2).strip() if m2.group(2) else None
+        action = m2.group(3).strip()
+        au = action.upper()
+        if kind == "MATCHED":
+            if au == "DELETE":
+                _put(kw, "matched_delete", True, cond,
+                     "matched_delete_condition")
+            elif au.startswith("UPDATE SET"):
+                body = action[len("UPDATE SET"):].strip()
+                val = "*" if body == "*" else _parse_set_list(body)
+                _put(kw, "matched_update", val, cond,
+                     "matched_update_condition")
+            else:
+                raise ValueError(
+                    f"WHEN MATCHED supports UPDATE SET or DELETE, got {action!r}"
+                )
+        elif kind == "NOT MATCHED":
+            if au == "INSERT *" or au == "INSERT":
+                _put(kw, "not_matched_insert", "*", cond,
+                     "not_matched_insert_condition")
+            else:
+                raise ValueError(
+                    "WHEN NOT MATCHED supports INSERT * only (column "
+                    f"lists are not part of this grammar), got {action!r}"
+                )
+        else:  # NOT MATCHED BY SOURCE
+            if au == "DELETE":
+                _put(kw, "not_matched_by_source_delete", True, cond,
+                     "not_matched_by_source_delete_condition")
+            elif au.startswith("UPDATE SET"):
+                body = action[len("UPDATE SET"):].strip()
+                _put(kw, "not_matched_by_source_update",
+                     _parse_set_list(body), cond,
+                     "not_matched_by_source_update_condition")
+            else:
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE supports UPDATE SET or "
+                    f"DELETE, got {action!r}"
+                )
+    if not kw:
+        raise ValueError("MERGE has no WHEN clauses")
+    src_df = spark.table(source)
+    return target, key, src_df, kw
+
+
+def _put(kw: dict, name: str, val, cond, cond_name: str) -> None:
+    if name in kw:
+        raise ValueError(f"duplicate MERGE clause kind {name!r}")
+    kw[name] = val
+    if cond:
+        kw[cond_name] = cond
+
+
+def execute_dml(spark, sql_text: str, mode: str = "cow") -> int:
+    """Execute one DML statement (module docstring has the grammar)
+    against its snapshot view's table; returns the committed version.
+    ``mode`` selects copy-on-write vs merge-on-read (deletion vectors)
+    for DELETE/UPDATE — Delta's SQL has no mode syntax either (it is a
+    table property there); MERGE ignores it."""
+    stmt = sql_text.strip().rstrip(";").strip()
+    m = re.match(r"^\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\s*(.*)$", stmt,
+                 re.IGNORECASE | re.DOTALL)
+    if m:
+        view, tail = m.group(1), m.group(2).strip()
+        where = None
+        if tail:
+            w = re.match(r"^WHERE\s+(.+)$", tail, re.IGNORECASE | re.DOTALL)
+            if not w:
+                raise ValueError(f"cannot parse DELETE tail {tail!r}")
+            where = _parse_where_tail(w.group(1))
+        t = _table(spark, view)
+        v = t.delete(where=where, mode=mode)
+        _rebind(spark, view)
+        return v
+    m = re.match(r"^\s*UPDATE\s+([A-Za-z_]\w*)\s+SET\s+(.+)$", stmt,
+                 re.IGNORECASE | re.DOTALL)
+    if m:
+        view, rest = m.group(1), m.group(2)
+        wi = _find_top_keyword(rest, "WHERE")
+        where = None
+        if wi >= 0:
+            where = _parse_where_tail(rest[wi + len("WHERE"):])
+            rest = rest[:wi]
+        assigns = _parse_set_list(rest)
+        t = _table(spark, view)
+        v = t.update(assigns, where=where, mode=mode)
+        _rebind(spark, view)
+        return v
+    if re.match(r"^\s*MERGE\b", stmt, re.IGNORECASE):
+        target, key, src_df, kw = _parse_merge(spark, stmt)
+        t = _table(spark, target)
+        mkey = t._manifest(t.latest_version())["key"]
+        if mkey != key:
+            raise ValueError(
+                f"MERGE ON column {key!r} is not the table's bucket key "
+                f"{mkey!r} — the snapshot MERGE joins on the key"
+            )
+        v = t.merge(src_df, **kw)
+        _rebind(spark, target)
+        return v
+    raise ValueError(
+        "unsupported statement — execute_dml handles DELETE FROM / "
+        "UPDATE ... SET / MERGE INTO over registered snapshot views"
+    )

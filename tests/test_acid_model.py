@@ -62,6 +62,15 @@ def _op():
     update_where_dv = st.tuples(krange, VALS).map(
         lambda p: ("update_where_dv", (p[0][0], p[0][1], p[1]))
     )
+    # round-8 predicate grammar: IN-list, OR-of-ranges, not-equal —
+    # the model applies the identical row filter
+    kset = st.lists(KEYS, min_size=1, max_size=3, unique=True)
+    delete_in = kset.map(lambda ks: ("delete_in", sorted(ks)))
+    delete_or = st.tuples(krange, krange).map(lambda p: ("delete_or", p))
+    delete_ne = VALS.map(lambda v: ("delete_ne", v))
+    update_in_dv = st.tuples(kset, VALS).map(
+        lambda p: ("update_in_dv", (sorted(p[0]), p[1]))
+    )
     compact = st.just(("compact", None))
     # RESTORE to a random earlier version (index resolved mod the live
     # version count at runtime) — the model rolls back to its recorded
@@ -72,6 +81,7 @@ def _op():
     return st.one_of(
         merge, merge_cl, append, delete, delete_dv,
         delete_where, delete_where_dv, update_where, update_where_dv,
+        delete_in, delete_or, delete_ne, update_in_dv,
         compact, restore,
     )
 
@@ -209,6 +219,35 @@ def test_snapshot_table_matches_multiset_model(spark, tmp_path_factory, ops):
             model = [
                 (k, nv) if lo <= k <= hi else (k, v) for k, v in model
             ]
+        elif kind == "delete_in":
+            new_version = t.delete(where=("in", "k", arg))
+            if new_version == version:
+                continue
+            model = [r for r in model if r[0] not in set(arg)]
+        elif kind == "delete_or":
+            (l1, h1), (l2, h2) = arg
+            new_version = t.delete(
+                where=[("or", [("k", l1, h1), ("k", l2, h2)])], mode="dv"
+            )
+            if new_version == version:
+                continue
+            model = [
+                r for r in model
+                if not (l1 <= r[0] <= h1 or l2 <= r[0] <= h2)
+            ]
+        elif kind == "delete_ne":
+            new_version = t.delete(where=("<>", "v", arg))
+            if new_version == version:
+                continue
+            model = [r for r in model if r[1] == arg]
+        elif kind == "update_in_dv":
+            ks, nv = arg
+            new_version = t.update(
+                {"v": f"'{nv}'"}, where=("in", "k", ks), mode="dv"
+            )
+            if new_version == version:
+                continue
+            model = [(k, nv) if k in set(ks) else (k, v) for k, v in model]
         elif kind == "restore":
             target = 1 + (arg % version)
             new_version = t.restore(target)

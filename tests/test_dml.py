@@ -148,7 +148,7 @@ def test_delete_operation_metrics_in_history(spark, tmp_path):
     t.delete(where=("x", 10.0, 19.0))
     h = t.history(limit=1)[0]
     assert h["operation"] == "DELETE"
-    assert h["params"]["predicate"] == [["x", 10.0, 19.0]]
+    assert h["params"]["predicate"] == [[["between", "x", 10.0, 19.0]]]
     assert "metrics" in h["params"]
 
 
@@ -454,3 +454,139 @@ def test_update_empty_set_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="at least one SET"):
         t.update({}, where=("x", 0.0, 5.0))
     assert t.latest_version() == v0
+
+
+# ---- round-8 predicate grammar: IN / OR / <> / IS [NOT] NULL --------------
+
+
+def test_delete_in_list(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    t.delete(where=("in", "k", [3, 7, 11, 999]))  # 999 matches nothing
+    assert sorted(r["k"] for r in t.read().collect()) == [
+        k for k, _, _ in ROWS if k not in (3, 7, 11)
+    ]
+
+
+def test_delete_or_of_ranges(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    t.delete(where=[("or", [("x", 0.0, 4.0), ("x", 30.0, 39.0)])])
+    exp = sorted(
+        (k, g, x) for k, g, x in ROWS if not (x <= 4.0 or 30.0 <= x)
+    )
+    assert _vals(t) == exp
+
+
+def test_delete_not_equal_keeps_nulls(spark, tmp_path):
+    # SQL: WHERE grp <> 'even' does NOT match NULL grp rows — they stay
+    rows = ROWS + [(100, None, 1.5)]
+    t = _mk(spark, tmp_path, rows)
+    t.delete(where=("<>", "grp", "even"))
+    got = _vals(t)
+    exp = sorted(
+        (k, g, x) for k, g, x in rows if g is None or g == "even"
+    )
+    assert got == exp
+
+
+def test_delete_is_null_and_not_null(spark, tmp_path):
+    rows = ROWS + [(100, None, 1.5), (101, None, 2.5)]
+    t = _mk(spark, tmp_path, rows)
+    t.delete(where=("is_null", "grp"))
+    assert sorted(r["k"] for r in t.read().collect()) == [
+        k for k, g, _ in rows if g is not None
+    ]
+    t2 = _mk(spark, tmp_path, rows, name="tbl2")
+    t2.delete(where=[("not_null", "grp"), ("x", 0.0, 100.0)])
+    assert sorted(r["k"] for r in t2.read().collect()) == [100, 101]
+
+
+def test_update_with_in_and_or_grammar(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    t.update(
+        {"grp": "'picked'"},
+        where=[("or", [("in", "k", [1, 2]), ("k", 38, 39)])],
+        mode="dv",
+    )
+    got = {r["k"] for r in t.read().where("grp = 'picked'").collect()}
+    assert got == {1, 2, 38, 39}
+
+
+def test_classify_in_list_integer_union_covers(spark, tmp_path):
+    """An IN-list enumerating every integer in a file's [min,max] (and
+    a zero null count) PROVES full coverage -> the IN-delete drops the
+    file metadata-only, like the range path."""
+    t = _mk(spark, tmp_path, ROWS)
+    m = t._manifest(t.latest_version())
+    full, straddle = t._classify_files(m, ("in", "k", list(range(0, 40))))
+    n_total = sum(len(r) for r in m["files"].values())
+    assert sum(len(r) for r in full.values()) == n_total
+    assert not straddle
+    t.delete(where=("in", "k", list(range(0, 40))))
+    assert t.last_dml["files_rewritten"] == 0
+    assert t.last_dml["files_fully_removed"] == n_total
+    assert t.read().count() == 0
+
+
+def test_classify_not_null_disjoint_and_covered(spark, tmp_path):
+    """__rows__ + __nulls__ footer stats prove IS NULL / IS NOT NULL
+    verdicts both ways without reading data."""
+    rows = [(k, None if k < 20 else f"g{k}", float(k)) for k in range(40)]
+    t = _mk(spark, tmp_path, rows)
+    m = t._manifest(t.latest_version())
+    # every file: no grp value is NULL-free or all-NULL necessarily,
+    # but the verdicts must at least be sound: deleting IS NULL rows
+    # then classifying IS NULL again must find nothing
+    t.delete(where=("is_null", "grp"))
+    assert t.read().count() == 20
+    m2 = t._manifest(t.latest_version())
+    full2, straddle2 = t._classify_files(m2, ("is_null", "grp"))
+    assert not full2  # rewritten files have zero nulls -> disjoint
+    assert not straddle2
+
+
+def test_partition_prune_exact_under_in_and_ne(spark, tmp_path):
+    rows = [(k, "even" if k % 2 == 0 else "odd", float(k)) for k in range(40)]
+    df = spark.createDataFrame(rows, "k bigint, grp string, x double")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "ptbl"), df, key="k", n_buckets=2,
+        partition_by="grp",
+    )
+    m = t._manifest(t.latest_version())
+    # IN on the partition column classifies whole partitions exactly
+    full, straddle = t._classify_files(m, ("in", "grp", ["even"]))
+    assert not straddle
+    assert all(b.startswith("even|") for b in full)
+    # <> on the partition column: the other partition is fully covered
+    full_ne, straddle_ne = t._classify_files(m, ("<>", "grp", "even"))
+    assert not straddle_ne
+    assert all(b.startswith("odd|") for b in full_ne)
+    # and the IN-delete is metadata-only
+    t.delete(where=("in", "grp", ["even"]))
+    assert t.last_dml["files_rewritten"] == 0
+    assert {r["grp"] for r in t.read().collect()} == {"odd"}
+
+
+def test_data_paths_prunes_under_new_grammar(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    m = t._manifest(t.latest_version())
+    n_total = sum(len(r) for r in m["files"].values())
+    # IN-list of values outside every file's range prunes everything
+    assert t.data_paths(where=("in", "x", [1000.0, 2000.0])) == []
+    # IS NULL on a NULL-free column prunes everything
+    assert t.data_paths(where=("is_null", "x")) == []
+    # NOT NULL keeps all
+    assert len(t.data_paths(where=("not_null", "x"))) == n_total
+    # reads agree with the row-level truth
+    assert t.read(where=[("or", [("k", 0, 1), ("in", "k", [39])])]).count() == 3
+
+
+def test_where_grammar_refusals(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    with pytest.raises(ValueError, match="empty value list"):
+        t.delete(where=("in", "k", []))
+    with pytest.raises(ValueError, match="cannot nest"):
+        t.delete(where=[("or", [("or", [("k", 1, 2)])])])
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.delete(where=("nope", 1, 2))
+    with pytest.raises(ValueError, match="atom"):
+        t.delete(where=("k",))

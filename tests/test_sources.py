@@ -253,6 +253,43 @@ def test_snapshot_batch_source_where_option_prunes_partitions(spark, tmp_path):
     assert [(r["k"], r["v"]) for r in pruned.collect()] == [(3, "v3")]
 
 
+def test_snapshot_batch_source_where_extended_grammar(spark, tmp_path):
+    """The round-8 ``where`` option grammar end-to-end: IN-lists,
+    parenthesised OR groups, <> and IS [NOT] NULL — exact SQL WHERE
+    row-level results, and manifest pruning still engages for the
+    prunable shapes (an all-outside IN plans the empty sentinel)."""
+    from mr_spark.sources.snapshot_source import register
+
+    rows = [(i, f"v{i}" if i % 5 else None) for i in range(40)]
+    t = _mk_snap(spark, tmp_path, rows)
+    register(spark)
+
+    def q(w):
+        return (
+            spark.read.format("snapshot")
+            .option("path", t.path)
+            .option("where", w)
+            .load()
+        )
+
+    assert sorted(r["k"] for r in q("k IN (3, 7, 999)").collect()) == [3, 7]
+    assert sorted(r["k"] for r in q("(k BETWEEN 0 AND 1 OR k IN (39))").collect()) == [0, 1, 39]
+    assert sorted(r["k"] for r in q("v IS NULL").collect()) == [0, 5, 10, 15, 20, 25, 30, 35]
+    got_ne = sorted(r["k"] for r in q("v <> 'v3' AND v IS NOT NULL").collect())
+    assert got_ne == [i for i in range(40) if i % 5 and i != 3]
+    assert sorted(r["k"] for r in q("k NOT IN (0, 1) AND k <= 3").collect()) == [2, 3]
+    # pruning: IN-list entirely outside every file's range plans the
+    # empty sentinel (1 partition), vs the full table's many
+    base = spark.read.format("snapshot").option("path", t.path).load()
+    empty = q("k IN (900, 901)")
+    assert empty.rdd.getNumPartitions() < base.rdd.getNumPartitions()
+    assert empty.count() == 0
+    import pytest
+
+    with pytest.raises(Exception, match="parenthesise|parse"):
+        q("k = 1 OR k = 2 AND k = 3").collect()
+
+
 def test_snapshot_batch_source_mixed_queries_stay_correct(spark, tmp_path):
     """THE reason pruning rides an option, not pushFilters: on this
     Spark version a pushFilters-pruned plan is cached per relation and

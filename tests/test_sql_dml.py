@@ -1,0 +1,140 @@
+"""SQL-text DML dispatcher tests (mr_spark/sql_dml.py) — DELETE FROM /
+UPDATE SET / MERGE INTO statement text routed to SnapshotTable methods
+through registered snapshot views, with the shared predicate grammar
+and loud refusals for anything outside it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_spark.acid import SnapshotTable
+from mr_spark.sql_dml import execute_dml
+from mr_spark.sources.snapshot_source import register_snapshot_view
+
+
+ROWS = [(k, "even" if k % 2 == 0 else "odd", float(k)) for k in range(40)]
+
+
+def _mk(spark, tmp_path, name, rows=ROWS, **kw):
+    df = spark.createDataFrame(rows, "k bigint, grp string, x double")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / name), df, key="k", n_buckets=4, **kw
+    )
+    register_snapshot_view(spark, name, t.path)
+    return t
+
+
+def test_sql_delete_where(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqldml_d")
+    v = execute_dml(spark, "DELETE FROM sqldml_d WHERE k IN (3, 7) OR k BETWEEN 30 AND 39")
+    assert v == 2
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == [k for k in range(30) if k not in (3, 7)]
+    # the SQL read surface sees the post-DML state (view rebinds)
+    assert spark.sql("SELECT COUNT(*) AS n FROM sqldml_d").first()["n"] == 28
+
+
+def test_sql_delete_full_and_dv_mode(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqldml_dv")
+    v = execute_dml(spark, "DELETE FROM sqldml_dv WHERE x <= 4.0", mode="dv")
+    m = t._manifest(v)
+    assert m.get("dvs")  # merge-on-read
+    assert t.read().count() == 35
+    execute_dml(spark, "DELETE FROM sqldml_dv")
+    assert t.read().count() == 0
+
+
+def test_sql_update_set(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqldml_u")
+    execute_dml(
+        spark,
+        "UPDATE sqldml_u SET x = x * 2, grp = 'hit' "
+        "WHERE grp <> 'odd' AND k <= 10",
+    )
+    got = {r["k"]: (r["grp"], r["x"]) for r in t.read().collect()}
+    for k, g, x in ROWS:
+        if g == "even" and k <= 10:
+            assert got[k] == ("hit", x * 2)
+        else:
+            assert got[k] == (g, x)
+
+
+def test_sql_update_where_keyword_inside_literal(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqldml_lit")
+    # a SET literal containing ' WHERE ' must not split the statement
+    execute_dml(
+        spark,
+        "UPDATE sqldml_lit SET grp = 'a WHERE b' WHERE k = 0",
+    )
+    assert [
+        r["grp"] for r in t.read().where("k = 0").collect()
+    ] == ["a WHERE b"]
+
+
+def test_sql_merge_upsert_and_clauses(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqldml_m")
+    src = spark.createDataFrame(
+        [(0, "upd", 100.0), (1000, "new", 1.0)], "k bigint, grp string, x double"
+    )
+    src.createOrReplaceTempView("sqldml_m_src")
+    v = execute_dml(
+        spark,
+        """MERGE INTO sqldml_m AS t USING sqldml_m_src AS s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+    )
+    assert v == 2
+    got = {r["k"]: r["grp"] for r in t.read().collect()}
+    assert got[0] == "upd" and got[1000] == "new" and len(got) == 41
+    # conditional clause with expressions over t./s. aliases
+    execute_dml(
+        spark,
+        """MERGE INTO sqldml_m t USING sqldml_m_src s ON t.k = s.k
+           WHEN MATCHED AND s.grp = 'upd' THEN UPDATE SET x = t.x + s.x""",
+    )
+    assert t.read().where("k = 0").first()["x"] == 200.0
+
+
+def test_sql_dml_refusals(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqldml_r")
+    register_snapshot_view(spark, "sqldml_r_v1", t.path, version=1)
+    with pytest.raises(ValueError, match="not a registered snapshot view"):
+        execute_dml(spark, "DELETE FROM nosuch WHERE k = 1")
+    with pytest.raises(ValueError, match="read-only history"):
+        execute_dml(spark, "DELETE FROM sqldml_r_v1 WHERE k = 1")
+    with pytest.raises(ValueError, match="expected a comparison|parse"):
+        execute_dml(spark, "DELETE FROM sqldml_r WHERE grp LIKE 'e%'")
+    with pytest.raises(ValueError, match="parenthesise"):
+        execute_dml(spark, "DELETE FROM sqldml_r WHERE k = 1 OR k = 2 AND k = 3")
+    with pytest.raises(ValueError, match="aliases"):
+        execute_dml(
+            spark,
+            "MERGE INTO sqldml_r AS a USING sqldml_r AS b ON a.k = b.k "
+            "WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="bucket key"):
+        src = spark.createDataFrame([(1, "z", 0.0)], "k bigint, grp string, x double")
+        src.createOrReplaceTempView("sqldml_r_src")
+        execute_dml(
+            spark,
+            "MERGE INTO sqldml_r t USING sqldml_r_src s ON t.grp = s.grp "
+            "WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="unsupported statement"):
+        execute_dml(spark, "INSERT INTO sqldml_r VALUES (1, 'a', 1.0)")
+    # nothing committed by any refusal
+    assert t.latest_version() == 1
+
+
+def test_sql_dml_predicate_planning_is_stats_driven(spark, tmp_path):
+    """The SQL path inherits the trichotomy: a partition IN-delete via
+    statement text commits metadata-only."""
+    rows = [(k, "even" if k % 2 == 0 else "odd", float(k)) for k in range(40)]
+    t = _mk(spark, tmp_path, "sqldml_p", rows=rows, partition_by="grp")
+    execute_dml(spark, "DELETE FROM sqldml_p WHERE grp IN ('even')")
+    mx = {r["version"]: r for r in t.history()}[2]["params"]["metrics"]
+    assert mx["files_rewritten"] == 0
+    assert mx["files_fully_removed"] > 0
+    assert {r["grp"] for r in t.read().collect()} == {"odd"}
