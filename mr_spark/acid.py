@@ -2093,27 +2093,46 @@ class SnapshotTable:
             }
         return self._commit(nxt, base, op={"operation": "RESTORE", "to_version": version})
 
-    def clone(self, dest_path: str, version: int | None = None) -> "SnapshotTable":
-        """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``): a
-        new independent table at ``dest_path`` whose v1 manifest
-        references this table's data files (and DV sidecars) by ABSOLUTE
-        path — the clone copies METADATA ONLY, zero data bytes, in O(live
-        files) manifest work. From then on the tables diverge like Delta
-        clones do: writes to the clone land in the CLONE's own data/ dir,
-        and a copy-on-write rewrite of a bucket drops that bucket's
-        external references — the clone gradually localizes exactly the
-        data it changes. The source is never touched.
+    def clone(
+        self,
+        dest_path: str,
+        version: int | None = None,
+        deep: bool = False,
+    ) -> "SnapshotTable":
+        """CLONE (Delta's ``CREATE TABLE ... SHALLOW|DEEP CLONE``): a
+        new independent table at ``dest_path``.
 
-        Per Delta's documented CLONE semantics, the txn map and COPY INTO
-        ledger are NOT copied (a clone is a different table; inheriting
-        replay tags would silently skip the first micro-batches written
-        to it). Constraints, bloom-index config, schema and DVs carry.
+        SHALLOW (default): v1 references this table's data files (and
+        DV sidecars) by ABSOLUTE path — metadata only, zero data bytes,
+        O(live files) manifest work. From then on the tables diverge
+        like Delta clones do: writes to the clone land in the CLONE's
+        own data/ dir, and a copy-on-write rewrite of a bucket drops
+        that bucket's external references — the clone gradually
+        localizes exactly the data it changes. The source is never
+        touched.
 
-        CAVEAT (also Delta's): ``vacuum`` on the SOURCE does not know
-        about clones — expiring the source versions a clone references
-        and vacuuming can break the clone's unlocalized buckets. Keep
-        source retention longer than clone lifetimes, or use a deep copy
-        (``SnapshotTable.create(spark, dest, src.read(), ...)``)."""
+        DEEP (``deep=True``): every referenced data file and DV sidecar
+        is COPIED into the clone's own data/ directory in ONE commit —
+        the manifest holds only LOCAL relative entries, so the clone is
+        fully self-contained: source version expiry, source vacuum,
+        even deleting the source table cannot break it (the shallow
+        caveat below does not apply). The copy fans out as one
+        distributed job beyond the small-commit threshold (driver
+        thread pool under it — the stats-collector pattern), and the
+        commit's operation record carries ``files_localized`` /
+        ``bytes_localized`` metrics.
+
+        Per Delta's documented CLONE semantics (both modes), the txn
+        map and COPY INTO ledger are NOT copied (a clone is a different
+        table; inheriting replay tags would silently skip the first
+        micro-batches written to it). Constraints, bloom-index config,
+        schema, stats and DVs carry.
+
+        CAVEAT (shallow only, also Delta's): ``vacuum`` on the SOURCE
+        does not know about clones — expiring the source versions a
+        clone references and vacuuming can break the clone's
+        unlocalized buckets. Keep source retention longer than clone
+        lifetimes, or use ``deep=True``."""
         v = self.latest_version() if version is None else version
         m = self._manifest(v)
         if os.path.exists(dest_path):
@@ -2121,6 +2140,8 @@ class SnapshotTable:
         os.makedirs(os.path.join(dest_path, "data"))
         os.makedirs(os.path.join(dest_path, "versions"))
         out = SnapshotTable(self.spark, dest_path)
+        if deep:
+            return self._clone_deep(out, m, v)
         ext = {}  # old entry -> absolute reference
         for rels in m["files"].values():
             for entry in rels:
@@ -2128,15 +2149,27 @@ class SnapshotTable:
         for lst in m.get("dvs", {}).values():
             for dv in lst:
                 ext[dv] = self._entry_full(dv)
+        manifest = self._clone_manifest(m, ext)
+        out._commit(manifest, base_version=0, op={"operation": "CLONE", "source": self.path, "source_version": version})
+        return out
+
+    def _clone_manifest(self, m: dict, mapping: dict) -> dict:
+        """The clone's v1 manifest under an entry mapping (shallow:
+        entry -> absolute source reference; deep: entry -> local rel).
+        Txn map and COPY INTO ledger intentionally absent (Delta's
+        CLONE rule — see clone())."""
         manifest = {
             "key": m["key"],
             "n_buckets": m["n_buckets"],
             "schema": m["schema"],
             "files": {
-                b: [ext[e] for e in rels] for b, rels in m["files"].items()
+                b: [mapping[e] for e in rels]
+                for b, rels in m["files"].items()
             },
             "stats": {
-                ext[e]: s for e, s in m.get("stats", {}).items() if e in ext
+                mapping[e]: s
+                for e, s in m.get("stats", {}).items()
+                if e in mapping
             },
         }
         if m.get("partition_by"):
@@ -2160,9 +2193,88 @@ class SnapshotTable:
             manifest["phys_tombstones"] = list(m["phys_tombstones"])
         if m.get("dvs"):
             manifest["dvs"] = {
-                ext[e]: [ext[d] for d in lst] for e, lst in m["dvs"].items()
+                mapping[e]: [mapping[d] for d in lst]
+                for e, lst in m["dvs"].items()
             }
-        out._commit(manifest, base_version=0, op={"operation": "CLONE", "source": self.path, "source_version": version})
+        return manifest
+
+    def _clone_deep(self, out: "SnapshotTable", m: dict, v: int) -> "SnapshotTable":
+        """DEEP CLONE body (see clone()): copy every referenced data
+        file and DV sidecar into the clone's data/ dir, commit a v1
+        manifest of LOCAL relative entries only. The copy is one
+        distributed Spark job beyond the small-commit threshold (task
+        per file; at 100 TB this is the bandwidth-bound bulk transfer
+        and the manifest work stays O(live files) on the driver); a
+        driver thread pool below it, where a job's scheduling floor
+        would dominate. DV sidecars reference data files by BASENAME,
+        which the local mapping preserves — copied DVs keep filtering
+        the copied files."""
+        entries = sorted(
+            {e for rels in m["files"].values() for e in rels}
+            | {d for lst in m.get("dvs", {}).values() for d in lst}
+        )
+        local: dict[str, str] = {}
+        used: set[str] = set()
+        for e in entries:
+            if os.path.isabs(e):
+                # re-rooting an absolute reference (cloning a shallow
+                # clone): keep the data/-relative shape so partition
+                # directories survive; fall back to the basename
+                i = e.rfind("/data/")
+                rel = (
+                    "data/" + e[i + len("/data/"):]
+                    if i >= 0
+                    else os.path.join("data", os.path.basename(e))
+                )
+            else:
+                rel = e
+            if rel in used:  # basename collision across sources
+                root, suffix = os.path.splitext(rel)
+                rel = f"{root}_{uuid.uuid4().hex[:8]}{suffix}"
+            used.add(rel)
+            local[e] = rel
+        pairs = [
+            (self._entry_full(e), os.path.join(out.path, r))
+            for e, r in local.items()
+        ]
+        for _, dst in pairs:  # partition subdirs (shared FS — see above)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+
+        def _cp(p: tuple) -> int:
+            import os as _os
+            import shutil as _shutil
+
+            src, dst = p
+            _shutil.copyfile(src, dst)
+            return _os.path.getsize(dst)
+
+        if self.spark is None or len(pairs) <= _DRIVER_STATS_MAX_FILES:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                total = sum(pool.map(_cp, pairs))
+        else:
+            sc = self.spark.sparkContext
+            total = (
+                sc.parallelize(pairs, max(1, len(pairs) // 64))
+                .map(_cp)
+                .sum()
+            )
+        manifest = self._clone_manifest(m, local)
+        out._commit(
+            manifest,
+            base_version=0,
+            op={
+                "operation": "CLONE",
+                "deep": True,
+                "source": self.path,
+                "source_version": v,
+                "metrics": {
+                    "files_localized": len(pairs),
+                    "bytes_localized": int(total),
+                },
+            },
+        )
         return out
 
     def rebucket(self, n_buckets: int) -> int:

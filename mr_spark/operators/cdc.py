@@ -2328,6 +2328,111 @@ def snapshot_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _deep_clone_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """Fixture for the deep-clone query: a TEMPORARY source table
+    (orders keyed by o_orderkey, with a merge-on-read predicate DELETE
+    so a DV sidecar is among the references), deep-cloned in one
+    commit — after which the SOURCE DIRECTORY IS DELETED OUTRIGHT.
+    Every read of the fixture therefore proves self-containment: a
+    single surviving external reference would fail the scan. Memoized
+    per process (see _FIXTURES)."""
+    import shutil as sh
+
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 1)
+    cached = _FIXTURES.get(key)
+    if _fixture_alive(cached, spark, 1):
+        return cached
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    src = SnapshotTable.create(
+        spark,
+        _snapshot_demo_path(demo + "_src"),
+        o,
+        key="o_orderkey",
+        n_buckets=4,
+    )
+    k_hi = int(o.agg(F.expr("max(o_orderkey) div 10")).first()[0])
+    src.delete(where=("o_orderkey", 1, k_hi), mode="dv")
+    t = src.clone(_snapshot_demo_path(demo), deep=True)
+    sh.rmtree(src.path)  # the strongest self-containment proof
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "snapshot_clone_deep",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) // 10 AS m10 FROM orders)
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders, mx
+    WHERE o_orderkey NOT BETWEEN 1 AND mx.m10
+    GROUP BY 1
+    """,
+)
+def snapshot_clone_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEEP CLONE (Delta's ``CREATE TABLE ... DEEP CLONE``,
+    SnapshotTable.clone(deep=True) — mr_spark/acid.py; VERDICT r7 #6):
+    localize EVERY reference — data files AND the DV sidecar from the
+    source's merge-on-read DELETE — into the clone's own directory in
+    ONE commit, with a manifest of local relative entries only. The
+    fixture then DELETES THE SOURCE TABLE ENTIRELY, so this query's
+    very scan is the self-containment proof the shallow caveat lacks
+    (source vacuum/expiry can break a shallow clone; it cannot touch a
+    deep one). RAISES unless (a) the source path is really gone while
+    the clone reads, (b) the v1 manifest holds zero absolute
+    references, and (c) the CLONE op recorded files_localized /
+    bytes_localized metrics matching the manifest's reference count.
+    The DV carried: the oracle excludes exactly the deleted key range.
+
+    Scale: the copy is one distributed job, task per file — the
+    bandwidth-bound bulk transfer a 100 TB promotion-to-production
+    actually is — while the commit itself stays O(live files) manifest
+    work; the driver never streams data."""
+    import os as _os
+
+    t = _deep_clone_fixture(spark, sf_dir, "acid_deep_clone_demo")
+    h = t.history(limit=1)[0]
+    src_path = h["params"]["source"]
+    if _os.path.exists(src_path):
+        raise RuntimeError(
+            "fixture source still exists — the self-containment cert "
+            "is vacuous"
+        )
+    m = t._manifest(1)
+    entries = {e for rels in m["files"].values() for e in rels} | {
+        d for lst in m.get("dvs", {}).values() for d in lst
+    }
+    if not entries or any(_os.path.isabs(e) for e in entries):
+        raise RuntimeError(
+            "deep clone left absolute references in the manifest"
+        )
+    if not m.get("dvs"):
+        raise RuntimeError("the DV sidecar reference did not carry")
+    mx = h["params"]["metrics"]
+    if h["params"].get("deep") is not True or mx["files_localized"] != len(
+        entries
+    ) or mx["bytes_localized"] <= 0:
+        raise RuntimeError(
+            "CLONE op metrics missing or inconsistent with the manifest"
+        )
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 def _orders_copy_into_fixture(spark: SparkSession, sf_dir: str, demo: str):
     """Landing-zone fixture for COPY INTO: orders written once as parquet
     files in four slices (o_orderkey % 4), then ingested through two

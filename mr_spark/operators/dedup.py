@@ -1034,6 +1034,164 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _boilerplate_corpus(docs: DataFrame) -> DataFrame:
+    """The line-dedup demo corpus: documents plus two deterministic
+    boilerplate augmentation slices (the synthetic corpus has no
+    cross-document repeated lines, so the counters would be degenerate
+    at every sf without them — the gopher r6 lesson): a newsletter
+    footer as new single-line docs for doc_id%11==0, a two-line cookie
+    banner for %11==1. Shared by line_dedup_stats (the report) and
+    dedup_lines (the transform) so their corpora cannot drift; both
+    oracles replay the same augmentation."""
+    m = F.col("doc_id") % 11
+    corpus = docs.select("doc_id", "text")
+    corpus = corpus.unionAll(
+        docs.where(m == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.lit("subscribe to our newsletter today.").alias("text"),
+        )
+    )
+    return corpus.unionAll(
+        docs.where(m == 1).select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"),
+            F.lit(
+                "we use cookies to improve your experience.\n"
+                "accept all cookies."
+            ).alias("text"),
+        )
+    )
+
+
+_LINE_CORPUS_SQL = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, 'subscribe to our newsletter today.'
+      FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id + 20000000,
+             'we use cookies to improve your experience.' || chr(10) ||
+             'accept all cookies.'
+      FROM documents WHERE doc_id % 11 = 1
+    ),
+    lines AS (
+      SELECT doc_id, pos, line FROM (
+        SELECT doc_id,
+               generate_subscripts(regexp_split_to_array(text, chr(10)), 1)
+                 AS pos,
+               trim(unnest(regexp_split_to_array(text, chr(10)))) AS line
+        FROM corpus
+      ) WHERE line <> ''
+    )
+"""
+
+
+@query(
+    "dedup_lines",
+    oracle=_LINE_CORPUS_SQL
+    + """
+    , flagged AS (
+      SELECT doc_id, pos, line,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos)
+               AS rn
+      FROM lines
+    ),
+    -- removed counters via the GROUP BY identity (the line_dedup_stats
+    -- strategy) — a DIFFERENT computation than the transform's window,
+    -- so a divergence between report and transform hash-mismatches
+    per AS (SELECT line, COUNT(*) AS n_inst FROM lines GROUP BY line),
+    removed AS (
+      SELECT CAST(SUM(n_inst) - COUNT(*) AS BIGINT) AS lines_removed,
+             CAST(SUM((n_inst - 1) * length(line)) AS BIGINT)
+               AS chars_removed
+      FROM per
+    ),
+    kept_docs AS (
+      SELECT doc_id, COUNT(*) AS n_lines, SUM(length(line)) AS n_chars
+      FROM flagged WHERE rn = 1 GROUP BY doc_id
+    ),
+    out AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_lines) AS BIGINT) AS lines_kept,
+             CAST(SUM(n_chars + n_lines - 1) AS BIGINT) AS chars_out_total
+      FROM kept_docs
+    )
+    SELECT out.n_docs, out.lines_kept, removed.lines_removed,
+           removed.chars_removed, out.chars_out_total
+    FROM out, removed
+    """,
+)
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-DOCUMENT LINE DEDUP — the TRANSFORM companion to
+    line_dedup_stats (VERDICT r7 #5): FineWeb/RefinedWeb actually
+    REMOVE repeated lines, they don't just report them. Keep-first
+    rule: every distinct trimmed non-empty line survives only at its
+    first global instance (ordered by doc_id, then line position);
+    every later instance is dropped, and each document's cleaned text
+    is reassembled from its surviving lines in original order
+    (documents reduced to zero lines drop out, C4's behavior).
+
+    The result row binds the TRANSFORM to the REPORT: lines_removed /
+    chars_removed are computed here from the window path, while the
+    oracle recomputes them via line_dedup_stats' GROUP BY identity
+    (SUM(n_inst)-COUNT, SUM((n_inst-1)*len)) — two independent
+    strategies that must hash-equal, proving chars_removable is
+    actually removed. chars_out_total additionally pins the
+    reassembly (per-doc sum of kept-line lengths + newline count).
+
+    Scale: ONE exchange more than the report — the window partitions
+    by line (same key as the report's groupBy, same map-side skew
+    collapse... no: windows don't partial-agg, but the per-line group
+    is the duplicate count, bounded by corpus duplication), then the
+    reassembly exchanges on doc_id with collect_list bounded by
+    document line counts. No joins, no pair emission — linear in
+    corpus size at any duplication level."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = (
+        _boilerplate_corpus(docs)
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", "\n")).alias("pos", "raw"),
+        )
+        .select("doc_id", (F.col("pos") + 1).alias("pos"), F.trim("raw").alias("line"))
+        .where(F.col("line") != "")
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    flagged = lines.withColumn("rn", F.row_number().over(w))
+    removed = flagged.where(F.col("rn") > 1).agg(
+        F.count("*").cast("bigint").alias("lines_removed"),
+        F.coalesce(F.sum(F.length("line")), F.lit(0))
+        .cast("bigint")
+        .alias("chars_removed"),
+    )
+    cleaned = (
+        flagged.where(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s.line,
+                ),
+                "\n",
+            ).alias("text_out")
+        )
+    )
+    out = cleaned.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (
+            F.sum(F.size(F.split("text_out", "\n")))
+        ).cast("bigint").alias("lines_kept"),
+        F.sum(F.length("text_out")).cast("bigint").alias("chars_out_total"),
+    )
+    return out.crossJoin(removed).select(
+        "n_docs", "lines_kept", "lines_removed", "chars_removed",
+        "chars_out_total",
+    )
+
+
 @query(
     "line_dedup_stats",
     oracle="""
@@ -1092,25 +1250,8 @@ def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, exactly the skew this workload has), then a single-row
     global aggregate. No joins, no windows, no pair emission."""
     docs = load_table(spark, sf_dir, "documents")
-    m = F.col("doc_id") % 11
-    corpus = docs.select("doc_id", "text")
-    corpus = corpus.unionAll(
-        docs.where(m == 0).select(
-            (F.col("doc_id") + 10_000_000).alias("doc_id"),
-            F.lit("subscribe to our newsletter today.").alias("text"),
-        )
-    )
-    corpus = corpus.unionAll(
-        docs.where(m == 1).select(
-            (F.col("doc_id") + 20_000_000).alias("doc_id"),
-            F.lit(
-                "we use cookies to improve your experience.\n"
-                "accept all cookies."
-            ).alias("text"),
-        )
-    )
     lines = (
-        corpus.select(
+        _boilerplate_corpus(docs).select(
             "doc_id", F.explode(F.split("text", "\n")).alias("raw")
         )
         .select("doc_id", F.trim("raw").alias("line"))

@@ -1066,6 +1066,73 @@ def test_shallow_clone_carries_deletion_vectors(spark, tmp_path):
     assert _rows(c.read()) == [(1, "a"), (3, "c")]
 
 
+def test_deep_clone_survives_source_deletion(spark, tmp_path):
+    """clone(deep=True) localizes EVERY reference in one commit: the
+    manifest holds only local relative entries, op metrics record the
+    localization, and deleting the whole SOURCE table afterwards
+    cannot break the clone — the shallow caveat does not apply. DVs
+    copy too and keep filtering (basename references preserved)."""
+    import shutil as sh
+
+    t = _mk(spark, tmp_path, [(k, f"v{k}") for k in range(20)])
+    t.delete_keys(spark.createDataFrame([(2,)], "k bigint"), mode="dv")
+    expected = _rows(t.read())
+    c = t.clone(str(tmp_path / "deep"), deep=True)
+    m = c._manifest(1)
+    entries = [e for rels in m["files"].values() for e in rels] + [
+        d for lst in m.get("dvs", {}).values() for d in lst
+    ]
+    assert entries and all(not os.path.isabs(e) for e in entries)
+    h = c.history(limit=1)[0]
+    assert h["operation"] == "CLONE" and h["params"]["deep"] is True
+    mx = h["params"]["metrics"]
+    assert mx["files_localized"] == len(set(entries))
+    assert mx["bytes_localized"] > 0
+    # stats carry under the local keys (pruning works on the clone)
+    assert set(m["stats"]) >= set(entries) - set(
+        d for lst in m.get("dvs", {}).values() for d in lst
+    )
+    # the source dies entirely; the deep clone is self-contained
+    sh.rmtree(t.path)
+    fresh = SnapshotTable(spark, c.path)
+    assert _rows(fresh.read()) == expected
+    assert (2, "v2") not in _rows(fresh.read())  # DV still filters
+    # and it is a normal table from here: writes work
+    fresh.merge_upsert(spark.createDataFrame([(100, "n")], "k bigint, v string"))
+    assert (100, "n") in _rows(fresh.read())
+
+
+def test_deep_clone_of_shallow_clone_localizes_partitioned(spark, tmp_path):
+    """Deep-cloning a SHALLOW clone re-roots its absolute references,
+    and partition directories survive the localization."""
+    import shutil as sh
+
+    df = spark.createDataFrame(
+        [(k, "even" if k % 2 == 0 else "odd") for k in range(10)],
+        "k bigint, part string",
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "psrc"), df, key="k", n_buckets=2,
+        partition_by="part",
+    )
+    shallow = t.clone(str(tmp_path / "pshallow"))
+    deep = shallow.clone(str(tmp_path / "pdeep"), deep=True)
+    entries = [
+        e
+        for rels in deep._manifest(1)["files"].values()
+        for e in rels
+    ]
+    assert all(not os.path.isabs(e) for e in entries)
+    assert any("part=even" in e for e in entries)  # partition dirs kept
+    sh.rmtree(t.path)
+    sh.rmtree(shallow.path)
+    got = sorted((r["k"], r["part"]) for r in deep.read().collect())
+    assert got == [(k, "even" if k % 2 == 0 else "odd") for k in range(10)]
+    # partition pruning engages on the localized layout
+    assert deep.read(where=("part", "even", "even")).count() == 5
+    assert deep.last_partition_prune is not None
+
+
 def test_copy_into_is_file_level_idempotent(spark, tmp_path):
     """COPY INTO loads each source file exactly once across overlapping
     re-runs; a fully-replayed call commits nothing; the ledger survives

@@ -176,3 +176,44 @@ def test_split_leakage_audit_matches_bruteforce(spark, tmp_path):
     assert row["n_neardup_pairs"] == len(pairs)
     assert row["n_cross_split"] == n_cross
     assert row["leak_share"] == round(n_cross / len(pairs), 6)
+
+
+def test_dedup_lines_transform_matches_bruteforce(spark):
+    """Keep-first line dedup on a constructed corpus with hand-computed
+    expectations: the first global instance (doc_id, pos order) of each
+    trimmed non-empty line survives; later instances drop; documents
+    reassemble in position order; fully-boilerplate docs vanish."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha\ncommon line\nbeta"),
+        (2, "common line\ngamma"),          # 'common line' dup -> dropped
+        (3, "  common line  \n\n delta "),  # trims to dup + empty + delta
+        (4, "common line"),                 # reduces to zero lines -> gone
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    lines = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "raw")
+        )
+        .select("doc_id", "pos", F.trim("raw").alias("line"))
+        .where(F.col("line") != "")
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    kept = lines.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            "\n",
+        ).alias("text_out")
+    )
+    got = {r["doc_id"]: r["text_out"] for r in cleaned.collect()}
+    assert got == {
+        1: "alpha\ncommon line\nbeta",
+        2: "gamma",
+        3: "delta",
+    }  # doc 4 dropped entirely
