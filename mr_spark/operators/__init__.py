@@ -78,59 +78,52 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver row yet — plus q12, red in r01 on a (now fixed) dtype artifact —
 # in the checked prefix, and rotate per round as driver rows accumulate.
 #
-# Round-7 prefix (VERDICT r6 #2): first the 9 NEW queries (predicate
-# DML pair, C4 battery, type widening, ANALYZE, line dedup, bloom
-# index lifecycle, partitioned V2 sink, SQL view surface), then every
-# query whose implementation changed this round — gopher_rules
-# (bullet/ellipsis corpus augmentation), the V2 sink pair (partitioned
-# write support), the three batch/stream source queries (path-URI
-# normalization for the SQL surface; CDF first-trigger cap), and the
-# acid.py write paths the ADVICE fixes touched (merge_upsert / merge /
-# apply_changes generated-partition recompute + identity handling,
-# clone identity carry) — then the NINE displaced overflow heads the
-# verdict named, then the remaining r01-evidence rows, then the oldest
-# (r02-evidence) quality/stats block.
+# Round-8 prefix (VERDICT r7 #4): first the 4 NEW queries (generalized
+# predicate grammar, SQL-text DML, line-dedup transform, deep clone),
+# then every query whose implementation changed this round — the
+# predicate-grammar rewiring runs under read()/data_paths()/
+# _classify_files and the V2 source's where option + executor masks
+# (DML pair, skipping/bloom/analyze family, partition pruning, the
+# batch/stream sources sharing _scan.py), the DV-attachment and
+# lossless-key ADVICE fixes (deletion vectors, cdf_replication's
+# apply_changes key contract), the clone refactor and the
+# line_dedup_stats corpus-helper factoring, snapshot_sql_view (view
+# binding records) — then the 12 oldest-evidence rows (r02) and the
+# r03 block's alphabetical head.
 # Overflow (positions 51+, all driver-green at their latest check, each
 # with an oracle-rehearsal pin in tests/test_queries_oracle.py):
-# seasonal_decompose, table_profile, top_terms_per_doc, udtf_sentences,
-# welch_ttest_ab lead the r08 rotation (last 5 r02-evidence rows), then
-# the r03 block (anomaly_days ... winnow_containment).
+# the rest of the r03 block (json_typed_parse onward) leads the r09
+# rotation, then the r04 cohort.
 _CHECK_PRIORITY = [
-    # -- NEW this round (round 7): predicate DML (DELETE WHERE /
-    #    UPDATE SET, cow + merge-on-read); C4 cleaning battery; type
-    #    widening; V2 sink into value-partitioned tables; pure-SQL view
-    #    surface (catalog DDL engine-gap pinned) --
-    "acid_delete_where", "acid_update_where", "c4_rules",
-    "acid_type_widening", "acid_analyze_stats", "line_dedup_stats",
-    "acid_bloom_lifecycle",
-    "snapshot_sink_partitioned", "snapshot_sql_view",
-    # -- changed this round --
-    "gopher_rules",              # corpus augmentation (rule-4 signal)
-    "snapshot_sink_roundtrip", "snapshot_stream_sink",  # sink module
-    "stream_cdf_source",         # first-trigger cap anchor
-    "snapshot_batch_source", "snapshot_stream_source",  # path-URI normalize
-    "acid_merge_upsert", "acid_merge_clauses",  # generated-partition order
-    "cdf_replication",           # apply_changes identity + ordering
-    "snapshot_clone_shallow",    # clone carries identity
-    "acid_identity_columns",     # identity interaction surface
-    # -- the nine displaced r6-overflow heads (VERDICT r6 #2) --
-    "ann_cosine_topk", "kl_source_drift", "lateral_topn",
-    "winnow_fingerprint", "kcenter_coreset", "heavy_hitters",
-    "ann_ivf_topk", "ann_lsh_topk", "unpivot_metrics",
-    # -- remaining r01-evidence rows (oldest driver rows in the registry) --
-    "q13_order_distribution", "q18_large_orders", "range_join",
-    "rollup_agg", "scalar_subquery", "sessionization",
-    "sort_limit_offset", "string_funcs",
-    # -- r02-evidence quality/stats frontier (next-oldest) --
-    "attribution_last_touch", "audio_energy_stub", "bigram_perplexity",
-    "centroid_confusion", "char_ngram_entropy", "chi2_association",
-    "copurchase_pairs", "corpus_datacard", "cuped_adjusted_ab",
-    "ewma_daily", "hard_negative_mining", "k_anonymity_audit",
-    "kaplan_meier",
-    # (label_outlier_scores, lm_surprisal, market_concentration,
-    #  psi_drift, referential_integrity, repetition_quality,
-    #  rolling_active_users displaced to the r08 rotation head by the 7
-    #  second-session additions — see COVERAGE.md)
+    # -- NEW this round (round 8) --
+    "acid_predicate_grammar", "snapshot_sql_dml",
+    "dedup_lines", "snapshot_clone_deep",
+    # -- changed this round: predicate-grammar rewiring --
+    "acid_delete_where", "acid_update_where",
+    "acid_data_skipping", "acid_bloom_skipping",
+    "acid_bloom_lifecycle", "acid_analyze_stats",
+    "snapshot_partitioned_prune",
+    "snapshot_batch_source", "snapshot_stream_source",
+    # -- changed this round: ADVICE fixes + refactors --
+    "acid_deletion_vectors",     # DV attach scoping + lossless keys
+    "cdf_replication",           # apply_changes key widening contract
+    "snapshot_clone_shallow",    # clone manifest factoring
+    "line_dedup_stats",          # shared corpus helper
+    "snapshot_sql_view",         # view binding records
+    # -- r02-evidence rows (oldest driver evidence in the registry) --
+    "label_outlier_scores", "lm_surprisal", "market_concentration",
+    "psi_drift", "referential_integrity", "repetition_quality",
+    "rolling_active_users", "seasonal_decompose", "table_profile",
+    "top_terms_per_doc", "udtf_sentences", "welch_ttest_ab",
+    # -- r03-evidence block, alphabetical head (next-oldest) --
+    "anomaly_days", "approx_quantile_bounds", "bm25_topk",
+    "bpe_token_count", "bucketed_fact_join", "case_bucketing",
+    "date_arithmetic", "dedup_keep_best", "doc_fingerprint",
+    "embedding_dim_stats", "equidepth_histogram", "event_cooccurrence",
+    "event_funnel", "frame_sample_stub", "fuzzy_match_pairs",
+    "gapfill_daily_revenue", "hash_sample", "image_features_stub",
+    "interpolate_missing",
+    # (json_typed_parse ... winnow_containment: r09 rotation head)
 ]
 
 

@@ -182,6 +182,15 @@ PROBES = [
     "line_dedup_stats",
     # round-7: bloom index lifecycle (add/analyze-backfill/drop)
     "acid_bloom_lifecycle",
+    # round-8: generalized predicate grammar + SQL-text DML
+    "acid_predicate_grammar",
+    "snapshot_sql_dml",
+    # round-8: line-dedup transform + deep clone
+    "dedup_lines",
+    "snapshot_clone_deep",
+    # round-8: bucketed/blocked ANN variants (64x octave candidates)
+    "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 KEY_SHIFTS = {
