@@ -18,6 +18,16 @@ version/timestamp-pinned view is read-only history):
   [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
   [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ... | DELETE]``
 
+Utility statements (Delta's SQL surface for the same operations):
+
+* ``OPTIMIZE <view> [WHERE <pcol> = <literal>] [ZORDER BY (c1, c2)]``
+  → ``compact(partition=..., zorder_by=...)`` (the WHERE must be one
+  equality on the table's partition column — Delta's OPTIMIZE WHERE
+  rule)
+* ``VACUUM <view> [RETAIN <n> HOURS] [DRY RUN]`` → ``vacuum(...)``;
+  returns the removed (or would-be-removed) path list, not a version
+* ``RESTORE <view> TO VERSION AS OF <n>`` → ``restore(n)``
+
 ``<pred>`` is the shared data-skipping grammar (mr_spark/predicates.py
 — comparisons, BETWEEN, IN, NOT IN, IS [NOT] NULL, parenthesised OR
 groups, joined by AND), so SQL-text DELETE/UPDATE plans from manifest
@@ -292,11 +302,12 @@ def _put(kw: dict, name: str, val, cond, cond_name: str) -> None:
 
 
 def execute_dml(spark, sql_text: str, mode: str = "cow") -> int:
-    """Execute one DML statement (module docstring has the grammar)
-    against its snapshot view's table; returns the committed version.
-    ``mode`` selects copy-on-write vs merge-on-read (deletion vectors)
-    for DELETE/UPDATE — Delta's SQL has no mode syntax either (it is a
-    table property there); MERGE ignores it."""
+    """Execute one statement (module docstring has the grammar)
+    against its snapshot view's table; returns the committed version
+    (VACUUM instead returns its removed-paths list). ``mode`` selects
+    copy-on-write vs merge-on-read (deletion vectors) for
+    DELETE/UPDATE — Delta's SQL has no mode syntax either (it is a
+    table property there); other statements ignore it."""
     stmt = sql_text.strip().rstrip(";").strip()
     m = re.match(r"^\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\s*(.*)$", stmt,
                  re.IGNORECASE | re.DOTALL)
@@ -338,7 +349,75 @@ def execute_dml(spark, sql_text: str, mode: str = "cow") -> int:
         v = t.merge(src_df, **kw)
         _rebind(spark, target)
         return v
+    m = re.match(
+        r"^\s*OPTIMIZE\s+([A-Za-z_]\w*)"
+        r"(?:\s+WHERE\s+(.+?))?"
+        r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        view, where_txt, zorder_txt = m.groups()
+        t = _table(spark, view)
+        partition = None
+        if where_txt:
+            cj = _parse_where_tail(where_txt)
+            pcol = t._manifest(t.latest_version()).get("partition_by")
+            if (
+                len(cj) != 1
+                or len(cj[0]) != 1
+                or cj[0][0][0] != "cmp"
+                or cj[0][0][2] != "eq"
+            ):
+                raise ValueError(
+                    "OPTIMIZE WHERE must be a single equality on the "
+                    "partition column (Delta's OPTIMIZE WHERE rule), "
+                    f"got {where_txt!r}"
+                )
+            col, val = cj[0][0][1], cj[0][0][3]
+            if col != pcol:
+                raise ValueError(
+                    f"OPTIMIZE WHERE column {col!r} is not the table's "
+                    f"partition column {pcol!r}"
+                )
+            partition = val
+        zorder = None
+        if zorder_txt is not None:
+            zorder = tuple(
+                c.strip() for c in zorder_txt.split(",") if c.strip()
+            )
+            if not zorder:
+                raise ValueError("empty ZORDER BY column list")
+        v = t.compact(zorder_by=zorder, partition=partition)
+        _rebind(spark, view)
+        return v
+    m = re.match(
+        r"^\s*VACUUM\s+([A-Za-z_]\w*)"
+        r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?"
+        r"(?:\s+(DRY\s+RUN))?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if m:
+        view, hours, dry = m.groups()
+        t = _table(spark, view)
+        return t.vacuum(
+            min_age_seconds=float(hours) * 3600.0 if hours else 3600.0,
+            dry_run=dry is not None,
+        )
+    m = re.match(
+        r"^\s*RESTORE\s+([A-Za-z_]\w*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if m:
+        view, ver = m.groups()
+        t = _table(spark, view)
+        v = t.restore(int(ver))
+        _rebind(spark, view)
+        return v
     raise ValueError(
         "unsupported statement — execute_dml handles DELETE FROM / "
-        "UPDATE ... SET / MERGE INTO over registered snapshot views"
+        "UPDATE ... SET / MERGE INTO / OPTIMIZE / VACUUM / RESTORE "
+        "over registered snapshot views"
     )

@@ -5,6 +5,8 @@ and loud refusals for anything outside it."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -138,3 +140,62 @@ def test_sql_dml_predicate_planning_is_stats_driven(spark, tmp_path):
     assert mx["files_rewritten"] == 0
     assert mx["files_fully_removed"] > 0
     assert {r["grp"] for r in t.read().collect()} == {"odd"}
+
+
+def test_sql_optimize_vacuum_restore(spark, tmp_path):
+    """The utility statements: OPTIMIZE compacts (optionally scoped to
+    a partition / ZORDER BY), VACUUM honors RETAIN and DRY RUN,
+    RESTORE rolls back — all as statement text."""
+    rows = [(k, "even" if k % 2 == 0 else "odd", float(k)) for k in range(40)]
+    t = _mk(spark, tmp_path, "sqldml_util", rows=rows, partition_by="grp")
+    # create append debris so OPTIMIZE has work
+    t.append(
+        spark.createDataFrame(
+            [(100 + k, "even", 0.5) for k in range(4)],
+            "k bigint, grp string, x double",
+        )
+    )
+    before = dict(t._manifest(t.latest_version())["files"])
+    v = execute_dml(spark, "OPTIMIZE sqldml_util WHERE grp = 'even'")
+    after = t._manifest(v)["files"]
+    for b, rels in before.items():  # the odd partition untouched
+        if b.startswith("odd|"):
+            assert after[b] == rels
+    assert t.read().count() == 44  # data unchanged
+    # RESTORE as text FIRST (while the old manifests still exist):
+    # roll back to the pre-append version — 40 rows again, and the SQL
+    # read surface (rebound view) agrees
+    execute_dml(spark, "RESTORE sqldml_util TO VERSION AS OF 1")
+    assert t.read().count() == 40
+    assert spark.sql("SELECT COUNT(*) AS n FROM sqldml_util").first()["n"] == 40
+    # expire superseded manifests so the optimize/append debris becomes
+    # unreferenced, then: DRY RUN reports without deleting or
+    # committing; the real VACUUM collects exactly that set
+    t.expire_versions(min_age_seconds=0)
+    v0 = t.latest_version()
+    would = execute_dml(spark, "VACUUM sqldml_util RETAIN 0 HOURS DRY RUN")
+    assert isinstance(would, list) and would
+    assert t.latest_version() == v0
+    assert all(os.path.exists(os.path.join(t.path, p)) for p in would)
+    got = execute_dml(spark, "VACUUM sqldml_util RETAIN 0 HOURS")
+    assert sorted(got) == sorted(would)
+    assert t.read().count() == 40  # live data untouched
+
+
+def test_sql_optimize_zorder_and_refusals(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqldml_z")
+    t.append(
+        spark.createDataFrame(
+            [(100, "z", 9.0), (101, "z", 8.0)], "k bigint, grp string, x double"
+        )
+    )
+    v = execute_dml(spark, "OPTIMIZE sqldml_z ZORDER BY (k, x)")
+    assert v == 3
+    assert t.read().count() == 42
+    with pytest.raises(ValueError, match="partition column"):
+        execute_dml(spark, "OPTIMIZE sqldml_z WHERE grp = 'even'")
+    with pytest.raises(ValueError, match="single equality"):
+        _mk(spark, tmp_path, "sqldml_z2", partition_by="grp")
+        execute_dml(spark, "OPTIMIZE sqldml_z2 WHERE grp IN ('even')")
+    with pytest.raises(ValueError, match="unsupported statement"):
+        execute_dml(spark, "ANALYZE TABLE sqldml_z")
