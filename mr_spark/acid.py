@@ -462,6 +462,8 @@ class SnapshotTable:
             m["constraints"] = meta["constraints"]
         if meta.get("generated"):
             m["generated"] = meta["generated"]
+        if meta.get("defaults"):
+            m["defaults"] = meta["defaults"]
         if meta.get("identity"):
             m["identity"] = meta["identity"]
         if meta.get("features"):
@@ -525,6 +527,8 @@ class SnapshotTable:
             meta["constraints"] = m["constraints"]
         if m.get("generated"):
             meta["generated"] = m["generated"]
+        if m.get("defaults"):
+            meta["defaults"] = m["defaults"]
         if m.get("identity"):
             meta["identity"] = m["identity"]
         if m.get("features"):
@@ -609,6 +613,10 @@ class SnapshotTable:
         gen = delta.get("generated", base.get("generated", {}))
         if gen:
             m["generated"] = gen
+        # column default values (initial/write) ride like generated
+        dfl = delta.get("defaults", base.get("defaults", {}))
+        if dfl:
+            m["defaults"] = dfl
         # identity {col: high_water} rides deltas like constraints (the
         # high-water mark changes on every allocating write)
         ident = delta.get("identity", base.get("identity", {}))
@@ -704,6 +712,8 @@ class SnapshotTable:
             d["constraints"] = nxt.get("constraints", {})
         if nxt.get("generated", {}) != base.get("generated", {}):
             d["generated"] = nxt.get("generated", {})
+        if nxt.get("defaults", {}) != base.get("defaults", {}):
+            d["defaults"] = nxt.get("defaults", {})
         if nxt.get("identity", {}) != base.get("identity", {}):
             d["identity"] = nxt.get("identity", {})
         if nxt["schema"] != base["schema"]:
@@ -1778,6 +1788,11 @@ class SnapshotTable:
             nxt["bloom_cols"] = [
                 new if c == old else c for c in self._bloom_cols(m)
             ]
+        if old in m.get("defaults", {}):
+            nxt["defaults"] = {
+                (new if c == old else c): d
+                for c, d in m["defaults"].items()
+            }
         return self._commit(nxt, base, op={"operation": "RENAME COLUMN", "from": old, "to": new})
 
     def drop_column(self, col: str) -> int:
@@ -1837,7 +1852,125 @@ class SnapshotTable:
                 nxt["generated"] = gen
             else:
                 nxt.pop("generated", None)
+        if col in m.get("defaults", {}):
+            dfl = {c: d for c, d in m["defaults"].items() if c != col}
+            if dfl:
+                nxt["defaults"] = dfl
+            else:
+                nxt.pop("defaults", None)
         return self._commit(nxt, base, op={"operation": "DROP COLUMN", "column": col})
+
+    def add_column(
+        self,
+        col: str,
+        dtype: str,
+        initial_default=None,
+        write_default=None,
+    ) -> int:
+        """ALTER TABLE ADD COLUMN [DEFAULT ...] — METADATA-ONLY, with the
+        two default semantics the open formats define:
+
+        * ``initial_default`` (Iceberg v3's initial-default): what every
+          PRE-EXISTING row reads — the metadata-only backfill. On a
+          100 TB table, "add a column and set it to X for all history"
+          moves ZERO bytes: the manifest records the default plus the
+          alter version, and readers fill it for exactly the files that
+          predate the alter (resolved from the alter-time manifest — a
+          later rewrite of old rows materializes the value physically
+          and leaves the pre-set, so the fill never double-applies).
+        * ``write_default`` (Delta's allowColumnDefaults): what later
+          writers that OMIT the column get — materialized physically at
+          write time (append / merge_upsert / apply_changes), so an
+          explicit NULL written post-alter stays NULL, distinguishable
+          from the omitted-column case.
+
+        Without either default this is plain ADD COLUMN (pre-existing
+        and omitted rows read NULL — the existing merge_schema rule,
+        available here without needing a write). Defaults must be
+        literals (JSON scalars), not expressions — expressions would
+        need recording + re-evaluation semantics (that is what
+        GENERATED columns are for). The column gets a fresh physical
+        slot if its name was ever dropped (no resurrection)."""
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        base = self.latest_version()
+        m = self._manifest(base)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if col in [f.name for f in schema.fields]:
+            raise ValueError(f"column {col!r} already exists")
+        new_dt = _parse_datatype_string(dtype)
+        for v, which in ((initial_default, "initial"), (write_default, "write")):
+            if v is not None and not isinstance(v, (bool, int, float, str)):
+                raise ValueError(
+                    f"{which}_default must be a literal scalar, got "
+                    f"{type(v).__name__} — expression defaults are what "
+                    "GENERATED columns are for"
+                )
+        cmap = dict(self._colmap(m))
+        used_phys = {
+            cmap.get(f.name, f.name) for f in schema.fields
+        } | set(m.get("phys_tombstones", []))
+        if col in used_phys:
+            cmap[col] = f"{col}_{uuid.uuid4().hex[:8]}"
+        nxt = self._next_manifest(m, dict(m["files"]), {})
+        nxt["schema"] = StructType(
+            schema.fields + [StructField(col, new_dt, True)]
+        ).json()
+        if cmap:
+            nxt["colmap"] = cmap
+        if initial_default is not None or write_default is not None:
+            dfl = dict(m.get("defaults", {}))
+            entry: dict = {"since": base + 1}
+            if initial_default is not None:
+                entry["initial"] = initial_default
+            if write_default is not None:
+                entry["write"] = write_default
+            dfl[col] = entry
+            nxt["defaults"] = dfl
+        return self._commit(
+            nxt,
+            base,
+            op={
+                "operation": "ADD COLUMN",
+                "column": col,
+                "type": new_dt.simpleString(),
+                "initial_default": initial_default,
+                "write_default": write_default,
+            },
+        )
+
+    def _pre_default_basenames(self, d: dict) -> set[str]:
+        """The file BASENAMES an initial default applies to: the live
+        set at the alter's parent version (every such file physically
+        lacks the column; any later rewrite materializes real values
+        under a new name and naturally leaves this set). Clones pin the
+        resolved list explicitly ("pre") because the source history is
+        not theirs to reconstruct."""
+        if "pre" in d:
+            return set(d["pre"])
+        pm = self._manifest(d["since"] - 1)
+        return {
+            os.path.basename(rel)
+            for rels in pm["files"].values()
+            for rel in rels
+        }
+
+    def _fill_write_defaults(self, m: dict, df: DataFrame) -> DataFrame:
+        """Materialize write defaults for table columns the incoming
+        frame OMITS (add_column's write_default): filling at WRITE time
+        — rather than read time — is what keeps an explicitly-written
+        NULL distinguishable from an omitted column."""
+        from pyspark.sql.types import StructType
+
+        defaults = m.get("defaults", {})
+        if not defaults:
+            return df
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        types = {f.name: f.dataType for f in schema.fields}
+        for c, d in defaults.items():
+            if d.get("write") is not None and c not in df.columns:
+                df = df.withColumn(c, F.lit(d["write"]).cast(types[c]))
+        return df
 
     # Lossless widenings a parquet scan can apply at read time (measured
     # on this engine: Spark 4's vectorized reader upcasts int32→int64,
@@ -2180,6 +2313,25 @@ class SnapshotTable:
             manifest["constraints"] = m["constraints"]
         if m.get("generated"):
             manifest["generated"] = m["generated"]
+        if m.get("defaults"):
+            # initial defaults key off the SOURCE's pre-alter file set;
+            # a clone's v1 is its whole history, so the clone RESOLVES
+            # the pre-set now and PINS it explicitly ("pre"), mapped
+            # through the clone's entry mapping (deep clones may rename
+            # colliding basenames) — see add_column / _read_files
+            defaults = {}
+            for c, d in m["defaults"].items():
+                pre_src = self._pre_default_basenames(d)
+                pre = sorted(
+                    {
+                        os.path.basename(mapping[e])
+                        for rels in m["files"].values()
+                        for e in rels
+                        if os.path.basename(e) in pre_src
+                    }
+                )
+                defaults[c] = {**d, "since": 1, "pre": pre}
+            manifest["defaults"] = defaults
         if m.get("identity"):
             # GENERATED ALWAYS + the high-water mark must survive the
             # clone (Delta's CLONE carries identity metadata): dropping
@@ -2628,6 +2780,31 @@ class SnapshotTable:
         if not paths:
             return self.spark.createDataFrame([], logical)
         df = self.spark.read.schema(self._physical_schema(m)).parquet(*paths)
+        # INITIAL column defaults (add_column): rows of files predating
+        # the alter read the recorded default — a metadata-only backfill.
+        # The fill keys on pre-set MEMBERSHIP, not on NULLness: a
+        # post-alter row may hold a genuine NULL, and a pre-file's rows
+        # are ALL fills (the physical column is absent there)
+        inits = {
+            c: d
+            for c, d in m.get("defaults", {}).items()
+            if d.get("initial") is not None
+        }
+        if inits:
+            types = {f.name: f.dataType for f in logical.fields}
+            fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+            for c, d in inits.items():
+                pre = self._pre_default_basenames(d)
+                if not pre:
+                    continue
+                phys = cmap.get(c, c)
+                df = df.withColumn(
+                    phys,
+                    F.when(
+                        fname.isin(sorted(pre)),
+                        F.lit(d["initial"]).cast(types[c]),
+                    ).otherwise(F.col(phys)),
+                )
 
         def to_logical(frame: DataFrame) -> DataFrame:
             if not cmap:
@@ -2716,6 +2893,8 @@ class SnapshotTable:
             nxt["constraints"] = m["constraints"]
         if m.get("generated"):
             nxt["generated"] = m["generated"]
+        if m.get("defaults"):
+            nxt["defaults"] = m["defaults"]
         # an allocating write passes the advanced high-water mark;
         # non-allocating commits carry the map unchanged
         eff_ident = identity if identity is not None else m.get("identity")
@@ -2811,6 +2990,10 @@ class SnapshotTable:
         # type alignment BEFORE __bucket (lossless upcasts; mismatches
         # raise) — see _align_source_types for why this must come first
         source, table_schema, added = self._align_source_types(m, source)
+        # an omitted write-default column fills here — the merge's
+        # full-row-replace contract then carries the default into both
+        # matched and inserted rows (an EXPLICIT source NULL stays NULL)
+        source = self._fill_write_defaults(m, source)
         source = self._true_partition_value(m, source)
         self._check_partition_values(m, source)
         src = source.withColumn("__bucket", self._bucket_expr(m))
@@ -3323,6 +3506,7 @@ class SnapshotTable:
                 f"append would add columns {[f.name for f in added]}; pass "
                 "merge_schema=True to evolve the table schema"
             )
+        df = self._fill_write_defaults(m, df)
         df = self._apply_generated(m, df)
         self._check_constraints(m, df)
         self._check_partition_values(m, df)
@@ -3558,6 +3742,7 @@ class SnapshotTable:
             "features": sorted(self._features_of(m)),
             "constraints": dict(m.get("constraints", {})),
             "generated": dict(m.get("generated", {})),
+            "defaults": dict(m.get("defaults", {})),
             "identity": dict(m.get("identity", {})),
             "bloom_cols": list(self._bloom_cols(m)),
             "numDeletionVectors": sum(len(v) for v in m.get("dvs", {}).values()),
@@ -3596,6 +3781,20 @@ class SnapshotTable:
             raise ValueError(
                 "generate: table uses column mapping — raw files store "
                 "physical column names external readers would misread"
+            )
+        live_base = {
+            os.path.basename(r) for rels in m["files"].values() for r in rels
+        }
+        if any(
+            d.get("initial") is not None
+            and (self._pre_default_basenames(d) & live_base)
+            for d in m.get("defaults", {}).values()
+        ):
+            raise ValueError(
+                "generate: live files predate an ADD COLUMN with an "
+                "INITIAL default — raw parquet readers would see NULL "
+                "where the table reads the default; rewrite those files "
+                "first (e.g. rebucket())"
             )
         root = os.path.join(self.path, "_symlink_format_manifest")
         if os.path.isdir(root):
@@ -3938,6 +4137,34 @@ class SnapshotTable:
             .withColumn("__dv_file", fname)
             .withColumn("__dv_pos", F.col("_metadata.row_index"))
         )
+        # initial column defaults: the raw scan must read pre-alter
+        # files' rows under the fill, or a predicate DELETE/UPDATE on a
+        # defaulted column would silently miss them (same rule as
+        # _read_files)
+        inits = {
+            c: d
+            for c, d in m.get("defaults", {}).items()
+            if d.get("initial") is not None
+        }
+        if inits:
+            from pyspark.sql.types import StructType as _ST
+
+            types = {
+                f.name: f.dataType
+                for f in _ST.fromJson(json.loads(m["schema"])).fields
+            }
+            for c, d in inits.items():
+                pre = self._pre_default_basenames(d)
+                if not pre:
+                    continue
+                phys = self._phys(m, c)
+                scan = scan.withColumn(
+                    phys,
+                    F.when(
+                        F.col("__dv_file").isin(sorted(pre)),
+                        F.lit(d["initial"]).cast(types[c]),
+                    ).otherwise(F.col(phys)),
+                )
         dvs = m.get("dvs", {})
         already = sorted({dv for rel in rels for dv in dvs.get(rel, [])})
         if already:
@@ -4731,6 +4958,7 @@ class SnapshotTable:
                 f"{[f.name for f in added]}; pass merge_schema=True "
                 "(schema-evolving CDC apply) or evolve the target first"
             )
+        post = self._fill_write_defaults(m, post)
         # fresh physical slots for evolved names (append/merge's rule)
         cmap = dict(self._colmap(m))
         if added:

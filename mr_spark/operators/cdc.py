@@ -2328,6 +2328,103 @@ def snapshot_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _defaults_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """4-version history for the column-defaults query: v1 = the %3==0
+    orders slice (no ``channel`` column anywhere); v2 = add_column
+    ('channel', initial_default='backfill', write_default='online') —
+    METADATA-ONLY; v3 = append of the %3==1 slice OMITTING the column
+    (write default materializes); v4 = append of the %3==2 slice with
+    an EXPLICIT channel ('store' for even keys, NULL for odd — the
+    explicit NULL must survive, distinguishable from omission).
+    Memoized per process (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 4)
+    cached = _FIXTURES.get(key)
+    if _fixture_alive(cached, spark, 4):
+        return cached
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    r = F.col("o_orderkey") % 3
+    t = SnapshotTable.create(
+        spark,
+        _snapshot_demo_path(demo),
+        o.where(r == 0),
+        key="o_orderkey",
+        n_buckets=4,
+    )
+    t.add_column(
+        "channel", "string",
+        initial_default="backfill", write_default="online",
+    )
+    t.append(o.where(r == 1))  # omits channel -> 'online'
+    t.append(
+        o.where(r == 2).withColumn(
+            "channel",
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("store")),
+        )
+    )
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "acid_column_defaults",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'backfill'
+                  WHEN o_orderkey % 3 = 1 THEN 'online'
+                  WHEN o_orderkey % 2 = 0 THEN 'store'
+             END AS channel
+      FROM orders
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM t GROUP BY 1
+    """,
+)
+def acid_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN DEFAULT VALUES (round 8 — SnapshotTable.add_column,
+    mr_spark/acid.py): ADD COLUMN with BOTH open-format default
+    semantics — Iceberg v3's ``initial_default`` (what every
+    PRE-EXISTING row reads: the metadata-only backfill — "set channel
+    to 'backfill' for all history" on a 100 TB table moves ZERO bytes;
+    readers fill exactly the files predating the alter, resolved from
+    the alter-time manifest, so a later rewrite that materializes real
+    values naturally leaves the fill set) and Delta's
+    ``write_default`` (what a writer that OMITS the column gets —
+    materialized AT WRITE, so an explicitly-written NULL stays NULL).
+    Every read surface agrees: native read, data-skipping reads, the
+    DV DML raw scan, the CDF feed, the V2 batch/stream sources and
+    clones (tests/test_defaults.py). The query RAISES unless the ADD
+    COLUMN commit moved zero files, and its aggregate pivots on all
+    four channel populations — initial fill, write default, explicit
+    value, explicit NULL — which the oracle replays relationally."""
+    t = _defaults_fixture(spark, sf_dir, "acid_defaults_demo")
+    m1, m2 = t._manifest(1), t._manifest(2)
+    h = {r["version"]: r for r in t.history()}
+    if h[2]["operation"] != "ADD COLUMN" or m1["files"] != m2["files"]:
+        raise RuntimeError(
+            "ADD COLUMN with defaults was not metadata-only"
+        )
+    if "channel" in t.read(version=1).columns:
+        raise RuntimeError("time travel below the alter grew the column")
+    return (
+        t.read()
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 def _deep_clone_fixture(spark: SparkSession, sf_dir: str, demo: str):
     """Fixture for the deep-clone query: a TEMPORARY source table
     (orders keyed by o_orderkey, with a merge-on-read predicate DELETE

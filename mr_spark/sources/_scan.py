@@ -42,6 +42,7 @@ def read_file_rows(
     colmap: dict,
     dv_paths: list[str],
     preds: list | None = None,
+    fills: dict | None = None,
 ) -> list[tuple]:
     """One file's live rows as tuples in ``logical_cols`` order.
 
@@ -50,7 +51,10 @@ def read_file_rows(
     IS [NOT] NULL) applied EXACTLY row-level with vectorized pyarrow
     compute — SQL WHERE semantics: a NULL comparison never matches
     (``IS NULL`` of course does), and a value predicate on a column
-    this file predates (all-NULL) matches nothing.
+    this file predates (all-NULL) matches nothing — unless ``fills``
+    names it: ``fills`` maps logical columns to INITIAL DEFAULT values
+    (add_column on a file predating the alter), in which case every
+    row reads (and is filtered under) the fill value.
     """
     import pyarrow.parquet as pq
 
@@ -96,9 +100,35 @@ def read_file_rows(
             "lte": pc.less_equal,
         }
 
+        def const_atom(a, v) -> bool:
+            """Atom verdict against a CONSTANT (a filled initial
+            default applies to every row of the file)."""
+            try:
+                if a[0] == "null":
+                    return (v is None) == a[2]
+                if v is None:
+                    return False
+                if a[0] == "between":
+                    return a[2] <= v <= a[3]
+                if a[0] == "in":
+                    return v in a[2]
+                op, lit = a[2], a[3]
+                return {
+                    "eq": v == lit,
+                    "ne": v != lit,
+                    "lt": v < lit,
+                    "lte": v <= lit,
+                    "gt": v > lit,
+                    "gte": v >= lit,
+                }[op]
+            except TypeError:
+                return False
+
         def atom_mask(a):
             p = colmap.get(a[1], a[1])
             absent = tbl is None or p not in in_file
+            if absent and a[1] in (fills or {}):
+                return pa.array([const_atom(a, fills[a[1]])] * n)
             if a[0] == "null":
                 if absent:  # all-NULL column: IS NULL matches all rows
                     return pa.array([a[2]] * n)
@@ -126,8 +156,10 @@ def read_file_rows(
             mask = m if mask is None else pc.and_(mask, m)
         keep = mask.to_pylist()
     data = [
-        tbl.column(p).to_pylist() if p in in_file else [None] * n
-        for p in phys
+        tbl.column(p).to_pylist()
+        if p in in_file
+        else [(fills or {}).get(lc)] * n
+        for lc, p in zip(logical_cols, phys)
     ]
     rows = list(zip(*data)) if data else []
     dead = dead_positions(file_path, dv_paths) if dv_paths else set()

@@ -130,11 +130,17 @@ class _BucketSlicePartition(InputPartition):
         old_dvs: dict[str, list[str]] | None = None,
         new_dvs: dict[str, list[str]] | None = None,
         colmap: dict | None = None,
+        init_fills: dict | None = None,
     ) -> None:
         self.old_files = old_files
         self.new_files = new_files
         self.schema_json = schema_json
         self.key = key
+        # initial column defaults: {logical col: ([pre basenames], v)} —
+        # files predating an add_column read the fill, matching the
+        # native read path (a pre-image from a pre-alter file must show
+        # the default, not NULL)
+        self.init_fills = init_fills or {}
         # {abs data path: [abs deletion-vector paths]} per slice — each
         # version's OWN DVs, so a DV-only commit surfaces its dead rows
         self.old_dvs = old_dvs or {}
@@ -233,6 +239,11 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
 
         for v in range(start["version"] + 1, end["version"] + 1):
             mf, mt = t._manifest(v - 1), t._manifest(v)
+            init_fills = {
+                c: (sorted(t._pre_default_basenames(d)), d["initial"])
+                for c, d in mt.get("defaults", {}).items()
+                if d.get("initial") is not None
+            }
             for b in t._changed_buckets(mf, mt):
                 rf = mf["files"].get(b, [])
                 rt = mt["files"].get(b, [])
@@ -245,6 +256,7 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                         absmap(mf, rf),
                         absmap(mt, rt),
                         mt.get("colmap", {}),
+                        init_fills,
                     )
                 )
         # an empty batch still needs >= 1 split
@@ -261,12 +273,23 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         cols = [f.name for f in schema.fields]
         cmap = partition.colmap
 
+        init_fills = getattr(partition, "init_fills", None) or {}
+
         def rows(paths: list[str], dvs: dict[str, list[str]]) -> list[tuple]:
             # shared scan invariants (physical names, column-pruned
-            # decode, NULL-fill, positional DV filter) live in _scan
+            # decode, NULL-fill, positional DV filter, initial-default
+            # fills) live in _scan
             out: list[tuple] = []
             for p in paths:
-                out.extend(read_file_rows(p, cols, cmap, dvs.get(p, [])))
+                base = os.path.basename(p)
+                fills = {
+                    c: v
+                    for c, (pre, v) in init_fills.items()
+                    if base in pre
+                }
+                out.extend(
+                    read_file_rows(p, cols, cmap, dvs.get(p, []), fills=fills)
+                )
             return out
 
         co = Counter(rows(partition.old_files, partition.old_dvs))

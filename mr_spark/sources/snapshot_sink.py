@@ -257,6 +257,20 @@ class SnapshotWriter(DataSourceWriter):
             )
         table_schema = StructType.fromJson(json.loads(m["schema"]))
         table_fields = {f.name: f for f in table_schema.fields}
+        sink_cols = {f.name for f in schema.fields}
+        omitted_defaults = [
+            c
+            for c, d in m.get("defaults", {}).items()
+            if d.get("write") is not None and c not in sink_cols
+        ]
+        if omitted_defaults:
+            raise NotImplementedError(
+                f"sink dataframe omits column(s) {omitted_defaults} that "
+                "carry a WRITE DEFAULT; the V2 sink writes only the "
+                "frame's columns, so the rows would read NULL instead of "
+                "the default — provide the column(s) or use "
+                "SnapshotTable.append (which materializes write defaults)"
+            )
         for f in schema.fields:
             have = table_fields.get(f.name)
             if have is None:

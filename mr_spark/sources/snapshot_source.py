@@ -166,6 +166,7 @@ class _FilePartition(InputPartition):
         schema_json: str,
         colmap: dict | None = None,
         preds: list | None = None,
+        fills: dict | None = None,
     ) -> None:
         self.file_path = file_path  # "" = empty-table sentinel
         self.dv_paths = dv_paths
@@ -175,6 +176,9 @@ class _FilePartition(InputPartition):
         # normalized predicate conjuncts (mr_spark/predicates.py,
         # logical names) re-applied EXACTLY row-level by the executor
         self.preds = preds or []
+        # initial column defaults for THIS file (add_column on a file
+        # that predates the alter): logical col -> fill value
+        self.fills = fills or {}
 
 
 def parse_where(expr: str) -> list[list[tuple]]:
@@ -273,6 +277,13 @@ class SnapshotReader(DataSourceReader):
         bloom_cols = tuple(
             cmap.get(c, c) for c in m.get("bloom_cols", ())
         )
+        # initial column defaults (add_column): files predating the
+        # alter fill the recorded value executor-side
+        init_pre = {
+            c: (t._pre_default_basenames(d), d["initial"])
+            for c, d in m.get("defaults", {}).items()
+            if d.get("initial") is not None
+        }
         parts: list[InputPartition] = []
         for b, rels in buckets.items():
             pval = _part_of(b) if pcol else None
@@ -281,6 +292,12 @@ class SnapshotReader(DataSourceReader):
                     stats.get(rel, {}), bloom_cols, cmap, pval, pcol
                 ):
                     continue
+                base = os.path.basename(rel)
+                fills = {
+                    c: v
+                    for c, (pre, v) in init_pre.items()
+                    if base in pre
+                }
                 parts.append(
                     _FilePartition(
                         os.path.join(self.path, rel),
@@ -291,6 +308,7 @@ class SnapshotReader(DataSourceReader):
                         m["schema"],
                         cmap,
                         self._preds,  # logical names; executor maps
+                        fills,
                     )
                 )
         # an empty table still needs >= 1 partition
@@ -319,6 +337,7 @@ def _read_file_partition(partition: _FilePartition) -> Iterator[tuple]:
         partition.colmap,
         partition.dv_paths,
         preds=getattr(partition, "preds", None) or [],
+        fills=getattr(partition, "fills", None) or {},
     )
 
 
@@ -388,12 +407,28 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def _snapshot_parts(self, m: dict) -> list[InputPartition]:
         dvs = m.get("dvs", {})
+        t = _table(self.path)
+        # initial column defaults: the snapshot batch serves pre-alter
+        # files with the recorded fill, same as the batch source (the
+        # per-commit REPLAY path never needs fills — pre-alter commits
+        # carry a pre-alter schema and fail the pinned-schema check)
+        init_pre = {
+            c: (t._pre_default_basenames(d), d["initial"])
+            for c, d in m.get("defaults", {}).items()
+            if d.get("initial") is not None
+        }
         return [
             _FilePartition(
                 os.path.join(self.path, rel),
                 [os.path.join(self.path, d) for d in dvs.get(rel, [])],
                 m["schema"],
                 m.get("colmap", {}),
+                None,
+                {
+                    c: v
+                    for c, (pre, v) in init_pre.items()
+                    if os.path.basename(rel) in pre
+                },
             )
             for rels in m["files"].values()
             for rel in rels

@@ -185,9 +185,10 @@ PROBES = [
     # round-8: generalized predicate grammar + SQL-text DML
     "acid_predicate_grammar",
     "snapshot_sql_dml",
-    # round-8: line-dedup transform + deep clone
+    # round-8: line-dedup transform + deep clone + column defaults
     "dedup_lines",
     "snapshot_clone_deep",
+    "acid_column_defaults",
     # round-8: bucketed/blocked ANN variants (64x octave candidates)
     "ann_lsh_topk",
     "ann_ivf_topk",
