@@ -28,6 +28,20 @@ Utility statements (Delta's SQL surface for the same operations):
   returns the removed (or would-be-removed) path list, not a version
 * ``RESTORE <view> TO VERSION AS OF <n>`` → ``restore(n)``
 
+ALTER statements (all metadata-only commits):
+
+* ``ALTER TABLE <view> ADD COLUMN <name> <type>
+  [DEFAULT <lit>] [INITIAL DEFAULT <lit>]`` — DEFAULT is the WRITE
+  default (Delta's allowColumnDefaults: later omitting writers get
+  it); INITIAL DEFAULT is Iceberg v3's initial-default (pre-existing
+  rows read it — the metadata-only backfill); both may appear
+* ``ALTER TABLE <view> RENAME COLUMN <a> TO <b>``
+* ``ALTER TABLE <view> DROP COLUMN <c>``
+* ``ALTER TABLE <view> ALTER COLUMN <c> TYPE <type>`` — lossless type
+  widening only (widen_column's rules)
+* ``ALTER TABLE <view> ADD CONSTRAINT <name> CHECK (<expr>)`` /
+  ``ALTER TABLE <view> DROP CONSTRAINT <name>``
+
 ``<pred>`` is the shared data-skipping grammar (mr_spark/predicates.py
 — comparisons, BETWEEN, IN, NOT IN, IS [NOT] NULL, parenthesised OR
 groups, joined by AND), so SQL-text DELETE/UPDATE plans from manifest
@@ -301,6 +315,95 @@ def _put(kw: dict, name: str, val, cond, cond_name: str) -> None:
         kw[cond_name] = cond
 
 
+def _parse_literal(text: str):
+    """One literal token for ALTER defaults — reuses the shared
+    tokenizer so quoting/number rules match the WHERE grammar."""
+    from .predicates import _tokenize
+
+    toks = _tokenize(text.strip())
+    if len(toks) != 1 or toks[0][0] != "lit":
+        raise ValueError(f"expected one literal, got {text!r}")
+    return toks[0][1]
+
+
+_TYPE_RE = r"[A-Za-z_][\w]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
+
+
+_LIT_RE = r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+
+
+def _alter(spark, view: str, action: str) -> int:
+    t = _table(spark, view)
+    m = re.match(
+        rf"^ADD\s+COLUMN\s+([A-Za-z_]\w*)\s+({_TYPE_RE})\s*(.*)$",
+        action,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        col, dtype, tail = m.group(1), m.group(2), m.group(3).strip()
+        init = write = None
+        while tail:
+            m2 = re.match(
+                rf"^(INITIAL\s+)?DEFAULT\s+{_LIT_RE}\s*(.*)$",
+                tail,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m2:
+                raise ValueError(
+                    f"cannot parse ADD COLUMN clause {tail!r} — expected "
+                    "[INITIAL] DEFAULT <literal>"
+                )
+            val = _parse_literal(m2.group(2))
+            if m2.group(1):
+                if init is not None:
+                    raise ValueError("INITIAL DEFAULT given twice")
+                init = val
+            else:
+                if write is not None:
+                    raise ValueError("DEFAULT given twice")
+                write = val
+            tail = m2.group(3).strip()
+        return t.add_column(
+            col, dtype, initial_default=init, write_default=write
+        )
+    m = re.match(
+        r"^RENAME\s+COLUMN\s+([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*$",
+        action,
+        re.IGNORECASE,
+    )
+    if m:
+        return t.rename_column(m.group(1), m.group(2))
+    m = re.match(
+        r"^DROP\s+COLUMN\s+([A-Za-z_]\w*)\s*$", action, re.IGNORECASE
+    )
+    if m:
+        return t.drop_column(m.group(1))
+    m = re.match(
+        rf"^ALTER\s+COLUMN\s+([A-Za-z_]\w*)\s+TYPE\s+({_TYPE_RE})\s*$",
+        action,
+        re.IGNORECASE,
+    )
+    if m:
+        return t.widen_column(m.group(1), m.group(2))
+    m = re.match(
+        r"^ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+CHECK\s*\((.+)\)\s*$",
+        action,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        return t.add_constraint(m.group(1), m.group(2).strip())
+    m = re.match(
+        r"^DROP\s+CONSTRAINT\s+([A-Za-z_]\w*)\s*$", action, re.IGNORECASE
+    )
+    if m:
+        return t.drop_constraint(m.group(1))
+    raise ValueError(
+        f"unsupported ALTER action {action!r} — supported: ADD COLUMN "
+        "[DEFAULT/INITIAL DEFAULT], RENAME COLUMN, DROP COLUMN, ALTER "
+        "COLUMN TYPE (lossless widening), ADD/DROP CONSTRAINT"
+    )
+
+
 def execute_dml(spark, sql_text: str, mode: str = "cow") -> int:
     """Execute one statement (module docstring has the grammar)
     against its snapshot view's table; returns the committed version
@@ -414,6 +517,16 @@ def execute_dml(spark, sql_text: str, mode: str = "cow") -> int:
         view, ver = m.groups()
         t = _table(spark, view)
         v = t.restore(int(ver))
+        _rebind(spark, view)
+        return v
+    m = re.match(
+        r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+(.+)$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        view, action = m.group(1), m.group(2).strip()
+        v = _alter(spark, view, action)
         _rebind(spark, view)
         return v
     raise ValueError(

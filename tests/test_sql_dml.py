@@ -199,3 +199,46 @@ def test_sql_optimize_zorder_and_refusals(spark, tmp_path):
         execute_dml(spark, "OPTIMIZE sqldml_z2 WHERE grp IN ('even')")
     with pytest.raises(ValueError, match="unsupported statement"):
         execute_dml(spark, "ANALYZE TABLE sqldml_z")
+
+
+def test_sql_alter_statements(spark, tmp_path):
+    """ALTER TABLE text: ADD COLUMN with both default kinds, RENAME,
+    widening, constraints, DROP COLUMN — all metadata-only routes."""
+    t = _mk(spark, tmp_path, "sqldml_a")
+    execute_dml(
+        spark,
+        "ALTER TABLE sqldml_a ADD COLUMN tier STRING "
+        "INITIAL DEFAULT 'legacy' DEFAULT 'web'",
+    )
+    assert t._manifest(2)["files"] == t._manifest(1)["files"]
+    got = {r["k"]: r["tier"] for r in t.read().collect()}
+    assert set(got.values()) == {"legacy"}
+    t.append(spark.createDataFrame([(100, "n")], "k bigint, grp string"))
+    assert t.read().where("k = 100").first()["tier"] == "web"
+    # the SQL read surface sees the new column (view rebinds)
+    assert spark.sql(
+        "SELECT COUNT(*) AS n FROM sqldml_a WHERE tier = 'legacy'"
+    ).first()["n"] == 40
+    execute_dml(spark, "ALTER TABLE sqldml_a RENAME COLUMN tier TO band")
+    assert spark.sql(
+        "SELECT COUNT(*) AS n FROM sqldml_a WHERE band = 'web'"
+    ).first()["n"] == 1
+    execute_dml(spark, "ALTER TABLE sqldml_a ADD COLUMN n2 INT")
+    execute_dml(spark, "ALTER TABLE sqldml_a ALTER COLUMN n2 TYPE BIGINT")
+    assert dict(t.read().dtypes)["n2"] == "bigint"
+    execute_dml(
+        spark, "ALTER TABLE sqldml_a ADD CONSTRAINT x_pos CHECK (x >= 0.0)"
+    )
+    with pytest.raises(Exception, match="constraint"):
+        t.append(
+            spark.createDataFrame(
+                [(200, "bad", -1.0)], "k bigint, grp string, x double"
+            )
+        )
+    execute_dml(spark, "ALTER TABLE sqldml_a DROP CONSTRAINT x_pos")
+    execute_dml(spark, "ALTER TABLE sqldml_a DROP COLUMN n2")
+    assert "n2" not in t.read().columns
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        execute_dml(spark, "ALTER TABLE sqldml_a SET TBLPROPERTIES (a=1)")
+    with pytest.raises(ValueError, match="lossless"):
+        execute_dml(spark, "ALTER TABLE sqldml_a ALTER COLUMN x TYPE INT")
