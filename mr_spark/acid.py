@@ -1253,8 +1253,23 @@ class SnapshotTable:
         generated: dict | None = None,
         partition_by: str | None = None,
         identity: str | None = None,
+        row_tracking: bool = False,
     ) -> "SnapshotTable":
         """Materialize version 1 from ``df``, hash-bucketed on ``key``.
+
+        ``row_tracking`` (Delta's rowTracking feature): every row gets
+        a STABLE surrogate id in the reserved hidden column
+        ``_row_id`` — allocated once at insert, PRESERVED through
+        merges/updates/rewrites (a correction changes values, never
+        identity), never reused after deletes. Implemented as an
+        identity column with the reserved name, so it inherits the
+        whole identity contract (deterministic key-order allocation the
+        oracle can replay, GENERATED ALWAYS refusals, conflict-checked
+        concurrent allocation, the documented unsupported-combination
+        refusals). Default reads HIDE the column — ``read(
+        with_row_ids=True)`` exposes it, the change feed always carries
+        it (row-id-keyed replication is its point), and the V2 source
+        exposes it only under ``option("with_row_ids", "true")``.
 
         ``identity`` declares one IDENTITY COLUMN (Delta's ``GENERATED
         ALWAYS AS IDENTITY``, start 1 step 1): a BIGINT surrogate id the
@@ -1303,6 +1318,20 @@ class SnapshotTable:
         map rides the manifest like constraints (delta folds, checkpoints,
         restore, clone); MERGE recomputes generated columns and refuses
         them as clause-assignment targets, Delta's merge rule."""
+        if row_tracking:
+            if identity:
+                raise ValueError(
+                    "row_tracking and identity= both allocate surrogate "
+                    "ids and the table supports ONE identity column — "
+                    "pick one (row ids ARE an identity column under the "
+                    "reserved name '_row_id')"
+                )
+            if "_row_id" in df.columns:
+                raise ValueError(
+                    "'_row_id' is the reserved row-tracking column — "
+                    "the frame cannot provide it (GENERATED ALWAYS)"
+                )
+            identity = "_row_id"
         if os.path.exists(path):
             shutil.rmtree(path)
         os.makedirs(os.path.join(path, "data"))
@@ -2735,12 +2764,16 @@ class SnapshotTable:
         self,
         version: int | None = None,
         where: tuple | list | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """The table at ``version`` (default: latest) — manifest-listed
         files only, so a dead writer's stray data files are invisible.
         ``where`` (the full grammar — ranges, IN, OR groups, ``<>``,
         IS [NOT] NULL; see ``_where_list``) applies stats-based file
-        skipping AND the exact row-level filter."""
+        skipping AND the exact row-level filter. On a row-tracked table
+        the hidden ``_row_id`` column is dropped unless
+        ``with_row_ids=True`` (the filter runs BEFORE the drop, so an
+        exposed read may also filter on it)."""
         # resolve the version ONCE: resolving latest_version() separately
         # for the manifest and the file list would let a commit landing
         # in between mix one version's schema with the next's files
@@ -2750,6 +2783,8 @@ class SnapshotTable:
         df = self._read_files(self.data_paths(version, where), m)
         if self._where_list(where):
             df = df.where(self._pred_expr(where))
+        if not with_row_ids and "_row_id" in m.get("identity", {}):
+            df = df.drop("_row_id")
         return df
 
     def _read_files(
@@ -3744,6 +3779,7 @@ class SnapshotTable:
             "generated": dict(m.get("generated", {})),
             "defaults": dict(m.get("defaults", {})),
             "identity": dict(m.get("identity", {})),
+            "row_tracking": "_row_id" in m.get("identity", {}),
             "bloom_cols": list(self._bloom_cols(m)),
             "numDeletionVectors": sum(len(v) for v in m.get("dvs", {}).values()),
             "lastCheckpointVersion": max(cps) if cps else None,

@@ -98,6 +98,7 @@ _CHECK_PRIORITY = [
     # -- NEW this round (round 8) --
     "acid_predicate_grammar", "snapshot_sql_dml",
     "dedup_lines", "snapshot_clone_deep", "acid_column_defaults",
+    "acid_row_tracking",
     # -- changed this round: predicate-grammar rewiring --
     "acid_delete_where", "acid_update_where",
     "acid_data_skipping", "acid_bloom_skipping",
@@ -121,9 +122,9 @@ _CHECK_PRIORITY = [
     "date_arithmetic", "dedup_keep_best", "doc_fingerprint",
     "embedding_dim_stats", "equidepth_histogram", "event_cooccurrence",
     "event_funnel", "frame_sample_stub", "fuzzy_match_pairs",
-    "gapfill_daily_revenue", "hash_sample", "image_features_stub",
-    # (interpolate_missing, json_typed_parse ... winnow_containment:
-    #  r09 rotation head)
+    "gapfill_daily_revenue", "hash_sample",
+    # (image_features_stub, interpolate_missing, json_typed_parse ...
+    #  winnow_containment: r09 rotation head)
 ]
 
 

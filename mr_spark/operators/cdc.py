@@ -2328,6 +2328,134 @@ def snapshot_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _row_tracking_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """4-version history for the row-tracking query: v1 = the %3==0
+    orders slice created with row_tracking=True (hidden ``_row_id`` ids
+    allocated 1..N in key order); v2 = predicate DELETE of the low key
+    range (their ids retire, NEVER reused); v3 = MERGE doubling the
+    price of the surviving %9==0 keys (matched-only — row VALUES
+    change, row IDENTITY must not); v4 = append of the %3==1 slice
+    (ids continue from the HIGH WATER N+1, not from the survivor
+    count — proof deletes never free ids). Memoized per process."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 4)
+    cached = _FIXTURES.get(key)
+    if _fixture_alive(cached, spark, 4):
+        return cached
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    r = F.col("o_orderkey") % 3
+    t = SnapshotTable.create(
+        spark,
+        _snapshot_demo_path(demo),
+        o.where(r == 0),
+        key="o_orderkey",
+        n_buckets=4,
+        row_tracking=True,
+    )
+    m10 = int(o.agg(F.expr("max(o_orderkey) div 10")).first()[0])
+    t.delete(where=("o_orderkey", 1, m10))
+    t.merge_upsert(
+        o.where(
+            (r == 0)
+            & (F.col("o_orderkey") % 9 == 0)
+            & (F.col("o_orderkey") > m10)
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    t.append(o.where(r == 1))
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "acid_row_tracking",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rid
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    mx AS (SELECT MAX(o_orderkey) // 10 AS m10 FROM orders),
+    surv AS (
+      SELECT CASE WHEN o_orderkey % 9 = 0 AND o_orderkey > mx.m10
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS price,
+             rid
+      FROM a, mx WHERE o_orderkey NOT BETWEEN 1 AND mx.m10
+    ),
+    b AS (
+      SELECT o_totalprice AS price,
+             (SELECT COUNT(*) FROM a)
+             + ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rid
+      FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    f AS (SELECT * FROM surv UNION ALL SELECT * FROM b)
+    SELECT CAST(rid % 7 AS BIGINT) AS id_band,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(rid) AS BIGINT) AS min_id,
+           CAST(MAX(rid) AS BIGINT) AS max_id,
+           CAST(ROUND(SUM(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM f GROUP BY 1
+    """,
+)
+def acid_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW TRACKING (round 8 — Delta's rowTracking:
+    create(row_tracking=True), mr_spark/acid.py): every row carries a
+    STABLE surrogate id in the reserved hidden ``_row_id`` column —
+    allocated once at insert (deterministic key order, continuing from
+    a manifest-riding high-water mark), PRESERVED through merges and
+    rewrites (a correction changes values, never identity), never
+    reused after deletes. Default reads HIDE the column;
+    ``read(with_row_ids=True)`` (and the V2 source's
+    ``option('with_row_ids', 'true')``) exposes it; the change feed
+    always carries it — the substrate for row-id-keyed replication
+    without a business key.
+
+    Certified live, RAISES otherwise: the default read must NOT show
+    ``_row_id``; every key present at v1 and still alive now carries
+    ITS v1 id (a time-travel join counts mismatches — the
+    update-preserves-identity proof); and the post-delete append's ids
+    continue PAST the retired ids' high water. The oracle replays the
+    whole allocation with ROW_NUMBER arithmetic (ids join to prices in
+    id-band aggregates, so one misallocated or reused id shifts a
+    band).
+
+    Scale: the id is one BIGINT column riding ordinary writes — no
+    extra shuffle; allocation is the identity machinery's distributed
+    range-partition rank with a ≤32-row offsets collect."""
+    t = _row_tracking_fixture(spark, sf_dir, "acid_row_tracking_demo")
+    if "_row_id" in t.read().columns:
+        raise RuntimeError("default read exposed the hidden _row_id column")
+    v1 = t.read(version=1, with_row_ids=True).select(
+        "o_orderkey", F.col("_row_id").alias("rid1")
+    )
+    cur = t.read(with_row_ids=True).select(
+        "o_orderkey", F.col("_row_id").alias("rid2")
+    )
+    moved = v1.join(cur, "o_orderkey").where(
+        F.col("rid1") != F.col("rid2")
+    )
+    if moved.limit(1).count():
+        raise RuntimeError(
+            "a surviving row's id changed across the merge — row "
+            "identity is not stable"
+        )
+    return (
+        t.read(with_row_ids=True)
+        .groupBy((F.col("_row_id") % 7).cast("bigint").alias("id_band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("_row_id").cast("bigint").alias("min_id"),
+            F.max("_row_id").cast("bigint").alias("max_id"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 def _defaults_fixture(spark: SparkSession, sf_dir: str, demo: str):
     """4-version history for the column-defaults query: v1 = the %3==0
     orders slice (no ``channel`` column anywhere); v2 = add_column

@@ -84,6 +84,24 @@ def _table(path: str):
     return SnapshotTable(None, _local_path(path))
 
 
+def _hide_row_ids(m: dict, options) -> bool:
+    """Row-tracked tables hide the reserved ``_row_id`` column unless
+    ``option("with_row_ids", "true")`` — matching SnapshotTable.read's
+    default."""
+    return "_row_id" in m.get("identity", {}) and str(
+        options.get("with_row_ids", "false")
+    ).lower() != "true"
+
+
+def _effective_schema(m: dict, options) -> StructType:
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if _hide_row_ids(m, options):
+        schema = StructType(
+            [f for f in schema.fields if f.name != "_row_id"]
+        )
+    return schema
+
+
 class SnapshotDataSource(DataSource):
     """``spark.read.format("snapshot")`` — options:
 
@@ -135,7 +153,7 @@ class SnapshotDataSource(DataSource):
     def schema(self) -> StructType:
         t = _table(self.options["path"])
         m = t._manifest(self._pinned_version())
-        return StructType.fromJson(json.loads(m["schema"]))
+        return _effective_schema(m, self.options)
 
     def reader(self, schema: StructType) -> "SnapshotReader":
         return SnapshotReader(self.options, version=self._pinned_version())
@@ -206,6 +224,7 @@ class SnapshotReader(DataSourceReader):
             self.version = int(v) if v is not None else None
         w = options.get("where")
         self._preds: list[list[tuple]] = parse_where(w) if w else []
+        self._options = options
 
     # ---- planning (driver): manifest-only pruning ---------------------
 
@@ -284,6 +303,17 @@ class SnapshotReader(DataSourceReader):
             for c, d in m.get("defaults", {}).items()
             if d.get("initial") is not None
         }
+        # row tracking: executors project the EFFECTIVE schema, so the
+        # hidden _row_id column is never even decoded; a predicate on
+        # it while hidden is a contradiction, refused loudly
+        eff_json = _effective_schema(m, self._options).json()
+        if _hide_row_ids(m, self._options) and any(
+            a[1] == "_row_id" for atoms in self._preds for a in atoms
+        ):
+            raise ValueError(
+                "where references the hidden '_row_id' column — pass "
+                "option('with_row_ids', 'true') to expose row ids"
+            )
         parts: list[InputPartition] = []
         for b, rels in buckets.items():
             pval = _part_of(b) if pcol else None
@@ -305,14 +335,14 @@ class SnapshotReader(DataSourceReader):
                             os.path.join(self.path, d)
                             for d in dvs.get(rel, [])
                         ],
-                        m["schema"],
+                        eff_json,
                         cmap,
                         self._preds,  # logical names; executor maps
                         fills,
                     )
                 )
         # an empty table still needs >= 1 partition
-        return parts or [_FilePartition("", [], m["schema"], cmap)]
+        return parts or [_FilePartition("", [], eff_json, cmap)]
 
     # ---- execution (executor): pyarrow scan + DV anti-filter ----------
 
@@ -380,6 +410,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
             str(options.get("skip_change_commits", "false")).lower() == "true"
         )
         self._declared_schema_json = schema.json()
+        self._options = options
 
     # ---- offset protocol ---------------------------------------------
 
@@ -417,11 +448,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
             for c, d in m.get("defaults", {}).items()
             if d.get("initial") is not None
         }
+        eff_json = _effective_schema(m, self._options).json()
         return [
             _FilePartition(
                 os.path.join(self.path, rel),
                 [os.path.join(self.path, d) for d in dvs.get(rel, [])],
-                m["schema"],
+                eff_json,
                 m.get("colmap", {}),
                 None,
                 {
@@ -446,7 +478,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
             from_v = end["version"] + 1  # nothing incremental this batch
         for v in range(from_v, end["version"] + 1):
             mt = t._manifest(v)
-            if StructType.fromJson(json.loads(mt["schema"])) != declared:
+            # compare EFFECTIVE schemas (row tracking hides _row_id on
+            # both sides unless the option exposes it)
+            if _effective_schema(mt, self._options) != declared:
                 raise RuntimeError(
                     f"table schema changed at version {v} — the stream "
                     "pinned its schema at start; restart the stream "
@@ -480,7 +514,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 _FilePartition(
                     os.path.join(self.path, rel),
                     [],  # append-only commit: no DVs on its new files
-                    mt["schema"],
+                    _effective_schema(mt, self._options).json(),
                     mt.get("colmap", {}),
                 )
                 for rel in added

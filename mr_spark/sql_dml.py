@@ -42,6 +42,13 @@ ALTER statements (all metadata-only commits):
 * ``ALTER TABLE <view> ADD CONSTRAINT <name> CHECK (<expr>)`` /
   ``ALTER TABLE <view> DROP CONSTRAINT <name>``
 
+Introspection statements (return a DataFrame, not a version):
+
+* ``DESCRIBE HISTORY <view> [LIMIT <n>]`` — one row per commit,
+  newest first: version, timestamp, operation, params (JSON text)
+* ``DESCRIBE DETAIL <view>`` — one row of table metrics (nested maps
+  as JSON text)
+
 ``<pred>`` is the shared data-skipping grammar (mr_spark/predicates.py
 — comparisons, BETWEEN, IN, NOT IN, IS [NOT] NULL, parenthesised OR
 groups, joined by AND), so SQL-text DELETE/UPDATE plans from manifest
@@ -529,6 +536,53 @@ def execute_dml(spark, sql_text: str, mode: str = "cow") -> int:
         v = _alter(spark, view, action)
         _rebind(spark, view)
         return v
+    m = re.match(
+        r"^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)(?:\s+LIMIT\s+(\d+))?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if m:
+        import json as _json
+
+        view, lim = m.group(1), m.group(2)
+        t = _table(spark, view)
+        rows = [
+            (
+                r["version"],
+                float(r["timestamp"]),
+                r["operation"],
+                _json.dumps(r.get("params", {}), sort_keys=True),
+            )
+            for r in t.history(limit=int(lim) if lim else None)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version bigint, timestamp double, operation string, params string",
+        )
+    m = re.match(
+        r"^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_]\w*)\s*$", stmt, re.IGNORECASE
+    )
+    if m:
+        import json as _json
+
+        t = _table(spark, m.group(1))
+        d = t.detail()
+        row = {
+            k: (v if isinstance(v, (int, float, str, bool)) else _json.dumps(v, sort_keys=True))
+            for k, v in d.items()
+        }
+        def sql_type(v) -> str:
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, int):
+                return "bigint"
+            if isinstance(v, float):
+                return "double"
+            return "string"
+
+        keys = sorted(row)
+        schema = ", ".join(f"{k} {sql_type(row[k])}" for k in keys)
+        return spark.createDataFrame([tuple(row[k] for k in keys)], schema)
     raise ValueError(
         "unsupported statement — execute_dml handles DELETE FROM / "
         "UPDATE ... SET / MERGE INTO / OPTIMIZE / VACUUM / RESTORE "

@@ -2834,3 +2834,94 @@ def test_widen_after_drop_bloom_index(spark, tmp_path):
     # for bigint 10 — but a future int->double widen changes it, which
     # is exactly why probes gate on the index list)
     assert [r["k"] for r in t.read(where=("n", 10, 10)).collect()] == [1]
+
+
+def test_row_tracking_stable_ids_and_hidden_reads(spark, tmp_path):
+    """create(row_tracking=True): stable hidden row ids — allocated at
+    insert, PRESERVED through merge updates and rewrites, never reused
+    after deletes; default reads hide _row_id, read(with_row_ids=True)
+    exposes it; the change feed carries it."""
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(10)], "k bigint, v string"
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "rt"), df, key="k", n_buckets=2,
+        row_tracking=True,
+    )
+    assert "_row_id" not in t.read().columns  # hidden by default
+    ids1 = {
+        r["k"]: r["_row_id"] for r in t.read(with_row_ids=True).collect()
+    }
+    assert sorted(ids1.values()) == list(range(1, 11))  # key-order alloc
+    # an update (merge) changes values, never identity
+    t.merge_upsert(
+        spark.createDataFrame([(3, "UPDATED")], "k bigint, v string")
+    )
+    ids2 = {
+        r["k"]: r["_row_id"] for r in t.read(with_row_ids=True).collect()
+    }
+    assert ids2 == ids1
+    # deletes never free ids; later inserts continue past the high water
+    t.delete_keys(spark.createDataFrame([(9,)], "k bigint"))
+    t.append(spark.createDataFrame([(100, "new")], "k bigint, v string"))
+    ids3 = {
+        r["k"]: r["_row_id"] for r in t.read(with_row_ids=True).collect()
+    }
+    assert ids3[100] == 11 and 10 not in ids3.values()
+    # compaction preserves ids (rewrite carries the column)
+    t.compact(files_per_bucket=1)
+    ids4 = {
+        r["k"]: r["_row_id"] for r in t.read(with_row_ids=True).collect()
+    }
+    assert ids4 == ids3
+    # the change feed carries row ids (row-id-keyed replication)
+    feed_cols = t.changes(1, 2).columns
+    assert "_row_id" in feed_cols
+    # GENERATED ALWAYS: a frame providing _row_id refuses
+    with pytest.raises(ValueError, match="_row_id"):
+        SnapshotTable.create(
+            spark, str(tmp_path / "rt2"),
+            spark.createDataFrame([(1, 2)], "k bigint, _row_id bigint"),
+            key="k", row_tracking=True,
+        )
+    with pytest.raises(ValueError, match="one"):
+        SnapshotTable.create(
+            spark, str(tmp_path / "rt3"), df, key="k",
+            row_tracking=True, identity="other",
+        )
+
+
+def test_row_tracking_v2_source_hides_unless_opted(spark, tmp_path):
+    from mr_spark.sources.snapshot_source import register
+
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(6)], "k bigint, v string"
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "rtsrc"), df, key="k", n_buckets=2,
+        row_tracking=True,
+    )
+    register(spark)
+    base = spark.read.format("snapshot").option("path", t.path).load()
+    assert "_row_id" not in base.columns
+    assert base.count() == 6
+    exposed = (
+        spark.read.format("snapshot")
+        .option("path", t.path)
+        .option("with_row_ids", "true")
+        .load()
+    )
+    assert sorted(r["_row_id"] for r in exposed.collect()) == list(range(1, 7))
+    # a where on the hidden column refuses; on the exposed one it works
+    with pytest.raises(Exception, match="_row_id"):
+        spark.read.format("snapshot").option("path", t.path).option(
+            "where", "_row_id <= 2"
+        ).load().collect()
+    got = (
+        spark.read.format("snapshot")
+        .option("path", t.path)
+        .option("with_row_ids", "true")
+        .option("where", "_row_id <= 2")
+        .load()
+    )
+    assert sorted(r["k"] for r in got.collect()) == [0, 1]

@@ -242,3 +242,19 @@ def test_sql_alter_statements(spark, tmp_path):
         execute_dml(spark, "ALTER TABLE sqldml_a SET TBLPROPERTIES (a=1)")
     with pytest.raises(ValueError, match="lossless"):
         execute_dml(spark, "ALTER TABLE sqldml_a ALTER COLUMN x TYPE INT")
+
+
+def test_sql_describe_statements(spark, tmp_path):
+    """DESCRIBE HISTORY / DESCRIBE DETAIL as statement text return
+    DataFrames — SQL-only introspection over the snapshot session."""
+    t = _mk(spark, tmp_path, "sqldml_desc")
+    execute_dml(spark, "DELETE FROM sqldml_desc WHERE k IN (1, 2)")
+    h = execute_dml(spark, "DESCRIBE HISTORY sqldml_desc")
+    rows = {r["version"]: r for r in h.collect()}
+    assert rows[2]["operation"] == "DELETE" and rows[1]["operation"] == "CREATE"
+    assert "metrics" in rows[2]["params"]
+    assert execute_dml(
+        spark, "DESCRIBE HISTORY sqldml_desc LIMIT 1"
+    ).count() == 1
+    d = execute_dml(spark, "DESCRIBE DETAIL sqldml_desc").first()
+    assert d["numFiles"] >= 1 and d["version"] == 2

@@ -189,6 +189,7 @@ PROBES = [
     "dedup_lines",
     "snapshot_clone_deep",
     "acid_column_defaults",
+    "acid_row_tracking",
     # round-8: bucketed/blocked ANN variants (64x octave candidates)
     "ann_lsh_topk",
     "ann_ivf_topk",
