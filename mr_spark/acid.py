@@ -3595,6 +3595,108 @@ class SnapshotTable:
             op={"operation": "APPEND", "schema_evolved": bool(added)},
         )
 
+    def overwrite(
+        self,
+        df: DataFrame,
+        batch_id: int | None = None,
+        app_id: str = "default",
+    ) -> int:
+        """Atomic full-table overwrite — Delta's ``INSERT OVERWRITE`` /
+        ``mode("overwrite")``: ONE commit that drops every data file
+        this snapshot references and adds ``df``'s bucket files in its
+        place. There is no delete+insert window where readers see an
+        empty (or doubled) table, and old versions stay time-travelable
+        — the removal side is pure manifest metadata, exactly like
+        ``delete(where=None)``; vacuum reclaims the replaced files after
+        log retention.
+
+        Semantics:
+
+        * ``df`` may OMIT table columns (they fill from write defaults
+          or read as NULL, like append); NEW columns are refused —
+          evolve the schema first (``append(merge_schema=True)`` or
+          ``ALTER TABLE ADD COLUMN``), then overwrite;
+        * CHECK constraints, generated columns and partition-value
+          guards run like any write; identity columns allocate fresh
+          ids for every row (the old rows' ids retire with them and are
+          never reused — the high-water mark only moves forward);
+        * ``(app_id, batch_id)`` gives the same monotonic txn replay
+          protection as :meth:`replace_where` — a replayed overwrite
+          job commits nothing;
+        * conflicts: ``touched`` = every base bucket ∪ every new bucket,
+          so a concurrent commit that changed any existing bucket's
+          files or DVs raises instead of being silently clobbered
+          (Delta's overwrite-conflicts-with-data-commits rule); only
+          commits confined to untouched buckets rebase.
+
+        Scale: the removal is O(manifest); the write is ``df``'s own
+        distributed bucket write — replacing a 100 TB table's content
+        costs exactly one write of the NEW data, zero reads of the
+        old."""
+        base = self.latest_version()
+        m = self._manifest(base)
+        recorded = self._txns(m).get(app_id)
+        if batch_id is not None and recorded is not None and recorded >= batch_id:
+            return base  # replayed overwrite: already committed
+        extra = [c for c in df.columns if c not in self._schema_names(m)]
+        if extra:
+            raise ValueError(
+                f"overwrite frame has columns not in the table schema: "
+                f"{extra}; evolve the schema first (append(merge_schema="
+                "True) or add_column), then overwrite"
+            )
+        df = self._fill_write_defaults(m, df)
+        df = self._apply_generated(m, df)
+        self._check_constraints(m, df)
+        self._check_partition_values(m, df)
+        df, new_hw, release = self._with_identity(m, df)
+        ident_col = next(iter(m["identity"])) if m.get("identity") else None
+        try:
+            new_files, new_stats = self._write_bucket_files(
+                df.withColumn("__bucket", self._bucket_expr(m)),
+                self._bloom_cols_phys(m),
+                colmap=self._colmap(m),
+                partition_by=m.get("partition_by"),
+            )
+        finally:
+            release()
+        # drop only the files THIS SNAPSHOT holds (like delete(None)):
+        # a file added concurrently to an untouched bucket is not ours
+        # to replace and survives the rebase
+        dropped = {rel for rels in m["files"].values() for rel in rels}
+        self.last_dml = {
+            "files_fully_removed": len(dropped),
+            "files_added": sum(len(r) for r in new_files.values()),
+            "files_rewritten": 0,
+        }
+
+        def assemble(mb: dict) -> dict:
+            files = {}
+            for b, rels in mb["files"].items():
+                kept = [r for r in rels if r not in dropped]
+                if kept:
+                    files[b] = kept
+            for b, rels in new_files.items():
+                files[b] = files.get(b, []) + rels
+            return self._next_manifest(
+                mb,
+                files,
+                new_stats,
+                batch_id,
+                app_id,
+                identity={ident_col: new_hw} if new_hw is not None else None,
+            )
+
+        return self._commit_rebased(
+            m,
+            base,
+            assemble,
+            op={"operation": "OVERWRITE", "metrics": dict(self.last_dml)},
+            touched=sorted(set(m["files"]) | set(new_files)),
+            batch_id=batch_id,
+            app_id=app_id,
+        )
+
     def drop_partition(self, value) -> int:
         """Retire one partition of a value-partitioned table as a
         METADATA-ONLY commit (Delta's partitioned-table retention idiom,

@@ -18,6 +18,43 @@ version/timestamp-pinned view is read-only history):
   [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
   [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ... | DELETE]``
 
+Write statements (the INSERT family — positional column alignment and
+ANSI store-assignment casts, like Spark/Delta's INSERT):
+
+* ``INSERT INTO <view> [(c1, c2, ...)] VALUES (...), (...)`` /
+  ``INSERT INTO <view> [(c1, ...)] SELECT ...`` → ``append`` (omitted
+  columns fill from write defaults or NULL; identity columns are never
+  insertable and are excluded from the default column list)
+* ``INSERT OVERWRITE <view> [(c1, ...)] VALUES ... | SELECT ...`` →
+  ``overwrite`` — ONE atomic commit replacing the table's content
+* ``INSERT OVERWRITE <view> PARTITION (<pcol> = <lit>) VALUES/SELECT``
+  → ``replace_where`` — the static-partition overwrite (the source
+  must omit the partition column; it is supplied by the spec)
+* ``TRUNCATE TABLE <view>`` → ``delete(where=None)`` — pure manifest
+  metadata, zero bytes read or written
+* ``COPY INTO <view> FROM '<path>' [FILEFORMAT = PARQUET|CSV|JSON]``
+  → ``copy_into`` — file-level idempotent ingest; ``<path>`` may be a
+  single file or a directory (its non-hidden files are listed);
+  returns ``(version, n_loaded, n_skipped)``, not a bare version
+
+DDL statements (the catalog's ``CREATE TABLE ... USING snapshot`` path
+is engine-blocked — the properties-drop canary in tests/test_sources.py
+— so the dispatcher owns table lifecycle too):
+
+* ``CREATE TABLE <name> USING snapshot LOCATION '<path>'
+  PARTITIONED BY (bucket(<n>, <keycol>)[, <pcol>]) AS SELECT ...`` —
+  Iceberg's transform spelling: exactly one ``bucket(n, col)``
+  transform declares the hash-bucket layout (the engine's key), an
+  optional bare column adds value partitioning; the view is registered
+  on success
+* ``DROP TABLE <view>`` — unregisters the view binding and drops the
+  Spark view; the data stays on disk (external-location semantics,
+  like dropping an external Delta table)
+
+Introspection: ``SHOW PARTITIONS <view>`` returns one row per live
+partition value of a value-partitioned table, read from the manifest's
+bucket map alone — zero data files touched.
+
 Utility statements (Delta's SQL surface for the same operations):
 
 * ``OPTIMIZE <view> [WHERE <pcol> = <literal>] [ZORDER BY (c1, c2)]``
@@ -322,6 +359,61 @@ def _put(kw: dict, name: str, val, cond, cond_name: str) -> None:
         kw[cond_name] = cond
 
 
+def _insert_frame(spark, view: str, cols_txt: str | None, body: str):
+    """Build the source DataFrame for an INSERT statement: ``body`` is
+    the statement tail (``VALUES ...`` or ``SELECT ...``), aligned
+    POSITIONALLY to the explicit column list (or the table schema minus
+    identity columns — never insertable) and cast to the table's column
+    types (ANSI store assignment, like Spark's INSERT)."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    t = _table(spark, view)
+    m = t._manifest(t.latest_version())
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    types = {f.name: f.dataType for f in schema.fields}
+    ident = set(m.get("identity") or {})
+    if cols_txt is not None:
+        cols = [c.strip() for c in _split_top_commas(cols_txt)]
+        unknown = [c for c in cols if c not in types]
+        if unknown:
+            raise ValueError(
+                f"INSERT column list names columns not in the table "
+                f"schema: {unknown}"
+            )
+        provided_ident = [c for c in cols if c in ident]
+        if provided_ident:
+            raise ValueError(
+                f"identity columns are always generated — cannot insert "
+                f"into {provided_ident}"
+            )
+        if len(set(cols)) != len(cols):
+            raise ValueError(f"duplicate column in INSERT list: {cols}")
+    else:
+        cols = [f.name for f in schema.fields if f.name not in ident]
+    body = body.strip()
+    if re.match(r"^VALUES\b", body, re.IGNORECASE):
+        src = spark.sql(
+            f"SELECT * FROM {body} AS __ins({', '.join(cols)})"
+        )
+    elif re.match(r"^SELECT\b", body, re.IGNORECASE):
+        src = spark.sql(body)
+        if len(src.columns) != len(cols):
+            raise ValueError(
+                f"INSERT SELECT produces {len(src.columns)} columns but "
+                f"the target list has {len(cols)} — alignment is "
+                "positional"
+            )
+        src = src.toDF(*cols)
+    else:
+        raise ValueError(
+            f"INSERT body must start with VALUES or SELECT, got {body!r}"
+        )
+    return t, src.select([F.col(c).cast(types[c]).alias(c) for c in cols])
+
+
 def _parse_literal(text: str):
     """One literal token for ALTER defaults — reuses the shared
     tokenizer so quoting/number rules match the WHERE grammar."""
@@ -419,6 +511,176 @@ def execute_dml(spark, sql_text: str, mode: str = "cow") -> int:
     DELETE/UPDATE — Delta's SQL has no mode syntax either (it is a
     table property there); other statements ignore it."""
     stmt = sql_text.strip().rstrip(";").strip()
+    m = re.match(
+        r"^\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_]\w*)\s+(.*)$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        kind, view, tail = m.group(1).upper(), m.group(2), m.group(3).strip()
+        part_col = part_val = None
+        pm = re.match(
+            r"^PARTITION\s*\(\s*([A-Za-z_]\w*)\s*=\s*(.+?)\s*\)\s*(.*)$",
+            tail,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if pm:
+            if kind != "OVERWRITE":
+                raise ValueError(
+                    "PARTITION spec is only valid on INSERT OVERWRITE "
+                    "(the static-partition overwrite)"
+                )
+            part_col, part_val = pm.group(1), _parse_literal(pm.group(2))
+            tail = pm.group(3).strip()
+        cols_txt = None
+        cm = re.match(r"^\(([^)]*)\)\s*(.*)$", tail, re.DOTALL)
+        if cm and re.match(
+            r"^(VALUES|SELECT)\b", cm.group(2).strip(), re.IGNORECASE
+        ):
+            cols_txt, tail = cm.group(1), cm.group(2).strip()
+        t, src = _insert_frame(spark, view, cols_txt, tail)
+        if part_col is not None:
+            from pyspark.sql import functions as F
+
+            mfst = t._manifest(t.latest_version())
+            pcol = mfst.get("partition_by")
+            if part_col != pcol:
+                raise ValueError(
+                    f"PARTITION column {part_col!r} is not the table's "
+                    f"partition column {pcol!r}"
+                )
+            if part_col in src.columns:
+                raise ValueError(
+                    "a static PARTITION spec supplies the partition "
+                    "column — the INSERT source must omit it"
+                )
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            ptype = {
+                f.name: f.dataType
+                for f in StructType.fromJson(_json.loads(mfst["schema"]))
+            }[part_col]
+            src = src.withColumn(part_col, F.lit(part_val).cast(ptype))
+            v = t.replace_where(part_val, src)
+        elif kind == "OVERWRITE":
+            v = t.overwrite(src)
+        else:
+            v = t.append(src)
+        _rebind(spark, view)
+        return v
+    m = re.match(
+        r"^\s*TRUNCATE\s+TABLE\s+([A-Za-z_]\w*)\s*$", stmt, re.IGNORECASE
+    )
+    if m:
+        view = m.group(1)
+        t = _table(spark, view)
+        v = t.delete(where=None)
+        _rebind(spark, view)
+        return v
+    m = re.match(
+        r"^\s*COPY\s+INTO\s+([A-Za-z_]\w*)\s+FROM\s+'([^']+)'"
+        r"(?:\s+FILEFORMAT\s*=\s*([A-Za-z]+))?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if m:
+        import os
+
+        view, path, fmt = m.group(1), m.group(2), (m.group(3) or "parquet")
+        if os.path.isdir(path):
+            paths = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if not f.startswith((".", "_"))
+                and os.path.isfile(os.path.join(path, f))
+            )
+        else:
+            paths = [path]
+        t = _table(spark, view)
+        result = t.copy_into(paths, source_format=fmt.lower())
+        _rebind(spark, view)
+        return result  # (version, n_loaded, n_skipped)
+    m = re.match(
+        r"^\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+USING\s+snapshot\s+"
+        r"LOCATION\s+'([^']+)'\s+PARTITIONED\s+BY\s*\((.*?)\)\s+"
+        r"AS\s+(SELECT\b.*)$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        from .acid import SnapshotTable
+        from .sources.snapshot_source import _VIEW_BINDINGS, register_snapshot_view
+
+        name, path, spec_txt, select = m.groups()
+        if name.lower() in _VIEW_BINDINGS:
+            raise ValueError(f"view {name!r} is already a registered snapshot view")
+        key = n_buckets = pcol = None
+        for item in _split_top_commas(spec_txt):
+            bm = re.match(
+                r"^bucket\s*\(\s*(\d+)\s*,\s*([A-Za-z_]\w*)\s*\)$",
+                item,
+                re.IGNORECASE,
+            )
+            if bm:
+                if key is not None:
+                    raise ValueError(
+                        "exactly one bucket(n, col) transform is required"
+                    )
+                n_buckets, key = int(bm.group(1)), bm.group(2)
+            elif re.match(r"^[A-Za-z_]\w*$", item):
+                if pcol is not None:
+                    raise ValueError(
+                        "at most one value-partition column is supported"
+                    )
+                pcol = item
+            else:
+                raise ValueError(
+                    f"unsupported PARTITIONED BY item {item!r} — use "
+                    "bucket(n, col) and at most one bare column"
+                )
+        if key is None:
+            raise ValueError(
+                "PARTITIONED BY must declare the hash layout with one "
+                "bucket(n, col) transform (Iceberg's transform spelling) "
+                "— the snapshot engine buckets every table on a key"
+            )
+        df = spark.sql(select)
+        t = SnapshotTable.create(
+            spark, path, df, key=key, n_buckets=n_buckets, partition_by=pcol
+        )
+        register_snapshot_view(spark, name, t.path)
+        return t.latest_version()
+    m = re.match(
+        r"^\s*DROP\s+TABLE\s+([A-Za-z_]\w*)\s*$", stmt, re.IGNORECASE
+    )
+    if m:
+        from .sources.snapshot_source import _VIEW_BINDINGS
+
+        view = m.group(1)
+        if view.lower() not in _VIEW_BINDINGS:
+            raise ValueError(
+                f"{view!r} is not a registered snapshot view"
+            )
+        del _VIEW_BINDINGS[view.lower()]
+        spark.catalog.dropTempView(view)
+        return None  # external-location semantics: the data stays
+    m = re.match(
+        r"^\s*SHOW\s+PARTITIONS\s+([A-Za-z_]\w*)\s*$", stmt, re.IGNORECASE
+    )
+    if m:
+        from .acid import _part_of
+
+        t = _table(spark, m.group(1))
+        mfst = t._manifest(t.latest_version())
+        pcol = mfst.get("partition_by")
+        if not pcol:
+            raise ValueError(
+                f"table behind {m.group(1)!r} is not value-partitioned"
+            )
+        vals = sorted({_part_of(b) for b in mfst["files"]})
+        return spark.createDataFrame([(v,) for v in vals], f"{pcol} string")
     m = re.match(r"^\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\s*(.*)$", stmt,
                  re.IGNORECASE | re.DOTALL)
     if m:
@@ -584,7 +846,9 @@ def execute_dml(spark, sql_text: str, mode: str = "cow") -> int:
         schema = ", ".join(f"{k} {sql_type(row[k])}" for k in keys)
         return spark.createDataFrame([tuple(row[k] for k in keys)], schema)
     raise ValueError(
-        "unsupported statement — execute_dml handles DELETE FROM / "
-        "UPDATE ... SET / MERGE INTO / OPTIMIZE / VACUUM / RESTORE "
-        "over registered snapshot views"
+        "unsupported statement — execute_dml handles INSERT INTO/"
+        "OVERWRITE / DELETE FROM / UPDATE ... SET / MERGE INTO / "
+        "TRUNCATE TABLE / COPY INTO / CREATE TABLE ... USING snapshot "
+        "AS SELECT / DROP TABLE / SHOW PARTITIONS / OPTIMIZE / VACUUM / "
+        "RESTORE over registered snapshot views"
     )

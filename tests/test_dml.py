@@ -590,3 +590,88 @@ def test_where_grammar_refusals(spark, tmp_path):
         t.delete(where=("nope", 1, 2))
     with pytest.raises(ValueError, match="atom"):
         t.delete(where=("k",))
+
+
+# ---- OVERWRITE (INSERT OVERWRITE primitive) --------------------------------
+
+
+def test_overwrite_replaces_all_rows_in_one_commit(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    v1 = t.latest_version()
+    files_v1 = {
+        rel for rels in t._manifest(v1)["files"].values() for rel in rels
+    }
+    new = [(500 + k, "fresh", float(k)) for k in range(5)]
+    v2 = t.overwrite(
+        spark.createDataFrame(new, "k bigint, grp string, x double")
+    )
+    assert v2 == v1 + 1  # ONE commit: no delete+insert window
+    assert _vals(t) == sorted(new)
+    assert _vals(t, version=v1) == sorted(ROWS)  # time travel intact
+    # removal side is manifest metadata only
+    assert t.last_dml["files_fully_removed"] == len(files_v1)
+    assert t.last_dml["files_rewritten"] == 0
+    ops = {r["version"]: r["operation"] for r in t.history()}
+    assert ops[v2] == "OVERWRITE"
+
+
+def test_overwrite_txn_replay_commits_nothing(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    df = spark.createDataFrame([(1, "a", 1.0)], "k bigint, grp string, x double")
+    v = t.overwrite(df, batch_id=7, app_id="loader")
+    assert t.overwrite(df, batch_id=7, app_id="loader") == v
+    assert t.overwrite(df, batch_id=3, app_id="loader") == v  # stale replay
+    assert t.read().count() == 1
+
+
+def test_overwrite_refuses_unknown_columns_allows_omitted(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.overwrite(
+            spark.createDataFrame([(1, "a", 1.0, 9)], "k bigint, grp string, x double, z int")
+        )
+    t.overwrite(spark.createDataFrame([(1,)], "k bigint"))
+    row = t.read().collect()[0]
+    assert row["grp"] is None and row["x"] is None
+
+
+def test_overwrite_partitioned_and_identity_allocation(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS, partition_by="grp")
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "north", 1.0), (2, "south", 2.0)],
+            "k bigint, grp string, x double",
+        )
+    )
+    m = t._manifest(t.latest_version())
+    parts = {b.split("|")[0] for b in m["files"]}
+    assert parts == {"north", "south"}
+    # identity: overwrite rows are inserts — fresh ids above the high water
+    t2 = SnapshotTable.create(
+        spark,
+        str(tmp_path / "ident"),
+        spark.createDataFrame([(1, "a")], "k bigint, grp string"),
+        key="k",
+        n_buckets=2,
+        identity="rid",
+    )
+    old_ids = {r["rid"] for r in t2.read().collect()}
+    t2.overwrite(spark.createDataFrame([(5, "b"), (6, "c")], "k bigint, grp string"))
+    new_ids = {r["rid"] for r in t2.read().collect()}
+    assert len(new_ids) == 2 and min(new_ids) > max(old_ids)
+
+
+def test_overwrite_conflicts_with_concurrent_data_commit(spark, tmp_path):
+    from mr_spark.acid import ConflictError
+
+    t = _mk(spark, tmp_path, ROWS)
+    t2 = SnapshotTable(spark, t.path)
+    # a concurrent merge rewrites a bucket the overwrite replaces —
+    # rebasing would silently clobber its update
+    t._pre_commit_hook = lambda: t2.merge_upsert(
+        spark.createDataFrame([(0, "even", 99.0)], "k bigint, grp string, x double")
+    )
+    with pytest.raises(ConflictError):
+        t.overwrite(
+            spark.createDataFrame([(1, "a", 1.0)], "k bigint, grp string, x double")
+        )

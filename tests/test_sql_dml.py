@@ -258,3 +258,173 @@ def test_sql_describe_statements(spark, tmp_path):
     ).count() == 1
     d = execute_dml(spark, "DESCRIBE DETAIL sqldml_desc").first()
     assert d["numFiles"] >= 1 and d["version"] == 2
+
+
+# ---- INSERT family / table lifecycle statements ----------------------------
+
+
+def test_sql_insert_values_and_select(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqlins_v")
+    v = execute_dml(
+        spark,
+        "INSERT INTO sqlins_v VALUES (100, 'ins', 1.5), (101, 'ins', 2.5)",
+    )
+    assert v == 2
+    got = {r["k"]: (r["grp"], r["x"]) for r in t.read().collect()}
+    assert got[100] == ("ins", 1.5) and got[101] == ("ins", 2.5)
+    execute_dml(
+        spark,
+        "INSERT INTO sqlins_v SELECT k + 200, grp, x FROM sqlins_v "
+        "WHERE k IN (100, 101)",
+    )
+    got = {r["k"] for r in t.read().collect()}
+    assert {300, 301} <= got
+    # the SQL read surface serves the inserts (view rebinds)
+    assert (
+        spark.sql("SELECT COUNT(*) AS n FROM sqlins_v").first()["n"]
+        == len(ROWS) + 4
+    )
+
+
+def test_sql_insert_column_list_casts_and_defaults(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqlins_c")
+    # omitted column (x) reads NULL; int literal casts to bigint k
+    execute_dml(spark, "INSERT INTO sqlins_c (k, grp) VALUES (500, 'part')")
+    row = t.read().where("k = 500").collect()[0]
+    assert row["grp"] == "part" and row["x"] is None
+    with pytest.raises(ValueError, match="not in the table schema"):
+        execute_dml(spark, "INSERT INTO sqlins_c (nope) VALUES (1)")
+    with pytest.raises(ValueError, match="duplicate column"):
+        execute_dml(spark, "INSERT INTO sqlins_c (k, k) VALUES (1, 2)")
+
+
+def test_sql_insert_overwrite_full(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqlins_o")
+    v1 = t.latest_version()
+    v = execute_dml(
+        spark, "INSERT OVERWRITE sqlins_o VALUES (1, 'only', 9.0)"
+    )
+    assert v == v1 + 1  # ONE atomic commit
+    assert [r["k"] for r in t.read().collect()] == [1]
+    assert t.read(version=v1).count() == len(ROWS)  # time travel intact
+    assert spark.sql("SELECT COUNT(*) AS n FROM sqlins_o").first()["n"] == 1
+
+
+def test_sql_insert_overwrite_static_partition(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqlins_p", partition_by="grp")
+    execute_dml(
+        spark,
+        "INSERT OVERWRITE sqlins_p PARTITION (grp = 'even') "
+        "(k, x) VALUES (2, 2.0), (4, 4.0)",
+    )
+    got = sorted((r["k"], r["grp"]) for r in t.read().collect())
+    exp = sorted(
+        [(2, "even"), (4, "even")]
+        + [(k, g) for k, g, _ in ROWS if g == "odd"]
+    )
+    assert got == exp
+    # the source must omit the partition column
+    with pytest.raises(ValueError, match="must omit"):
+        execute_dml(
+            spark,
+            "INSERT OVERWRITE sqlins_p PARTITION (grp = 'odd') "
+            "VALUES (1, 'odd', 1.0)",
+        )
+    # PARTITION spec on plain INSERT INTO refuses
+    with pytest.raises(ValueError, match="only valid on INSERT OVERWRITE"):
+        execute_dml(
+            spark,
+            "INSERT INTO sqlins_p PARTITION (grp = 'odd') (k, x) VALUES (1, 1.0)",
+        )
+
+
+def test_sql_truncate_is_metadata_only(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqltrunc")
+    n_files = sum(len(r) for r in t._manifest(1)["files"].values())
+    v = execute_dml(spark, "TRUNCATE TABLE sqltrunc")
+    assert t.read().count() == 0
+    h = {r["version"]: r for r in t.history()}
+    mx = h[v]["params"]["metrics"]
+    assert mx["files_fully_removed"] == n_files
+    assert mx["files_rewritten"] == 0
+    assert spark.sql("SELECT COUNT(*) AS n FROM sqltrunc").first()["n"] == 0
+
+
+def test_sql_copy_into_directory_idempotent(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sqlcopy")
+    land = tmp_path / "landing"
+    spark.createDataFrame(
+        [(900, "land", 9.0)], "k bigint, grp string, x double"
+    ).coalesce(1).write.parquet(str(land / "batch1"))
+    # one data file in a directory; hidden/_SUCCESS files must be skipped
+    v, loaded, skipped = execute_dml(
+        spark, f"COPY INTO sqlcopy FROM '{land / 'batch1'}'"
+    )
+    assert loaded >= 1
+    assert t.read().where("k = 900").count() == 1
+    v2, loaded2, skipped2 = execute_dml(
+        spark, f"COPY INTO sqlcopy FROM '{land / 'batch1'}'"
+    )
+    assert v2 == v and loaded2 == 0  # full replay commits nothing
+
+
+def test_sql_create_table_as_select_and_lifecycle(spark, tmp_path):
+    _mk(spark, tmp_path, "sqlsrc")
+    loc = str(tmp_path / "ctas_tbl")
+    v = execute_dml(
+        spark,
+        f"CREATE TABLE sqlctas USING snapshot LOCATION '{loc}' "
+        "PARTITIONED BY (bucket(4, k), grp) "
+        "AS SELECT k, grp, x FROM sqlsrc WHERE k < 10",
+    )
+    assert v == 1
+    assert spark.sql("SELECT COUNT(*) AS n FROM sqlctas").first()["n"] == 10
+    # the created table is a full citizen: SHOW PARTITIONS + DML work
+    parts = execute_dml(spark, "SHOW PARTITIONS sqlctas")
+    assert sorted(r["grp"] for r in parts.collect()) == ["even", "odd"]
+    execute_dml(spark, "DELETE FROM sqlctas WHERE grp = 'odd'")
+    assert spark.sql("SELECT COUNT(*) AS n FROM sqlctas").first()["n"] == 5
+    with pytest.raises(ValueError, match="already a registered"):
+        execute_dml(
+            spark,
+            f"CREATE TABLE sqlctas USING snapshot LOCATION '{loc}2' "
+            "PARTITIONED BY (bucket(2, k)) AS SELECT k FROM sqlsrc",
+        )
+    execute_dml(spark, "DROP TABLE sqlctas")
+    with pytest.raises(ValueError, match="not a registered snapshot view"):
+        execute_dml(spark, "DELETE FROM sqlctas")
+    # external-location semantics: the data stayed; re-register reads it
+    t2 = SnapshotTable(spark, loc)
+    assert t2.read().count() == 5
+
+
+def test_sql_create_table_requires_bucket_transform(spark, tmp_path):
+    _mk(spark, tmp_path, "sqlsrc2")
+    with pytest.raises(ValueError, match="bucket"):
+        execute_dml(
+            spark,
+            f"CREATE TABLE sqlbad USING snapshot LOCATION "
+            f"'{tmp_path / 'bad'}' PARTITIONED BY (grp) "
+            "AS SELECT k, grp FROM sqlsrc2",
+        )
+
+
+def test_sql_show_partitions_refuses_unpartitioned(spark, tmp_path):
+    _mk(spark, tmp_path, "sqlnopart")
+    with pytest.raises(ValueError, match="not value-partitioned"):
+        execute_dml(spark, "SHOW PARTITIONS sqlnopart")
+
+
+def test_sql_insert_identity_columns_never_insertable(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "k bigint, grp string")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "ident_sql"), df, key="k", n_buckets=2,
+        identity="rid",
+    )
+    register_snapshot_view(spark, "sqlident", t.path)
+    # default column list excludes the identity column
+    execute_dml(spark, "INSERT INTO sqlident VALUES (2, 'b')")
+    ids = {r["rid"] for r in t.read().collect()}
+    assert len(ids) == 2
+    with pytest.raises(ValueError, match="always generated"):
+        execute_dml(spark, "INSERT INTO sqlident (k, grp, rid) VALUES (3, 'c', 99)")
