@@ -96,7 +96,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rotation, then the r04 cohort.
 _CHECK_PRIORITY = [
     # -- NEW this round (round 8) --
-    "acid_predicate_grammar", "snapshot_sql_dml",
+    "acid_predicate_grammar", "snapshot_sql_dml", "snapshot_sql_insert",
     "dedup_lines", "snapshot_clone_deep", "acid_column_defaults",
     "acid_row_tracking",
     # -- changed this round: predicate-grammar rewiring --

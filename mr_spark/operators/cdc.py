@@ -4128,6 +4128,153 @@ def snapshot_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_insert_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """4-version history whose write path — INCLUDING TABLE CREATION —
+    is SQL text only (mr_spark/sql_dml.py): v1 = ``CREATE TABLE ...
+    USING snapshot LOCATION ... PARTITIONED BY (bucket(4, o_orderkey),
+    o_orderpriority) AS SELECT ... WHERE priority <> '1-URGENT'``
+    (Iceberg's transform spelling declares the hash layout); v2 =
+    ``INSERT INTO ... SELECT`` adds the urgent orders back (positional
+    alignment); v3 = ``INSERT OVERWRITE ... PARTITION (o_orderpriority
+    = '5-LOW') (o_orderkey, o_totalprice) SELECT ...`` — the static-
+    partition overwrite: even-keyed 5-LOW orders at doubled price replace
+    the whole partition, the source omitting the partition column; v4 =
+    ``INSERT INTO ... VALUES`` with two data-derived keys above
+    MAX(o_orderkey). Memoized per process (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+    from ..sql_dml import execute_dml
+    from ..sources.snapshot_source import _VIEW_BINDINGS
+
+    key = (sf_dir, demo, 4)
+    cached = _FIXTURES.get(key)
+    if _fixture_alive(cached, spark, 4):
+        return cached
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    o.createOrReplaceTempView("mrspark_sqlins_src")
+    # a rebuild (other-sf probe in the same process) must re-CREATE:
+    # drop the stale binding first — DROP TABLE is external-location
+    # semantics, the old pid-scoped dir is simply rebuilt over
+    if "mrspark_sqlins" in _VIEW_BINDINGS:
+        execute_dml(spark, "DROP TABLE mrspark_sqlins")
+    path = _snapshot_demo_path(demo)
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    execute_dml(
+        spark,
+        f"CREATE TABLE mrspark_sqlins USING snapshot LOCATION '{path}' "
+        "PARTITIONED BY (bucket(4, o_orderkey), o_orderpriority) "
+        "AS SELECT o_orderkey, o_totalprice, o_orderpriority "
+        "FROM mrspark_sqlins_src WHERE o_orderpriority <> '1-URGENT'",
+    )
+    execute_dml(
+        spark,
+        "INSERT INTO mrspark_sqlins "
+        "SELECT o_orderkey, o_totalprice, o_orderpriority "
+        "FROM mrspark_sqlins_src WHERE o_orderpriority = '1-URGENT'",
+    )
+    execute_dml(
+        spark,
+        "INSERT OVERWRITE mrspark_sqlins "
+        "PARTITION (o_orderpriority = '5-LOW') "
+        "(o_orderkey, o_totalprice) "
+        "SELECT o_orderkey, o_totalprice * 2 FROM mrspark_sqlins_src "
+        "WHERE o_orderpriority = '5-LOW' AND o_orderkey % 2 = 0",
+    )
+    mx = int(o.agg(F.max("o_orderkey")).first()[0])
+    execute_dml(
+        spark,
+        f"INSERT INTO mrspark_sqlins VALUES "
+        f"({mx + 1}, CAST(111.11 AS DOUBLE), '2-HIGH'), "
+        f"({mx + 2}, CAST(222.22 AS DOUBLE), '3-MEDIUM')",
+    )
+    t = SnapshotTable(spark, path)
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "snapshot_sql_insert",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    v2 AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+    v3 AS (
+      SELECT * FROM v2 WHERE o_orderpriority <> '5-LOW'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+             o_orderpriority
+      FROM orders
+      WHERE o_orderpriority = '5-LOW' AND o_orderkey % 2 = 0
+    ),
+    v4 AS (
+      SELECT * FROM v3
+      UNION ALL
+      SELECT m + 1, CAST(111.11 AS DOUBLE), '2-HIGH' FROM mx
+      UNION ALL
+      SELECT m + 2, CAST(222.22 AS DOUBLE), '3-MEDIUM' FROM mx
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+             AS DOUBLE) AS revenue
+    FROM v4 GROUP BY 1
+    """,
+)
+def snapshot_sql_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL INSERT/table-lifecycle statement family
+    (mr_spark/sql_dml.py): this fixture's ENTIRE lifecycle is statement
+    text — ``CREATE TABLE ... USING snapshot ... AS SELECT`` (the
+    dispatcher-owned CTAS, since the catalog DDL path stays blocked by
+    the properties-drop engine canary), ``INSERT INTO ... SELECT``,
+    ``INSERT OVERWRITE ... PARTITION (...) ... SELECT`` (static-
+    partition overwrite → replace_where), and ``INSERT INTO ...
+    VALUES``. No DataFrame write API touches the table.
+
+    Certified live (RAISES otherwise): the history reads CREATE →
+    APPEND → REPLACE WHERE → APPEND; the static-partition overwrite
+    left every OTHER partition's file lists byte-identical across
+    v2→v3 (the statement scoped its removal to the spec'd partition);
+    and ``SHOW PARTITIONS`` — answered from the manifest's bucket map
+    alone, zero data files — lists exactly the five priority values.
+    The aggregation is pure SQL against the registered view.
+
+    Scale: CTAS costs one distributed write of the SELECT's result;
+    the static-partition overwrite is O(partition) — manifest-metadata
+    removal plus one write of the replacement rows — regardless of
+    table size; the VALUES insert appends two rows' files. Reference:
+    the statement surface composes operators the reference exposes only
+    programmatically (6.824-MapReduce has no SQL layer at all)."""
+    from ..sql_dml import execute_dml
+
+    t = _sql_insert_fixture(spark, sf_dir, "sql_insert_demo")
+    h = {r["version"]: r for r in t.history()}
+    ops = [h[v]["operation"] for v in (1, 2, 3, 4)]
+    if ops != ["CREATE", "APPEND", "REPLACE WHERE", "APPEND"]:
+        raise RuntimeError(f"SQL lifecycle history out of order: {ops}")
+    m2, m3 = t._manifest(2), t._manifest(3)
+    for b, rels in m2["files"].items():
+        if not b.startswith("5-LOW|") and m3["files"].get(b) != rels:
+            raise RuntimeError(
+                f"INSERT OVERWRITE PARTITION touched foreign bucket {b}"
+            )
+    parts = execute_dml(spark, "SHOW PARTITIONS mrspark_sqlins")
+    got = sorted(r["o_orderpriority"] for r in parts.collect())
+    want = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    if got != want:
+        raise RuntimeError(f"SHOW PARTITIONS read the wrong manifest: {got}")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                 AS DOUBLE) AS revenue
+        FROM mrspark_sqlins GROUP BY o_orderpriority
+        """
+    )
+
+
 def _pred_grammar_fixture(spark: SparkSession, sf_dir: str, demo: str):
     """5-version history for the generalized-predicate query (VERDICT
     r7 #1): v1 = orders (key o_orderkey, partitioned by priority) with
