@@ -827,6 +827,186 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_spans",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, i,
+             CAST(md5_number_lower(substr(text, i, {_SUBSTR_L}))
+                  % 9223372036854775808 AS BIGINT) AS h
+      FROM documents, unnest(range(1, length(text) - {_SUBSTR_L - 2})) AS t(i)
+      WHERE length(text) >= {_SUBSTR_L}
+    ),
+    df AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY h),
+    dup AS (
+      SELECT pos.doc_id, pos.i FROM pos JOIN df ON pos.h = df.h
+      WHERE df.df >= 2
+    ),
+    brk AS (
+      SELECT doc_id, i,
+             CASE WHEN LAG(i) OVER w IS NULL
+                    OR i - LAG(i) OVER w > {_SUBSTR_L}
+                  THEN 1 ELSE 0 END AS is_brk
+      FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    isl AS (
+      SELECT doc_id, MIN(i) AS s, MAX(i) + {_SUBSTR_L - 1} AS e
+      FROM (
+        SELECT doc_id, i,
+               SUM(is_brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM brk
+      ) GROUP BY doc_id, grp
+    ),
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS removed
+      FROM isl GROUP BY doc_id
+    ),
+    joined AS (
+      SELECT d.doc_id, length(d.text) AS len,
+             COALESCE(p.n_spans, 0) AS n_spans,
+             COALESCE(p.removed, 0) AS removed
+      FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_in,
+           CAST(SUM(CASE WHEN len - removed > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_out,
+           CAST(SUM(n_spans) AS BIGINT) AS spans_removed,
+           CAST(SUM(removed) AS BIGINT) AS chars_removed,
+           CAST(SUM(len - removed) AS BIGINT) AS chars_out_total
+    FROM joined
+    """,
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING DEDUP TRANSFORM — the companion that actually
+    CUTS the spans dup_span_stats reports (Lee et al. 2022's ExactSubstr
+    unit): every character covered by a 40-char window occurring in ≥2
+    documents is removed from EVERY document, and each document's
+    cleaned text is stitched from the surviving fragments (the released
+    deduplicate-text-datasets tool's remove-all-occurrences behavior —
+    the paper notes it over-removes slightly vs keep-one; the keep-first
+    variant of this family is dedup_lines). Documents cut to zero
+    characters drop out.
+
+    Overlapping windows merge into maximal removed regions with the
+    gap-tolerant islands rule (a new region starts when the next
+    duplicated position exceeds the previous one by more than the
+    window length — adjacent and overlapping covers coalesce). The
+    string surgery itself is a JVM-side fold: per doc the sorted region
+    list feeds F.aggregate, accumulating the between-region substrings
+    — no Python UDF touches the text.
+
+    The result row BINDS transform to report: Spark computes
+    chars_removed / chars_out_total THROUGH the actual surgery
+    (len − length(cleaned), length(cleaned)), while the oracle
+    recomputes both from the islands interval arithmetic
+    (Σ(max−min+40)) — two independent strategies that must hash-equal,
+    proving the stitched text removed exactly the covered chars.
+
+    Scale: positions shuffle as (doc_id, i, 8-byte digest) — text never
+    shuffles until the final doc_id-partitioned surgery join; df gates
+    a semi-join like ngram_novelty (linear, no pair emission); islands
+    windows partition by doc_id. Same shape as dup_span_stats plus one
+    doc_id exchange for the stitch."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.where(F.length("text") >= _SUBSTR_L)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - (_SUBSTR_L - 1)),
+                    lambda i: F.col("text").substr(i, F.lit(_SUBSTR_L)),
+                )
+            ).alias("p", "w"),
+        )
+        .select(
+            "doc_id", (F.col("p") + 1).alias("i"), F.xxhash64("w").alias("h")
+        )
+    )
+    pos = persist_tracked(pos)  # feeds the df agg AND the dup-position join
+    dfrel = (
+        pos.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+    )
+    dup = pos.join(dfrel.where(F.col("df") >= 2).select("h"), "h").select(
+        "doc_id", "i"
+    )
+    w1 = Window.partitionBy("doc_id").orderBy("i")
+    lag = F.lag("i").over(w1)
+    brk = dup.withColumn(
+        "is_brk",
+        F.when(lag.isNull() | (F.col("i") - lag > _SUBSTR_L), 1).otherwise(0),
+    )
+    isl = (
+        brk.withColumn(
+            "grp",
+            F.sum("is_brk").over(
+                w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").alias("s"),
+            (F.max("i") + (_SUBSTR_L - 1)).alias("e"),
+        )
+    )
+    regions = isl.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("regions"),
+        F.count("*").cast("bigint").alias("n_spans"),
+    )
+    # the surgery: fold the sorted regions, keeping the text BETWEEN
+    # them, then the tail after the last region — all JVM-side
+    stitched = (
+        docs.join(regions, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.length("text").alias("len"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.when(F.col("regions").isNull(), F.col("text"))
+            .otherwise(
+                F.aggregate(
+                    "regions",
+                    F.struct(
+                        F.lit(1).alias("nxt"), F.lit("").alias("acc")
+                    ),
+                    lambda a, r: F.struct(
+                        (r.e + 1).alias("nxt"),
+                        F.concat(
+                            a.acc,
+                            F.col("text").substr(
+                                a.nxt, F.greatest(r.s - a.nxt, F.lit(0))
+                            ),
+                        ).alias("acc"),
+                    ),
+                    lambda a: F.concat(
+                        a.acc,
+                        F.col("text").substr(
+                            a.nxt,
+                            F.greatest(
+                                F.length("text") - a.nxt + 1, F.lit(0)
+                            ),
+                        ),
+                    ),
+                )
+            )
+            .alias("cleaned"),
+        )
+    )
+    return stitched.agg(
+        F.count("*").cast("bigint").alias("n_docs_in"),
+        F.sum(F.when(F.length("cleaned") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_out"),
+        F.sum("n_spans").cast("bigint").alias("spans_removed"),
+        F.sum(F.col("len") - F.length("cleaned"))
+        .cast("bigint")
+        .alias("chars_removed"),
+        F.sum(F.length("cleaned")).cast("bigint").alias("chars_out_total"),
+    )
+
+
 _FUZZY_PREFIX = 16  # blocking-key width (chars of normalized text)
 _FUZZY_LEN_BAND = 20  # max length difference worth comparing
 _FUZZY_MAX_DIST = 20  # edit-distance match threshold

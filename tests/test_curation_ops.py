@@ -217,3 +217,45 @@ def test_dedup_lines_transform_matches_bruteforce(spark):
         2: "gamma",
         3: "delta",
     }  # doc 4 dropped entirely
+
+
+def test_dedup_spans_matches_bruteforce(spark, tmp_path):
+    """Remove-all exact-substring transform on a constructed corpus with
+    hand-computed expectations: docs 1/4 are identical (fully covered →
+    cut to zero chars → drop out), doc 2 shares only the boilerplate
+    sentence (its covered region is cut, the C/D flanks survive), doc 3
+    is untouched, doc 5 (< window) passes through verbatim."""
+    from mr_spark.operators.dedup import dedup_spans
+
+    path = _write_docs(spark, tmp_path, DOCS)
+    row = dedup_spans(spark, path).collect()[0]
+
+    wins = {d: _windows(t) for d, t in DOCS.items() if len(t) >= _SUBSTR_L}
+    df = Counter(w for ws in wins.values() for w in set(ws))
+    covered, spans = {}, {}
+    for d, t in DOCS.items():
+        cov = set()
+        for i, w in enumerate(wins.get(d, [])):
+            if df[w] >= 2:
+                cov.update(range(i, i + _SUBSTR_L))
+        covered[d] = cov
+        n, prev = 0, None
+        for j in sorted(cov):
+            if prev is None or j != prev + 1:
+                n += 1
+            prev = j
+        spans[d] = n
+    cleaned = {
+        d: "".join(c for j, c in enumerate(t) if j not in covered[d])
+        for d, t in DOCS.items()
+    }
+    assert row["n_docs_in"] == len(DOCS)
+    assert row["n_docs_out"] == sum(1 for c in cleaned.values() if c)
+    assert row["spans_removed"] == sum(spans.values())
+    assert row["chars_removed"] == sum(len(c) for c in covered.values())
+    assert row["chars_out_total"] == sum(len(c) for c in cleaned.values())
+    # the designed shape actually happened: the twins vanished, doc 2
+    # lost exactly its shared-sentence cover, docs 3 and 5 intact
+    assert not cleaned[1] and not cleaned[4]
+    assert cleaned[3] == DOCS[3] and cleaned[5] == DOCS[5]
+    assert 0 < len(cleaned[2]) < len(DOCS[2])
