@@ -97,7 +97,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _CHECK_PRIORITY = [
     # -- NEW this round (round 8) --
     "acid_predicate_grammar", "snapshot_sql_dml", "snapshot_sql_insert",
-    "dedup_lines", "dedup_spans", "snapshot_clone_deep", "acid_column_defaults",
+    "dedup_lines", "dedup_spans", "quality_classifier",
+    "snapshot_clone_deep", "acid_column_defaults",
     "acid_row_tracking",
     # -- changed this round: predicate-grammar rewiring --
     "acid_delete_where", "acid_update_where",

@@ -512,3 +512,118 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_en").cast("double") / nd, 6).alias("share_en"),
         F.round(F.log(nd) - F.col("slnl") / nd, 6).alias("source_entropy"),
     )
+
+
+_QC_B = 4096  # hashed-feature buckets (fastText hashes into 2M; 4096
+# keeps the synthetic corpus non-degenerate while the algebra matches)
+
+
+def _qc_weight_sql(b: str) -> str:
+    """Deterministic per-bucket weight in [-0.5, 0.5] — integer hash of
+    the bucket id, exact on both engines (stand-in for trained
+    coefficients; see quality_classifier)."""
+    return f"(CAST(({b} * 2654435761 + 11) % 1000 AS DOUBLE) / 999.0 - 0.5)"
+
+
+@query(
+    "quality_classifier",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    feats AS (
+      SELECT doc_id, 'ug_' || t[i] AS f
+      FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+      UNION ALL
+      SELECT doc_id, 'bg_' || t[i] || '_' || t[i + 1] AS f
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    bk AS (
+      SELECT doc_id,
+             CAST(md5_number_lower(f) % 9223372036854775808 AS BIGINT)
+               % {_QC_B} AS b
+      FROM feats
+    ),
+    dc AS (SELECT doc_id, b, COUNT(*) AS c FROM bk GROUP BY 1, 2),
+    scored AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+             SUM(c * {_qc_weight_sql('b')} ORDER BY b) / SUM(c) AS s
+      FROM dc GROUP BY doc_id
+    )
+    SELECT doc_id, n_feats,
+           ROUND(1.0 / (1.0 + exp(-4.0 * s)), 6) AS quality_prob,
+           CAST(CASE WHEN ROUND(1.0 / (1.0 + exp(-4.0 * s)), 6) >= 0.5
+                     THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM scored
+    """,
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FASTTEXT-STYLE QUALITY CLASSIFIER scoring — the linear
+    hashed-ngram filter every major curation pipeline runs (CCNet /
+    LLaMA use a fastText head over char+word n-grams; GPT-3 a logistic
+    head over hashed features): word unigrams + bigrams hash into
+    _QC_B buckets, a linear head pools them (mean of per-bucket
+    weights, count-weighted), and a sigmoid yields the keep
+    probability thresholded at 0.5.
+
+    The WEIGHTS are a deterministic integer hash of the bucket id
+    (exact on both engines) standing in for trained coefficients —
+    this image ships no trained model, and random-but-fixed weights
+    exercise every real code path: the hashed-feature extraction, the
+    count-weighted linear pool, the sigmoid, the threshold routing. At
+    deployment the weight expression swaps for a broadcast join against
+    a ≤_QC_B-row trained weight table; nothing else changes.
+
+    Cross-engine exactness: features hash via the md5-tail contract
+    (hash VALUES feed arithmetic, so engine-internal digests would
+    diverge — sampling.py's rule); the per-doc dot product folds in
+    FIXED bucket order (the kl_source_drift contract) so float sums are
+    bit-identical; ``kept`` thresholds the ROUNDED probability, never a
+    raw float boundary.
+
+    Scale: one (doc_id, bucket) count shuffle bounded by corpus tokens;
+    the fold is per-doc over ≤_QC_B entries; no joins, no pair
+    emission — linear at any corpus size, and the trained-weights
+    variant adds one broadcast of a 4096-row table."""
+    from .text import _md5_lower64
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("t")
+    ug = F.transform(t, lambda x: F.concat(F.lit("ug_"), x))
+    bg = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat(
+                F.lit("bg_"),
+                F.element_at(t, i + 1),
+                F.lit("_"),
+                F.element_at(t, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = (
+        docs.select("doc_id", tokens("text").alias("t"))
+        .where(F.size(t) >= 1)
+        .select("doc_id", F.explode(F.concat(ug, bg)).alias("f"))
+        .select("doc_id", (_md5_lower64(F.col("f")) % _QC_B).alias("b"))
+    )
+    dc = feats.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    w = lambda b: (
+        (b * F.lit(2654435761) + 11) % 1000
+    ).cast("double") / 999.0 - 0.5
+    g = dc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_feats"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("b", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"].cast("double") * w(x["b"]),
+        ).alias("dot"),
+    )
+    s = F.col("dot") / F.col("n_feats")
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-4.0) * s)), 6)
+    return g.select(
+        "doc_id",
+        "n_feats",
+        prob.alias("quality_prob"),
+        F.when(prob >= 0.5, 1).otherwise(0).cast("bigint").alias("kept"),
+    )

@@ -265,3 +265,54 @@ def test_c4_rules_move_both_ways_on_real_corpus(spark):
             f"{col}={out[col]} of {out['n_docs']} — degenerate"
         )
     assert 0 < out["lines_kept"] < out["lines_total"]
+
+
+def test_quality_classifier_matches_bruteforce(spark, tmp_path):
+    """Pure-Python recompute of the hashed-linear scorer on a
+    constructed corpus: md5-tail bucket, count-weighted fixed-order
+    dot product, sigmoid, rounded-threshold routing."""
+    import hashlib
+    import re as _re
+    from collections import Counter
+
+    from mr_spark.operators.quality import _QC_B, quality_classifier
+
+    docs = {
+        1: "alpha beta gamma alpha beta",
+        2: "solo",
+        3: "the quick brown fox jumps over the lazy dog",
+        4: "",  # zero tokens — excluded
+    }
+    rows = [(i, t, "en", "src1", len(t)) for i, t in docs.items()]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "c" / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_feats"], r["quality_prob"], r["kept"])
+        for r in quality_classifier(spark, str(tmp_path / "c")).collect()
+    }
+
+    def bucket(f):
+        return (
+            int.from_bytes(hashlib.md5(f.encode()).digest()[8:], "little")
+            % 2**63
+            % _QC_B
+        )
+
+    def weight(b):
+        return ((b * 2654435761 + 11) % 1000) / 999.0 - 0.5
+
+    for d, text in docs.items():
+        # ASCII corpus: [^a-zA-Z]+ is the \p{L} splitter's restriction
+        toks = [t for t in _re.split(r"[^a-zA-Z]+", text) if t]
+        if not toks:
+            assert d not in got
+            continue
+        feats = ["ug_" + t for t in toks] + [
+            f"bg_{a}_{b}" for a, b in zip(toks, toks[1:])
+        ]
+        cnt = Counter(bucket(f) for f in feats)
+        s = sum(c * weight(b) for b, c in sorted(cnt.items())) / len(feats)
+        p = round(1.0 / (1.0 + math.exp(-4.0 * s)), 6)
+        assert got[d] == (len(feats), p, 1 if p >= 0.5 else 0), d
