@@ -4117,6 +4117,20 @@ def snapshot_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             "SQL-text IN-list partition DELETE was not metadata-only"
         )
+    # the CDF TVF read surface: SELECT over table_changes('v', 2, 2)
+    # (dispatcher-rewritten to the feed) must agree with the Python
+    # changes() API on the v2 delete slice — two paths, one history
+    from ..sql_dml import execute_dml
+
+    n_tvf = execute_dml(
+        spark,
+        "SELECT COUNT(*) AS n FROM table_changes('mrspark_sqldml', 2, 2)",
+    ).first()["n"]
+    if n_tvf != t.changes(1, 2).count() or n_tvf == 0:
+        raise RuntimeError(
+            "table_changes('v', 2, 2) disagrees with changes(1, 2) — "
+            "the TVF rewrite bound the wrong feed"
+        )
     return spark.sql(
         """
         SELECT o_orderpriority AS priority,

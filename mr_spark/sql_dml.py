@@ -55,6 +55,13 @@ Introspection: ``SHOW PARTITIONS <view>`` returns one row per live
 partition value of a value-partitioned table, read from the manifest's
 bucket map alone — zero data files touched.
 
+CDF reads — Delta's TVF spelling: ``SELECT ... FROM
+table_changes('<view>', v_from[, v_to])`` returns the per-commit change
+feed (``_change_type`` / ``_commit_version`` + table columns). Python
+sources cannot register TVFs, so the dispatcher binds each reference's
+``feed()`` frame to a temp view and rewrites the reference in place;
+pinned views are allowed (history reads are immutable).
+
 Utility statements (Delta's SQL surface for the same operations):
 
 * ``OPTIMIZE <view> [WHERE <pcol> = <literal>] [ZORDER BY (c1, c2)]``
@@ -511,6 +518,43 @@ def execute_dml(spark, sql_text: str, mode: str = "cow") -> int:
     DELETE/UPDATE — Delta's SQL has no mode syntax either (it is a
     table property there); other statements ignore it."""
     stmt = sql_text.strip().rstrip(";").strip()
+    if re.match(r"^\s*SELECT\b", stmt, re.IGNORECASE):
+        # Delta's CDF TVF spelling: SELECT ... FROM table_changes('v',
+        # v_from[, v_to]). Python sources cannot register TVFs, so the
+        # dispatcher binds each reference's change feed (feed() — the
+        # per-commit shape table_changes returns: _change_type +
+        # _commit_version + table columns) to a temp view and rewrites
+        # the reference in place. History is immutable, so pinned views
+        # are fine here (it is a read, not a write).
+        from .acid import SnapshotTable
+        from .sources.snapshot_source import _VIEW_BINDINGS
+
+        pat = re.compile(
+            r"\btable_changes\s*\(\s*'([A-Za-z_]\w*)'\s*,\s*(\d+)"
+            r"\s*(?:,\s*(\d+)\s*)?\)",
+            re.IGNORECASE,
+        )
+        if not pat.search(stmt):
+            raise ValueError(
+                "plain SELECT goes straight to spark.sql — execute_dml "
+                "only rewrites SELECTs referencing table_changes('view', "
+                "v_from[, v_to])"
+            )
+
+        def bind(mm):
+            view, v_from, v_to = mm.group(1), int(mm.group(2)), mm.group(3)
+            b = _VIEW_BINDINGS.get(view.lower())
+            if b is None:
+                raise ValueError(
+                    f"{view!r} is not a registered snapshot view"
+                )
+            t = SnapshotTable(spark, b["path"])
+            fd = t.feed(v_from, int(v_to) if v_to else None)
+            tmp = f"__mrspark_tc_{view.lower()}_{v_from}_{v_to or 'latest'}"
+            fd.createOrReplaceTempView(tmp)
+            return tmp
+
+        return spark.sql(pat.sub(bind, stmt))
     m = re.match(
         r"^\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_]\w*)\s+(.*)$",
         stmt,

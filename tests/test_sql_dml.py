@@ -125,7 +125,9 @@ def test_sql_dml_refusals(spark, tmp_path):
             "WHEN MATCHED THEN DELETE",
         )
     with pytest.raises(ValueError, match="unsupported statement"):
-        execute_dml(spark, "INSERT INTO sqldml_r VALUES (1, 'a', 1.0)")
+        execute_dml(spark, "CREATE INDEX idx ON sqldml_r (k)")
+    with pytest.raises(ValueError, match="must start with VALUES or SELECT"):
+        execute_dml(spark, "INSERT INTO sqldml_r SET k = 1")
     # nothing committed by any refusal
     assert t.latest_version() == 1
 
@@ -428,3 +430,36 @@ def test_sql_insert_identity_columns_never_insertable(spark, tmp_path):
     assert len(ids) == 2
     with pytest.raises(ValueError, match="always generated"):
         execute_dml(spark, "INSERT INTO sqlident (k, grp, rid) VALUES (3, 'c', 99)")
+
+
+def test_sql_table_changes_tvf(spark, tmp_path):
+    """Delta's CDF TVF spelling rewritten in place: the per-commit feed
+    serves a plain SELECT, versions slice correctly, and two references
+    in one statement bind independently."""
+    t = _mk(spark, tmp_path, "sqltc")
+    execute_dml(spark, "DELETE FROM sqltc WHERE k BETWEEN 0 AND 4")
+    execute_dml(spark, "INSERT INTO sqltc VALUES (1000, 'new', 1.0)")
+    out = execute_dml(
+        spark,
+        "SELECT _change_type, COUNT(*) AS n "
+        "FROM table_changes('sqltc', 2, 3) "
+        "GROUP BY _change_type ORDER BY _change_type",
+    )
+    got = {r["_change_type"]: r["n"] for r in out.collect()}
+    assert got == {"delete": 5, "insert": 1}
+    # v1 slice = create-as-inserts; bounded range excludes later commits
+    n1 = execute_dml(
+        spark, "SELECT COUNT(*) AS n FROM table_changes('sqltc', 1, 1)"
+    ).first()["n"]
+    assert n1 == len(ROWS)
+    # two references in one SELECT bind to distinct temp views
+    both = execute_dml(
+        spark,
+        "SELECT (SELECT COUNT(*) FROM table_changes('sqltc', 1, 1)) AS a, "
+        "(SELECT COUNT(*) FROM table_changes('sqltc', 2, 2)) AS b",
+    ).first()
+    assert (both["a"], both["b"]) == (len(ROWS), 5)
+    with pytest.raises(ValueError, match="not a registered"):
+        execute_dml(spark, "SELECT * FROM table_changes('nope', 1)")
+    with pytest.raises(ValueError, match="only rewrites"):
+        execute_dml(spark, "SELECT 1 AS one")
