@@ -117,7 +117,7 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["execute_dml"]
+__all__ = ["execute_dml", "sql"]
 
 
 def _strip_quotes_spans(text: str):
@@ -519,42 +519,71 @@ def execute_dml(spark, sql_text: str, mode: str = "cow") -> int:
     table property there); other statements ignore it."""
     stmt = sql_text.strip().rstrip(";").strip()
     if re.match(r"^\s*SELECT\b", stmt, re.IGNORECASE):
-        # Delta's CDF TVF spelling: SELECT ... FROM table_changes('v',
-        # v_from[, v_to]). Python sources cannot register TVFs, so the
-        # dispatcher binds each reference's change feed (feed() — the
-        # per-commit shape table_changes returns: _change_type +
-        # _commit_version + table columns) to a temp view and rewrites
-        # the reference in place. History is immutable, so pinned views
-        # are fine here (it is a read, not a write).
+        # Two Delta read spellings get rewritten in place (history is
+        # immutable, so pinned views are fine — these are reads):
+        #
+        # * ``table_changes('v', v_from[, v_to])`` — the CDF TVF.
+        #   Python sources cannot register TVFs, so each reference's
+        #   change feed (feed() — the per-commit shape table_changes
+        #   returns: _change_type + _commit_version + table columns)
+        #   binds to a temp view;
+        # * ``<view> VERSION AS OF n`` / ``<view> TIMESTAMP AS OF
+        #   <lit>`` — time travel: the reference binds to a PINNED
+        #   snapshot-source view (planning prunes from that version's
+        #   manifest exactly like any pinned registration).
         from .acid import SnapshotTable
-        from .sources.snapshot_source import _VIEW_BINDINGS
-
-        pat = re.compile(
-            r"\btable_changes\s*\(\s*'([A-Za-z_]\w*)'\s*,\s*(\d+)"
-            r"\s*(?:,\s*(\d+)\s*)?\)",
-            re.IGNORECASE,
+        from .sources.snapshot_source import (
+            _VIEW_BINDINGS,
+            register_snapshot_view,
         )
-        if not pat.search(stmt):
-            raise ValueError(
-                "plain SELECT goes straight to spark.sql — execute_dml "
-                "only rewrites SELECTs referencing table_changes('view', "
-                "v_from[, v_to])"
-            )
 
-        def bind(mm):
-            view, v_from, v_to = mm.group(1), int(mm.group(2)), mm.group(3)
+        def path_of(view):
             b = _VIEW_BINDINGS.get(view.lower())
             if b is None:
                 raise ValueError(
                     f"{view!r} is not a registered snapshot view"
                 )
-            t = SnapshotTable(spark, b["path"])
+            return b["path"]
+
+        tc_pat = re.compile(
+            r"\btable_changes\s*\(\s*'([A-Za-z_]\w*)'\s*,\s*(\d+)"
+            r"\s*(?:,\s*(\d+)\s*)?\)",
+            re.IGNORECASE,
+        )
+        tt_pat = re.compile(
+            r"\b([A-Za-z_]\w*)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+            rf"(\d+(?:\.\d+)?|{_LIT_RE})",
+            re.IGNORECASE,
+        )
+        if not tc_pat.search(stmt) and not tt_pat.search(stmt):
+            raise ValueError(
+                "plain SELECT goes straight to spark.sql — execute_dml "
+                "only rewrites SELECTs referencing table_changes('view', "
+                "v_from[, v_to]) or '<view> VERSION/TIMESTAMP AS OF ...'"
+            )
+
+        def bind_tc(mm):
+            view, v_from, v_to = mm.group(1), int(mm.group(2)), mm.group(3)
+            t = SnapshotTable(spark, path_of(view))
             fd = t.feed(v_from, int(v_to) if v_to else None)
             tmp = f"__mrspark_tc_{view.lower()}_{v_from}_{v_to or 'latest'}"
             fd.createOrReplaceTempView(tmp)
             return tmp
 
-        return spark.sql(pat.sub(bind, stmt))
+        def bind_tt(mm):
+            view, kind, lit = mm.group(1), mm.group(2).upper(), mm.group(3)
+            path = path_of(view)
+            if kind == "VERSION":
+                n = int(lit)
+                tmp = f"__mrspark_vao_{view.lower()}_{n}"
+                register_snapshot_view(spark, tmp, path, version=n)
+            else:
+                ts = float(_parse_literal(lit)) if lit.startswith("'") else float(lit)
+                tmp = f"__mrspark_tao_{view.lower()}_{str(ts).replace('.', '_')}"
+                register_snapshot_view(spark, tmp, path, timestamp_as_of=ts)
+            return tmp
+
+        return spark.sql(tc_pat.sub(bind_tc, tt_pat.sub(bind_tt, stmt)))
     m = re.match(
         r"^\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_]\w*)\s+(.*)$",
         stmt,
@@ -896,3 +925,27 @@ def execute_dml(spark, sql_text: str, mode: str = "cow") -> int:
         "AS SELECT / DROP TABLE / SHOW PARTITIONS / OPTIMIZE / VACUUM / "
         "RESTORE over registered snapshot views"
     )
+
+
+def sql(spark, sql_text: str, mode: str = "cow"):
+    """ONE-CALL SQL SESSION FACADE: route any statement to the right
+    engine — snapshot DML/DDL/utility/introspection statements (and
+    SELECTs using the rewritten spellings: ``table_changes(...)``,
+    ``VERSION/TIMESTAMP AS OF``) go through :func:`execute_dml`; every
+    other statement goes straight to ``spark.sql``. A session that
+    talks only SQL needs exactly this function plus
+    ``register_snapshot_view`` (or ``CREATE TABLE ... USING snapshot
+    AS SELECT``, which self-registers)."""
+    stmt = sql_text.strip().rstrip(";").strip()
+    if re.match(r"^\s*SELECT\b", stmt, re.IGNORECASE) and not re.search(
+        r"\btable_changes\s*\(|\b(VERSION|TIMESTAMP)\s+AS\s+OF\b",
+        stmt,
+        re.IGNORECASE,
+    ):
+        return spark.sql(stmt)
+    try:
+        return execute_dml(spark, stmt, mode=mode)
+    except ValueError as e:
+        if "unsupported statement" not in str(e):
+            raise
+        return spark.sql(stmt)  # not ours (CTE, SHOW TABLES, ...) — engine SQL

@@ -463,3 +463,49 @@ def test_sql_table_changes_tvf(spark, tmp_path):
         execute_dml(spark, "SELECT * FROM table_changes('nope', 1)")
     with pytest.raises(ValueError, match="only rewrites"):
         execute_dml(spark, "SELECT 1 AS one")
+
+
+def test_sql_time_travel_rewrites(spark, tmp_path):
+    """VERSION AS OF / TIMESTAMP AS OF in a SELECT bind pinned
+    snapshot-source views in place — Delta's time-travel SQL."""
+    t = _mk(spark, tmp_path, "sqltt")
+    execute_dml(spark, "DELETE FROM sqltt WHERE k < 20")
+    n1 = execute_dml(
+        spark, "SELECT COUNT(*) AS n FROM sqltt VERSION AS OF 1"
+    ).first()["n"]
+    assert n1 == len(ROWS)
+    # mixed: current view and a pinned version in ONE statement
+    row = execute_dml(
+        spark,
+        "SELECT (SELECT COUNT(*) FROM sqltt VERSION AS OF 1) AS was, "
+        "(SELECT COUNT(*) FROM sqltt) AS now",
+    ).first()
+    assert (row["was"], row["now"]) == (len(ROWS), 20)
+    # timestamp form: any time at/after v1's commit but before v2 reads v1
+    v1_path = os.path.join(t.path, "_versions", "v000001.json")
+    ts1 = t._commit_ts(1, v1_path)
+    n_ts = execute_dml(
+        spark, f"SELECT COUNT(*) AS n FROM sqltt TIMESTAMP AS OF {ts1}"
+    ).first()["n"]
+    assert n_ts == len(ROWS)
+
+
+def test_sql_facade_routes_everything(spark, tmp_path):
+    """mr_spark.sql_dml.sql: one entrypoint — DML text commits, plain
+    SELECT and non-snapshot statements fall through to spark.sql."""
+    from mr_spark.sql_dml import sql as mr_sql
+
+    t = _mk(spark, tmp_path, "sqlfacade")
+    v = mr_sql(spark, "DELETE FROM sqlfacade WHERE k >= 30")
+    assert v == 2 and t.read().count() == 30
+    assert mr_sql(spark, "SELECT 1 + 1 AS two").first()["two"] == 2
+    # engine-owned statement falls through (WITH is not a dispatcher verb)
+    n = mr_sql(
+        spark, "WITH c AS (SELECT 1 AS x) SELECT COUNT(*) AS n FROM c"
+    ).first()["n"]
+    assert n == 1
+    # rewritten SELECT still routes through the dispatcher
+    was = mr_sql(
+        spark, "SELECT COUNT(*) AS n FROM sqlfacade VERSION AS OF 1"
+    ).first()["n"]
+    assert was == len(ROWS)
