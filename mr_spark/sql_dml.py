@@ -47,6 +47,10 @@ is engine-blocked — the properties-drop canary in tests/test_sources.py
   transform declares the hash-bucket layout (the engine's key), an
   optional bare column adds value partitioning; the view is registered
   on success
+* ``CREATE TABLE <name> SHALLOW|DEEP CLONE <view> [VERSION AS OF n]
+  LOCATION '<path>'`` — Delta's CLONE SQL: shallow = metadata-only
+  fork referencing the source's files; deep = fully localized copy in
+  one commit; the new view is registered on success
 * ``DROP TABLE <view>`` — unregisters the view binding and drops the
   Spark view; the data stays on disk (external-location semantics,
   like dropping an external Delta table)
@@ -725,6 +729,29 @@ def execute_dml(spark, sql_text: str, mode: str = "cow") -> int:
         )
         register_snapshot_view(spark, name, t.path)
         return t.latest_version()
+    m = re.match(
+        r"^\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+(SHALLOW|DEEP)\s+CLONE\s+"
+        r"([A-Za-z_]\w*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+"
+        r"LOCATION\s+'([^']+)'\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if m:
+        from .sources.snapshot_source import _VIEW_BINDINGS, register_snapshot_view
+
+        name, kind, src_view, ver, path = m.groups()
+        if name.lower() in _VIEW_BINDINGS:
+            raise ValueError(
+                f"view {name!r} is already a registered snapshot view"
+            )
+        src = _table(spark, src_view)
+        out = src.clone(
+            path,
+            version=int(ver) if ver else None,
+            deep=kind.upper() == "DEEP",
+        )
+        register_snapshot_view(spark, name, out.path)
+        return out.latest_version()
     m = re.match(
         r"^\s*DROP\s+TABLE\s+([A-Za-z_]\w*)\s*$", stmt, re.IGNORECASE
     )

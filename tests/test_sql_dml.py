@@ -509,3 +509,33 @@ def test_sql_facade_routes_everything(spark, tmp_path):
         spark, "SELECT COUNT(*) AS n FROM sqlfacade VERSION AS OF 1"
     ).first()["n"]
     assert was == len(ROWS)
+
+
+def test_sql_clone_statement(spark, tmp_path):
+    """CREATE TABLE ... SHALLOW|DEEP CLONE as statement text: the
+    shallow clone serves the source state (optionally a pinned
+    version), the deep clone survives source deletion."""
+    import shutil
+
+    t = _mk(spark, tmp_path, "sqlcl_src")
+    execute_dml(spark, "DELETE FROM sqlcl_src WHERE k >= 20")
+    execute_dml(
+        spark,
+        "CREATE TABLE sqlcl_sh SHALLOW CLONE sqlcl_src VERSION AS OF 1 "
+        f"LOCATION '{tmp_path / 'sh'}'",
+    )
+    assert (
+        spark.sql("SELECT COUNT(*) AS n FROM sqlcl_sh").first()["n"]
+        == len(ROWS)  # pinned pre-delete version
+    )
+    execute_dml(
+        spark,
+        f"CREATE TABLE sqlcl_dp DEEP CLONE sqlcl_src LOCATION '{tmp_path / 'dp'}'",
+    )
+    # deep clone is self-contained: delete the source outright
+    shutil.rmtree(t.path)
+    execute_dml(spark, "DROP TABLE sqlcl_src")
+    assert spark.sql("SELECT COUNT(*) AS n FROM sqlcl_dp").first()["n"] == 20
+    # the clone is a full citizen: DML through its view
+    execute_dml(spark, "DELETE FROM sqlcl_dp WHERE k < 10")
+    assert spark.sql("SELECT COUNT(*) AS n FROM sqlcl_dp").first()["n"] == 10
