@@ -1398,6 +1398,96 @@ class SnapshotTable:
         t._commit(manifest, base_version=0, op={"operation": "CREATE"})
         return t
 
+    @classmethod
+    def convert(
+        cls,
+        spark: SparkSession,
+        path: str,
+        source,
+        key: str,
+        collect_stats: bool = True,
+    ) -> "SnapshotTable":
+        """CONVERT IN PLACE — Delta's ``CONVERT TO DELTA`` analog: build
+        a snapshot table at ``path`` whose v1 references EXISTING
+        parquet files (``source``: a directory or an explicit file
+        list) by ABSOLUTE path — zero data movement, zero data reads
+        beyond footers. The migration primitive: a raw-parquet corpus
+        becomes ACID/time-travel/DML-capable without rewriting a byte.
+
+        Layout: converted files were not written by the engine's hash
+        bucketing, so no per-key co-location can be assumed — v1 places
+        every file in ONE bucket (``n_buckets=1``). Every READ mechanism
+        is at full power immediately (stats pruning is per FILE, the
+        predicate-DML trichotomy classifies per file, DV sidecars attach
+        per file, CDF/clone/OPTIMIZE all work); keyed WRITES
+        (merge/delete_keys) see whole-table granularity until
+        :meth:`rebucket` rewrites into a real layout — the
+        convert-then-optimize migration path Delta and Iceberg both
+        document. Appends before the rebucket land in the same single
+        bucket, staying consistent.
+
+        Footer stats (min/max + null counts) are collected through the
+        same threadpool/distributed ladder as every write
+        (``collect_stats=False`` defers to a later :meth:`analyze`,
+        Delta's ``NO STATISTICS``). The source files are never modified
+        or moved; like a shallow clone, vacuuming/deleting the SOURCE
+        directory breaks the converted table until rewrites localize
+        its buckets (rebucket/compact localize everything at once).
+
+        Scale: O(files) footer reads at executor parallelism + one
+        manifest commit — converting a 100 TB directory moves no data.
+        Hive-partitioned layouts whose partition column lives only in
+        directory names are refused (the column must exist IN the
+        files); create a partitioned table natively or reload via
+        ``CREATE TABLE ... USING snapshot AS SELECT``."""
+        if isinstance(source, str):
+            if not os.path.isdir(source):
+                raise ValueError(
+                    f"source directory {source!r} does not exist"
+                )
+            files = sorted(
+                os.path.join(source, f)
+                for f in os.listdir(source)
+                if not f.startswith((".", "_"))
+                and os.path.isfile(os.path.join(source, f))
+            )
+        else:
+            files = sorted(source)
+        if not files:
+            raise ValueError("convert: no source files found")
+        files = [os.path.abspath(p) for p in files]
+        # Spark validates cross-file schema compatibility here; a
+        # dir-name-only hive partition column would be missing from this
+        # schema and any later read — refuse via the key check below
+        schema = spark.read.parquet(*files).schema
+        if key not in [f.name for f in schema.fields]:
+            raise ValueError(
+                f"bucket key {key!r} is not a column of the source files "
+                f"({[f.name for f in schema.fields]}) — hive dir-name "
+                "partition columns are not materialized by convert"
+            )
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(os.path.join(path, "data"))
+        os.makedirs(os.path.join(path, "versions"))
+        t = cls(spark, path)
+        stats = (
+            t._collect_stats([(p, p) for p in files]) if collect_stats else {}
+        )
+        manifest = {
+            "key": key,
+            "n_buckets": 1,
+            "files": {"0": files},
+            "stats": stats,
+            "schema": schema.json(),
+        }
+        t._commit(
+            manifest,
+            base_version=0,
+            op={"operation": "CONVERT", "files": len(files)},
+        )
+        return t
+
     def _apply_generated(self, m: dict, df: DataFrame) -> DataFrame:
         """Enforce GENERATED column semantics on an incoming frame: a
         column absent from ``df`` is COMPUTED from its expression; a

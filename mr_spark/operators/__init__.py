@@ -97,6 +97,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _CHECK_PRIORITY = [
     # -- NEW this round (round 8) --
     "acid_predicate_grammar", "snapshot_sql_dml", "snapshot_sql_insert",
+    "snapshot_convert_in_place",
     "dedup_lines", "dedup_spans", "quality_classifier",
     "snapshot_clone_deep", "acid_column_defaults",
     "acid_row_tracking",

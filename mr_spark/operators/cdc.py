@@ -4289,6 +4289,140 @@ def snapshot_sql_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _convert_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """4-version migration story for the in-place conversion query
+    (SnapshotTable.convert — Delta's CONVERT TO DELTA analog): a RAW
+    parquet landing dir (orders, 4 plain files) becomes a snapshot
+    table via the ``CONVERT TO SNAPSHOT`` statement (v1, absolute refs,
+    zero data movement); v2 = merge-on-read ``DELETE ... WHERE
+    o_orderkey <= m/10`` THROUGH the external files (DV sidecars attach
+    to files the engine never wrote); v3 = ``rebucket(4)`` — the
+    convert-then-optimize step that localizes everything into a real
+    hash layout; v4 = a single-key merge that must now rewrite exactly
+    one of the 4 buckets. Memoized per process (see _FIXTURES)."""
+    import os
+    import shutil
+
+    from ..acid import SnapshotTable
+    from ..sql_dml import execute_dml
+    from ..sources.snapshot_source import _VIEW_BINDINGS
+
+    key = (sf_dir, demo, 4)
+    cached = _FIXTURES.get(key)
+    if _fixture_alive(cached, spark, 4):
+        return cached
+    if "mrspark_conv" in _VIEW_BINDINGS:
+        execute_dml(spark, "DROP TABLE mrspark_conv")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    raw = _snapshot_demo_path(demo + "_raw")
+    shutil.rmtree(raw, ignore_errors=True)
+    o.repartition(4, "o_orderkey").write.parquet(raw)
+    path = _snapshot_demo_path(demo)
+    shutil.rmtree(path, ignore_errors=True)
+    execute_dml(
+        spark,
+        f"CONVERT TO SNAPSHOT '{raw}' AS mrspark_conv "
+        f"LOCATION '{path}' KEY (o_orderkey)",
+    )
+    m = int(o.agg(F.max("o_orderkey")).first()[0])
+    execute_dml(
+        spark,
+        f"DELETE FROM mrspark_conv WHERE o_orderkey <= {m // 10}",
+        mode="dv",
+    )
+    t = SnapshotTable(spark, path)
+    t.rebucket(4)
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(m, 123.45, "1-URGENT")],
+            "o_orderkey bigint, o_totalprice double, o_orderpriority string",
+        )
+    )
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "snapshot_convert_in_place",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders, mx WHERE o_orderkey > mx.m // 10
+    ),
+    v4 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey = (SELECT m FROM mx)
+                  THEN 123.45 ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey = (SELECT m FROM mx)
+                  THEN '1-URGENT' ELSE o_orderpriority END
+               AS o_orderpriority
+      FROM v2
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+             AS DOUBLE) AS revenue
+    FROM v4 GROUP BY 1
+    """,
+)
+def snapshot_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-PLACE CONVERSION of a raw parquet directory
+    (SnapshotTable.convert / the ``CONVERT TO SNAPSHOT`` statement —
+    Delta's CONVERT TO DELTA): the migration primitive that makes an
+    existing corpus ACID/time-travel/DML-capable with ZERO data
+    movement, then graduates it to a real hash layout with rebucket.
+
+    Certified live (RAISES otherwise): v1's manifest references ONLY
+    absolute paths into the raw landing dir (no byte was copied); the
+    predicate DELETE against those external files committed
+    merge-on-read (v1→v2 file lists identical, DV sidecars present —
+    DML works BEFORE any localization); after rebucket the manifest
+    holds only local relative entries in 4 buckets; and the single-key
+    merge v3→v4 rewrote exactly ONE bucket (keyed writes regained
+    pruning). The oracle replays delete + merge relationally.
+
+    Scale: converting a 100 TB directory is O(files) footer reads at
+    executor parallelism + one manifest commit; the DV delete commits
+    O(victims); rebucket is the one deliberate full rewrite — exactly
+    the documented convert-then-optimize migration cost."""
+    t = _convert_fixture(spark, sf_dir, "convert_demo")
+    import os
+
+    m1, m2, m3, m4 = (t._manifest(v) for v in (1, 2, 3, 4))
+    rels1 = [r for rs in m1["files"].values() for r in rs]
+    if not rels1 or not all(os.path.isabs(r) for r in rels1):
+        raise RuntimeError("CONVERT copied data — v1 must be absolute refs")
+    if m2["files"] != m1["files"] or not m2.get("dvs"):
+        raise RuntimeError(
+            "DELETE on the converted table was not merge-on-read over "
+            "the external files"
+        )
+    rels3 = [r for rs in m3["files"].values() for r in rs]
+    if len(m3["files"]) != 4 or any(os.path.isabs(r) for r in rels3):
+        raise RuntimeError("rebucket did not localize into 4 buckets")
+    changed = [
+        b for b in m3["files"] if m4["files"].get(b) != m3["files"][b]
+    ]
+    if len(changed) != 1:
+        raise RuntimeError(
+            f"single-key merge rewrote {len(changed)} buckets — keyed "
+            "pruning did not engage after rebucket"
+        )
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 def _pred_grammar_fixture(spark: SparkSession, sf_dir: str, demo: str):
     """5-version history for the generalized-predicate query (VERDICT
     r7 #1): v1 = orders (key o_orderkey, partitioned by priority) with

@@ -47,6 +47,11 @@ is engine-blocked — the properties-drop canary in tests/test_sources.py
   transform declares the hash-bucket layout (the engine's key), an
   optional bare column adds value partitioning; the view is registered
   on success
+* ``CONVERT TO SNAPSHOT '<source dir>' AS <name> LOCATION '<path>'
+  KEY (<col>)`` — Delta's CONVERT TO DELTA analog: in-place conversion
+  of an existing parquet directory (absolute refs, zero data movement;
+  see SnapshotTable.convert for the single-bucket layout rule); the
+  view is registered on success
 * ``CREATE TABLE <name> SHALLOW|DEEP CLONE <view> [VERSION AS OF n]
   LOCATION '<path>'`` — Delta's CLONE SQL: shallow = metadata-only
   fork referencing the source's files; deep = fully localized copy in
@@ -727,6 +732,24 @@ def execute_dml(spark, sql_text: str, mode: str = "cow") -> int:
         t = SnapshotTable.create(
             spark, path, df, key=key, n_buckets=n_buckets, partition_by=pcol
         )
+        register_snapshot_view(spark, name, t.path)
+        return t.latest_version()
+    m = re.match(
+        r"^\s*CONVERT\s+TO\s+SNAPSHOT\s+'([^']+)'\s+AS\s+([A-Za-z_]\w*)\s+"
+        r"LOCATION\s+'([^']+)'\s+KEY\s*\(\s*([A-Za-z_]\w*)\s*\)\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if m:
+        from .acid import SnapshotTable
+        from .sources.snapshot_source import _VIEW_BINDINGS, register_snapshot_view
+
+        source, name, path, key = m.groups()
+        if name.lower() in _VIEW_BINDINGS:
+            raise ValueError(
+                f"view {name!r} is already a registered snapshot view"
+            )
+        t = SnapshotTable.convert(spark, path, source, key=key)
         register_snapshot_view(spark, name, t.path)
         return t.latest_version()
     m = re.match(

@@ -2925,3 +2925,78 @@ def test_row_tracking_v2_source_hides_unless_opted(spark, tmp_path):
         .load()
     )
     assert sorted(r["k"] for r in got.collect()) == [0, 1]
+
+
+# ---- CONVERT in place (Delta's CONVERT TO DELTA analog) --------------------
+
+
+def _raw_dir(spark, tmp_path, n=40, parts=4):
+    df = spark.createDataFrame(
+        [(k, "even" if k % 2 == 0 else "odd", float(k)) for k in range(n)],
+        "k bigint, grp string, x double",
+    )
+    src = str(tmp_path / "raw")
+    df.repartition(parts, "k").write.parquet(src)
+    return src, df
+
+
+def test_convert_references_source_files_in_place(spark, tmp_path):
+    src, df = _raw_dir(spark, tmp_path)
+    t = SnapshotTable.convert(spark, str(tmp_path / "tbl"), src, key="k")
+    # exact content, zero data movement: the table's own data/ is empty
+    # and every manifest entry is an absolute ref into the source dir
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(40))
+    assert os.listdir(os.path.join(t.path, "data")) == []
+    m = t._manifest(1)
+    rels = [r for rs in m["files"].values() for r in rs]
+    assert rels and all(r.startswith(src) for r in rels)
+    ops = {r["version"]: r["operation"] for r in t.history()}
+    assert ops[1] == "CONVERT"
+
+
+def test_convert_stats_prune_and_predicate_dml(spark, tmp_path):
+    src, _ = _raw_dir(spark, tmp_path)
+    t = SnapshotTable.convert(spark, str(tmp_path / "tbl2"), src, key="k")
+    n_files = sum(len(r) for r in t._manifest(1)["files"].values())
+    # footer stats collected at convert: an out-of-range read prunes ALL
+    assert t.data_paths(where=("x", 1e6, 2e6)) == []
+    # merge-on-read DELETE attaches DVs to the EXTERNAL files
+    t.delete(where=("x", 0.0, 4.0), mode="dv")
+    assert t.read().count() == 35
+    assert sum(len(r) for r in t._manifest(2)["files"].values()) == n_files
+    assert t._manifest(2).get("dvs")
+
+
+def test_convert_then_rebucket_localizes_and_prunes_keyed_writes(
+    spark, tmp_path
+):
+    src, _ = _raw_dir(spark, tmp_path)
+    t = SnapshotTable.convert(spark, str(tmp_path / "tbl3"), src, key="k")
+    # keyed write works pre-rebucket at whole-table granularity
+    t.merge_upsert(
+        spark.createDataFrame([(0, "even", 999.0)], "k bigint, grp string, x double")
+    )
+    assert t.read().where("k = 0").first()["x"] == 999.0
+    v = t.rebucket(4)
+    m = t._manifest(v)
+    rels = [r for rs in m["files"].values() for r in rs]
+    assert all(not os.path.isabs(r) for r in rels)  # fully localized
+    assert len(m["files"]) == 4
+    # single-key merge now rewrites exactly one bucket
+    before = {b: list(r) for b, r in m["files"].items()}
+    t.merge_upsert(
+        spark.createDataFrame([(1, "odd", -1.0)], "k bigint, grp string, x double")
+    )
+    after = t._manifest(t.latest_version())["files"]
+    changed = [b for b in before if after.get(b) != before[b]]
+    assert len(changed) == 1
+
+
+def test_convert_refusals(spark, tmp_path):
+    src, _ = _raw_dir(spark, tmp_path)
+    with pytest.raises(ValueError, match="not a column"):
+        SnapshotTable.convert(spark, str(tmp_path / "t4"), src, key="nope")
+    with pytest.raises(ValueError, match="does not exist"):
+        SnapshotTable.convert(
+            spark, str(tmp_path / "t5"), str(tmp_path / "missing"), key="k"
+        )
