@@ -1456,6 +1456,12 @@ class SnapshotTable:
         if not files:
             raise ValueError("convert: no source files found")
         files = [os.path.abspath(p) for p in files]
+        apath = os.path.abspath(path)
+        if any(os.path.commonpath([apath, p]) == apath for p in files):
+            raise ValueError(
+                "convert: source files lie inside the table path — the "
+                "table directory is (re)initialized and would destroy them"
+            )
         # Spark validates cross-file schema compatibility here; a
         # dir-name-only hive partition column would be missing from this
         # schema and any later read — refuse via the key check below
@@ -3728,12 +3734,16 @@ class SnapshotTable:
         recorded = self._txns(m).get(app_id)
         if batch_id is not None and recorded is not None and recorded >= batch_id:
             return base  # replayed overwrite: already committed
-        extra = [c for c in df.columns if c not in self._schema_names(m)]
-        if extra:
+        # type-align BEFORE bucketing (the cast-before-hash rule: a
+        # narrow int key frame would hash into buckets a bigint-typed
+        # future lookup never reads); unknown columns refuse
+        df, _, extra_fields = self._align_source_types(m, df)
+        if extra_fields:
             raise ValueError(
                 f"overwrite frame has columns not in the table schema: "
-                f"{extra}; evolve the schema first (append(merge_schema="
-                "True) or add_column), then overwrite"
+                f"{[f.name for f in extra_fields]}; evolve the schema "
+                "first (append(merge_schema=True) or add_column), then "
+                "overwrite"
             )
         df = self._fill_write_defaults(m, df)
         df = self._apply_generated(m, df)
@@ -3875,12 +3885,16 @@ class SnapshotTable:
         recorded = self._txns(m).get(app_id)
         if batch_id is not None and recorded is not None and recorded >= batch_id:
             return base  # replayed reload: already committed
-        extra = [c for c in df.columns if c not in self._schema_names(m)]
-        if extra:
+        # type-align BEFORE bucketing (cast-before-hash: a narrow int
+        # key frame would hash into buckets a correctly-typed future
+        # lookup never reads — the r7 merge_upsert/delete_keys rule,
+        # which this path was missing)
+        df, _, extra_fields = self._align_source_types(m, df)
+        if extra_fields:
             raise ValueError(
                 f"replace_where frame has columns not in the table schema: "
-                f"{extra}; evolve the schema with append(merge_schema=True) "
-                "first"
+                f"{[f.name for f in extra_fields]}; evolve the schema with "
+                "append(merge_schema=True) first"
             )
         sval = str(value)
         df = self._apply_generated(m, df)

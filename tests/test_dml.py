@@ -675,3 +675,41 @@ def test_overwrite_conflicts_with_concurrent_data_commit(spark, tmp_path):
         t.overwrite(
             spark.createDataFrame([(1, "a", 1.0)], "k bigint, grp string, x double")
         )
+
+
+def test_overwrite_and_replace_where_align_narrow_key_types(spark, tmp_path):
+    """Cast-before-hash: a narrow int-typed key frame must bucket under
+    the table's bigint hash (the r7 merge_upsert rule) in overwrite and
+    replace_where too — otherwise a later correctly-typed lookup misses
+    the rows."""
+    t = _mk(spark, tmp_path, ROWS)
+    narrow = spark.createDataFrame(
+        [(7, "n", 7.0)], "k int, grp string, x double"
+    )
+    t.overwrite(narrow)
+    # the keyed lookup path (bigint-typed delete_keys) must FIND the row
+    t.delete_keys(spark.createDataFrame([(7,)], "k bigint"))
+    assert t.read().count() == 0
+    t2 = _mk(spark, tmp_path, ROWS, name="tbl_rw", partition_by="grp")
+    t2.replace_where(
+        "even",
+        spark.createDataFrame([(8, "even", 8.0)], "k int, grp string, x double"),
+    )
+    t2.delete_keys(spark.createDataFrame([(8,)], "k bigint"))
+    assert {r["grp"] for r in t2.read().collect()} == {"odd"}
+    # non-lossless mismatch refuses instead of silently mis-bucketing
+    with pytest.raises(ValueError, match="type changes"):
+        t2.overwrite(
+            spark.createDataFrame([("9", "odd", 1.0)], "k string, grp string, x double")
+        )
+
+
+def test_convert_refuses_source_inside_table_path(spark, tmp_path):
+    tbl = tmp_path / "tbl_guard"
+    src = tbl / "raw"
+    spark.createDataFrame([(1, 1.0)], "k bigint, x double").write.parquet(
+        str(src)
+    )
+    with pytest.raises(ValueError, match="inside the table path"):
+        SnapshotTable.convert(spark, str(tbl), str(src), key="k")
+    assert os.path.exists(str(src))  # nothing destroyed
