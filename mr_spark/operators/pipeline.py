@@ -549,3 +549,114 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("n_bigrams"),
         F.round(lw, 6).alias("log_weight"),
     )
+
+
+_URL_BLOCKLIST = ("tracker.adnet.example",)  # the RefinedWeb-style denylist
+
+
+@query(
+    "url_domain_stats",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' https://site' || CAST(doc_id % 7 AS VARCHAR)
+                          || '.example/p/' || CAST(doc_id % 13 AS VARCHAR)
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' http://tracker.adnet.example/x?id='
+                          || CAST(doc_id AS VARCHAR)
+                     ELSE '' END AS text
+      FROM documents
+    ),
+    hosts AS (
+      SELECT doc_id, unnest(regexp_extract_all(text,
+               'https?://([^/\\s?]+)', 1)) AS domain
+      FROM aug
+    ),
+    per AS (
+      SELECT domain, COUNT(*) AS n_urls,
+             COUNT(DISTINCT doc_id) AS n_docs
+      FROM hosts GROUP BY domain
+    )
+    SELECT domain,
+           CAST(n_urls AS BIGINT) AS n_urls,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(CASE WHEN domain IN ('tracker.adnet.example')
+                     THEN 1 ELSE 0 END AS BIGINT) AS blocked,
+           ROUND(CAST(n_urls AS DOUBLE)
+                 / (SELECT SUM(n_urls) FROM per), 6) AS url_share
+    FROM per
+    """,
+)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/DOMAIN FILTERING REPORT — the curation stage C4 and
+    RefinedWeb (Penedo et al. 2023) run before any text heuristic:
+    extract every URL, aggregate by registered host, and flag
+    blocklisted domains (adult/fraud/tracker denylists) whose documents
+    the pipeline drops. Per domain: url count, distinct-document reach,
+    a blocklist flag, and the corpus url share a mixture audit reads.
+
+    The synthetic corpus carries no URLs, so two deterministic
+    augmentation slices give the extraction real signal at every sf
+    (the gopher r6 lesson; the oracle replays the same augmentation):
+    doc_id%3 docs gain a https://siteN.example deep link (7 domains ×
+    13 paths), doc_id%5 docs a blocklisted tracker URL. Extraction is
+    one JVM-side regexp_extract_all — identical pattern semantics on
+    both engines — so the report is exact regardless of what the base
+    text contains.
+
+    Scale: explode → one groupBy(domain) exchange with map-side partial
+    agg (domain cardinality ≪ corpus) + a single-row total; no joins,
+    no UDFs. At 100 TB this is the cheapest shape in the pipeline —
+    strings shuffle only as (domain) keys, never full documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" https://site"),
+                    (d % 7).cast("string"),
+                    F.lit(".example/p/"),
+                    (d % 13).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" http://tracker.adnet.example/x?id="),
+                    d.cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    hosts = aug.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"https?://([^/\s?]+)"), 1
+            )
+        ).alias("domain"),
+    )
+    per = hosts.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    tot = per.agg(F.sum("n_urls").alias("total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_urls",
+        "n_docs",
+        F.col("domain")
+        .isin(*_URL_BLOCKLIST)
+        .cast("bigint")
+        .alias("blocked"),
+        F.round(F.col("n_urls").cast("double") / F.col("total"), 6).alias(
+            "url_share"
+        ),
+    )

@@ -94,3 +94,30 @@ def test_vocab_coverage_monotone(spark):
     counts = [r["cnt"] for r in rows]
     assert all(a >= b for a, b in zip(counts, counts[1:]))  # ranked by count
     assert shares[-1] <= 1.0
+
+
+def test_url_domain_stats_extraction_and_blocklist(spark, tmp_path):
+    """Hand-computed extraction on a constructed corpus: URLs already in
+    the text are extracted, the deterministic augmentation slices add
+    their domains, the blocklist flag marks the tracker."""
+    from mr_spark.operators.pipeline import url_domain_stats
+
+    docs = {
+        1: "see https://a.example/x and http://b.example trailing",
+        7: "no urls here at all",
+        15: "slice doc",  # 15%3==0 -> site1.example; 15%5==0 -> tracker
+    }
+    rows = [(i, t, "en", "src1", len(t)) for i, t in docs.items()]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "c" / "documents.parquet"))
+    got = {
+        r["domain"]: (r["n_urls"], r["n_docs"], r["blocked"], r["url_share"])
+        for r in url_domain_stats(spark, str(tmp_path / "c")).collect()
+    }
+    assert got["a.example"] == ("a.example" in got and (1, 1, 0, 0.25))
+    assert got["b.example"][:3] == (1, 1, 0)
+    assert got["site1.example"][:3] == (1, 1, 0)
+    assert got["tracker.adnet.example"][:3] == (1, 1, 1)
+    assert abs(sum(v[3] for v in got.values()) - 1.0) < 1e-9

@@ -193,6 +193,13 @@ PROBES = [
     # round-8: bucketed/blocked ANN variants (64x octave candidates)
     "ann_lsh_topk",
     "ann_ivf_topk",
+    # round-8 second session: SQL lifecycle, span-removal transform,
+    # hashed-linear quality scorer, in-place conversion
+    "snapshot_sql_insert",
+    "dedup_spans",
+    "quality_classifier",
+    "snapshot_convert_in_place",
+    "url_domain_stats",
 ]
 
 KEY_SHIFTS = {
