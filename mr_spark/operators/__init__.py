@@ -78,8 +78,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver row yet — plus q12, red in r01 on a (now fixed) dtype artifact —
 # in the checked prefix, and rotate per round as driver rows accumulate.
 #
-# Round-8 prefix (VERDICT r7 #4): first the 4 NEW queries (generalized
-# predicate grammar, SQL-text DML, line-dedup transform, deep clone),
+# Round-8 prefix (VERDICT r7 #4): first the NEW queries (generalized
+# predicate grammar, SQL-text DML + INSERT/lifecycle family, in-place
+# conversion, line/span dedup transforms, quality scorer, URL report,
+# deep clone, defaults, row tracking),
 # then every query whose implementation changed this round — the
 # predicate-grammar rewiring runs under read()/data_paths()/
 # _classify_files and the V2 source's where option + executor masks
@@ -92,7 +94,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # r03 block's alphabetical head.
 # Overflow (positions 51+, all driver-green at their latest check, each
 # with an oracle-rehearsal pin in tests/test_queries_oracle.py):
-# the rest of the r03 block (json_typed_parse onward) leads the r09
+# the rest of the r03 block (event_cooccurrence onward) leads the r09
 # rotation, then the r04 cohort.
 _CHECK_PRIORITY = [
     # -- NEW this round (round 8) --
@@ -113,6 +115,7 @@ _CHECK_PRIORITY = [
     "snapshot_clone_shallow",    # clone manifest factoring
     "line_dedup_stats",          # shared corpus helper
     "snapshot_sql_view",         # view binding records
+    "snapshot_replace_where",    # second session: cast-before-hash align
     # -- r02-evidence rows (oldest driver evidence in the registry) --
     "label_outlier_scores", "lm_surprisal", "market_concentration",
     "psi_drift", "referential_integrity", "repetition_quality",
@@ -122,10 +125,8 @@ _CHECK_PRIORITY = [
     "anomaly_days", "approx_quantile_bounds", "bm25_topk",
     "bpe_token_count", "bucketed_fact_join", "case_bucketing",
     "date_arithmetic", "dedup_keep_best", "doc_fingerprint",
-    "embedding_dim_stats", "equidepth_histogram", "event_cooccurrence",
-    "event_funnel", "frame_sample_stub", "fuzzy_match_pairs",
-    "gapfill_daily_revenue", "hash_sample",
-    # (image_features_stub, interpolate_missing, json_typed_parse ...
+    "embedding_dim_stats", "equidepth_histogram",
+    # (event_cooccurrence, event_funnel, frame_sample_stub ...
     #  winnow_containment: r09 rotation head)
 ]
 
