@@ -100,7 +100,8 @@ _CHECK_PRIORITY = [
     # -- NEW this round (round 8) --
     "acid_predicate_grammar", "snapshot_sql_dml", "snapshot_sql_insert",
     "snapshot_convert_in_place",
-    "dedup_lines", "dedup_spans", "quality_classifier", "url_domain_stats",
+    "dedup_lines", "dedup_spans", "dedup_neardup_docs",
+    "quality_classifier", "url_domain_stats",
     "snapshot_clone_deep", "acid_column_defaults",
     "acid_row_tracking",
     # -- changed this round: predicate-grammar rewiring --

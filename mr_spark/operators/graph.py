@@ -41,14 +41,12 @@ def _driver_union_find(spark: SparkSession, edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(rows, schema="doc_id bigint, component bigint")
 
 
-@query(
-    "neardup_components",
-    oracle="""
-    WITH RECURSIVE pairs AS (
+_COMP_CTES = """
+    pairs AS (
       SELECT doc_a, doc_b FROM (
         WITH toks AS (
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '') AS ws
+                 list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS ws
           FROM documents
         ), tri AS (
           SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
@@ -76,7 +74,15 @@ def _driver_union_find(spark: SparkSession, edges: DataFrame) -> DataFrame:
       UNION
       SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
     ),
-    nodes AS (SELECT DISTINCT u AS node FROM edges)
+    nodes AS (SELECT DISTINCT u AS node FROM edges)"""
+# ^ shared recursive-closure CTE block of the near-dup component oracles
+
+
+@query(
+    "neardup_components",
+    oracle="WITH RECURSIVE "
+    + _COMP_CTES
+    + """
     SELECT node AS doc_id,
            LEAST(node, MIN(v)) AS component
     FROM nodes LEFT JOIN reach ON reach.u = node
@@ -157,3 +163,101 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if round_no % 5 == 4:
             labels = labels.localCheckpoint()
     return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+@query(
+    "dedup_neardup_docs",
+    oracle="WITH RECURSIVE "
+    + _COMP_CTES
+    + """,
+    comp AS (
+      SELECT node AS doc_id, LEAST(node, MIN(v)) AS component
+      FROM nodes LEFT JOIN reach ON reach.u = node
+      GROUP BY node
+    ),
+    all_docs AS (
+      SELECT d.doc_id, length(d.text) AS n,
+             COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY component ORDER BY n DESC, doc_id
+      ) AS rn
+      FROM all_docs
+    ),
+    multi AS (
+      SELECT component FROM all_docs
+      GROUP BY component HAVING COUNT(*) >= 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_in,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_dropped,
+           CAST(SUM(CASE WHEN rn > 1 THEN n ELSE 0 END) AS BIGINT)
+             AS chars_dropped,
+           CAST((SELECT COUNT(*) FROM multi) AS BIGINT) AS n_clusters
+    FROM ranked
+    """,
+)
+def dedup_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUPLICATE REMOVAL TRANSFORM — the document-level step every
+    pretraining pipeline runs after clustering (MinHash/Jaccard →
+    components → keep ONE representative per cluster; Lee et al. 2022's
+    NearDup, FineWeb's MinHash stage): over the EXACT Jaccard-≥0.5
+    component graph (neardup_components — the same distributed
+    min-label propagation; the oracle shares its recursive-closure CTE
+    block verbatim), keep the LONGEST document of each cluster (ties →
+    smallest doc_id), drop the rest; singletons pass through.
+
+    Output is the corpus accounting row a curation run reports:
+    docs in/kept/dropped, characters dropped, multi-doc cluster count —
+    the oracle recomputes all five through the recursive transitive
+    closure, so a wrong component assignment or keep-rule divergence
+    hash-mismatches.
+
+    Scale: the component step is the heavy part (see
+    neardup_components' loop notes); the keep-best window partitions by
+    component — bounded by cluster size, the same shape as
+    dedup_keep_best — and the summary is one single-row agg. No new
+    pair emission beyond the gated Jaccard join."""
+    from ..sources import load_table
+
+    comps = neardup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n")
+    )
+    labeled = docs.join(comps, "doc_id", "left").select(
+        "doc_id",
+        "n",
+        F.coalesce("component", "doc_id").alias("component"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n"), F.asc("doc_id")
+    )
+    ranked = labeled.withColumn("rn", F.row_number().over(w))
+    sizes = labeled.groupBy("component").count()
+    n_clusters = sizes.where(F.col("count") >= 2).agg(
+        F.count("*").cast("bigint").alias("n_clusters")
+    )
+    summary = ranked.agg(
+        F.count("*").cast("bigint").alias("n_docs_in"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_dropped"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") > 1, F.col("n"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("chars_dropped"),
+    )
+    return summary.crossJoin(F.broadcast(n_clusters)).select(
+        "n_docs_in", "n_docs_kept", "docs_dropped", "chars_dropped",
+        "n_clusters",
+    )

@@ -80,6 +80,11 @@ Utility statements (Delta's SQL surface for the same operations):
 * ``VACUUM <view> [RETAIN <n> HOURS] [DRY RUN]`` → ``vacuum(...)``;
   returns the removed (or would-be-removed) path list, not a version
 * ``RESTORE <view> TO VERSION AS OF <n>`` → ``restore(n)``
+* ``ANALYZE [TABLE] <view> [COMPUTE STATISTICS]`` → ``analyze()`` —
+  footer-metadata-only stats (+bloom) recompute
+* ``GENERATE symlink_format_manifest FOR TABLE <view>`` →
+  ``generate()`` — Delta's GENERATE spelling; returns the written
+  manifest path list, not a version
 
 ALTER statements (all metadata-only commits):
 
@@ -921,6 +926,27 @@ def execute_dml(spark, sql_text: str, mode: str = "cow") -> int:
         v = _alter(spark, view, action)
         _rebind(spark, view)
         return v
+    m = re.match(
+        r"^\s*ANALYZE\s+(?:TABLE\s+)?([A-Za-z_]\w*)"
+        r"(?:\s+COMPUTE\s+STATISTICS)?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if m:
+        view = m.group(1)
+        t = _table(spark, view)
+        v = t.analyze()
+        _rebind(spark, view)
+        return v
+    m = re.match(
+        r"^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+"
+        r"([A-Za-z_]\w*)\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if m:
+        t = _table(spark, m.group(1))
+        return t.generate()  # list of written manifest paths, not a version
     m = re.match(
         r"^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)(?:\s+LIMIT\s+(\d+))?\s*$",
         stmt,

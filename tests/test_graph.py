@@ -21,3 +21,29 @@ def test_both_strategies_agree(spark, monkeypatch):
         comp_members.setdefault(comp, []).append(doc_id)
     for comp, members in comp_members.items():
         assert comp == min(members + [comp])
+
+
+def test_dedup_neardup_docs_keep_rule(spark, tmp_path):
+    """Constructed corpus with hand-computed expectations: the two
+    near-identical docs cluster (Jaccard >= 0.5 on word trigrams), the
+    LONGEST survives; the unrelated doc passes through as a singleton."""
+    from mr_spark.operators.graph import dedup_neardup_docs
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a + " with one extra tail"  # near-dup of a, longer -> kept
+    c = "completely different content about distributed query engines"
+    rows = [
+        (1, a, "en", "s", len(a)),
+        (2, b, "en", "s", len(b)),
+        (3, c, "en", "s", len(c)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "c" / "documents.parquet"))
+    row = dedup_neardup_docs(spark, str(tmp_path / "c")).collect()[0]
+    assert row["n_docs_in"] == 3
+    assert row["n_docs_kept"] == 2     # b (longest of {a,b}) + c
+    assert row["docs_dropped"] == 1    # a
+    assert row["chars_dropped"] == len(a)
+    assert row["n_clusters"] == 1

@@ -482,7 +482,9 @@ def test_sql_time_travel_rewrites(spark, tmp_path):
     ).first()
     assert (row["was"], row["now"]) == (len(ROWS), 20)
     # timestamp form: any time at/after v1's commit but before v2 reads v1
-    v1_path = os.path.join(t.path, "_versions", "v000001.json")
+    v1_path = os.path.join(
+        t._versions_dir(), sorted(os.listdir(t._versions_dir()))[0]
+    )
     ts1 = t._commit_ts(1, v1_path)
     n_ts = execute_dml(
         spark, f"SELECT COUNT(*) AS n FROM sqltt TIMESTAMP AS OF {ts1}"
@@ -539,3 +541,17 @@ def test_sql_clone_statement(spark, tmp_path):
     # the clone is a full citizen: DML through its view
     execute_dml(spark, "DELETE FROM sqlcl_dp WHERE k < 10")
     assert spark.sql("SELECT COUNT(*) AS n FROM sqlcl_dp").first()["n"] == 10
+
+
+def test_sql_analyze_and_generate(spark, tmp_path):
+    """ANALYZE recomputes footer stats metadata-only; GENERATE exports
+    the symlink manifest — both as statement text."""
+    t = _mk(spark, tmp_path, "sqlana")
+    m1 = t._manifest(1)
+    v = execute_dml(spark, "ANALYZE TABLE sqlana COMPUTE STATISTICS")
+    if v != 1:  # fresh tables may already carry current stats (no-op)
+        m2 = t._manifest(v)
+        assert m2["files"] == m1["files"]  # zero data movement
+    paths = execute_dml(spark, "GENERATE symlink_format_manifest FOR TABLE sqlana")
+    assert isinstance(paths, list) and paths
+    assert all(os.path.exists(p) for p in paths)

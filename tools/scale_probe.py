@@ -200,6 +200,7 @@ PROBES = [
     "quality_classifier",
     "snapshot_convert_in_place",
     "url_domain_stats",
+    "dedup_neardup_docs",
 ]
 
 KEY_SHIFTS = {
