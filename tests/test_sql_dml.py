@@ -200,7 +200,7 @@ def test_sql_optimize_zorder_and_refusals(spark, tmp_path):
         _mk(spark, tmp_path, "sqldml_z2", partition_by="grp")
         execute_dml(spark, "OPTIMIZE sqldml_z2 WHERE grp IN ('even')")
     with pytest.raises(ValueError, match="unsupported statement"):
-        execute_dml(spark, "ANALYZE TABLE sqldml_z")
+        execute_dml(spark, "REFRESH TABLE sqldml_z")
 
 
 def test_sql_alter_statements(spark, tmp_path):
