@@ -79,7 +79,14 @@ Utility statements (Delta's SQL surface for the same operations):
   rule)
 * ``VACUUM <view> [RETAIN <n> HOURS] [DRY RUN]`` → ``vacuum(...)``;
   returns the removed (or would-be-removed) path list, not a version
-* ``RESTORE <view> TO VERSION AS OF <n>`` → ``restore(n)``
+* ``RESTORE <view> TO VERSION AS OF <n> | TO TIMESTAMP AS OF
+  <unix-seconds>`` → ``restore(...)`` (the timestamp form resolves
+  through version_at — Delta's RESTORE TIMESTAMP AS OF)
+* ``APPLY CHANGES INTO <view> FROM <table/view> [BATCH <n>]
+  [APP '<id>']`` → ``apply_changes`` — the DLT verb: apply one
+  CDF-shaped feed slice (``_change_type`` + table columns) in one
+  atomic commit, with the usual monotonic (app, batch) replay
+  protection
 * ``ANALYZE [TABLE] <view> [COMPUTE STATISTICS]`` → ``analyze()`` —
   footer-metadata-only stats (+bloom) recompute
 * ``GENERATE symlink_format_manifest FOR TABLE <view>`` →
@@ -106,6 +113,9 @@ Introspection statements (return a DataFrame, not a version):
   newest first: version, timestamp, operation, params (JSON text)
 * ``DESCRIBE DETAIL <view>`` — one row of table metrics (nested maps
   as JSON text)
+* ``DESCRIBE FILES <view>`` — one row per live data file straight from
+  the manifest (bucket, entry, on-disk bytes, DV flag, stats JSON) —
+  Iceberg's ``.files`` metadata table as a statement; zero data reads
 
 ``<pred>`` is the shared data-skipping grammar (mr_spark/predicates.py
 — comparisons, BETWEEN, IN, NOT IN, IS [NOT] NULL, parenthesised OR
@@ -906,16 +916,72 @@ def execute_dml(spark, sql_text: str, mode: str = "cow") -> int:
             dry_run=dry is not None,
         )
     m = re.match(
-        r"^\s*RESTORE\s+([A-Za-z_]\w*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$",
+        r"^\s*RESTORE\s+([A-Za-z_]\w*)\s+TO\s+"
+        r"(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+(?:\.\d+)?)\s*$",
         stmt,
         re.IGNORECASE,
     )
     if m:
-        view, ver = m.groups()
+        view, kind, lit = m.groups()
         t = _table(spark, view)
-        v = t.restore(int(ver))
+        target = (
+            int(lit)
+            if kind.upper() == "VERSION"
+            else t.version_at(float(lit))
+        )
+        v = t.restore(target)
         _rebind(spark, view)
         return v
+    m = re.match(
+        r"^\s*APPLY\s+CHANGES\s+INTO\s+([A-Za-z_]\w*)\s+FROM\s+"
+        r"([A-Za-z_][\w.]*)(?:\s+BATCH\s+(\d+))?(?:\s+APP\s+'([^']+)')?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if m:
+        view, src, batch, app = m.groups()
+        t = _table(spark, view)
+        kw = {}
+        if batch is not None:
+            kw["batch_id"] = int(batch)
+        if app is not None:
+            kw["app_id"] = app
+        v = t.apply_changes(spark.table(src), **kw)
+        _rebind(spark, view)
+        return v
+    m = re.match(
+        r"^\s*DESCRIBE\s+FILES\s+([A-Za-z_]\w*)\s*$", stmt, re.IGNORECASE
+    )
+    if m:
+        import json as _json
+        import os
+
+        t = _table(spark, m.group(1))
+        mfst = t._manifest(t.latest_version())
+        dvs = mfst.get("dvs", {})
+        rows = []
+        for b, rels in sorted(mfst["files"].items()):
+            for rel in rels:
+                full = t._entry_full(rel)
+                rows.append(
+                    (
+                        b,
+                        rel,
+                        int(os.path.getsize(full))
+                        if os.path.exists(full)
+                        else -1,
+                        1 if dvs.get(rel) else 0,
+                        _json.dumps(
+                            mfst.get("stats", {}).get(rel, {}),
+                            sort_keys=True,
+                        ),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "bucket string, file string, bytes bigint, has_dv bigint, "
+            "stats string",
+        )
     m = re.match(
         r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+(.+)$",
         stmt,

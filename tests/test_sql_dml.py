@@ -555,3 +555,41 @@ def test_sql_analyze_and_generate(spark, tmp_path):
     paths = execute_dml(spark, "GENERATE symlink_format_manifest FOR TABLE sqlana")
     assert isinstance(paths, list) and paths
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_sql_restore_timestamp_apply_changes_describe_files(spark, tmp_path):
+    """The last statement spellings: RESTORE TO TIMESTAMP AS OF,
+    APPLY CHANGES INTO (the DLT verb), DESCRIBE FILES."""
+    t = _mk(spark, tmp_path, "sqlmisc")
+    v1_path = os.path.join(
+        t._versions_dir(), sorted(os.listdir(t._versions_dir()))[0]
+    )
+    ts1 = t._commit_ts(1, v1_path)
+    execute_dml(spark, "DELETE FROM sqlmisc WHERE k < 10")
+    # APPLY CHANGES: a CDF-shaped feed (delete one key, upsert another)
+    spark.createDataFrame(
+        [("delete", 15, "odd", 15.0), ("insert", 500, "new", 5.0)],
+        "_change_type string, k bigint, grp string, x double",
+    ).createOrReplaceTempView("sqlmisc_feed")
+    execute_dml(
+        spark, "APPLY CHANGES INTO sqlmisc FROM sqlmisc_feed BATCH 1 APP 'r'"
+    )
+    got = {r["k"] for r in t.read().collect()}
+    assert 15 not in got and 500 in got
+    # replayed batch commits nothing
+    v = t.latest_version()
+    execute_dml(
+        spark, "APPLY CHANGES INTO sqlmisc FROM sqlmisc_feed BATCH 1 APP 'r'"
+    )
+    assert t.latest_version() == v
+    # DESCRIBE FILES: manifest-only per-file inventory
+    files = execute_dml(spark, "DESCRIBE FILES sqlmisc").collect()
+    assert files and all(r["bytes"] > 0 for r in files)
+    m = t._manifest(t.latest_version())
+    assert len(files) == sum(len(r) for r in m["files"].values())
+    # RESTORE TO TIMESTAMP: back to v1 state
+    execute_dml(
+        spark, f"RESTORE sqlmisc TO TIMESTAMP AS OF {ts1}"
+    )
+    assert t.read().count() == len(ROWS)
+    assert spark.sql("SELECT COUNT(*) AS n FROM sqlmisc").first()["n"] == len(ROWS)
