@@ -99,6 +99,7 @@ from __future__ import annotations
 import builtins
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -179,6 +180,51 @@ def _part_of(bucket: str) -> str | None:
 def _hash_part(bucket: str) -> str:
     """The hash-bucket part of a (possibly composite) bucket id."""
     return bucket.rsplit("|", 1)[-1]
+
+
+# ---- partition-spec evolution (Iceberg's partition evolution) ---------------
+#
+# A table's partition layout can CHANGE over its lifetime
+# (``set_partition_spec``): the manifest carries an append-only
+# ``partition_specs`` list ([{"id": i, "column": col-or-None}, ...];
+# spec 0 is the create-time layout) plus a ``default_spec_id`` naming the
+# spec new writes use. NO data file moves at evolution time — exactly
+# Iceberg's headline property: old files stay under the spec they were
+# written with, and readers prune each bucket under ITS OWN spec.
+#
+# A bucket's spec is encoded IN its id: buckets written under spec i >= 1
+# carry an "s<i>." marker in the hash part — "<pval>|s1.3" (partitioned
+# spec) or "s1.3" (unpartitioned spec) — so the spec of every bucket is
+# derivable from the id alone (no per-bucket manifest map to carry, fold,
+# or desync), ids from DIFFERENT specs can never collide (two specs
+# sharing a partition value string would otherwise merge buckets and
+# mis-prune), and the TRUE hash suffix stays comparable across specs
+# (``_hash_of``) — which is what keeps cross-spec keyed writes correct:
+# the affected-bucket closure matches buckets of every spec holding a
+# source key's hash. Legacy spec-0 ids are byte-unchanged, so
+# pre-evolution tables and manifests are untouched.
+#
+# Rewrites (compact / copy-on-write DML / rebucket) recompute ``__bucket``
+# under the CURRENT default spec, so they MIGRATE rows to the live layout
+# — Iceberg's rewrite_data_files behavior; the change feed's global
+# multiset diff nets migration to zero change rows.
+
+_SPEC_MARK = re.compile(r"^s(\d+)\.")
+
+
+def _hash_of(bucket: str) -> str:
+    """The TRUE hash suffix of a bucket id, comparable ACROSS partition
+    specs (strips the "s<i>." spec marker evolved specs embed)."""
+    h = bucket.rsplit("|", 1)[-1]
+    mm = _SPEC_MARK.match(h)
+    return h[mm.end():] if mm else h
+
+
+def _sid_of(bucket: str) -> int:
+    """The partition-spec id a bucket was written under (0 = the
+    create-time spec; evolved specs embed an "s<i>." marker)."""
+    mm = _SPEC_MARK.match(bucket.rsplit("|", 1)[-1])
+    return int(mm.group(1)) if mm else 0
 
 
 # Bloom sizing: bits per distinct value and hash count. 10 bits/value at
@@ -452,6 +498,10 @@ class SnapshotTable:
             m["dvs"] = dvs
         if meta.get("partition_by"):
             m["partition_by"] = meta["partition_by"]
+        if meta.get("partition_specs"):
+            m["partition_specs"] = meta["partition_specs"]
+        if meta.get("default_spec_id"):
+            m["default_spec_id"] = meta["default_spec_id"]
         if "bloom_cols" in meta:
             m["bloom_cols"] = meta["bloom_cols"]
         if meta.get("colmap"):
@@ -521,6 +571,10 @@ class SnapshotTable:
         }
         if m.get("partition_by"):
             meta["partition_by"] = m["partition_by"]
+        if m.get("partition_specs"):
+            meta["partition_specs"] = m["partition_specs"]
+        if m.get("default_spec_id"):
+            meta["default_spec_id"] = m["default_spec_id"]
         if "bloom_cols" in m:
             meta["bloom_cols"] = m["bloom_cols"]
         if m.get("constraints"):
@@ -596,10 +650,23 @@ class SnapshotTable:
             "files": files,
             "stats": stats,
         }
-        # the partition spec is fixed at create and rides like key
+        # the DEFAULT partition column rides like key (an explicit None
+        # entry clears it — evolution back to an unpartitioned spec)
         pb = delta.get("partition_by", base.get("partition_by"))
         if pb:
             m["partition_by"] = pb
+        # partition-spec evolution: the spec list only ever grows; the
+        # default id is stored only when non-zero (0 = create-time spec)
+        ps = delta.get("partition_specs", base.get("partition_specs"))
+        if ps:
+            m["partition_specs"] = ps
+        ds = (
+            delta["default_spec_id"]
+            if "default_spec_id" in delta
+            else base.get("default_spec_id", 0)
+        )
+        if ds:
+            m["default_spec_id"] = ds
         # bloom_cols / colmap / phys_tombstones / features: an explicit
         # delta entry wins even when EMPTY (rename/drop can clear them —
         # "absent means carry" could resurrect a removed field), else carry
@@ -724,6 +791,10 @@ class SnapshotTable:
             d["key"] = nxt["key"]
         if nxt.get("partition_by") != base.get("partition_by"):
             d["partition_by"] = nxt.get("partition_by")
+        if nxt.get("partition_specs") != base.get("partition_specs"):
+            d["partition_specs"] = nxt.get("partition_specs")
+        if nxt.get("default_spec_id", 0) != base.get("default_spec_id", 0):
+            d["default_spec_id"] = nxt.get("default_spec_id", 0)
         for fld in ("bloom_cols", "colmap", "phys_tombstones", "features"):
             if nxt.get(fld) != base.get(fld):
                 d[fld] = nxt.get(fld) or []  # explicit empty = cleared
@@ -802,6 +873,7 @@ class SnapshotTable:
             "bloom_index",
             "value_partitioning",
             "identity_columns",
+            "partition_evolution",
         }
     )
 
@@ -831,6 +903,10 @@ class SnapshotTable:
             # composite bucket ids: a reader unaware of the partition
             # layout would hash-prune wrongly — must refuse, not misread
             f.add("value_partitioning")
+        if m.get("partition_specs"):
+            # mixed-spec bucket ids: a reader resolving every bucket
+            # under the single create-time spec would mis-prune
+            f.add("partition_evolution")
         return f
 
     def _check_features(self, m: dict) -> None:
@@ -938,6 +1014,10 @@ class SnapshotTable:
             m["n_buckets"],
             m["key"],
             m.get("partition_by"),
+            # a concurrent SET PARTITION SPEC invalidates staged rows:
+            # they were bucketed under the old default spec's ids
+            json.dumps(m.get("partition_specs", []), sort_keys=True),
+            m.get("default_spec_id", 0),
             json.dumps(m.get("constraints", {}), sort_keys=True),
             json.dumps(m.get("generated", {}), sort_keys=True),
             # the identity HIGH-WATER MARK is part of what staged rows
@@ -1668,16 +1748,60 @@ class SnapshotTable:
     # ---- value partitioning helpers ---------------------------------------
 
     @staticmethod
+    def _specs_of(m: dict) -> list[dict]:
+        """The manifest's partition-spec list, legacy-aware: a table that
+        never evolved has no ``partition_specs`` key and exactly one
+        implicit spec — id 0, the create-time ``partition_by``."""
+        return m.get("partition_specs") or [
+            {"id": 0, "column": m.get("partition_by")}
+        ]
+
+    @classmethod
+    def _pcol_of_bucket(cls, m: dict, bucket: str) -> str | None:
+        """The partition column ``bucket`` was written under — its OWN
+        spec's column, not the current default (Iceberg's per-file spec
+        resolution; None for buckets of an unpartitioned spec)."""
+        specs = m.get("partition_specs")
+        if not specs:
+            return m.get("partition_by")
+        sid = _sid_of(bucket)
+        if sid >= len(specs):
+            raise UnsupportedTableFeature(
+                f"bucket {bucket!r} was written under partition spec "
+                f"{sid}, which this manifest does not list — refusing "
+                "beats mis-pruning"
+            )
+        return specs[sid]["column"]
+
+    @classmethod
+    def _spec_columns(cls, m: dict) -> set:
+        """Every column ANY partition spec (current or historical) keys
+        on — schema changes to these would orphan the composite bucket
+        ids / directory names that already encode their values."""
+        return {s["column"] for s in cls._specs_of(m) if s["column"]}
+
+    @staticmethod
     def _bucket_expr(m: dict, n_buckets: int | None = None) -> F.Column:
-        """The __bucket id for an incoming frame under manifest ``m``:
-        the plain hash bucket, or the composite
-        "<partition value>|<hash bucket>" for value-partitioned tables
-        (the frame must carry the partition column)."""
+        """The __bucket id for an incoming frame under manifest ``m``'s
+        CURRENT DEFAULT partition spec: the plain hash bucket, or the
+        composite "<partition value>|<hash bucket>" for value-partitioned
+        tables (the frame must carry the partition column). Evolved specs
+        (id >= 1) embed their "s<i>." marker in the hash part so ids from
+        different specs never collide — see the partition-spec-evolution
+        block comment."""
         b = _bucket_col(m["key"], n_buckets or m["n_buckets"])
+        sid = m.get("default_spec_id", 0)
         p = m.get("partition_by")
-        if not p:
+        if not sid and not p:
             return b
-        return F.concat_ws("|", F.col(p).cast("string"), b.cast("string"))
+        h = (
+            F.concat(F.lit(f"s{sid}."), b.cast("string"))
+            if sid
+            else b.cast("string")
+        )
+        if not p:
+            return h
+        return F.concat_ws("|", F.col(p).cast("string"), h)
 
     def _check_partition_values(self, m: dict, df: DataFrame) -> None:
         """Write-time guard for partitioned tables: the frame must carry
@@ -1706,21 +1830,24 @@ class SnapshotTable:
         """The bucket ids a keyed write must rewrite, given the distinct
         ``__bucket`` ids computed on its source/keys frame.
 
-        Unpartitioned: exactly those ids. Partitioned: a key's matching
-        TARGET rows may live under a DIFFERENT partition value than the
-        source row carries (the merge key does not imply the partition),
-        so pruning keeps only the HASH part — every existing composite
-        bucket whose hash suffix matches a source key's hash is affected,
-        plus the source's own composite ids (a source row may create a
-        brand-new partition). Still ~|source hash buckets|/n_buckets of
-        the table: the scale property of bucket pruning survives
-        partitioning; only partition-exact pruning is given up, because
-        it would silently lose cross-partition matches."""
-        if not m.get("partition_by"):
+        Unpartitioned (and never evolved): exactly those ids.
+        Partitioned OR spec-evolved: a key's matching TARGET rows may
+        live under a DIFFERENT partition value than the source row
+        carries (the merge key does not imply the partition) — and after
+        spec evolution, under a different SPEC entirely — so pruning
+        keeps only the TRUE hash part (``_hash_of``, comparable across
+        specs): every existing bucket of any spec whose hash suffix
+        matches a source key's hash is affected, plus the source's own
+        ids (a source row may create a brand-new bucket). Still ~|source
+        hash buckets|/n_buckets of the table: the scale property of
+        bucket pruning survives partitioning AND evolution; only
+        partition-exact pruning is given up, because it would silently
+        lose cross-partition (or cross-spec) matches."""
+        if not m.get("partition_by") and not m.get("partition_specs"):
             return sorted(ids)
-        suffixes = {_hash_part(b) for b in ids}
-        existing = {b for b in m["files"] if _hash_part(b) in suffixes}
-        return sorted(existing | {b for b in ids if "|" in b})
+        suffixes = {_hash_of(b) for b in ids}
+        existing = {b for b in m["files"] if _hash_of(b) in suffixes}
+        return sorted(existing | set(ids))
 
     # ---- column mapping (Delta's RENAME/DROP COLUMN substrate) -----------
     #
@@ -1888,10 +2015,12 @@ class SnapshotTable:
             )
         if old in m.get("identity", {}):
             raise ValueError(f"cannot rename identity column {old!r}")
-        if old == m.get("partition_by"):
+        if old in self._spec_columns(m):
             raise ValueError(
-                f"cannot rename the partition column {old!r} — the "
-                "partition spec is fixed at create (Delta's rule)"
+                f"cannot rename partition-spec column {old!r} — partition "
+                "specs (current AND historical — their composite bucket "
+                "ids encode this column's values) reference it by name; "
+                "evolve the spec away and migrate old buckets first"
             )
         cmap = dict(self._colmap(m))
         phys = cmap.pop(old, old)
@@ -1938,8 +2067,11 @@ class SnapshotTable:
             raise ValueError(f"no such column: {col!r}")
         if col == m["key"]:
             raise ValueError(f"cannot drop the bucket key column {col!r}")
-        if col == m.get("partition_by"):
-            raise ValueError(f"cannot drop the partition column {col!r}")
+        if col in self._spec_columns(m):
+            raise ValueError(
+                f"cannot drop partition-spec column {col!r} (current or "
+                "historical spec)"
+            )
         if col in m.get("identity", {}):
             raise ValueError(f"cannot drop identity column {col!r}")
         cons = self._constraint_mentions(m, col)
@@ -2160,11 +2292,11 @@ class SnapshotTable:
                 "hash differently, so every existing bucket assignment "
                 "would be wrong"
             )
-        if col == m.get("partition_by"):
+        if col in self._spec_columns(m):
             raise ValueError(
-                f"cannot widen the partition column {col!r}: the "
-                "canonical partition-value string would change under "
-                "every existing composite bucket id"
+                f"cannot widen partition-spec column {col!r} (current or "
+                "historical spec): the canonical partition-value string "
+                "would change under every existing composite bucket id"
             )
         if col in self._bloom_cols(m):
             raise ValueError(
@@ -2307,6 +2439,13 @@ class SnapshotTable:
         }
         if m_old.get("partition_by"):
             nxt["partition_by"] = m_old["partition_by"]
+        # the partition-spec STATE restores with the files (the restored
+        # buckets' ids were written under it); rolled-back specs stay
+        # readable through their own versions' manifests
+        if m_old.get("partition_specs"):
+            nxt["partition_specs"] = m_old["partition_specs"]
+        if m_old.get("default_spec_id"):
+            nxt["default_spec_id"] = m_old["default_spec_id"]
         if "bloom_cols" in m_old:
             nxt["bloom_cols"] = m_old["bloom_cols"]
         if m_old.get("constraints"):
@@ -2432,6 +2571,10 @@ class SnapshotTable:
         }
         if m.get("partition_by"):
             manifest["partition_by"] = m["partition_by"]
+        if m.get("partition_specs"):
+            manifest["partition_specs"] = m["partition_specs"]
+        if m.get("default_spec_id"):
+            manifest["default_spec_id"] = m["default_spec_id"]
         if "bloom_cols" in m:
             manifest["bloom_cols"] = m["bloom_cols"]
         if m.get("constraints"):
@@ -2596,6 +2739,84 @@ class SnapshotTable:
         nxt = self._next_manifest(m, new_files, new_stats, dvs={})
         nxt["n_buckets"] = n_buckets
         return self._commit(nxt, base, op={"operation": "REBUCKET", "n_buckets": n_buckets})
+
+    def set_partition_spec(self, col: str | None) -> int:
+        """PARTITION-SPEC EVOLUTION (Iceberg's headline table-layout
+        feature — spec evolution, Iceberg spec §Partition Evolution):
+        change the partition column NEW writes lay out under, in ONE
+        metadata-only commit that moves ZERO data files. Old files stay
+        under the spec they were written with; readers resolve every
+        bucket under its OWN spec (the id embeds it — see the
+        partition-spec-evolution block comment) and prune each layout
+        with its own column, falling back to per-file [min, max] stats
+        where the bucket's spec can't answer a predicate. ``col=None``
+        evolves to an unpartitioned layout. Re-evolving to a column some
+        earlier spec used REUSES that spec's id (Iceberg does the same),
+        so round-trips don't grow the spec list.
+
+        The everyday 100 TB story this exists for: "we should have
+        partitioned by day" on a table that already has years of data —
+        Delta's answer is a full-table rewrite; this (like Iceberg) is
+        one O(1) commit, with OPTIMIZE migrating old buckets to the new
+        layout incrementally and AS A CHOICE (compact() recomputes
+        bucket ids under the current default spec).
+
+        Partition-targeted maintenance stays available across mixed
+        layouts when the manifest can PROVE it safe: drop_partition /
+        replace_where accept foreign-spec live buckets iff every foreign
+        file's stats prove it cannot contain the targeted value, else
+        they refuse and point at the predicate DELETE path."""
+        base = self.latest_version()
+        m = self._manifest(base)
+        if col == m.get("partition_by"):
+            return base  # already the default spec — no-op
+        if col is not None:
+            if col not in self._schema_names(m):
+                raise ValueError(
+                    f"set_partition_spec: column {col!r} is not in the "
+                    "table schema"
+                )
+            if col == m["key"]:
+                raise ValueError(
+                    "partition column must differ from the bucket key — "
+                    "the key already drives the hash layout"
+                )
+            if col in m.get("identity", {}):
+                raise ValueError(
+                    "an identity column cannot be the partition column"
+                )
+        specs = [dict(s) for s in self._specs_of(m)]
+        reuse = next((s for s in specs if s["column"] == col), None)
+        if reuse is None:
+            reuse = {"id": len(specs), "column": col}
+            specs.append(reuse)
+        sid = reuse["id"]
+
+        def assemble(mb: dict) -> dict:
+            nxt = self._next_manifest(
+                mb, {b: list(r) for b, r in mb["files"].items()}, {}
+            )
+            nxt["partition_specs"] = specs
+            if sid:
+                nxt["default_spec_id"] = sid
+            else:
+                nxt.pop("default_spec_id", None)
+            if col:
+                nxt["partition_by"] = col
+            else:
+                nxt.pop("partition_by", None)
+            return nxt
+
+        return self._commit_rebased(
+            m,
+            base,
+            assemble,
+            op={
+                "operation": "SET PARTITION SPEC",
+                "column": col,
+                "spec_id": sid,
+            },
+        )
 
     def copy_into(
         self,
@@ -2810,24 +3031,32 @@ class SnapshotTable:
         # form). last_partition_prune records the ladder for
         # certification.
         buckets = m["files"]
-        pcol = m.get("partition_by")
         self.last_partition_prune = None
-        if pcol:
+        # after spec evolution each bucket prunes under its OWN spec's
+        # column (Iceberg's per-file spec resolution): compute the pinned
+        # value set per spec column, keep a bucket unless ITS column is
+        # pinned and its value falls outside. Unpartitioned-spec buckets
+        # pass through to the per-file stats below.
+        pinned: dict[str, set] = {}
+        for c in self._spec_columns(m):
             keep_vals: set | None = None
             for atoms in conjuncts:
-                vals = pcol_point_values(atoms, pcol)
+                vals = pcol_point_values(atoms, c)
                 if vals is not None:
                     keep_vals = vals if keep_vals is None else keep_vals & vals
             if keep_vals is not None:
-                buckets = {
-                    b: rels
-                    for b, rels in buckets.items()
-                    if _part_of(b) in keep_vals
-                }
-                self.last_partition_prune = {
-                    "total_buckets": len(m["files"]),
-                    "kept_buckets": len(buckets),
-                }
+                pinned[c] = keep_vals
+        if pinned:
+            buckets = {
+                b: rels
+                for b, rels in buckets.items()
+                if (bc := self._pcol_of_bucket(m, b)) not in pinned
+                or _part_of(b) in pinned[bc]
+            }
+            self.last_partition_prune = {
+                "total_buckets": len(m["files"]),
+                "kept_buckets": len(buckets),
+            }
         # per-file: drop only files PROVEN disjoint with some conjunct
         # (blooms probe only CURRENTLY-indexed columns — a dropped
         # index's stale per-file blooms stay in the stats, immutable
@@ -2835,6 +3064,7 @@ class SnapshotTable:
         # canonical probe text and a stale probe would false-negative)
         paths = []
         for b, rels in buckets.items():
+            pcol = self._pcol_of_bucket(m, b)
             pval = _part_of(b) if pcol else None
             for rel in rels:
                 fstats = stats.get(rel, {})
@@ -3018,6 +3248,10 @@ class SnapshotTable:
         }
         if m.get("partition_by"):
             nxt["partition_by"] = m["partition_by"]
+        if m.get("partition_specs"):
+            nxt["partition_specs"] = m["partition_specs"]
+        if m.get("default_spec_id"):
+            nxt["default_spec_id"] = m["default_spec_id"]
         if "bloom_cols" in m:
             nxt["bloom_cols"] = m["bloom_cols"]
         if m.get("constraints"):
@@ -3797,6 +4031,56 @@ class SnapshotTable:
             app_id=app_id,
         )
 
+    def _check_foreign_spec_disjoint(
+        self, m: dict, pcol: str, value, op: str
+    ) -> None:
+        """Partition-targeted maintenance (drop_partition /
+        replace_where) on a spec-EVOLVED table: live buckets written
+        under a spec that does NOT key on ``pcol`` may contain rows with
+        ``pcol == sval`` that their composite ids cannot reveal. Allow
+        the operation iff every such file's manifest stats PROVE it
+        disjoint with the targeted value (the same footer-stats
+        trichotomy predicate DML plans from); otherwise refuse and point
+        at the exact path — silently skipping those rows would corrupt
+        the operation's contract."""
+        if not m.get("partition_specs"):
+            return
+        from .predicates import conjunct_verdict
+
+        conjuncts = self._where_list([("=", pcol, value)])
+        stats = m.get("stats", {})
+        phys_of = lambda c: self._phys(m, c)  # noqa: E731
+        bloom_phys = set(self._bloom_cols_phys(m))
+        int_cols = self._int_cols_phys(m)
+        for b, rels in m["files"].items():
+            bc = self._pcol_of_bucket(m, b)
+            if bc == pcol:
+                continue
+            pval = _part_of(b) if bc else None
+            for rel in rels:
+                verdicts = [
+                    conjunct_verdict(
+                        atoms,
+                        stats.get(rel, {}),
+                        phys_of=phys_of,
+                        pval=pval,
+                        pcol=bc,
+                        bloom_phys=bloom_phys,
+                        bloom_might_contain=_bloom_might_contain,
+                        int_cols=int_cols,
+                    )
+                    for atoms in conjuncts
+                ]
+                if not any(v == "disjoint" for v in verdicts):
+                    raise ValueError(
+                        f"{op}({value!r}): live file {rel!r} was written "
+                        f"under a partition spec not keyed on {pcol!r} "
+                        "and its stats cannot prove it free of the "
+                        "targeted value — use delete(where=...) / "
+                        "predicate DML, or compact(migrate_specs=True) "
+                        "to migrate old buckets to the current spec first"
+                    )
+
     def drop_partition(self, value) -> int:
         """Retire one partition of a value-partitioned table as a
         METADATA-ONLY commit (Delta's partitioned-table retention idiom,
@@ -3811,12 +4095,23 @@ class SnapshotTable:
         composite ids)."""
         base = self.latest_version()
         m = self._manifest(base)
-        if not m.get("partition_by"):
+        pcol = m.get("partition_by")
+        if not pcol:
             raise ValueError(
-                "drop_partition requires a table created with partition_by"
+                "drop_partition requires a table whose CURRENT partition "
+                "spec names a column (create with partition_by, or "
+                "set_partition_spec)"
             )
         sval = str(value)
-        victims = sorted(b for b in m["files"] if _part_of(b) == sval)
+        # spec evolution: victims are the buckets whose OWN spec keys on
+        # this column; buckets under other specs may hold matching rows
+        # invisible to their ids — provably-safe or refuse
+        victims = sorted(
+            b
+            for b in m["files"]
+            if self._pcol_of_bucket(m, b) == pcol and _part_of(b) == sval
+        )
+        self._check_foreign_spec_disjoint(m, pcol, value, "drop_partition")
         if not victims:
             return base  # nothing referenced under that value — no-op
 
@@ -3907,7 +4202,12 @@ class SnapshotTable:
                 f"replaced partition — every row's {p!r} must equal the "
                 "replaced value (Delta's replaceWhere data constraint)"
             )
-        victims = sorted(b for b in m["files"] if _part_of(b) == sval)
+        victims = sorted(
+            b
+            for b in m["files"]
+            if self._pcol_of_bucket(m, b) == p and _part_of(b) == sval
+        )
+        self._check_foreign_spec_disjoint(m, p, value, "replace_where")
         df, new_hw, release = self._with_identity(m, df)
         ident_col = next(iter(m["identity"])) if m.get("identity") else None
         try:
@@ -3966,8 +4266,14 @@ class SnapshotTable:
                 size += os.path.getsize(self._entry_full(rel))
             except OSError:
                 pass  # externally-referenced clone file vanished — skip
+        pcol_cur = m.get("partition_by")
         parts = sorted(
-            {p for b in m["files"] if (p := _part_of(b)) is not None}
+            {
+                p
+                for b in m["files"]
+                if self._pcol_of_bucket(m, b) == pcol_cur
+                and (p := _part_of(b)) is not None
+            }
         )
         cps = self._checkpoint_versions()
         return {
@@ -3980,6 +4286,10 @@ class SnapshotTable:
             "n_buckets": m["n_buckets"],
             "partition_by": m.get("partition_by"),
             "numPartitions": len(parts) if m.get("partition_by") else None,
+            "partition_specs": [dict(s) for s in self._specs_of(m)]
+            if m.get("partition_specs")
+            else None,
+            "default_spec_id": m.get("default_spec_id", 0),
             "features": sorted(self._features_of(m)),
             "constraints": dict(m.get("constraints", {})),
             "generated": dict(m.get("generated", {})),
@@ -4038,10 +4348,23 @@ class SnapshotTable:
                 "where the table reads the default; rewrite those files "
                 "first (e.g. rebucket())"
             )
+        live_pcols = {
+            self._pcol_of_bucket(m, b) for b in m["files"]
+        }
+        if len(live_pcols) > 1:
+            raise ValueError(
+                "generate: live files span more than one partition spec "
+                f"(columns {sorted(c or '<none>' for c in live_pcols)}) — "
+                "external hive-layout readers assume ONE layout; migrate "
+                "old buckets to the current spec first "
+                "(compact(migrate_specs=True) or rebucket())"
+            )
         root = os.path.join(self.path, "_symlink_format_manifest")
         if os.path.isdir(root):
             shutil.rmtree(root)  # drop stale manifests (removed partitions)
-        pcol = m.get("partition_by")
+        # the LIVE buckets' (single) spec column — may lag the default
+        # spec right after an evolution, which is the correct export
+        pcol = next(iter(live_pcols), None)
         groups: dict[str, list[str]] = {}
         for b, rels in m["files"].items():
             if pcol:
@@ -4301,7 +4624,6 @@ class SnapshotTable:
                 f"predicate references columns not in the table schema: "
                 f"{unknown}"
             )
-        pcol = m.get("partition_by")
         stats = m.get("stats", {})
         bloom_phys = set(self._bloom_cols_phys(m))
         int_cols = self._int_cols_phys(m)
@@ -4309,6 +4631,8 @@ class SnapshotTable:
         full: dict[str, list] = {}
         straddle: dict[str, list] = {}
         for b, rels in m["files"].items():
+            # each bucket classifies under its OWN spec (spec evolution)
+            pcol = self._pcol_of_bucket(m, b)
             pval = _part_of(b) if pcol else None
             for rel in rels:
                 fstats = stats.get(rel, {})
@@ -4869,10 +5193,20 @@ class SnapshotTable:
         zorder_by: tuple | None = None,
         files_per_bucket: int = 4,
         partition=None,
+        migrate_specs: bool = False,
     ) -> int:
         """OPTIMIZE: rewrite every multi-file bucket (append debris) into
         one file; single-file buckets carry by reference. Data unchanged —
         read(version_before) == read(version_after).
+
+        ``migrate_specs=True`` (Iceberg's ``rewrite_data_files`` after a
+        partition evolution): ALSO rewrite every bucket written under a
+        non-default partition spec. Rewrites always recompute bucket ids
+        under the CURRENT default spec, so this is the incremental,
+        as-a-choice migration path set_partition_spec deliberately does
+        not force — after it, the whole table lays out under one spec
+        (re-enabling generate() and stats-unprovable drop_partition /
+        replace_where targets).
 
         ``partition=<value>`` (Delta's ``OPTIMIZE ... WHERE part = v``)
         scopes the rewrite to ONE partition of a value-partitioned table:
@@ -4900,11 +5234,20 @@ class SnapshotTable:
         if partition is not None:
             if not m.get("partition_by"):
                 raise ValueError(
-                    "compact(partition=...) requires a table created with "
-                    "partition_by"
+                    "compact(partition=...) requires a table whose current "
+                    "partition spec names a column"
                 )
             sval = str(partition)
-            pool = {b: r for b, r in pool.items() if _part_of(b) == sval}
+            # OPTIMIZE WHERE targets the CURRENT spec's layout; buckets
+            # written under other specs are out of scope (their ids
+            # don't encode this column — compact() without a partition
+            # migrates them)
+            pcol = m["partition_by"]
+            pool = {
+                b: r
+                for b, r in pool.items()
+                if self._pcol_of_bucket(m, b) == pcol and _part_of(b) == sval
+            }
         if zorder_by is None:
             # multi-file buckets (append debris) AND any bucket whose
             # files carry deletion vectors — OPTIMIZE is the DV purge
@@ -4912,10 +5255,13 @@ class SnapshotTable:
             # size), so a single-file bucket with dead rows still
             # rewrites to apply-and-drop them
             dvs = m.get("dvs", {})
+            dsid = m.get("default_spec_id", 0)
             targets = sorted(
                 b
                 for b, rels in pool.items()
-                if len(rels) > 1 or any(rel in dvs for rel in rels)
+                if len(rels) > 1
+                or any(rel in dvs for rel in rels)
+                or (migrate_specs and _sid_of(b) != dsid)
             )
         else:
             targets = sorted(pool)  # clustered rewrite touches all in scope
@@ -4955,7 +5301,13 @@ class SnapshotTable:
                 for b, rels in mb["files"].items()
                 if b not in set(targets)
             }
-            files.update(new_files)
+            for b, rels in new_files.items():
+                # ADDITIVE outside the rewritten set: after a partition-
+                # spec evolution the rewrite MIGRATES rows to the current
+                # default spec, so rewritten rows can land in a live
+                # bucket that was NOT a compaction target — replacing its
+                # list would silently drop its existing files
+                files[b] = files.get(b, []) + rels
             return self._next_manifest(mb, files, new_stats)
 
         return self._commit_rebased(

@@ -97,7 +97,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the rest of the r03 block (event_cooccurrence onward) leads the r09
 # rotation, then the r04 cohort.
 _CHECK_PRIORITY = [
-    # -- NEW this round (round 8) --
+    # -- NEW this round (round 8, third session): partition-spec
+    # evolution, plus the queries whose machinery it rewired
+    # (drop_partition/replace_where victims + stats proofs, compact's
+    # partition scoping + additive assemble, generate's spec guard,
+    # detail's spec fields, the V2 sink's spec-marked ids, the V2
+    # source's per-bucket spec pruning) --
+    "acid_partition_evolution",
+    "snapshot_drop_partition", "snapshot_sink_partitioned",
+    "acid_optimize_partition", "snapshot_generate_manifest",
+    "snapshot_describe_detail",
+    # -- NEW this round (earlier sessions) --
     "acid_predicate_grammar", "snapshot_sql_dml", "snapshot_sql_insert",
     "snapshot_convert_in_place",
     "dedup_lines", "dedup_spans", "dedup_neardup_docs",
@@ -124,11 +134,10 @@ _CHECK_PRIORITY = [
     "top_terms_per_doc", "udtf_sentences", "welch_ttest_ab",
     # -- r03-evidence block, alphabetical head (next-oldest) --
     "anomaly_days", "approx_quantile_bounds", "bm25_topk",
-    "bpe_token_count", "bucketed_fact_join", "case_bucketing",
-    "date_arithmetic", "dedup_keep_best", "doc_fingerprint",
-    "embedding_dim_stats", "equidepth_histogram",
-    # (event_cooccurrence, event_funnel, frame_sample_stub ...
-    #  winnow_containment: r09 rotation head)
+    "bpe_token_count", "bucketed_fact_join",
+    # (case_bucketing, date_arithmetic ... winnow_containment: r09
+    #  rotation head — six r03 rows displaced by the partition-
+    #  evolution cohort above)
 ]
 
 

@@ -4578,6 +4578,144 @@ def acid_predicate_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _partition_evolution_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """5-version history for the partition-evolution query: v1 = CREATE
+    unpartitioned from the non-'5-LOW' third of orders (the "we forgot
+    to partition" starting state); v2 = set_partition_spec(priority) —
+    metadata-only, zero files moved; v3 = append of a second third (ALL
+    priorities) laying out under the NEW spec while v1's buckets stay
+    put; v4 = drop_partition('5-LOW') — metadata-only even with MIXED
+    specs, because every old-spec file's [min, max] stats PROVE it free
+    of '5-LOW' (the fixture excluded it from v1 by construction); v5 =
+    MERGE doubling the '2-HIGH' v1 rows' prices — a cross-spec
+    copy-on-write (the targets live in OLD-spec buckets, found through
+    the spec-blind hash-suffix closure). Memoized per process (see
+    _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 5)
+    cached = _FIXTURES.get(key)
+    if _fixture_alive(cached, spark, 5):
+        return cached
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    a = o.where((k % 3 == 0) & (F.col("o_orderpriority") != "5-LOW"))
+    t = SnapshotTable.create(
+        spark, _snapshot_demo_path(demo), a, key="o_orderkey", n_buckets=4
+    )
+    t.set_partition_spec("o_orderpriority")
+    t.append(o.where(k % 3 == 1))
+    t.drop_partition("5-LOW")
+    t.merge_upsert(
+        a.where(F.col("o_orderpriority") == "2-HIGH").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+    )
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "acid_partition_evolution",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_orderpriority <> '5-LOW'
+    ),
+    b AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      WHERE o_orderkey % 3 = 1
+    ),
+    t3 AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+    t4 AS (SELECT * FROM t3 WHERE o_orderpriority <> '5-LOW'),
+    t5 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 3 = 0 AND o_orderpriority = '2-HIGH'
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS price
+      FROM t4
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(price * 100, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM t5 GROUP BY 1
+    """,
+)
+def acid_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION (Iceberg's headline layout feature,
+    ``SnapshotTable.set_partition_spec`` — mr_spark/acid.py; SQL:
+    ``ALTER TABLE ... ADD/DROP/REPLACE PARTITION FIELD``): change the
+    partition layout of a live table in ONE metadata commit — old files
+    stay under the spec they were written with (their composite bucket
+    ids resolve it — the "s<i>." marker), new writes lay out under the
+    new spec, and readers prune EACH bucket under its own spec's
+    column. Certified live, RAISES otherwise:
+
+    * the evolution commit (v2) moved ZERO files (v2's file map is
+      byte-identical to v1's) and history records SET PARTITION SPEC;
+    * the post-evolution append (v3) created only NEW-spec buckets
+      ("s1." marker) and left every v1 bucket's file list unchanged;
+    * drop_partition('5-LOW') (v4) stayed METADATA-ONLY across MIXED
+      specs — pure removal (v4's files are a strict subset of v3's),
+      legal because every old-spec file's stats PROVE it free of the
+      value (the stats-proof-or-refuse contract; old-spec files with
+      possible overlap make drop_partition raise — pinned in
+      tests/test_partition_evolution.py);
+    * a partition-pinned read prunes the bucket map (old-spec buckets
+      kept — their ids cannot answer — then dropped by per-file
+      stats), and the cross-spec MERGE's doubled prices land exactly
+      (the oracle replays all five versions).
+
+    Scale: "we should have partitioned by day" on a 100 TB table is
+    Iceberg's canonical evolution story — one O(1) commit here vs
+    Delta's full-table rewrite; migration to the new layout happens
+    incrementally and AS A CHOICE via compact(migrate_specs=True)."""
+    t = _partition_evolution_fixture(spark, sf_dir, "acid_pevo_demo")
+    from ..acid import _sid_of
+
+    m1, m2, m3, m4 = (t._manifest(v) for v in (1, 2, 3, 4))
+    if m2["files"] != m1["files"] or m2.get("default_spec_id") != 1:
+        raise RuntimeError(
+            "set_partition_spec was not metadata-only — evolution moved "
+            "data files or the default spec did not switch"
+        )
+    h = {r["version"]: r for r in t.history()}
+    if h[2]["operation"] != "SET PARTITION SPEC":
+        raise RuntimeError("v2 is not the evolution commit")
+    fresh = set(m3["files"]) - set(m2["files"])
+    if not fresh or any(_sid_of(b) != 1 for b in fresh) or any(
+        m3["files"][b] != m2["files"][b] for b in m2["files"]
+    ):
+        raise RuntimeError(
+            "post-evolution append did not lay out under the new spec "
+            "(or disturbed old-spec buckets)"
+        )
+    f3 = {rel for rels in m3["files"].values() for rel in rels}
+    f4 = {rel for rels in m4["files"].values() for rel in rels}
+    if not f4 < f3:
+        raise RuntimeError(
+            "mixed-spec drop_partition was not a pure metadata removal"
+        )
+    t.read(where=("o_orderpriority", "1-URGENT", "1-URGENT")).count()
+    pr = t.last_partition_prune
+    if not pr or pr["kept_buckets"] >= pr["total_buckets"]:
+        raise RuntimeError(
+            "partition-pinned read did not prune the mixed-spec bucket map"
+        )
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+
+
 def _widen_fixture(spark: SparkSession, sf_dir: str, demo: str):
     """3-version history for the type-widening query: v1 = even-key
     orders with o_totalprice narrowed to FLOAT; v2 = widen_column to

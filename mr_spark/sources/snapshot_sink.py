@@ -330,6 +330,11 @@ class SnapshotWriter(DataSourceWriter):
                     "AS STRING)) — use SnapshotTable.append"
                 )
         self.n_buckets = m["n_buckets"]
+        # partition-spec evolution: ids written under an evolved default
+        # spec embed its "s<i>." marker (acid._bucket_expr's format); a
+        # concurrent SET PARTITION SPEC between planning and commit is
+        # caught by the identity fingerprint below
+        self.default_spec_id = m.get("default_spec_id", 0)
         self.colmap = m.get("colmap", {})
         self.bloom_cols_phys = tuple(
             self.colmap.get(c, c) for c in m.get("bloom_cols", ())
@@ -389,13 +394,15 @@ class SnapshotWriter(DataSourceWriter):
                 )
             hb = bucket_of(vals[key_idx], key_type, self.n_buckets)
             # composite "<partition value>|<hash>" id for partitioned
-            # tables — the same id acid._bucket_expr computes, so every
-            # bucket-keyed mechanism (pruning, CoW, CDF diffs) sees sink
-            # rows identically to SnapshotTable.append's
+            # tables — the same id acid._bucket_expr computes (including
+            # the evolved-spec "s<i>." marker), so every bucket-keyed
+            # mechanism (pruning, CoW, CDF diffs) sees sink rows
+            # identically to SnapshotTable.append's
+            hs = f"s{self.default_spec_id}.{hb}" if self.default_spec_id else str(hb)
             b = (
-                f"{canonical_partition_value(vals[p_idx], p_type)}|{hb}"
+                f"{canonical_partition_value(vals[p_idx], p_type)}|{hs}"
                 if p_idx is not None
-                else str(hb)
+                else hs
             )
             buckets.setdefault(b, []).append(vals)
         staging = os.path.join(

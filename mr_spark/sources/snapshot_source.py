@@ -274,20 +274,33 @@ class SnapshotReader(DataSourceReader):
         # without stats. Advisory like everything here: the executor
         # re-applies every predicate exactly row-level.
         buckets = m["files"]
-        pcol = m.get("partition_by")
-        if pcol:
-            keep_vals: set | None = None
+        # after partition-spec evolution each bucket prunes under ITS
+        # OWN spec's column (mixed layouts coexist — acid.py's
+        # partition-evolution block comment); legacy tables resolve to
+        # the single create-time column
+        from ..acid import SnapshotTable as _ST
+
+        spec_cols = _ST._spec_columns(m)
+        if spec_cols:
             from ..predicates import pcol_point_values
 
-            for atoms in self._preds:
-                vals = pcol_point_values(atoms, pcol)
-                if vals is not None:
-                    keep_vals = vals if keep_vals is None else keep_vals & vals
-            if keep_vals is not None:
+            pinned: dict[str, set] = {}
+            for c in spec_cols:
+                keep_vals: set | None = None
+                for atoms in self._preds:
+                    vals = pcol_point_values(atoms, c)
+                    if vals is not None:
+                        keep_vals = (
+                            vals if keep_vals is None else keep_vals & vals
+                        )
+                if keep_vals is not None:
+                    pinned[c] = keep_vals
+            if pinned:
                 buckets = {
                     b: rels
                     for b, rels in buckets.items()
-                    if _part_of(b) in keep_vals
+                    if (bc := _ST._pcol_of_bucket(m, b)) not in pinned
+                    or _part_of(b) in pinned[bc]
                 }
         # predicates arrive under LOGICAL names; stats and blooms are
         # keyed by the PHYSICAL in-file names (column mapping) —
@@ -316,6 +329,7 @@ class SnapshotReader(DataSourceReader):
             )
         parts: list[InputPartition] = []
         for b, rels in buckets.items():
+            pcol = _ST._pcol_of_bucket(m, b)
             pval = _part_of(b) if pcol else None
             for rel in rels:
                 if not self._keep_file(

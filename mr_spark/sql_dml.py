@@ -106,6 +106,11 @@ ALTER statements (all metadata-only commits):
   widening only (widen_column's rules)
 * ``ALTER TABLE <view> ADD CONSTRAINT <name> CHECK (<expr>)`` /
   ``ALTER TABLE <view> DROP CONSTRAINT <name>``
+* ``ALTER TABLE <view> ADD PARTITION FIELD <col>`` /
+  ``DROP PARTITION FIELD <col>`` /
+  ``REPLACE PARTITION FIELD <col> WITH <col>`` — Iceberg's
+  partition-evolution DDL → ``set_partition_spec`` (metadata-only;
+  old files stay under their spec)
 
 Introspection statements (return a DataFrame, not a version):
 
@@ -527,10 +532,53 @@ def _alter(spark, view: str, action: str) -> int:
     )
     if m:
         return t.drop_constraint(m.group(1))
+    # Iceberg's partition-evolution DDL (spec §Partition Evolution;
+    # single-field specs in this layer, so ADD requires an unpartitioned
+    # current spec and REPLACE swaps the one field) — all metadata-only
+    m = re.match(
+        r"^ADD\s+PARTITION\s+FIELD\s+([A-Za-z_]\w*)\s*$",
+        action,
+        re.IGNORECASE,
+    )
+    if m:
+        cur = t._manifest(t.latest_version()).get("partition_by")
+        if cur:
+            raise ValueError(
+                f"table already partitions by {cur!r} — this layer's "
+                "specs have ONE field; use REPLACE PARTITION FIELD "
+                f"{cur} WITH {m.group(1)}"
+            )
+        return t.set_partition_spec(m.group(1))
+    m = re.match(
+        r"^DROP\s+PARTITION\s+FIELD\s+([A-Za-z_]\w*)\s*$",
+        action,
+        re.IGNORECASE,
+    )
+    if m:
+        cur = t._manifest(t.latest_version()).get("partition_by")
+        if cur != m.group(1):
+            raise ValueError(
+                f"current partition field is {cur!r}, not {m.group(1)!r}"
+            )
+        return t.set_partition_spec(None)
+    m = re.match(
+        r"^REPLACE\s+PARTITION\s+FIELD\s+([A-Za-z_]\w*)\s+WITH\s+"
+        r"([A-Za-z_]\w*)\s*$",
+        action,
+        re.IGNORECASE,
+    )
+    if m:
+        cur = t._manifest(t.latest_version()).get("partition_by")
+        if cur != m.group(1):
+            raise ValueError(
+                f"current partition field is {cur!r}, not {m.group(1)!r}"
+            )
+        return t.set_partition_spec(m.group(2))
     raise ValueError(
         f"unsupported ALTER action {action!r} — supported: ADD COLUMN "
         "[DEFAULT/INITIAL DEFAULT], RENAME COLUMN, DROP COLUMN, ALTER "
-        "COLUMN TYPE (lossless widening), ADD/DROP CONSTRAINT"
+        "COLUMN TYPE (lossless widening), ADD/DROP CONSTRAINT, "
+        "ADD/DROP/REPLACE PARTITION FIELD (partition-spec evolution)"
     )
 
 
@@ -817,7 +865,18 @@ def execute_dml(spark, sql_text: str, mode: str = "cow") -> int:
             raise ValueError(
                 f"table behind {m.group(1)!r} is not value-partitioned"
             )
-        vals = sorted({_part_of(b) for b in mfst["files"]})
+        from .acid import SnapshotTable as _ST
+
+        # spec evolution: only buckets whose OWN spec keys on the
+        # CURRENT column are partitions OF that column; foreign-spec
+        # buckets' composite values mean a different column entirely
+        vals = sorted(
+            {
+                _part_of(b)
+                for b in mfst["files"]
+                if _ST._pcol_of_bucket(mfst, b) == pcol
+            }
+        )
         return spark.createDataFrame([(v,) for v in vals], f"{pcol} string")
     m = re.match(r"^\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\s*(.*)$", stmt,
                  re.IGNORECASE | re.DOTALL)

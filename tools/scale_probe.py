@@ -201,6 +201,8 @@ PROBES = [
     "snapshot_convert_in_place",
     "url_domain_stats",
     "dedup_neardup_docs",
+    # round-8 third session: partition-spec evolution (Iceberg)
+    "acid_partition_evolution",
 ]
 
 KEY_SHIFTS = {
