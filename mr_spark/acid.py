@@ -227,6 +227,82 @@ def _sid_of(bucket: str) -> int:
     return int(mm.group(1)) if mm else 0
 
 
+# ---- hidden-partitioning transforms (Iceberg's) -----------------------------
+#
+# A partition spec may key on a TRANSFORM of a column instead of its raw
+# value — Iceberg's hidden partitioning: ``days(ts)`` (the canonical
+# time-series layout) and ``truncate(w, col)`` (string prefix buckets).
+# The spec record carries {"transform": "days"} or {"transform":
+# "truncate", "width": w}; absence means identity (legacy specs are
+# byte-unchanged). The partition VALUE stored in composite bucket ids is
+# the transform's canonical STRING output — fixed-width ISO dates /
+# prefixes — whose lexicographic order matches the raw column's order
+# (the transforms are monotonic), so bucket-map pruning can answer RANGE
+# predicates on the raw column, not just points: v in [lo, hi] implies
+# t(v) in [t(lo), t(hi)]. Identity specs keep point-only bucket pruning
+# (an arbitrary type's string form does not order like the value).
+
+
+def _spec_transform(spec: dict) -> tuple:
+    """("identity",) | ("days",) | ("truncate", width)."""
+    t = spec.get("transform")
+    if t is None:
+        return ("identity",)
+    if t == "days":
+        return ("days",)
+    if t == "truncate":
+        return ("truncate", int(spec["width"]))
+    raise UnsupportedTableFeature(
+        f"unknown partition transform {t!r} — refusing beats mis-pruning"
+    )
+
+
+def _spec_field(spec: dict) -> str:
+    """The spec's partition FIELD name (directories, SHOW PARTITIONS):
+    Iceberg's naming — col, col_day, col_trunc."""
+    col = spec["column"]
+    t = _spec_transform(spec)[0]
+    return col if t == "identity" else (
+        f"{col}_day" if t == "days" else f"{col}_trunc"
+    )
+
+
+def _pval_expr_of(spec: dict) -> F.Column:
+    """The Spark-side canonical partition value of a row under ``spec``
+    (the string stored in composite bucket ids and matched by pruning)."""
+    col = F.col(spec["column"])
+    t = _spec_transform(spec)
+    if t[0] == "days":
+        return F.date_format(col.cast("timestamp"), "yyyy-MM-dd")
+    if t[0] == "truncate":
+        return F.substring(col.cast("string"), 1, t[1])
+    return col.cast("string")
+
+
+def _py_pval(spec: dict, v):
+    """The Python twin of ``_pval_expr_of`` for PREDICATE CONSTANTS
+    (already canonicalized by predicates._canon_const, so time values
+    arrive as ISO strings). None = cannot map (no bucket pruning for
+    this constant — conservative)."""
+    t = _spec_transform(spec)
+    if t[0] == "identity":
+        return str(v)
+    if t[0] == "days":
+        s = str(v)
+        # ISO "yyyy-MM-dd[ HH:MM:SS[.ffffff]]" — the date is the prefix
+        if len(s) >= 10 and s[4] == "-" and s[7] == "-":
+            return s[:10]
+        return None
+    return str(v)[: t[1]]  # truncate
+
+
+def _spec_ordered(spec: dict) -> bool:
+    """Whether the spec's canonical values order like the raw column
+    (string compare) — True for days (ISO dates) and truncate (string
+    prefixes), False for identity over arbitrary types."""
+    return _spec_transform(spec)[0] != "identity"
+
+
 # Bloom sizing: bits per distinct value and hash count. 10 bits/value at
 # k=7 gives ~0.8% false positives (standard bloom calculus) — false
 # positives only cost an extra file read; false negatives are impossible.
@@ -327,6 +403,25 @@ def _footer_stats(full_path: str, bloom_cols: tuple[str, ...] = ()) -> dict:
                     mn, mx = mn.decode(), mx.decode()
                 except UnicodeDecodeError:
                     continue
+            # timestamp/date bounds canonicalize to fixed-width ISO
+            # strings (JSON-safe, lexicographic order == time order) —
+            # without this, time columns have NO min/max in the manifest
+            # and the dominant 100 TB pruning dimension (time ranges)
+            # never skips a file; predicates.py canonicalizes datetime
+            # constants the same way so comparisons stay homogeneous
+            import datetime as _dt
+
+            if isinstance(mn, _dt.datetime):
+                # pyarrow surfaces TIMESTAMP_MICROS bounds tz-aware
+                # (UTC) — normalize to the naive UTC instant so the
+                # canonical string matches naive predicate constants
+                if mn.tzinfo is not None:
+                    mn = mn.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                    mx = mx.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                mn = mn.isoformat(sep=" ", timespec="microseconds")
+                mx = mx.isoformat(sep=" ", timespec="microseconds")
+            elif isinstance(mn, _dt.date):
+                mn, mx = mn.isoformat(), mx.isoformat()
             if not isinstance(mn, (bool, int, float, str)):
                 continue
             name = col.path_in_schema
@@ -1278,11 +1373,23 @@ class SnapshotTable:
             )
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         out_df = df if arranged else df.repartition("__bucket")
-        (
-            out_df.write.partitionBy("__bucket")
-            .mode("overwrite")
-            .parquet(staging)
-        )
+        # write timestamps as TIMESTAMP_MICROS, not Spark's INT96
+        # default: INT96 pages carry NO parquet column statistics, so
+        # time columns would have no manifest [min, max] and the
+        # dominant 100 TB pruning dimension (time ranges) could never
+        # skip a file; scoped to this write and restored after
+        _TS_KEY = "spark.sql.parquet.outputTimestampType"
+        sess = out_df.sparkSession
+        ts_old = sess.conf.get(_TS_KEY)
+        sess.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
+        try:
+            (
+                out_df.write.partitionBy("__bucket")
+                .mode("overwrite")
+                .parquet(staging)
+            )
+        finally:
+            sess.conf.set(_TS_KEY, ts_old)
         out: dict[str, list[str]] = {}
         renames: list[tuple[str, str, str]] = []  # (src, dst, rel)
         for entry in sorted(os.listdir(staging)):
@@ -1757,13 +1864,19 @@ class SnapshotTable:
         ]
 
     @classmethod
-    def _pcol_of_bucket(cls, m: dict, bucket: str) -> str | None:
-        """The partition column ``bucket`` was written under — its OWN
-        spec's column, not the current default (Iceberg's per-file spec
-        resolution; None for buckets of an unpartitioned spec)."""
+    def _spec_columns(cls, m: dict) -> set:
+        """Every column ANY partition spec (current or historical) keys
+        on — schema changes to these would orphan the composite bucket
+        ids / directory names that already encode their values."""
+        return {s["column"] for s in cls._specs_of(m) if s["column"]}
+
+    @classmethod
+    def _bucket_spec(cls, m: dict, bucket: str) -> dict:
+        """The full spec RECORD ``bucket`` was written under (legacy
+        tables resolve to the implicit create-time spec)."""
         specs = m.get("partition_specs")
         if not specs:
-            return m.get("partition_by")
+            return {"id": 0, "column": m.get("partition_by")}
         sid = _sid_of(bucket)
         if sid >= len(specs):
             raise UnsupportedTableFeature(
@@ -1771,14 +1884,92 @@ class SnapshotTable:
                 f"{sid}, which this manifest does not list — refusing "
                 "beats mis-pruning"
             )
-        return specs[sid]["column"]
+        return specs[sid]
 
     @classmethod
-    def _spec_columns(cls, m: dict) -> set:
-        """Every column ANY partition spec (current or historical) keys
-        on — schema changes to these would orphan the composite bucket
-        ids / directory names that already encode their values."""
-        return {s["column"] for s in cls._specs_of(m) if s["column"]}
+    def _pdir_field(cls, m: dict) -> str | None:
+        """The partition DIRECTORY field name new writes lay out under
+        (the default spec's field: col, col_day, col_trunc) — None for
+        unpartitioned defaults. Identity specs keep the raw column, so
+        legacy layouts are byte-identical."""
+        if not m.get("partition_by"):
+            return None
+        return _spec_field(cls._specs_of(m)[m.get("default_spec_id", 0)])
+
+    @staticmethod
+    def _bucket_atom_disjoint(spec: dict, pval: str, a: tuple) -> bool:
+        """Can this bucket's partition value PROVE the atom matches no
+        row of the bucket? Identity specs answer point shapes exactly
+        (the value IS every row's value); ordered transforms (days,
+        truncate) also answer RANGE shapes — monotonicity gives
+        t(row) in [t(lo), t(hi)] for row in [lo, hi], and the canonical
+        strings order like the raw column. False = cannot prove
+        (conservative: the bucket is kept)."""
+        if a[1] != spec["column"]:
+            return False
+        kind = a[0]
+        ordered = _spec_ordered(spec)
+        if kind == "null":
+            # partition source values are never NULL (write-time guard)
+            return bool(a[2])  # IS NULL -> disjoint; IS NOT NULL -> keep
+        if kind == "in":
+            mapped = [_py_pval(spec, v) for v in a[2]]
+            if any(x is None for x in mapped):
+                return False
+            return pval not in set(mapped)
+        if kind == "between":
+            lo, hi = _py_pval(spec, a[2]), _py_pval(spec, a[3])
+            if lo is None or hi is None:
+                return False
+            if ordered:
+                return pval < lo or pval > hi
+            return a[2] == a[3] and pval != lo  # identity: points only
+        if kind == "cmp":
+            op, x = a[2], _py_pval(spec, a[3])
+            if x is None:
+                return False
+            if op == "eq":
+                return pval != x
+            if op == "ne":
+                # identity: every row's value IS pval, so = proves <>
+                # disjoint; a transform's bucket holds many raw values
+                return not ordered and pval == x
+            if ordered:
+                if op in ("gt", "gte"):
+                    return pval < x
+                if op in ("lt", "lte"):
+                    return pval > x
+        return False
+
+    @classmethod
+    def _prune_bucket_map(cls, m: dict, conjuncts: list) -> dict:
+        """PARTITION PRUNING over the bucket map — O(buckets) string
+        work before any per-file stats, each bucket judged under ITS
+        OWN spec (mixed layouts after evolution). A bucket is dropped
+        iff some conjunct is PROVABLY disjoint with its partition value
+        (every OR'd atom disjoint)."""
+        if not conjuncts or (
+            not m.get("partition_by") and not m.get("partition_specs")
+        ):
+            return m["files"]
+        out = {}
+        for b, rels in m["files"].items():
+            spec = cls._bucket_spec(m, b)
+            pval = _part_of(b)
+            if (
+                spec["column"]
+                and pval is not None
+                and any(
+                    all(
+                        cls._bucket_atom_disjoint(spec, pval, a)
+                        for a in atoms
+                    )
+                    for atoms in conjuncts
+                )
+            ):
+                continue
+            out[b] = rels
+        return out
 
     @staticmethod
     def _bucket_expr(m: dict, n_buckets: int | None = None) -> F.Column:
@@ -1801,7 +1992,9 @@ class SnapshotTable:
         )
         if not p:
             return h
-        return F.concat_ws("|", F.col(p).cast("string"), h)
+        specs = SnapshotTable._specs_of(m)
+        spec = specs[sid] if sid < len(specs) else {"column": p}
+        return F.concat_ws("|", _pval_expr_of(spec), h)
 
     def _check_partition_values(self, m: dict, df: DataFrame) -> None:
         """Write-time guard for partitioned tables: the frame must carry
@@ -1818,12 +2011,19 @@ class SnapshotTable:
                 f"write to a table partitioned by {p!r} must provide the "
                 "partition column"
             )
-        s = F.col(p).cast("string")
+        specs = self._specs_of(m)
+        sid = m.get("default_spec_id", 0)
+        spec = specs[sid] if sid < len(specs) else {"column": p}
+        # the guard applies to the TRANSFORMED canonical value — the
+        # string that becomes the composite id / directory name (a NULL
+        # source value transforms to NULL and is refused the same way)
+        s = _pval_expr_of(spec)
         bad = df.where(s.isNull() | s.rlike(r"[|/]"))
         if bad.limit(1).count():
             raise ConstraintViolation(
-                f"partition column {p!r} has NULLs or values containing "
-                "'|' or '/' — unsupported as partition values"
+                f"partition column {p!r} has NULLs or values whose "
+                "canonical partition form contains '|' or '/' — "
+                "unsupported as partition values"
             )
 
     def _affected_buckets(self, m: dict, ids: list[str]) -> list[str]:
@@ -2734,7 +2934,7 @@ class SnapshotTable:
         ).withColumn("__bucket", self._bucket_expr(m, n_buckets))
         new_files, new_stats = self._write_bucket_files(
             rows, self._bloom_cols_phys(m), colmap=self._colmap(m),
-            partition_by=m.get("partition_by"),
+            partition_by=self._pdir_field(m),
         )
         nxt = self._next_manifest(m, new_files, new_stats, dvs={})
         nxt["n_buckets"] = n_buckets
@@ -2768,8 +2968,26 @@ class SnapshotTable:
         they refuse and point at the predicate DELETE path."""
         base = self.latest_version()
         m = self._manifest(base)
-        if col == m.get("partition_by"):
-            return base  # already the default spec — no-op
+        if not isinstance(col, tuple) and not m.get("partition_specs") and (
+            col == m.get("partition_by")
+        ):
+            return base  # never-evolved table, same identity layout
+        # accept col | None | ("days", col) | ("truncate", width, col) —
+        # Iceberg's hidden-partitioning transform spellings
+        transform, width = None, None
+        if isinstance(col, tuple):
+            if len(col) == 2 and col[0] == "days":
+                transform, col = "days", col[1]
+            elif len(col) == 3 and col[0] == "truncate":
+                transform, width, col = "truncate", int(col[1]), col[2]
+                if width < 1:
+                    raise ValueError("truncate width must be >= 1")
+            else:
+                raise ValueError(
+                    f"unsupported partition transform spec {col!r} — "
+                    "supported: col, None, ('days', col), "
+                    "('truncate', width, col)"
+                )
         if col is not None:
             if col not in self._schema_names(m):
                 raise ValueError(
@@ -2785,12 +3003,42 @@ class SnapshotTable:
                 raise ValueError(
                     "an identity column cannot be the partition column"
                 )
+            from pyspark.sql.types import StructType
+
+            dtype = {
+                f.name: f.dataType.simpleString()
+                for f in StructType.fromJson(json.loads(m["schema"])).fields
+            }[col]
+            if transform == "days" and dtype not in (
+                "timestamp", "timestamp_ntz", "date"
+            ):
+                raise ValueError(
+                    f"days() needs a timestamp/date column; {col!r} is "
+                    f"{dtype} — the canonical day string must order like "
+                    "the raw value"
+                )
+            if transform == "truncate" and dtype != "string":
+                raise ValueError(
+                    f"truncate() needs a string column; {col!r} is "
+                    f"{dtype} (int truncation changes ordering semantics "
+                    "this layer's canonical-string ids rely on)"
+                )
+        wanted = {"column": col}
+        if transform:
+            wanted["transform"] = transform
+        if width is not None:
+            wanted["width"] = width
         specs = [dict(s) for s in self._specs_of(m)]
-        reuse = next((s for s in specs if s["column"] == col), None)
+        reuse = next(
+            (s for s in specs if {k: v for k, v in s.items() if k != "id"} == wanted),
+            None,
+        )
         if reuse is None:
-            reuse = {"id": len(specs), "column": col}
+            reuse = {"id": len(specs), **wanted}
             specs.append(reuse)
         sid = reuse["id"]
+        if sid == m.get("default_spec_id", 0) and m.get("partition_specs"):
+            return base  # already the default spec — no-op
 
         def assemble(mb: dict) -> dict:
             nxt = self._next_manifest(
@@ -2815,6 +3063,8 @@ class SnapshotTable:
                 "operation": "SET PARTITION SPEC",
                 "column": col,
                 "spec_id": sid,
+                **({"transform": transform} if transform else {}),
+                **({"width": width} if width is not None else {}),
             },
         )
 
@@ -2877,7 +3127,7 @@ class SnapshotTable:
             df.withColumn("__bucket", self._bucket_expr(m)),
             self._bloom_cols_phys(m),
             colmap=self._colmap(m),
-            partition_by=m.get("partition_by"),
+            partition_by=self._pdir_field(m),
         )
         def assemble(mb: dict) -> dict:
             # a concurrent COPY INTO may have loaded some of OUR files —
@@ -3012,7 +3262,7 @@ class SnapshotTable:
         surviving file may still hold out-of-range rows (ranges are
         coarse, blooms have ~1% false positives), so the caller applies
         the actual row filter too."""
-        from .predicates import conjunct_verdict, pcol_point_values
+        from .predicates import conjunct_verdict
 
         m = self._manifest(version if version is not None else self.latest_version())
         stats = m.get("stats", {})
@@ -3030,29 +3280,12 @@ class SnapshotTable:
         # (typed comparisons; the composite carries only the string
         # form). last_partition_prune records the ladder for
         # certification.
-        buckets = m["files"]
+        # PARTITION PRUNING first: each bucket judged under ITS OWN
+        # spec (mixed layouts after evolution; transforms answer range
+        # shapes, identity answers points) — see _prune_bucket_map
         self.last_partition_prune = None
-        # after spec evolution each bucket prunes under its OWN spec's
-        # column (Iceberg's per-file spec resolution): compute the pinned
-        # value set per spec column, keep a bucket unless ITS column is
-        # pinned and its value falls outside. Unpartitioned-spec buckets
-        # pass through to the per-file stats below.
-        pinned: dict[str, set] = {}
-        for c in self._spec_columns(m):
-            keep_vals: set | None = None
-            for atoms in conjuncts:
-                vals = pcol_point_values(atoms, c)
-                if vals is not None:
-                    keep_vals = vals if keep_vals is None else keep_vals & vals
-            if keep_vals is not None:
-                pinned[c] = keep_vals
-        if pinned:
-            buckets = {
-                b: rels
-                for b, rels in buckets.items()
-                if (bc := self._pcol_of_bucket(m, b)) not in pinned
-                or _part_of(b) in pinned[bc]
-            }
+        buckets = self._prune_bucket_map(m, conjuncts)
+        if len(buckets) != len(m["files"]):
             self.last_partition_prune = {
                 "total_buckets": len(m["files"]),
                 "kept_buckets": len(buckets),
@@ -3064,7 +3297,10 @@ class SnapshotTable:
         # canonical probe text and a stale probe would false-negative)
         paths = []
         for b, rels in buckets.items():
-            pcol = self._pcol_of_bucket(m, b)
+            spec = self._bucket_spec(m, b)
+            # exact pval claims are identity-only: a transformed value
+            # is a range statement, already applied at the bucket map
+            pcol = spec["column"] if not _spec_ordered(spec) else None
             pval = _part_of(b) if pcol else None
             for rel in rels:
                 fstats = stats.get(rel, {})
@@ -3461,7 +3697,7 @@ class SnapshotTable:
         try:
             new_files, new_stats = self._write_bucket_files(
                 merged, self._bloom_cols_phys(m), colmap=cmap,
-                partition_by=m.get("partition_by"),
+                partition_by=self._pdir_field(m),
             )
         finally:
             release()
@@ -3781,7 +4017,7 @@ class SnapshotTable:
                 merged.withColumn("__bucket", self._bucket_expr(m)),
                 self._bloom_cols_phys(m),
                 colmap=self._colmap(m),
-                partition_by=m.get("partition_by"),
+                partition_by=self._pdir_field(m),
             )
         finally:
             if multi_pass:
@@ -3895,7 +4131,7 @@ class SnapshotTable:
                 df.withColumn("__bucket", self._bucket_expr(m)),
                 self._bloom_cols_phys(m),
                 colmap=cmap,
-                partition_by=m.get("partition_by"),
+                partition_by=self._pdir_field(m),
             )
         finally:
             release()
@@ -3990,7 +4226,7 @@ class SnapshotTable:
                 df.withColumn("__bucket", self._bucket_expr(m)),
                 self._bloom_cols_phys(m),
                 colmap=self._colmap(m),
-                partition_by=m.get("partition_by"),
+                partition_by=self._pdir_field(m),
             )
         finally:
             release()
@@ -4031,54 +4267,92 @@ class SnapshotTable:
             app_id=app_id,
         )
 
+    @staticmethod
+    def _target_conjunct(spec: dict, value):
+        """A raw-column atom every row of partition value ``value``
+        under ``spec`` must satisfy — the SUPERSET interval used for
+        foreign-spec disjointness PROOFS (a proof against a superset is
+        still a proof; None = no sound interval exists, refuse)."""
+        col = spec["column"]
+        t = _spec_transform(spec)
+        if t[0] == "identity":
+            return ("=", col, value)
+        sval = str(value)
+        if t[0] == "days":
+            return (
+                "between",
+                col,
+                f"{sval} 00:00:00",
+                f"{sval} 23:59:59.999999",
+            )
+        # truncate: prefix interval [v, next-prefix(v)] (closed superset)
+        if not sval or ord(sval[-1]) >= 0x10FFFF:
+            return None
+        return ("between", col, sval, sval[:-1] + chr(ord(sval[-1]) + 1))
+
     def _check_foreign_spec_disjoint(
-        self, m: dict, pcol: str, value, op: str
+        self, m: dict, spec: dict, value, op: str
     ) -> None:
         """Partition-targeted maintenance (drop_partition /
         replace_where) on a spec-EVOLVED table: live buckets written
-        under a spec that does NOT key on ``pcol`` may contain rows with
-        ``pcol == sval`` that their composite ids cannot reveal. Allow
-        the operation iff every such file's manifest stats PROVE it
-        disjoint with the targeted value (the same footer-stats
-        trichotomy predicate DML plans from); otherwise refuse and point
-        at the exact path — silently skipping those rows would corrupt
-        the operation's contract."""
+        under a DIFFERENT spec may contain rows belonging to the
+        targeted partition that their composite ids cannot reveal.
+        Allow the operation iff every such file's manifest stats PROVE
+        it disjoint with the targeted value's raw-column interval (the
+        same footer-stats trichotomy predicate DML plans from);
+        otherwise refuse and point at the exact path — silently
+        skipping those rows would corrupt the operation's contract."""
         if not m.get("partition_specs"):
             return
         from .predicates import conjunct_verdict
 
-        conjuncts = self._where_list([("=", pcol, value)])
+        atom = self._target_conjunct(spec, value)
+        conjuncts = self._where_list([atom]) if atom is not None else None
         stats = m.get("stats", {})
         phys_of = lambda c: self._phys(m, c)  # noqa: E731
         bloom_phys = set(self._bloom_cols_phys(m))
         int_cols = self._int_cols_phys(m)
-        for b, rels in m["files"].items():
-            bc = self._pcol_of_bucket(m, b)
-            if bc == pcol:
-                continue
-            pval = _part_of(b) if bc else None
+        dsid = m.get("default_spec_id", 0)
+        foreign = {
+            b: rels for b, rels in m["files"].items() if _sid_of(b) != dsid
+        }
+        if conjuncts is not None and foreign:
+            # bucket-level shortcut first: a foreign bucket's OWN value
+            # can prove disjointness (e.g. another day's bucket vs a
+            # day-interval target) before any per-file stats
+            mm = dict(m)
+            mm["files"] = foreign
+            foreign = self._prune_bucket_map(mm, conjuncts)
+        for b, rels in foreign.items():
+            fspec = self._bucket_spec(m, b)
+            pcol_b = fspec["column"] if not _spec_ordered(fspec) else None
+            pval = _part_of(b) if pcol_b else None
             for rel in rels:
-                verdicts = [
-                    conjunct_verdict(
-                        atoms,
-                        stats.get(rel, {}),
-                        phys_of=phys_of,
-                        pval=pval,
-                        pcol=bc,
-                        bloom_phys=bloom_phys,
-                        bloom_might_contain=_bloom_might_contain,
-                        int_cols=int_cols,
-                    )
-                    for atoms in conjuncts
-                ]
+                verdicts = (
+                    [
+                        conjunct_verdict(
+                            atoms,
+                            stats.get(rel, {}),
+                            phys_of=phys_of,
+                            pval=pval,
+                            pcol=pcol_b,
+                            bloom_phys=bloom_phys,
+                            bloom_might_contain=_bloom_might_contain,
+                            int_cols=int_cols,
+                        )
+                        for atoms in conjuncts
+                    ]
+                    if conjuncts is not None
+                    else []
+                )
                 if not any(v == "disjoint" for v in verdicts):
                     raise ValueError(
                         f"{op}({value!r}): live file {rel!r} was written "
-                        f"under a partition spec not keyed on {pcol!r} "
-                        "and its stats cannot prove it free of the "
-                        "targeted value — use delete(where=...) / "
-                        "predicate DML, or compact(migrate_specs=True) "
-                        "to migrate old buckets to the current spec first"
+                        "under a different partition spec and its stats "
+                        "cannot prove it free of the targeted value — "
+                        "use delete(where=...) / predicate DML, or "
+                        "compact(migrate_specs=True) to migrate old "
+                        "buckets to the current spec first"
                     )
 
     def drop_partition(self, value) -> int:
@@ -4103,15 +4377,19 @@ class SnapshotTable:
                 "set_partition_spec)"
             )
         sval = str(value)
-        # spec evolution: victims are the buckets whose OWN spec keys on
-        # this column; buckets under other specs may hold matching rows
-        # invisible to their ids — provably-safe or refuse
+        # spec evolution: victims are the CURRENT spec's buckets (their
+        # ids carry this spec's canonical value — for a days() spec,
+        # drop_partition("2024-01-05") is the metadata-only day drop);
+        # buckets under other specs may hold matching rows invisible to
+        # their ids — provably-safe or refuse
+        dsid = m.get("default_spec_id", 0)
+        dspec = self._specs_of(m)[dsid]
         victims = sorted(
             b
             for b in m["files"]
-            if self._pcol_of_bucket(m, b) == pcol and _part_of(b) == sval
+            if _sid_of(b) == dsid and _part_of(b) == sval
         )
-        self._check_foreign_spec_disjoint(m, pcol, value, "drop_partition")
+        self._check_foreign_spec_disjoint(m, dspec, value, "drop_partition")
         if not victims:
             return base  # nothing referenced under that value — no-op
 
@@ -4195,19 +4473,24 @@ class SnapshotTable:
         df = self._apply_generated(m, df)
         self._check_constraints(m, df)
         self._check_partition_values(m, df)
-        outside = df.where(F.col(p).cast("string") != F.lit(sval))
+        dsid = m.get("default_spec_id", 0)
+        dspec = self._specs_of(m)[dsid]
+        # the constraint applies to the CANONICAL partition value (for a
+        # days() spec: every row's day must equal the replaced day)
+        outside = df.where(_pval_expr_of(dspec) != F.lit(sval))
         if outside.limit(1).count():
             raise ConstraintViolation(
                 f"replace_where(value={sval!r}) received rows outside the "
-                f"replaced partition — every row's {p!r} must equal the "
-                "replaced value (Delta's replaceWhere data constraint)"
+                f"replaced partition — every row's canonical {p!r} "
+                "partition value must equal the replaced value (Delta's "
+                "replaceWhere data constraint)"
             )
         victims = sorted(
             b
             for b in m["files"]
-            if self._pcol_of_bucket(m, b) == p and _part_of(b) == sval
+            if _sid_of(b) == dsid and _part_of(b) == sval
         )
-        self._check_foreign_spec_disjoint(m, p, value, "replace_where")
+        self._check_foreign_spec_disjoint(m, dspec, value, "replace_where")
         df, new_hw, release = self._with_identity(m, df)
         ident_col = next(iter(m["identity"])) if m.get("identity") else None
         try:
@@ -4215,7 +4498,7 @@ class SnapshotTable:
                 df.withColumn("__bucket", self._bucket_expr(m)),
                 self._bloom_cols_phys(m),
                 colmap=self._colmap(m),
-                partition_by=p,
+                partition_by=self._pdir_field(m),
             )
         finally:
             release()
@@ -4266,13 +4549,12 @@ class SnapshotTable:
                 size += os.path.getsize(self._entry_full(rel))
             except OSError:
                 pass  # externally-referenced clone file vanished — skip
-        pcol_cur = m.get("partition_by")
+        dsid = m.get("default_spec_id", 0)
         parts = sorted(
             {
                 p
                 for b in m["files"]
-                if self._pcol_of_bucket(m, b) == pcol_cur
-                and (p := _part_of(b)) is not None
+                if _sid_of(b) == dsid and (p := _part_of(b)) is not None
             }
         )
         cps = self._checkpoint_versions()
@@ -4285,6 +4567,9 @@ class SnapshotTable:
             "key": m["key"],
             "n_buckets": m["n_buckets"],
             "partition_by": m.get("partition_by"),
+            "partition_field": _spec_field(self._specs_of(m)[dsid])
+            if m.get("partition_by")
+            else None,
             "numPartitions": len(parts) if m.get("partition_by") else None,
             "partition_specs": [dict(s) for s in self._specs_of(m)]
             if m.get("partition_specs")
@@ -4348,29 +4633,32 @@ class SnapshotTable:
                 "where the table reads the default; rewrite those files "
                 "first (e.g. rebucket())"
             )
-        live_pcols = {
-            self._pcol_of_bucket(m, b) for b in m["files"]
-        }
-        if len(live_pcols) > 1:
+        live_sids = {_sid_of(b) for b in m["files"]}
+        if len(live_sids) > 1:
             raise ValueError(
                 "generate: live files span more than one partition spec "
-                f"(columns {sorted(c or '<none>' for c in live_pcols)}) — "
-                "external hive-layout readers assume ONE layout; migrate "
-                "old buckets to the current spec first "
-                "(compact(migrate_specs=True) or rebucket())"
+                f"(spec ids {sorted(live_sids)}) — external hive-layout "
+                "readers assume ONE layout; migrate old buckets to the "
+                "current spec first (compact(migrate_specs=True) or "
+                "rebucket())"
             )
         root = os.path.join(self.path, "_symlink_format_manifest")
         if os.path.isdir(root):
             shutil.rmtree(root)  # drop stale manifests (removed partitions)
-        # the LIVE buckets' (single) spec column — may lag the default
-        # spec right after an evolution, which is the correct export
-        pcol = next(iter(live_pcols), None)
+        # the LIVE buckets' (single) spec — may lag the default spec
+        # right after an evolution, which is the correct export; the
+        # directory name is the spec FIELD (col, col_day, col_trunc)
+        lspec = (
+            self._specs_of(m)[next(iter(live_sids))] if live_sids else None
+        )
+        pcol = lspec["column"] if lspec else None
+        field = _spec_field(lspec) if lspec and pcol else None
         groups: dict[str, list[str]] = {}
         for b, rels in m["files"].items():
             if pcol:
                 from urllib.parse import quote
 
-                sub = f"{pcol}={quote(_part_of(b) or '', safe='')}"
+                sub = f"{field}={quote(_part_of(b) or '', safe='')}"
             else:
                 sub = ""
             groups.setdefault(sub, []).extend(
@@ -4443,7 +4731,7 @@ class SnapshotTable:
             )
             new_files, new_stats = self._write_bucket_files(
                 remaining, self._bloom_cols_phys(m), colmap=self._colmap(m),
-                partition_by=m.get("partition_by"),
+                partition_by=self._pdir_field(m),
             )
         else:
             new_files, new_stats = {}, {}
@@ -4630,9 +4918,15 @@ class SnapshotTable:
         phys_of = lambda c: self._phys(m, c)  # noqa: E731
         full: dict[str, list] = {}
         straddle: dict[str, list] = {}
-        for b, rels in m["files"].items():
-            # each bucket classifies under its OWN spec (spec evolution)
-            pcol = self._pcol_of_bucket(m, b)
+        # bucket-map pruning first: a bucket provably disjoint under its
+        # own spec contributes no files to either class (its files are
+        # all disjoint — same proof, applied once per bucket); a
+        # transformed bucket's value is a RANGE claim, so only identity
+        # specs pass exact pval/pcol to the per-file verdicts below
+        pruned_map = self._prune_bucket_map(m, conjuncts)
+        for b, rels in pruned_map.items():
+            spec = self._bucket_spec(m, b)
+            pcol = spec["column"] if not _spec_ordered(spec) else None
             pval = _part_of(b) if pcol else None
             for rel in rels:
                 fstats = stats.get(rel, {})
@@ -4892,7 +5186,7 @@ class SnapshotTable:
                 remaining,
                 self._bloom_cols_phys(m),
                 colmap=self._colmap(m),
-                partition_by=m.get("partition_by"),
+                partition_by=self._pdir_field(m),
             )
         else:
             new_files, new_stats = {}, {}
@@ -5045,7 +5339,7 @@ class SnapshotTable:
                     updated,
                     self._bloom_cols_phys(m),
                     colmap=cmap,
-                    partition_by=m.get("partition_by"),
+                    partition_by=self._pdir_field(m),
                 )
                 if not new_files:
                     self.last_dml = {
@@ -5108,7 +5402,7 @@ class SnapshotTable:
             out,
             self._bloom_cols_phys(m),
             colmap=self._colmap(m),
-            partition_by=m.get("partition_by"),
+            partition_by=self._pdir_field(m),
         )
         dropped = builtins.set(affected_rels)
         self.last_dml = {
@@ -5234,19 +5528,19 @@ class SnapshotTable:
         if partition is not None:
             if not m.get("partition_by"):
                 raise ValueError(
-                    "compact(partition=...) requires a table whose current "
-                    "partition spec names a column"
+                    "compact(partition=...) requires a partitioned table "
+                    "(create with partition_by, or set_partition_spec)"
                 )
             sval = str(partition)
             # OPTIMIZE WHERE targets the CURRENT spec's layout; buckets
             # written under other specs are out of scope (their ids
-            # don't encode this column — compact() without a partition
-            # migrates them)
-            pcol = m["partition_by"]
+            # don't encode this spec's value — compact() without a
+            # partition migrates them)
+            cdsid = m.get("default_spec_id", 0)
             pool = {
                 b: r
                 for b, r in pool.items()
-                if self._pcol_of_bucket(m, b) == pcol and _part_of(b) == sval
+                if _sid_of(b) == cdsid and _part_of(b) == sval
             }
         if zorder_by is None:
             # multi-file buckets (append debris) AND any bucket whose
@@ -5278,7 +5572,7 @@ class SnapshotTable:
         if zorder_by is None:
             new_files, new_stats = self._write_bucket_files(
                 rows, self._bloom_cols_phys(m), colmap=self._colmap(m),
-                partition_by=m.get("partition_by"),
+                partition_by=self._pdir_field(m),
             )
         else:
             from .operators.layout import with_normalized_zorder_n
@@ -5293,7 +5587,7 @@ class SnapshotTable:
             new_files, new_stats = self._write_bucket_files(
                 arranged, self._bloom_cols_phys(m), arranged=True,
                 colmap=self._colmap(m),
-                partition_by=m.get("partition_by"),
+                partition_by=self._pdir_field(m),
             )
         def assemble(mb: dict) -> dict:
             files = {
@@ -5667,7 +5961,7 @@ class SnapshotTable:
         try:
             new_files, new_stats = self._write_bucket_files(
                 merged, self._bloom_cols_phys(m), colmap=cmap,
-                partition_by=m.get("partition_by"),
+                partition_by=self._pdir_field(m),
             )
         finally:
             release()

@@ -103,7 +103,7 @@ _CHECK_PRIORITY = [
     # partition scoping + additive assemble, generate's spec guard,
     # detail's spec fields, the V2 sink's spec-marked ids, the V2
     # source's per-bucket spec pruning) --
-    "acid_partition_evolution",
+    "acid_partition_evolution", "acid_hidden_partitioning",
     "snapshot_drop_partition", "snapshot_sink_partitioned",
     "acid_optimize_partition", "snapshot_generate_manifest",
     "snapshot_describe_detail",
@@ -134,10 +134,10 @@ _CHECK_PRIORITY = [
     "top_terms_per_doc", "udtf_sentences", "welch_ttest_ab",
     # -- r03-evidence block, alphabetical head (next-oldest) --
     "anomaly_days", "approx_quantile_bounds", "bm25_topk",
-    "bpe_token_count", "bucketed_fact_join",
-    # (case_bucketing, date_arithmetic ... winnow_containment: r09
-    #  rotation head — six r03 rows displaced by the partition-
-    #  evolution cohort above)
+    "bpe_token_count",
+    # (bucketed_fact_join, case_bucketing ... winnow_containment: r09
+    #  rotation head — seven r03 rows displaced by the partition-
+    #  evolution / hidden-partitioning cohort above)
 ]
 
 

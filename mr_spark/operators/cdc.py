@@ -9,6 +9,8 @@ container — emulated with anti-join + union + window, the classic recipe).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -4712,6 +4714,153 @@ def acid_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
             .cast("bigint")
             .alias("revenue_cents"),
+        )
+    )
+
+
+def _hidden_partitioning_fixture(spark: SparkSession, sf_dir: str, demo: str):
+    """4-version history for the hidden-partitioning query: v1 = CREATE
+    unpartitioned from the pre-Jan-21 events (the unpartitioned
+    time-series everyone regrets); v2 = set_partition_spec(("days",
+    "ts")) — Iceberg's days() transform, metadata-only; v3 = append of
+    the Jan-21+ tail, laying out one bucket group per DAY while v1's
+    files stay put; v4 = drop_partition("2024-01-25") — the metadata-only
+    day drop, legal across MIXED specs because every old file's ts
+    [min, max] footer stats (stored as canonical ISO strings) PROVE it
+    ends before Jan 21. Memoized per process (see _FIXTURES)."""
+    from ..acid import SnapshotTable
+
+    key = (sf_dir, demo, 4)
+    cached = _FIXTURES.get(key)
+    if _fixture_alive(cached, spark, 4):
+        return cached
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    cut = "2024-01-21 00:00:00"
+    t = SnapshotTable.create(
+        spark,
+        _snapshot_demo_path(demo),
+        ev.where(F.col("ts") < cut),
+        key="event_id",
+        n_buckets=4,
+    )
+    t.set_partition_spec(("days", "ts"))
+    t.append(ev.where(F.col("ts") >= cut))
+    t.drop_partition("2024-01-25")
+    _FIXTURES[key] = t
+    return t
+
+
+@query(
+    "acid_hidden_partitioning",
+    oracle="""
+    WITH t3 AS (
+      SELECT event_id, ts, event_type, value FROM events
+    ),
+    t4 AS (
+      SELECT * FROM t3
+      WHERE NOT (ts >= TIMESTAMP '2024-01-21 00:00:00'
+                 AND CAST(ts AS DATE) = DATE '2024-01-25')
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM t4 GROUP BY 1
+    """,
+)
+def acid_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING (Iceberg's transform partitioning —
+    ``set_partition_spec(("days", "ts"))`` / SQL ``ADD PARTITION FIELD
+    days(ts)``; ``truncate(w, col)`` is the string twin): the table
+    partitions by a TRANSFORM of a column the user never has to
+    mention — predicates stay on the raw ``ts`` and the engine maps
+    them onto day buckets, the failure mode hidden partitioning exists
+    to kill being Hive's "forgot to also filter the partition column"
+    full scan. Composed with partition-spec EVOLUTION: the fixture
+    starts unpartitioned and evolves, so both layouts coexist.
+    Certified live, RAISES otherwise:
+
+    * the evolution commit moved ZERO files and recorded the days()
+      transform in the spec list;
+    * the post-evolution append created one ISO-dated bucket group per
+      day ("2024-01-21|s1.<h>"), old buckets untouched;
+    * ``drop_partition("2024-01-25")`` was a PURE metadata removal
+      across mixed specs — v4's files are a strict subset of v3's, the
+      removed buckets are exactly the day's, and it is legal only
+      because the old files' ts footer stats (canonical ISO strings —
+      timestamps are written TIMESTAMP_MICROS precisely so parquet
+      records min/max; Spark's INT96 default records none) prove them
+      disjoint — the stats-proof-or-refuse contract (the overlapping
+      day "2024-01-01" REFUSES, pinned in tests);
+    * a RAW-ts range read of Jan 27 plans EXACTLY that day's files:
+      the day buckets prune by the monotonic transform mapping
+      (t(row) in [t(lo), t(hi)]), and every pre-evolution file is
+      skipped by its ts stats — file-exact planning certified by
+      comparing data_paths() to the manifest.
+
+    Scale: a day's retention drop on a 100 TB event table is O(day's
+    buckets) manifest work, zero reads; the Jan-27 dashboard query
+    reads one day in ~30, not the table."""
+    t = _hidden_partitioning_fixture(spark, sf_dir, "acid_hidden_demo")
+    from ..acid import _part_of, _sid_of
+
+    m1, m2, m3, m4 = (t._manifest(v) for v in (1, 2, 3, 4))
+    if m2["files"] != m1["files"] or m2["partition_specs"][1] != {
+        "id": 1,
+        "column": "ts",
+        "transform": "days",
+    }:
+        raise RuntimeError(
+            "days() evolution was not metadata-only (or the transform "
+            "was not recorded)"
+        )
+    fresh = set(m3["files"]) - set(m2["files"])
+    if not fresh or any(
+        _sid_of(b) != 1 or len(_part_of(b) or "") != 10 for b in fresh
+    ) or any(m3["files"][b] != m2["files"][b] for b in m2["files"]):
+        raise RuntimeError(
+            "append did not lay out under ISO day buckets (or disturbed "
+            "the pre-evolution layout)"
+        )
+    f3 = {rel for rels in m3["files"].values() for rel in rels}
+    f4 = {rel for rels in m4["files"].values() for rel in rels}
+    gone = set(m3["files"]) - set(m4["files"])
+    if not f4 < f3 or gone != {
+        b for b in m3["files"] if _part_of(b) == "2024-01-25"
+    }:
+        raise RuntimeError(
+            "mixed-spec day drop was not a pure metadata removal of "
+            "exactly the day's buckets"
+        )
+    lo, hi = "2024-01-27 00:00:00", "2024-01-27 23:59:59.999999"
+    planned = {
+        os.path.relpath(p, t.path)
+        for p in t.data_paths(where=("ts", lo, hi), use_blooms=False)
+    }
+    day27 = {
+        rel
+        for b, rels in m4["files"].items()
+        if _part_of(b) == "2024-01-27"
+        for rel in rels
+    }
+    if planned != day27:
+        raise RuntimeError(
+            f"raw-ts range read planned {len(planned)} files, expected "
+            f"exactly the day's {len(day27)} — transform pruning or ts "
+            "stats skipping broke"
+        )
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct(F.to_date("ts")).cast("bigint").alias("n_days"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
         )
     )
 

@@ -87,6 +87,21 @@ _CMP_ALIASES = {
 _NULL_TAGS = {"is_null": True, "isnull": True, "not_null": False, "notnull": False, "is_not_null": False}
 
 
+def _canon_const(v):
+    """Canonicalize a predicate constant: datetime/date become the
+    fixed-width ISO strings the manifest stores for time columns
+    (acid._footer_stats) — lexicographic order == time order, so stats
+    comparisons stay homogeneous (str vs str), and the engine-side row
+    filter casts the string back to the column's type natively."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
 def _norm_atom(a) -> tuple:
     """One atom -> normalized ("between", col, lo, hi) |
     ("cmp", col, op, v) | ("in", col, (v, ...)) | ("null", col, bool)."""
@@ -96,21 +111,21 @@ def _norm_atom(a) -> tuple:
     # already-normalized atoms pass through (normalize_where is
     # idempotent, so parse_sql_where output can feed any where= API)
     if tag == "between" and len(a) == 4:
-        return ("between", a[1], a[2], a[3])
+        return ("between", a[1], _canon_const(a[2]), _canon_const(a[3]))
     if tag == "cmp" and len(a) == 4 and a[2] in (
         "eq", "ne", "lt", "lte", "gt", "gte"
     ):
-        return tuple(a)
+        return ("cmp", a[1], a[2], _canon_const(a[3]))
     if tag == "null" and len(a) == 3 and isinstance(a[2], bool):
         return tuple(a)
     if isinstance(tag, str):
         low = tag.lower()
         if low in _CMP_ALIASES and len(a) == 3:
-            return ("cmp", a[1], _CMP_ALIASES[low], a[2])
+            return ("cmp", a[1], _CMP_ALIASES[low], _canon_const(a[2]))
         if low == "in":
             if len(a) != 3:
                 raise ValueError(f"IN atom must be ('in', col, values), got {a!r}")
-            vals = tuple(a[2])
+            vals = tuple(_canon_const(v) for v in a[2])
             if not vals:
                 raise ValueError("IN atom with an empty value list matches nothing — refuse rather than guess")
             return ("in", a[1], vals)
@@ -121,7 +136,7 @@ def _norm_atom(a) -> tuple:
         if low == "or":
             raise ValueError("('or', ...) cannot nest inside another disjunction")
     if len(a) == 3:  # legacy closed range (col, lo, hi)
-        return ("between", a[0], a[1], a[2])
+        return ("between", a[0], _canon_const(a[1]), _canon_const(a[2]))
     raise ValueError(f"cannot parse predicate atom {a!r}")
 
 

@@ -312,6 +312,18 @@ class SnapshotWriter(DataSourceWriter):
         # same rule as acid._check_partition_values.
         self.partition_by = m.get("partition_by")
         if self.partition_by:
+            specs = m.get("partition_specs")
+            dspec = (
+                specs[m.get("default_spec_id", 0)]
+                if specs
+                else {"column": self.partition_by}
+            )
+            if dspec.get("transform"):
+                raise NotImplementedError(
+                    "snapshot sink does not compute transformed partition "
+                    f"values ({dspec['transform']}) executor-side — use "
+                    "SnapshotTable.append"
+                )
             fields = {f.name: f for f in schema.fields}
             pf = fields.get(self.partition_by)
             if pf is None:

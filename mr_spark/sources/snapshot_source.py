@@ -273,35 +273,13 @@ class SnapshotReader(DataSourceReader):
         # before the O(files) stats ladder, and it works even for files
         # without stats. Advisory like everything here: the executor
         # re-applies every predicate exactly row-level.
-        buckets = m["files"]
         # after partition-spec evolution each bucket prunes under ITS
-        # OWN spec's column (mixed layouts coexist — acid.py's
-        # partition-evolution block comment); legacy tables resolve to
-        # the single create-time column
+        # OWN spec (mixed layouts coexist; transforms answer range
+        # shapes) — the same helper the native read path plans with
         from ..acid import SnapshotTable as _ST
+        from ..acid import _spec_ordered
 
-        spec_cols = _ST._spec_columns(m)
-        if spec_cols:
-            from ..predicates import pcol_point_values
-
-            pinned: dict[str, set] = {}
-            for c in spec_cols:
-                keep_vals: set | None = None
-                for atoms in self._preds:
-                    vals = pcol_point_values(atoms, c)
-                    if vals is not None:
-                        keep_vals = (
-                            vals if keep_vals is None else keep_vals & vals
-                        )
-                if keep_vals is not None:
-                    pinned[c] = keep_vals
-            if pinned:
-                buckets = {
-                    b: rels
-                    for b, rels in buckets.items()
-                    if (bc := _ST._pcol_of_bucket(m, b)) not in pinned
-                    or _part_of(b) in pinned[bc]
-                }
+        buckets = _ST._prune_bucket_map(m, self._preds)
         # predicates arrive under LOGICAL names; stats and blooms are
         # keyed by the PHYSICAL in-file names (column mapping) —
         # _keep_file maps through a phys_of callable on a LOCAL basis,
@@ -329,7 +307,10 @@ class SnapshotReader(DataSourceReader):
             )
         parts: list[InputPartition] = []
         for b, rels in buckets.items():
-            pcol = _ST._pcol_of_bucket(m, b)
+            spec = _ST._bucket_spec(m, b)
+            # exact pval claims are identity-only (a transformed value
+            # is a range statement, applied at the bucket map above)
+            pcol = spec["column"] if not _spec_ordered(spec) else None
             pval = _part_of(b) if pcol else None
             for rel in rels:
                 if not self._keep_file(

@@ -534,11 +534,30 @@ def _alter(spark, view: str, action: str) -> int:
         return t.drop_constraint(m.group(1))
     # Iceberg's partition-evolution DDL (spec §Partition Evolution;
     # single-field specs in this layer, so ADD requires an unpartitioned
-    # current spec and REPLACE swaps the one field) — all metadata-only
+    # current spec and REPLACE swaps the one field) — all metadata-only.
+    # Fields accept Iceberg's hidden-partitioning transform spellings:
+    # col | days(col) | truncate(width, col).
+    _FIELD = (
+        r"([A-Za-z_]\w*"
+        r"|days\s*\(\s*[A-Za-z_]\w*\s*\)"
+        r"|truncate\s*\(\s*\d+\s*,\s*[A-Za-z_]\w*\s*\))"
+    )
+
+    def _parse_field(text: str):
+        f = re.match(r"^days\s*\(\s*([A-Za-z_]\w*)\s*\)$", text, re.IGNORECASE)
+        if f:
+            return ("days", f.group(1))
+        f = re.match(
+            r"^truncate\s*\(\s*(\d+)\s*,\s*([A-Za-z_]\w*)\s*\)$",
+            text,
+            re.IGNORECASE,
+        )
+        if f:
+            return ("truncate", int(f.group(1)), f.group(2))
+        return text
+
     m = re.match(
-        r"^ADD\s+PARTITION\s+FIELD\s+([A-Za-z_]\w*)\s*$",
-        action,
-        re.IGNORECASE,
+        rf"^ADD\s+PARTITION\s+FIELD\s+{_FIELD}\s*$", action, re.IGNORECASE
     )
     if m:
         cur = t._manifest(t.latest_version()).get("partition_by")
@@ -548,32 +567,34 @@ def _alter(spark, view: str, action: str) -> int:
                 "specs have ONE field; use REPLACE PARTITION FIELD "
                 f"{cur} WITH {m.group(1)}"
             )
-        return t.set_partition_spec(m.group(1))
+        return t.set_partition_spec(_parse_field(m.group(1)))
     m = re.match(
-        r"^DROP\s+PARTITION\s+FIELD\s+([A-Za-z_]\w*)\s*$",
-        action,
-        re.IGNORECASE,
+        rf"^DROP\s+PARTITION\s+FIELD\s+{_FIELD}\s*$", action, re.IGNORECASE
     )
     if m:
-        cur = t._manifest(t.latest_version()).get("partition_by")
-        if cur != m.group(1):
+        mfst = t._manifest(t.latest_version())
+        spec = _parse_field(m.group(1))
+        cur = mfst.get("partition_by")
+        named = spec if isinstance(spec, str) else spec[-1]
+        if cur != named:
             raise ValueError(
-                f"current partition field is {cur!r}, not {m.group(1)!r}"
+                f"current partition field is on {cur!r}, not {named!r}"
             )
         return t.set_partition_spec(None)
     m = re.match(
-        r"^REPLACE\s+PARTITION\s+FIELD\s+([A-Za-z_]\w*)\s+WITH\s+"
-        r"([A-Za-z_]\w*)\s*$",
+        rf"^REPLACE\s+PARTITION\s+FIELD\s+{_FIELD}\s+WITH\s+{_FIELD}\s*$",
         action,
         re.IGNORECASE,
     )
     if m:
         cur = t._manifest(t.latest_version()).get("partition_by")
-        if cur != m.group(1):
+        old = _parse_field(m.group(1))
+        named = old if isinstance(old, str) else old[-1]
+        if cur != named:
             raise ValueError(
-                f"current partition field is {cur!r}, not {m.group(1)!r}"
+                f"current partition field is on {cur!r}, not {named!r}"
             )
-        return t.set_partition_spec(m.group(2))
+        return t.set_partition_spec(_parse_field(m.group(2)))
     raise ValueError(
         f"unsupported ALTER action {action!r} — supported: ADD COLUMN "
         "[DEFAULT/INITIAL DEFAULT], RENAME COLUMN, DROP COLUMN, ALTER "
@@ -866,18 +887,19 @@ def execute_dml(spark, sql_text: str, mode: str = "cow") -> int:
                 f"table behind {m.group(1)!r} is not value-partitioned"
             )
         from .acid import SnapshotTable as _ST
+        from .acid import _sid_of, _spec_field
 
-        # spec evolution: only buckets whose OWN spec keys on the
-        # CURRENT column are partitions OF that column; foreign-spec
-        # buckets' composite values mean a different column entirely
+        # spec evolution: only the CURRENT spec's buckets are partitions
+        # of this layout; foreign-spec buckets' composite values mean a
+        # different column/transform entirely. Header = the spec FIELD
+        # (col, col_day, col_trunc — Iceberg's naming).
+        dsid = mfst.get("default_spec_id", 0)
+        field = _spec_field(_ST._specs_of(mfst)[dsid])
         vals = sorted(
-            {
-                _part_of(b)
-                for b in mfst["files"]
-                if _ST._pcol_of_bucket(mfst, b) == pcol
-            }
+            {_part_of(b) for b in mfst["files"] if _sid_of(b) == dsid}
+            - {None}
         )
-        return spark.createDataFrame([(v,) for v in vals], f"{pcol} string")
+        return spark.createDataFrame([(v,) for v in vals], f"{field} string")
     m = re.match(r"^\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\s*(.*)$", stmt,
                  re.IGNORECASE | re.DOTALL)
     if m:

@@ -304,3 +304,148 @@ def test_sql_partition_field_statements(spark, tmp_path):
     got = sql(spark, "SHOW PARTITIONS pe_sql_view")
     assert [r.pr for r in got.collect()] == ["p9"]
     spark.catalog.dropTempView("pe_sql_view")
+
+
+# ---- hidden-partitioning transforms (Iceberg's days / truncate) ------------
+
+
+def _ts_df(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, ts timestamp, v double")
+
+
+def _mk_days(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    old = [(i, base + dt.timedelta(hours=6 * i), float(i)) for i in range(40)]
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(str(tmp_path), "days_t"),
+        _ts_df(spark, old),
+        key="k",
+        n_buckets=4,
+    )
+    t.set_partition_spec(("days", "ts"))
+    new = [
+        (100 + i, base + dt.timedelta(days=20 + i // 4, hours=i % 4), 1.0)
+        for i in range(12)
+    ]
+    t.append(_ts_df(spark, new))
+    return t, old, new
+
+
+def test_days_transform_layout_and_range_prune(spark, tmp_path):
+    t, old, new = _mk_days(spark, tmp_path)
+    m = t._manifest(t.latest_version())
+    fresh = [b for b in m["files"] if _sid_of(b) == 1]
+    assert fresh and all(
+        len(_part_of(b)) == 10 and _part_of(b).startswith("2024-01-2")
+        for b in fresh
+    )
+    # RAW-ts range predicate: day buckets prune via the monotonic
+    # transform mapping, old files via their ISO-string ts stats —
+    # the planned file set is exactly the day's
+    lo, hi = "2024-01-21 00:00:00", "2024-01-21 23:59:59.999999"
+    exp_rows = [r for r in new if r[1].date().isoformat() == "2024-01-21"]
+    assert t.read(where=("ts", lo, hi)).count() == len(exp_rows)
+    planned = {
+        os.path.relpath(p, t.path)
+        for p in t.data_paths(where=("ts", lo, hi), use_blooms=False)
+    }
+    day = {
+        rel
+        for b, rels in m["files"].items()
+        if _part_of(b) == "2024-01-21"
+        for rel in rels
+    }
+    assert planned == day
+    # datetime-typed constants canonicalize identically
+    import datetime as dt
+
+    got = t.read(
+        where=("ts", dt.datetime(2024, 1, 21), dt.datetime(2024, 1, 21, 23, 59, 59))
+    )
+    assert got.count() == len(exp_rows)
+
+
+def test_days_drop_partition_proof_and_refusal(spark, tmp_path):
+    t, old, new = _mk_days(spark, tmp_path)
+    n = t.read().count()
+    gone = sum(1 for r in new if r[1].date().isoformat() == "2024-01-21")
+    f_before = {
+        rel
+        for rels in t._manifest(t.latest_version())["files"].values()
+        for rel in rels
+    }
+    v = t.drop_partition("2024-01-21")
+    f_after = {
+        rel for rels in t._manifest(v)["files"].values() for rel in rels
+    }
+    assert f_after < f_before  # pure metadata removal across mixed specs
+    assert t.read().count() == n - gone
+    # a day overlapping the OLD unpartitioned files cannot be proven
+    with pytest.raises(ValueError, match="different partition spec"):
+        t.drop_partition("2024-01-01")
+
+
+def test_truncate_transform_prune_and_guards(spark, tmp_path):
+    rows = [(i, f"user{i % 7}", 1.0) for i in range(30)]
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(str(tmp_path), "tr_t"),
+        spark.createDataFrame(rows, "k bigint, name string, v double"),
+        key="k",
+        n_buckets=2,
+    )
+    t.set_partition_spec(("truncate", 5, "name"))
+    t.append(
+        spark.createDataFrame(
+            [
+                (100 + i, ("admin" if i % 2 else "guest") + str(i), 2.0)
+                for i in range(8)
+            ],
+            "k bigint, name string, v double",
+        )
+    )
+    got = t.read(where=("=", "name", "admin3"))
+    assert got.count() == 1
+    pr = t.last_partition_prune
+    assert pr and pr["kept_buckets"] < pr["total_buckets"]
+    # transform type guards
+    with pytest.raises(ValueError, match="timestamp/date"):
+        t.set_partition_spec(("days", "name"))
+    with pytest.raises(ValueError, match="string column"):
+        t.set_partition_spec(("truncate", 3, "v"))
+    with pytest.raises(ValueError, match="width"):
+        t.set_partition_spec(("truncate", 0, "name"))
+
+
+def test_transform_sql_spellings_and_show_partitions(spark, tmp_path):
+    from mr_spark.sources.snapshot_source import register_snapshot_view
+    from mr_spark.sql_dml import sql
+
+    t, old, new = _mk_days(spark, tmp_path)
+    register_snapshot_view(spark, "hp_sql_view", t.path)
+    sp = sql(spark, "SHOW PARTITIONS hp_sql_view")
+    assert sp.columns == ["ts_day"]  # Iceberg's field naming
+    assert all(len(r.ts_day) == 10 for r in sp.collect())
+    sql(spark, "ALTER TABLE hp_sql_view DROP PARTITION FIELD days(ts)")
+    assert "partition_by" not in t._manifest(t.latest_version())
+    sql(spark, "ALTER TABLE hp_sql_view ADD PARTITION FIELD days(ts)")
+    m = t._manifest(t.latest_version())
+    assert m["default_spec_id"] == 1  # spec reuse, not a new spec
+    spark.catalog.dropTempView("hp_sql_view")
+
+
+def test_transform_generate_dirs_and_sink_refusal(spark, tmp_path):
+    t, old, new = _mk_days(spark, tmp_path)
+    t.compact(migrate_specs=True)
+    mf = t.generate()
+    dirs = {p.split(os.sep)[-2] for p in mf}
+    assert all(d.startswith("ts_day=") for d in dirs)
+    # the V2 sink cannot compute transformed values executor-side —
+    # honest refusal pointing at append
+    from mr_spark.sources.snapshot_sink import SnapshotWriter
+
+    with pytest.raises(NotImplementedError, match="transformed partition"):
+        SnapshotWriter({"path": t.path}, t.read().schema, overwrite=False)

@@ -201,8 +201,10 @@ PROBES = [
     "snapshot_convert_in_place",
     "url_domain_stats",
     "dedup_neardup_docs",
-    # round-8 third session: partition-spec evolution (Iceberg)
+    # round-8 third session: partition-spec evolution + hidden
+    # partitioning (Iceberg)
     "acid_partition_evolution",
+    "acid_hidden_partitioning",
 ]
 
 KEY_SHIFTS = {
