@@ -1,6 +1,7 @@
 """Model-based property test for SnapshotTable (mr_spark/acid.py):
 random operation sequences (merge / blind append / keyed delete /
-predicate DELETE-and-UPDATE in cow and deletion-vector modes / restore /
+predicate DELETE-and-UPDATE in cow and deletion-vector modes /
+partition-spec evolution incl. a transform spec / restore /
 compact) run both against the real table and an in-memory multiset
 model; after every op the table's read() must equal the model, and the
 per-commit change feed must equal the model's multiset diff under the
@@ -71,6 +72,15 @@ def _op():
     update_in_dv = st.tuples(kset, VALS).map(
         lambda p: ("update_in_dv", (sorted(p[0]), p[1]))
     )
+    # partition-spec evolution (round 8): switch the default spec
+    # mid-sequence — layout-only (the model ignores it), but every
+    # LATER op in the sequence then runs against a MIXED-spec table,
+    # which is exactly the state the cross-spec write/read machinery
+    # must survive; includes a transform spec (truncate) so transformed
+    # buckets flow through merges/deletes/compaction/CDF too
+    set_spec = st.sampled_from([None, "v", ("truncate", 1, "v")]).map(
+        lambda s: ("set_spec", s)
+    )
     compact = st.just(("compact", None))
     # RESTORE to a random earlier version (index resolved mod the live
     # version count at runtime) — the model rolls back to its recorded
@@ -82,7 +92,7 @@ def _op():
         merge, merge_cl, append, delete, delete_dv,
         delete_where, delete_where_dv, update_where, update_where_dv,
         delete_in, delete_or, delete_ne, update_in_dv,
-        compact, restore,
+        set_spec, compact, restore,
     )
 
 
@@ -118,7 +128,7 @@ def _view_of(model: list) -> dict:
 
 
 @settings(
-    max_examples=10,  # 6 before round 7; the DML ops widened the kind space
+    max_examples=12,  # 6 before r7, 10 before the r8 spec-evolution kind
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -248,6 +258,11 @@ def test_snapshot_table_matches_multiset_model(spark, tmp_path_factory, ops):
             if new_version == version:
                 continue
             model = [(k, nv) if k in set(ks) else (k, v) for k, v in model]
+        elif kind == "set_spec":
+            new_version = t.set_partition_spec(arg)
+            if new_version == version:
+                continue  # already the default spec — no commit
+            # layout-only: rows unchanged, feed must be EMPTY
         elif kind == "restore":
             target = 1 + (arg % version)
             new_version = t.restore(target)
