@@ -64,6 +64,8 @@ __all__ = [
     "pred_json",
     "conjunct_verdict",
     "parse_sql_where",
+    "spark_cast_form",
+    "canon_time_const",
 ]
 
 _CMP_ALIASES = {
@@ -92,7 +94,12 @@ def _canon_const(v):
     fixed-width ISO strings the manifest stores for time columns
     (acid._footer_stats) — lexicographic order == time order, so stats
     comparisons stay homogeneous (str vs str), and the engine-side row
-    filter casts the string back to the column's type natively."""
+    filter casts the string back to the column's type natively.
+
+    ISO-shaped STRING constants are deliberately left untouched here —
+    the constant might target a genuine string column, where padding
+    would change row semantics. Type-aware widening happens inside
+    ``conjunct_verdict`` via ``time_cols`` (see ``canon_time_const``)."""
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
@@ -100,6 +107,84 @@ def _canon_const(v):
     if isinstance(v, _dt.date):
         return v.isoformat()
     return v
+
+
+# "yyyy-MM-dd[ T]HH:MM:SS.ffffff" — the manifest's canonical fixed-width
+# timestamp form (and Spark's cast output minus trailing-zero trimming)
+_TS_FULL = re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}\.\d{1,6}$")
+# anything that *starts* like an ISO date — the cheap gate before we pay
+# for datetime.fromisoformat in canon_time_const
+_ISOISH = re.compile(r"^\d{4}-\d{2}-\d{2}([ T].*)?$")
+
+
+def spark_cast_form(s):
+    """Mirror Spark's ``CAST(timestamp AS STRING)`` on a canonical
+    ISO string: trailing fractional zeros are trimmed and an emptied
+    fraction drops its dot, so "2024-01-25 12:00:00.000000" becomes
+    "2024-01-25 12:00:00" and "...00.500000" becomes "...00.5".
+    Identity on everything else — idempotent on Spark cast output,
+    which is exactly what identity-partition bucket ids carry. EXACT
+    partition-value comparisons run both sides through this so the
+    manifest's microsecond-width canonical constants and Spark-cast
+    pvals meet in one form."""
+    if isinstance(s, str) and _TS_FULL.match(s):
+        head, frac = s.rsplit(".", 1)
+        frac = frac.rstrip("0")
+        return head + ("." + frac) if frac else head
+    return s
+
+
+def canon_time_const(v, kind: str):
+    """Widen/narrow an ISO-shaped STRING constant to the manifest's
+    canonical stats form for a column KNOWN to be time-typed:
+    kind "ts" pads to the fixed microsecond width ("2024-01-25" →
+    "2024-01-25 00:00:00.000000", second precision gains ".000000") —
+    semantically exact, because Spark's string→timestamp cast yields
+    precisely that instant; kind "date" truncates a datetime-shaped
+    string to its date part, mirroring Spark's string→date cast.
+    Non-string / non-ISO-shaped values pass through unchanged (the
+    stats comparison then stays as conservative as before)."""
+    if not isinstance(v, str) or not _ISOISH.match(v):
+        return v
+    import datetime as _dt
+
+    try:
+        dt = _dt.datetime.fromisoformat(v)
+    except ValueError:
+        return v
+    if dt.tzinfo is not None:
+        # manifest stats are naive UTC instants (acid._footer_stats)
+        dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    if kind == "date":
+        return dt.date().isoformat()
+    return dt.isoformat(sep=" ", timespec="microseconds")
+
+
+def _canon_atoms_for_time(atoms, time_of, phys_of):
+    """Rewrite one conjunct's atoms so every constant targeting a
+    time-typed column is in the manifest's canonical stats form.
+    ``time_of`` maps a PHYSICAL column name to "ts"/"date" (absent =
+    not a time column). Only the stats-side verdict sees the rewrite —
+    row-level filters keep the user's original constants."""
+    out = []
+    changed = False
+    for a in atoms:
+        kind = time_of.get(phys_of(a[1]) if phys_of else a[1])
+        if kind is None:
+            out.append(a)
+            continue
+        tag = a[0]
+        if tag == "between":
+            na = ("between", a[1], canon_time_const(a[2], kind), canon_time_const(a[3], kind))
+        elif tag == "cmp":
+            na = ("cmp", a[1], a[2], canon_time_const(a[3], kind))
+        elif tag == "in":
+            na = ("in", a[1], tuple(canon_time_const(v, kind) for v in a[2]))
+        else:
+            na = a
+        changed = changed or na != a
+        out.append(na)
+    return out if changed else atoms
 
 
 def _norm_atom(a) -> tuple:
@@ -276,14 +361,22 @@ def _atom_verdict(
         return "straddle"
     # EXACT partition-value decisions (canonical string compare — the
     # partition guard restricts values to types whose Python str()
-    # matches Spark's cast): equality-shaped atoms classify both ways
+    # matches Spark's cast): equality-shaped atoms classify both ways.
+    # Both sides pass through spark_cast_form so the manifest's
+    # microsecond-width canonical timestamp constants meet Spark-cast
+    # pvals ("...12:00:00.000000" vs "...12:00:00") in one form.
     if pcol is not None and col == pcol and pval is not None:
+        pv = spark_cast_form(pval)
         if kind == "in":
-            return "covered" if pval in {str(v) for v in atom[2]} else "disjoint"
+            return (
+                "covered"
+                if pv in {spark_cast_form(str(v)) for v in atom[2]}
+                else "disjoint"
+            )
         if kind == "between" and atom[2] == atom[3]:
-            return "covered" if pval == str(atom[2]) else "disjoint"
+            return "covered" if pv == spark_cast_form(str(atom[2])) else "disjoint"
         if kind == "cmp" and atom[2] in ("eq", "ne"):
-            same = pval == str(atom[3])
+            same = pv == spark_cast_form(str(atom[3]))
             if atom[2] == "eq":
                 return "covered" if same else "disjoint"
             return "disjoint" if same else "covered"
@@ -399,14 +492,22 @@ def conjunct_verdict(
     use_blooms=True,
     bloom_might_contain=None,
     int_cols=frozenset(),
+    time_cols=None,
 ) -> str:
     """disjoint / covered / straddle for one OR-of-atoms conjunct
     against one file's footer stats (see module docstring). ``int_cols``
     names integral-typed PHYSICAL columns, enabling integer-adjacent
     interval coalescing (IN (1,2,3) covers a file with [min,max] =
-    [1,3])."""
+    [1,3]). ``time_cols`` maps timestamp/date-typed PHYSICAL columns to
+    "ts"/"date": string constants over those columns are widened to the
+    manifest's fixed-width canonical stats form before comparison, so a
+    second-precision bound like "2024-01-25 12:00:00" matches a stats
+    value "2024-01-25 12:00:00.000000" at the same instant (exactly the
+    executor-side cast semantics) instead of falsely proving disjoint."""
     if bloom_might_contain is None:
         from .acid import _bloom_might_contain as bloom_might_contain
+    if time_cols:
+        atoms = _canon_atoms_for_time(atoms, time_cols, phys_of)
     vs = [
         _atom_verdict(
             a,
@@ -454,17 +555,20 @@ def pcol_point_values(atoms: list[tuple], pcol: str) -> set[str] | None:
     """If EVERY atom of a conjunct is a point-equality shape on the
     partition column (eq / between lo==hi / in), the conjunct restricts
     the partition value to a finite set — returned in canonical string
-    form for the O(buckets) bucket-map prune. None = not restrictive."""
+    form for the O(buckets) bucket-map prune. None = not restrictive.
+    Values pass through ``spark_cast_form`` — bucket pvals are Spark
+    CAST(col AS STRING) output, which trims trailing fractional zeros
+    the canonical datetime constants carry."""
     vals: set[str] = set()
     for a in atoms:
         if a[1] != pcol:
             return None
         if a[0] == "cmp" and a[2] == "eq":
-            vals.add(str(a[3]))
+            vals.add(spark_cast_form(str(a[3])))
         elif a[0] == "between" and a[2] == a[3]:
-            vals.add(str(a[2]))
+            vals.add(spark_cast_form(str(a[2])))
         elif a[0] == "in":
-            vals.update(str(v) for v in a[2])
+            vals.update(spark_cast_form(str(v)) for v in a[2])
         else:
             return None
     return vals or None

@@ -124,6 +124,36 @@ def read_file_rows(
             except TypeError:
                 return False
 
+        def typed_const(typ, v):
+            """Coerce an ISO-string constant to the column's time type —
+            Spark casts the string side of a timestamp/date comparison,
+            and the driver canonicalizes datetime constants to ISO
+            strings (predicates._canon_const), so the executor must cast
+            them back or pyarrow has no comparison kernel at all."""
+            import datetime as _dt
+
+            if not isinstance(v, str):
+                return v
+            try:
+                if pa.types.is_timestamp(typ):
+                    d = _dt.datetime.fromisoformat(v)
+                    if typ.tz is not None and d.tzinfo is None:
+                        d = d.replace(tzinfo=_dt.timezone.utc)
+                    elif typ.tz is None and d.tzinfo is not None:
+                        d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                    return d
+                if pa.types.is_date(typ):
+                    # mirror Spark's string→date cast: truncate any
+                    # datetime-shaped string to its date part
+                    return _dt.date.fromisoformat(v[:10])
+            except ValueError:
+                return v
+            return v
+
+        def scal(typ, v):
+            tv = typed_const(typ, v)
+            return pa.scalar(tv, type=typ) if tv is not v else pa.scalar(tv)
+
         def atom_mask(a):
             p = colmap.get(a[1], a[1])
             absent = tbl is None or p not in in_file
@@ -139,13 +169,18 @@ def read_file_rows(
             c = tbl.column(p)
             if a[0] == "between":
                 m = pc.and_kleene(
-                    pc.greater_equal(c, pa.scalar(a[2])),
-                    pc.less_equal(c, pa.scalar(a[3])),
+                    pc.greater_equal(c, scal(c.type, a[2])),
+                    pc.less_equal(c, scal(c.type, a[3])),
                 )
             elif a[0] == "in":
-                m = pc.is_in(c, value_set=pa.array(list(a[2])))
+                vals = [typed_const(c.type, v) for v in a[2]]
+                if any(tv is not v for tv, v in zip(vals, a[2])):
+                    vs = pa.array(vals, type=c.type)
+                else:
+                    vs = pa.array(vals)
+                m = pc.is_in(c, value_set=vs)
             else:  # ("cmp", col, op, val)
-                m = cmp[a[2]](c, pa.scalar(a[3]))
+                m = cmp[a[2]](c, scal(c.type, a[3]))
             return pc.fill_null(m, False)
 
         mask = None

@@ -235,11 +235,13 @@ class SnapshotReader(DataSourceReader):
         cmap: dict,
         pval: str | None = None,
         pcol: str | None = None,
+        time_cols: dict | None = None,
     ) -> bool:
         """Skip a file only on PROOF of disjointness with some conjunct
         — the same verdict ladder as acid's data_paths (ranges, IN, OR
         groups, null tests, bloom point probes, exact partition
-        values), via the shared predicates module."""
+        values, time-typed constant widening), via the shared
+        predicates module."""
         from ..acid import _bloom_might_contain
         from ..predicates import conjunct_verdict
 
@@ -252,6 +254,7 @@ class SnapshotReader(DataSourceReader):
                 pcol=pcol,
                 bloom_phys=set(bloom_cols),
                 bloom_might_contain=_bloom_might_contain,
+                time_cols=time_cols,
             )
             == "disjoint"
             for atoms in self._preds
@@ -277,7 +280,7 @@ class SnapshotReader(DataSourceReader):
         # OWN spec (mixed layouts coexist; transforms answer range
         # shapes) — the same helper the native read path plans with
         from ..acid import SnapshotTable as _ST
-        from ..acid import _spec_ordered
+        from ..acid import _spec_identity
 
         buckets = _ST._prune_bucket_map(m, self._preds)
         # predicates arrive under LOGICAL names; stats and blooms are
@@ -287,6 +290,7 @@ class SnapshotReader(DataSourceReader):
         bloom_cols = tuple(
             cmap.get(c, c) for c in m.get("bloom_cols", ())
         )
+        time_cols = t._time_cols_phys(m)
         # initial column defaults (add_column): files predating the
         # alter fill the recorded value executor-side
         init_pre = {
@@ -310,11 +314,12 @@ class SnapshotReader(DataSourceReader):
             spec = _ST._bucket_spec(m, b)
             # exact pval claims are identity-only (a transformed value
             # is a range statement, applied at the bucket map above)
-            pcol = spec["column"] if not _spec_ordered(spec) else None
+            pcol = spec["column"] if _spec_identity(spec) else None
             pval = _part_of(b) if pcol else None
             for rel in rels:
                 if not self._keep_file(
-                    stats.get(rel, {}), bloom_cols, cmap, pval, pcol
+                    stats.get(rel, {}), bloom_cols, cmap, pval, pcol,
+                    time_cols,
                 ):
                     continue
                 base = os.path.basename(rel)

@@ -12,7 +12,7 @@ version/timestamp-pinned view is read-only history):
 * ``DELETE FROM <view> [WHERE <pred>]``
 * ``UPDATE <view> SET col = <expr> [, col = <expr> ...] [WHERE <pred>]``
 * ``MERGE INTO <view> [AS] t USING <any table/view> [AS] s
-  ON t.<key> = s.<key>
+  ON t.<col> = s.<col> [AND <extra conjunct> ...]
   [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = <expr>, ...]
   [WHEN MATCHED [AND <cond>] THEN DELETE]
   [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
@@ -317,20 +317,38 @@ def _parse_merge(spark, stmt: str):
             "clause expressions pass through to the engine under those "
             f"names (got {t_alias!r}, {s_alias!r})"
         )
-    oc = _ON_COND.match(on)
-    if not oc:
+    # ON = one t.<col> = s.<col> equality (the anchor) plus optional
+    # extra conjuncts (Delta's arbitrary ON, VERDICT r8 #4): the anchor
+    # drives matching (bucket-pruned when it is the table key; the
+    # documented full-closure path otherwise), the rest becomes the
+    # engine-side on_condition. A pure non-equi ON (no t=s equality
+    # conjunct at all) would be a cartesian match — refused.
+    conjs = []
+    rest_on = on
+    while True:
+        ai = _find_top_keyword(rest_on, "AND")
+        if ai < 0:
+            conjs.append(rest_on.strip())
+            break
+        conjs.append(rest_on[:ai].strip())
+        rest_on = rest_on[ai + 3 :]
+    key = None
+    extras: list[str] = []
+    for c in conjs:
+        oc = _ON_COND.match(c)
+        if oc and key is None:
+            a1, c1, a2, c2 = oc.groups()
+            refs = {a1.lower(): c1, a2.lower(): c2}
+            if set(refs) == {"t", "s"} and refs["t"] == refs["s"]:
+                key = refs["t"]
+                continue
+        extras.append(f"({c})")
+    if key is None:
         raise ValueError(
-            "MERGE ON must be a single key equality t.<key> = s.<key> "
-            f"(got {on!r}) — the snapshot MERGE is bucket-keyed"
+            "MERGE ON needs at least one t.<col> = s.<col> equality "
+            f"conjunct to anchor matching (got {on!r}) — a pure "
+            "non-equi ON would match every pair (cartesian)"
         )
-    a1, c1, a2, c2 = oc.groups()
-    refs = {a1.lower(): c1, a2.lower(): c2}
-    if set(refs) != {"t", "s"} or refs["t"] != refs["s"]:
-        raise ValueError(
-            "MERGE ON must equate the SAME column across t and s "
-            f"(got {on!r})"
-        )
-    key = refs["t"]
     kw: dict = {}
     _CL = re.compile(
         r"^WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
@@ -383,6 +401,8 @@ def _parse_merge(spark, stmt: str):
                 )
     if not kw:
         raise ValueError("MERGE has no WHEN clauses")
+    if extras:
+        kw["on_condition"] = " AND ".join(extras)
     src_df = spark.table(source)
     return target, key, src_df, kw
 
@@ -536,24 +556,29 @@ def _alter(spark, view: str, action: str) -> int:
     # single-field specs in this layer, so ADD requires an unpartitioned
     # current spec and REPLACE swaps the one field) — all metadata-only.
     # Fields accept Iceberg's hidden-partitioning transform spellings:
-    # col | days(col) | truncate(width, col).
+    # col | days(col) | months(col) | years(col) | hours(col) |
+    # truncate(width, col) | bucket(n, col).
     _FIELD = (
         r"([A-Za-z_]\w*"
-        r"|days\s*\(\s*[A-Za-z_]\w*\s*\)"
-        r"|truncate\s*\(\s*\d+\s*,\s*[A-Za-z_]\w*\s*\))"
+        r"|(?:days|months|years|hours)\s*\(\s*[A-Za-z_]\w*\s*\)"
+        r"|(?:truncate|bucket)\s*\(\s*\d+\s*,\s*[A-Za-z_]\w*\s*\))"
     )
 
     def _parse_field(text: str):
-        f = re.match(r"^days\s*\(\s*([A-Za-z_]\w*)\s*\)$", text, re.IGNORECASE)
-        if f:
-            return ("days", f.group(1))
         f = re.match(
-            r"^truncate\s*\(\s*(\d+)\s*,\s*([A-Za-z_]\w*)\s*\)$",
+            r"^(days|months|years|hours)\s*\(\s*([A-Za-z_]\w*)\s*\)$",
             text,
             re.IGNORECASE,
         )
         if f:
-            return ("truncate", int(f.group(1)), f.group(2))
+            return (f.group(1).lower(), f.group(2))
+        f = re.match(
+            r"^(truncate|bucket)\s*\(\s*(\d+)\s*,\s*([A-Za-z_]\w*)\s*\)$",
+            text,
+            re.IGNORECASE,
+        )
+        if f:
+            return (f.group(1).lower(), int(f.group(2)), f.group(3))
         return text
 
     m = re.match(
@@ -933,10 +958,10 @@ def execute_dml(spark, sql_text: str, mode: str = "cow") -> int:
         t = _table(spark, target)
         mkey = t._manifest(t.latest_version())["key"]
         if mkey != key:
-            raise ValueError(
-                f"MERGE ON column {key!r} is not the table's bucket key "
-                f"{mkey!r} — the snapshot MERGE joins on the key"
-            )
+            # non-key ON anchor: the documented FULL-CLOSURE path —
+            # every bucket is read and rewritten (Delta's cost for an
+            # un-clustered ON, stated in merge()'s docstring)
+            kw["on_key"] = key
         v = t.merge(src_df, **kw)
         _rebind(spark, target)
         return v

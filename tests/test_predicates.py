@@ -153,3 +153,70 @@ def test_sql_parser_round_trips_grammar():
         parse_sql_where("a LIKE 'x%'")
     with pytest.raises(ValueError, match="empty WHERE"):
         parse_sql_where("   ")
+
+
+# ---- time-typed canonicalization (ADVICE r8: boundary-instant bugs) ----
+
+MID = "2024-01-25 12:00:00"
+MIDW = "2024-01-25 12:00:00.000000"
+TS_FS = {"ts": [MIDW, "2024-01-25 18:30:00.250000"], "__nulls__": {"ts": 0}}
+TS_KIND = {"ts": "ts"}
+
+
+def test_spark_cast_form_trims_like_spark():
+    from mr_spark.predicates import spark_cast_form
+
+    assert spark_cast_form(MIDW) == MID
+    assert spark_cast_form("2024-01-25 12:00:00.500000") == "2024-01-25 12:00:00.5"
+    assert spark_cast_form(MID) == MID  # idempotent on cast output
+    assert spark_cast_form("2024-01-25") == "2024-01-25"
+    assert spark_cast_form("plain") == "plain"
+    assert spark_cast_form(42) == 42
+
+
+def test_canon_time_const_widens_exactly():
+    from mr_spark.predicates import canon_time_const
+
+    assert canon_time_const(MID, "ts") == MIDW
+    assert canon_time_const("2024-01-25", "ts") == "2024-01-25 00:00:00.000000"
+    assert canon_time_const("2024-01-25 12:00:00.5", "ts") == "2024-01-25 12:00:00.500000"
+    assert canon_time_const("2024-01-25 12:30:30", "date") == "2024-01-25"
+    assert canon_time_const("2024-01-25", "date") == "2024-01-25"
+    assert canon_time_const("not a time", "ts") == "not a time"
+    assert canon_time_const(7, "ts") == 7
+
+
+def test_second_precision_constant_not_falsely_disjoint():
+    # file min IS the queried boundary instant at microsecond width —
+    # bare-second constants must not prove disjointness (row loss)
+    assert V([("=", "ts", MID)], TS_FS, time_cols=TS_KIND) != "disjoint"
+    assert V([(">=", "ts", MID)], TS_FS, time_cols=TS_KIND) == "covered"
+    assert V([("<", "ts", MID)], TS_FS, time_cols=TS_KIND) == "disjoint"
+    assert V([("ts", MID, MID)], {"ts": [MIDW, MIDW], "__nulls__": {"ts": 0}},
+             time_cols=TS_KIND) == "covered"
+    # bare DATE constant against timestamp stats: midnight instant
+    assert V([("=", "ts", "2024-01-25")],
+             {"ts": ["2024-01-25 00:00:00.000000", "2024-01-25 00:00:00.000000"],
+              "__nulls__": {"ts": 0}},
+             time_cols=TS_KIND) == "covered"
+    # datetime-shaped constant against a DATE column truncates like cast
+    assert V([("=", "d", "2024-01-25 12:00:00")],
+             {"d": ["2024-01-25", "2024-01-25"], "__nulls__": {"d": 0}},
+             time_cols={"d": "date"}) == "covered"
+    # WITHOUT the type gate nothing is widened (string-column safety)
+    assert V([("=", "s", MID)],
+             {"s": [MIDW, MIDW], "__nulls__": {"s": 0}}) == "disjoint"
+
+
+def test_identity_ts_pval_meets_canonical_constant():
+    # identity-partition pvals are Spark CAST output (trimmed); the
+    # canonical datetime constant carries ".000000" — both sides meet
+    # in spark_cast_form (ADVICE r8 #2)
+    kw = dict(pval=MID, pcol="ts")
+    assert V([("=", "ts", MIDW)], {}, **kw) == "covered"
+    assert V([("<>", "ts", MIDW)], {}, **kw) == "disjoint"
+    assert V([("in", "ts", [MIDW, "2024-01-26 00:00:00.000000"])], {}, **kw) == "covered"
+    assert V([("ts", MIDW, MIDW)], {}, **kw) == "covered"
+    assert V([("=", "ts", "2024-01-25 13:00:00.000000")], {}, **kw) == "disjoint"
+    cj = normalize_where([("=", "ts", MIDW)])
+    assert pcol_point_values(cj[0], "ts") == {MID}

@@ -116,12 +116,15 @@ def test_sql_dml_refusals(spark, tmp_path):
             "MERGE INTO sqldml_r AS a USING sqldml_r AS b ON a.k = b.k "
             "WHEN MATCHED THEN DELETE",
         )
-    with pytest.raises(ValueError, match="bucket key"):
+    # r9 flip: a non-key ON anchor is no longer refused — it takes the
+    # documented full-closure path (see test_sql_merge_non_key_on);
+    # what still refuses is an ON with no t=s equality at all
+    with pytest.raises(ValueError, match="cartesian"):
         src = spark.createDataFrame([(1, "z", 0.0)], "k bigint, grp string, x double")
         src.createOrReplaceTempView("sqldml_r_src")
         execute_dml(
             spark,
-            "MERGE INTO sqldml_r t USING sqldml_r_src s ON t.grp = s.grp "
+            "MERGE INTO sqldml_r t USING sqldml_r_src s ON t.k > s.k "
             "WHEN MATCHED THEN DELETE",
         )
     with pytest.raises(ValueError, match="unsupported statement"):
@@ -593,3 +596,72 @@ def test_sql_restore_timestamp_apply_changes_describe_files(spark, tmp_path):
     )
     assert t.read().count() == len(ROWS)
     assert spark.sql("SELECT COUNT(*) AS n FROM sqlmisc").first()["n"] == len(ROWS)
+
+
+def test_sql_merge_extra_on_conjuncts(spark, tmp_path):
+    """Delta's arbitrary ON, part 1: extra conjuncts beyond the key
+    equality — a key-equal pair failing them is NOT a match (the pair
+    splits: target row -> by-source side, source row -> insert side)."""
+    t = _mk(spark, tmp_path, "sqldml_on")
+    src = spark.createDataFrame(
+        [(0, "even", 500.0), (1, "zzz", 600.0)],
+        "k bigint, grp string, x double",
+    )
+    src.createOrReplaceTempView("sqldml_on_src")
+    execute_dml(
+        spark,
+        """MERGE INTO sqldml_on t USING sqldml_on_src s
+           ON t.k = s.k AND t.grp = s.grp
+           WHEN MATCHED THEN UPDATE SET x = s.x
+           WHEN NOT MATCHED THEN INSERT *""",
+    )
+    got = {r["k"]: (r["grp"], r["x"]) for r in t.read().collect()}
+    # k=0: grp matches ('even'='even') -> updated in place
+    assert got[0] == ("even", 500.0)
+    # k=1: key matches but grp doesn't ('odd' != 'zzz') -> NOT a match:
+    # the target row keeps, the source row INSERTS — Delta would now
+    # hold both incarnations of k=1 (the table is keyed but merge ON
+    # semantics rule; the duplicate is the caller's to manage)
+    ks = sorted(r["k"] for r in t.read().where("k = 1").collect())
+    assert ks == [1, 1]
+    grps = sorted(r["grp"] for r in t.read().where("k = 1").collect())
+    assert grps == ["odd", "zzz"]
+
+
+def test_sql_merge_non_key_on(spark, tmp_path):
+    """Delta's arbitrary ON, part 2 (refusal -> support flip): ON
+    anchored on a NON-key column runs the documented full-closure path
+    — every bucket read and rewritten, multiple target rows per source
+    row each take the action."""
+    t = _mk(spark, tmp_path, "sqldml_fc")
+    src = spark.createDataFrame(
+        [("even", 0.0)], "grp string, x double"
+    )
+    src.createOrReplaceTempView("sqldml_fc_src")
+    v = execute_dml(
+        spark,
+        """MERGE INTO sqldml_fc t USING sqldml_fc_src s ON t.grp = s.grp
+           WHEN MATCHED THEN UPDATE SET x = t.x + 1000""",
+    )
+    got = {r["k"]: r["x"] for r in t.read().collect()}
+    for k in range(40):
+        assert got[k] == (float(k) + 1000 if k % 2 == 0 else float(k))
+    assert v == 2
+    # full closure: every bucket was rewritten (no file carried over)
+    m1, m2 = t._manifest(1), t._manifest(2)
+    assert all(m2["files"][b] != m1["files"].get(b) for b in m2["files"])
+    # by-source + non-key ON compose: delete every target row whose grp
+    # has no source match
+    execute_dml(
+        spark,
+        """MERGE INTO sqldml_fc t USING sqldml_fc_src s ON t.grp = s.grp
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+    )
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(0, 40, 2))
+    # an INSERT clause without the bucket key in the source refuses
+    with pytest.raises(ValueError, match="bucket key"):
+        execute_dml(
+            spark,
+            """MERGE INTO sqldml_fc t USING sqldml_fc_src s ON t.grp = s.grp
+               WHEN NOT MATCHED THEN INSERT *""",
+        )
