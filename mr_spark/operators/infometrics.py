@@ -171,23 +171,31 @@ def kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, word) count shuffle; the grid is |sources|×V rows."""
     docs = load_table(spark, sf_dir, "documents")
     from ..functions import tokens
+    from ..session import persist_tracked
 
     tok = docs.select("source", F.explode(tokens("text")).alias("word"))
-    wc = tok.groupBy("word").agg(F.count("*").alias("qc"))
+    # ONE tokenize+explode pass: aggregate straight to (source, word)
+    # counts and persist that small relation — the corpus-wide word counts
+    # (for the vocab) and the per-source counts (for the grid) both derive
+    # from it, where the previous shape re-tokenized the whole corpus for
+    # each (the vocab collect executed one pass eagerly, then sc's lazy
+    # subtree ran the explode again)
+    sw = persist_tracked(
+        tok.groupBy("source", "word").agg(F.count("*").alias("c"))
+    )
+    wc = sw.groupBy("word").agg(F.sum("c").alias("qc"))
     # the top-V vocab is referenced three times downstream (totals, the
     # count semi-join, the smoothing grid); Spark has no cross-subtree
     # CSE for TakeOrdered subplans, so materialize the ≤V rows on the
-    # driver once (the kcenter pattern) instead of re-tokenizing the
-    # corpus per reference
+    # driver once (the kcenter pattern) instead of re-aggregating per
+    # reference
     vocab_rows = wc.orderBy(F.desc("qc"), F.asc("word")).limit(_KL_V).collect()
     vocab = spark.createDataFrame(
-        [(r["word"], r["qc"]) for r in vocab_rows], "word string, qc bigint"
+        [(r["word"], int(r["qc"])) for r in vocab_rows], "word string, qc bigint"
     )
     tot = vocab.agg(F.sum("qc").alias("q"), F.count("*").alias("v"))
-    sc = (
-        tok.join(F.broadcast(vocab.select("word")), "word")
-        .groupBy("source", "word")
-        .agg(F.count("*").alias("c"))
+    sc = sw.join(F.broadcast(vocab.select("word")), "word").select(
+        "source", "word", "c"
     )
     grid = (
         docs.select("source")

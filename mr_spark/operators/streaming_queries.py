@@ -223,8 +223,10 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import events_file_stream, run_to_completion, stream_dedup
 
+    from ._demo import scratch_base
+
     src = _os.path.join(sf_dir, "events.parquet")
-    stream_dir = _tempfile.mkdtemp(prefix="mrspark_dedup_")
+    stream_dir = _tempfile.mkdtemp(prefix="mrspark_dedup_", dir=scratch_base())
     for i in range(2):
         _shutil.copy(src, _os.path.join(stream_dir, f"batch_{i}.parquet"))
         _os.utime(

@@ -45,6 +45,10 @@ RUNTIME_CONFS = {
     # local-FS durability they add is not worth a thread per file write here;
     # on a cluster the object store's own integrity checks cover corruption).
     "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
+    # temp checkpoints (memory-sink drains) now live on RAM-backed scratch
+    # (see get_spark) — always delete them on query stop, even after an
+    # error, so tmpfs never accumulates dead checkpoints
+    "spark.sql.streaming.forceDeleteTempCheckpointLocation": "true",
 }
 
 
@@ -157,6 +161,35 @@ def get_spark(app_name: str = "mr_spark", *, cpus: int | None = None,
     wrong for local mode and is re-planned by AQE on a cluster anyway.
     """
     n = cpus or default_parallelism()
+    # Scratch I/O (shuffle files, spills, streaming temp checkpoints) goes
+    # to RAM-backed storage when available: the round-9 bench machine's
+    # system disk throttles writes to ~10 MB/s (measured), so every
+    # shuffle write/writeback stall lands in query wall-clock. On a real
+    # cluster spark.local.dir is provisioned on local NVMe for the same
+    # reason; $SPARK_GRAFT_SCRATCH_DIR overrides, and a machine without
+    # /dev/shm headroom keeps Spark's defaults. Static confs — they only
+    # apply when this factory builds the JVM (bench/tests); an
+    # externally-built session keeps its own dirs.
+    from .operators._demo import register_scratch, scratch_base
+
+    scratch = scratch_base()
+    scratch_confs: dict[str, str] = {}
+    if scratch.startswith("/dev/shm") or os.environ.get("SPARK_GRAFT_SCRATCH_DIR"):
+        # underscore-pid suffix so _demo's stale-pid sweep reclaims these
+        # too after a SIGKILL (atexit never runs there)
+        local_dir = os.path.join(scratch, f"spark_local_{os.getpid()}")
+        tmp_dir = os.path.join(scratch, f"jvm_tmp_{os.getpid()}")
+        os.makedirs(local_dir, exist_ok=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        register_scratch(local_dir)
+        register_scratch(tmp_dir)
+        scratch_confs = {
+            "spark.local.dir": local_dir,
+            # temporary streaming checkpoints (memory-sink drains) are
+            # created under java.io.tmpdir — move them off the throttled
+            # disk with the rest of the scratch
+            "spark.driver.extraJavaOptions": f"-Djava.io.tmpdir={tmp_dir}",
+        }
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
@@ -189,6 +222,8 @@ def get_spark(app_name: str = "mr_spark", *, cpus: int | None = None,
         # re-run (static conf — must be set at session build time).
         .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
+    for k, v in scratch_confs.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
