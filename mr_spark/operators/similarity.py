@@ -239,18 +239,28 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     matmul — no driver collect anywhere, so a 100 TB embeddings table
     cannot OOM the driver. Exact + deterministic per the module-level
     quantization argument."""
+    # gate on the RAW table's row count — a parquet metadata read — not
+    # on count() of the quantized projection; the select is 1:1 so the
+    # counts are equal, and the previous shape paid a full quantize scan
+    # just to pick a strategy (then two more for the collect + stream)
+    n = load_table(spark, sf_dir, "embeddings").count()
     emb = _quantized(spark, sf_dir)
-    if emb.count() <= _NEARDUP_BROADCAST_LIMIT:
-        return _neardup_broadcast(emb)
+    if n <= _NEARDUP_BROADCAST_LIMIT:
+        # one quantize pass total: materialized here, read back by both
+        # the broadcast-matrix collect and the streamed matmul side
+        return _neardup_broadcast(persist_tracked(emb))
     return _neardup_blocked(spark, emb)
 
 
 def _neardup_broadcast(emb: DataFrame) -> DataFrame:
     """Small-corpus path: corpus collected once as the broadcast matrix,
-    streamed side matmuls against it block-wise."""
-    rows = emb.collect()
-    b_ids = np.array([r["vec_id"] for r in rows])
-    b_mat = np.stack([np.asarray(r["q"]) for r in rows])
+    streamed side matmuls against it block-wise. The collect moves
+    through Arrow (toPandas) — row-pickling an array<double> column was
+    the slow half of this path; quantized integer-valued doubles
+    round-trip Arrow bit-exact."""
+    pdf = emb.toPandas()
+    b_ids = pdf["vec_id"].to_numpy()
+    b_mat = np.stack(pdf["q"].to_numpy())
     return emb.mapInPandas(
         _matmul_kernel(b_ids, b_mat, "neardup"),
         schema="vec_a bigint, vec_b bigint, sim double",

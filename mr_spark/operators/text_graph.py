@@ -181,16 +181,22 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = und.groupBy("src", "dst").agg(F.count("*").alias("w"))
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     e2 = edges.join(outw, "src").select("src", "dst", "w", "ow")
-    n = outw.count()  # scalar vocab size — safe at any scale
+    # ONE pass over the bigram scan: materialize e2 first, then read the
+    # vocabulary (size + node list) off the cached relation — the previous
+    # shape (outw.count(), then a nodes collect, then the first rank step)
+    # recomputed the full tokenize→bigram→aggregate subtree three times,
+    # since Spark has no cross-action CSE
+    e2 = e2.persist()
+    nodes = [r["src"] for r in e2.select("src").distinct().collect()]
+    n = len(nodes)  # scalar vocab size — safe at any scale
     if n <= _TEXTRANK_COLLECT_MAX:
-        # the broadcast path runs _ITERS separate jobs over e2 — persist
-        # for their duration; _textrank_broadcast unpersists when done
-        return _textrank_broadcast(spark, e2.persist(), outw, n)
+        return _textrank_broadcast(spark, e2, nodes, n)
     # the distributed path composes ONE lazy 5-join plan: the e2 subtree
     # repeats per iteration but Spark reuses its exchange within the job
-    # (ReusedExchange), so a persist here would only leak cached blocks
-    # the lazily-returned plan never releases
-    return _textrank_distributed(e2, outw, n)
+    # (ReusedExchange), so a cache would only leak blocks the lazily
+    # returned plan never releases — drop the gate probe's blocks now
+    e2.unpersist()
+    return _textrank_distributed(e2, n)
 
 
 def _rank_step(e2: DataFrame, ranks: DataFrame, n: int) -> DataFrame:
@@ -217,30 +223,36 @@ def _rank_step(e2: DataFrame, ranks: DataFrame, n: int) -> DataFrame:
 
 
 def _textrank_broadcast(
-    spark: SparkSession, e2: DataFrame, outw: DataFrame, n: int
+    spark: SparkSession, e2: DataFrame, nodes: list, n: int
 ) -> DataFrame:
-    """≤ gate: rank vector collected + broadcast each round."""
-    nodes = [row["src"] for row in outw.select("src").collect()]
+    """≤ gate: rank vector collected + broadcast each round. The per-round
+    driver round-trip moves through Arrow both ways (toPandas / pandas
+    createDataFrame) — the row-pickle path serialized the whole rank
+    vector tuple-by-tuple five times per query. float64 survives Arrow
+    bit-exact, so the 12dp contract is untouched."""
+    import pandas as pd
+
     r0 = round(1.0 / n, 12)
-    rank_rows = [(word, r0) for word in nodes]
+    ranks_pdf = pd.DataFrame({"word": pd.Series(nodes, dtype=object),
+                              "r": r0})
     for _ in range(_ITERS):
         ranks_df = F.broadcast(
-            spark.createDataFrame(rank_rows, "word string, r double")
+            spark.createDataFrame(ranks_pdf, "word string, r double")
         )
-        rank_rows = [
-            (row["word"], row["r"]) for row in _rank_step(e2, ranks_df, n).collect()
-        ]
+        ranks_pdf = _rank_step(e2, ranks_df, n).toPandas()
     e2.unpersist()
-    final = spark.createDataFrame(rank_rows, "word string, rank double")
+    final = spark.createDataFrame(
+        ranks_pdf.rename(columns={"r": "rank"}), "word string, rank double"
+    )
     return final.select("word", F.round("rank", 6).alias("rank"))
 
 
-def _textrank_distributed(e2: DataFrame, outw: DataFrame, n: int) -> DataFrame:
+def _textrank_distributed(e2: DataFrame, n: int) -> DataFrame:
     """> gate: the rank vector stays a distributed relation; each round is
-    a shuffled equi-join + groupBy against the persisted edges. Fully
+    a shuffled equi-join + groupBy against the edge relation. Fully
     lazy — _ITERS is small and fixed, so the composed 5-join plan executes
     as ONE job with no driver materialization at all."""
-    ranks = outw.select(
+    ranks = e2.select("src").distinct().select(
         F.col("src").alias("word"), F.lit(round(1.0 / n, 12)).alias("r")
     )
     for _ in range(_ITERS):

@@ -49,6 +49,16 @@ RUNTIME_CONFS = {
     # (see get_spark) — always delete them on query stop, even after an
     # error, so tmpfs never accumulates dead checkpoints
     "spark.sql.streaming.forceDeleteTempCheckpointLocation": "true",
+    # Let the planner pick shuffled-hash join when its size conditions
+    # hold (build side per partition bounded), and let AQE rewrite a
+    # planned sort-merge to shuffled-hash at runtime when every
+    # post-shuffle partition is under 128 MB: SHJ skips the sort on both
+    # sides. Scale-safe by construction — the planner still falls back
+    # to sort-merge whenever the size conditions fail, so a 100 TB join
+    # keeps the spill-graceful path; this only removes the sort where
+    # the build side provably fits a task.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "128m",
 }
 
 

@@ -334,15 +334,16 @@ def test_textrank_strategies_identical(spark):
         return e2, outw
 
     e2, outw = build_graph()
-    n = outw.count()
+    nodes = [r["src"] for r in outw.select("src").collect()]
+    n = len(nodes)
     dist = sorted(
-        (r["word"], r["rank"]) for r in _textrank_distributed(e2, outw, n).collect()
+        (r["word"], r["rank"]) for r in _textrank_distributed(e2, n).collect()
     )
     # _textrank_broadcast unpersists e2 internally — give it its own copy
-    e2b, outwb = build_graph()
+    e2b, _ = build_graph()
     bcast = sorted(
         (r["word"], r["rank"])
-        for r in _textrank_broadcast(spark, e2b, outwb, n).collect()
+        for r in _textrank_broadcast(spark, e2b, nodes, n).collect()
     )
     e2.unpersist()
     assert dist == bcast
