@@ -44,7 +44,30 @@ def read_file_rows(
     preds: list | None = None,
     fills: dict | None = None,
 ) -> list[tuple]:
-    """One file's live rows as tuples in ``logical_cols`` order.
+    """One file's live rows as tuples in ``logical_cols`` order —
+    ``read_file_table`` materialized to Python (the CDF diff needs
+    hashable rows for its multiset Counter)."""
+    tbl = read_file_table(
+        file_path, logical_cols, colmap, dv_paths, preds=preds, fills=fills
+    )
+    data = [c.to_pylist() for c in tbl.columns]
+    return list(zip(*data)) if data else []
+
+
+def read_file_table(
+    file_path: str,
+    logical_cols: list[str],
+    colmap: dict,
+    dv_paths: list[str],
+    preds: list | None = None,
+    fills: dict | None = None,
+):
+    """One file's live rows as a ``pyarrow.Table`` whose columns are
+    named and ordered by ``logical_cols`` — the Arrow-native scan core.
+    The snapshot sources yield its batches STRAIGHT to Spark (the Python
+    DataSource API accepts ``pyarrow.RecordBatch`` from ``read()``), so
+    scanned bytes never round-trip through Python objects; the tuple
+    form above exists only for consumers that need per-row hashing.
 
     ``preds`` are normalized conjuncts from mr_spark/predicates.py
     (AND of OR'd atoms: ranges, comparisons incl. ``<>``, IN-lists,
@@ -189,19 +212,27 @@ def read_file_rows(
             for a in atoms[1:]:
                 m = pc.or_(m, atom_mask(a))
             mask = m if mask is None else pc.and_(mask, m)
-        keep = mask.to_pylist()
-    data = [
-        tbl.column(p).to_pylist()
-        if p in in_file
-        else [(fills or {}).get(lc)] * n
-        for lc, p in zip(logical_cols, phys)
-    ]
-    rows = list(zip(*data)) if data else []
+        keep = mask
+    cols = []
+    for lc, p in zip(logical_cols, phys):
+        if p in in_file:
+            cols.append(tbl.column(p))
+        else:
+            v = (fills or {}).get(lc)
+            # type inferred here is provisional — the source casts the
+            # whole table to the declared Spark schema before yielding
+            cols.append(pa.nulls(n) if v is None else pa.array([v] * n))
+    out = pa.table(cols, names=list(logical_cols))
     dead = dead_positions(file_path, dv_paths) if dv_paths else set()
     if dead or keep is not None:
-        rows = [
-            r
-            for i, r in enumerate(rows)
-            if i not in dead and (keep is None or keep[i])
-        ]
-    return rows
+        # both filters index the file's ORIGINAL row order — combine
+        # into one mask, one filter pass
+        if dead:
+            import pyarrow.compute as pc
+
+            alive = pa.array([i not in dead for i in range(n)])
+            live_mask = alive if keep is None else pc.and_(alive, keep)
+        else:
+            live_mask = keep
+        out = out.filter(live_mask)
+    return out

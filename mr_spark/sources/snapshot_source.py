@@ -346,22 +346,31 @@ class SnapshotReader(DataSourceReader):
 
     # ---- execution (executor): pyarrow scan + DV anti-filter ----------
 
-    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+    def read(self, partition: _FilePartition) -> Iterator:
         yield from _read_file_partition(partition)
 
 
-def _read_file_partition(partition: _FilePartition) -> Iterator[tuple]:
+def _read_file_partition(partition: _FilePartition) -> Iterator:
     """ONE executor-side file read under full snapshot semantics
     (physical names via colmap, NULL-fill for pre-evolution files,
     positional DV filter, exact row-level ``where`` predicates) —
     shared by the batch reader and the table-as-stream reader so the
-    semantics cannot drift apart."""
+    semantics cannot drift apart.
+
+    Yields ``pyarrow.RecordBatch`` (the Python DataSource API's Arrow
+    fast path) CAST to exactly the arrow schema Spark derives from the
+    declared schema — scanned bytes go parquet→arrow→JVM without ever
+    materializing Python row objects; the cast guarantees field order,
+    names and types (timestamps land as us/UTC) match what the engine
+    planned for, independent of the file's physical types."""
     if not partition.file_path:
         return
-    from ._scan import read_file_rows
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from ._scan import read_file_table
 
     schema = StructType.fromJson(json.loads(partition.schema_json))
-    yield from read_file_rows(
+    tbl = read_file_table(
         partition.file_path,
         [f.name for f in schema.fields],
         partition.colmap,
@@ -369,6 +378,7 @@ def _read_file_partition(partition: _FilePartition) -> Iterator[tuple]:
         preds=getattr(partition, "preds", None) or [],
         fills=getattr(partition, "fills", None) or {},
     )
+    yield from tbl.cast(to_arrow_schema(schema)).to_batches()
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -525,7 +535,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     # ---- execution (executor): same path as the batch reader ----------
 
-    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+    def read(self, partition: _FilePartition) -> Iterator:
         yield from _read_file_partition(partition)
 
 

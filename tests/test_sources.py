@@ -233,6 +233,55 @@ def test_snapshot_batch_source_reads_dvs_and_evolution(spark, tmp_path):
     assert sorted(map(tuple, out.collect())) == native
 
 
+def test_snapshot_source_read_yields_arrow_batches(spark, tmp_path):
+    """The executor read path must yield pyarrow RecordBatches cast to
+    exactly the declared schema (the Python DataSource Arrow fast path —
+    scanned bytes never materialize as Python rows), and the batch
+    contents must equal the tuple form the CDF diff still consumes."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from mr_spark.sources._scan import read_file_rows
+    from mr_spark.sources.snapshot_source import SnapshotReader
+
+    t = _mk_snap(spark, tmp_path, [(i, f"v{i}") for i in range(20)])
+    t.delete_keys(spark.createDataFrame([(7,)], "k bigint"), mode="dv")
+    reader = SnapshotReader({"path": t.path})
+    parts = [p for p in reader.partitions() if p.file_path]
+    assert parts
+    rows: list[tuple] = []
+    for p in parts:
+        batches = list(reader.read(p))
+        assert all(isinstance(b, pa.RecordBatch) for b in batches)
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        declared = StructType.fromJson(_json.loads(p.schema_json))
+        target = to_arrow_schema(declared)
+        for b in batches:
+            assert b.schema == target
+        rows += [
+            tuple(r)
+            for b in batches
+            for r in zip(*(c.to_pylist() for c in b.columns))
+        ]
+        # the tuple form (CDF diff input) agrees value-for-value
+        assert sorted(rows[-sum(b.num_rows for b in batches):]) == sorted(
+            read_file_rows(
+                p.file_path,
+                [f.name for f in declared.fields],
+                p.colmap,
+                p.dv_paths,
+                preds=p.preds,
+                fills=p.fills,
+            )
+        )
+    assert sorted(rows) == sorted(
+        [(i, f"v{i}") for i in range(20) if i != 7]
+    )
+
+
 def test_snapshot_batch_source_where_option_prunes_partitions(spark, tmp_path):
     """option("where", ...) must plan fewer input partitions under a
     prunable predicate — manifest pruning through the standard reader
