@@ -2887,42 +2887,52 @@ def snapshot_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mr_spark/sources/snapshot_source.py — the Delta-FileIndex shape):
     ``spark.read.format("snapshot").option("where", "tag = 't42'")``
     prunes files from the manifest alone during planning (footer ranges
-    + per-file bloom probes for point predicates) and emits ONE INPUT
-    PARTITION PER SURVIVING FILE — executors then read under the
-    manifest schema with deletion vectors applied and re-apply the
-    predicate exactly row-level, so the full table semantics flow
-    through the standard reader API instead of a path list materialized
-    by data_paths(). The query RAISES unless the REAL planned scan has
-    strictly fewer partitions under the tag point-lookup than an
-    unpredicated relation — certifying the manifest (bloom) pruning
-    reached the physical plan, not just that rows were filtered. The
-    predicate rides a RELATION-LEVEL OPTION, not pushFilters: this
-    image's Spark caches one planned read per relation and would reuse a
-    pushFilters-pruned plan for later unfiltered scans of the same
-    load() — measured silent row loss; mechanism + engine canary in
-    snapshot_source.py / tests/test_sources.py.
+    + per-file bloom probes for point predicates); surviving files PACK
+    into size-bounded input splits (guide §6 — one Python task per tiny
+    file was pure overhead) — executors then read under the manifest
+    schema with deletion vectors applied and re-apply the predicate
+    exactly row-level, so the full table semantics flow through the
+    standard reader API instead of a path list materialized by
+    data_paths(). The query RAISES unless the planned scan reads
+    strictly fewer FILES under the tag point-lookup than an unpredicated
+    relation — certifying the manifest (bloom) pruning reached the
+    planned file set, not just that rows were filtered (planning is
+    deterministic per relation options, so the probe reader plans the
+    identical split set the engine executes; split counts no longer
+    measure pruning once small files pack together). The predicate rides
+    a RELATION-LEVEL OPTION, not pushFilters: this image's Spark caches
+    one planned read per relation and would reuse a pushFilters-pruned
+    plan for later unfiltered scans of the same load() — measured silent
+    row loss; mechanism + engine canary in snapshot_source.py /
+    tests/test_sources.py.
 
     Scale: this is how a 100 TB table should meet Spark — predicates
     reach the metadata layer during planning (O(live-files) driver
     memory, zero file opens), and the executor fan-out is exactly the
     surviving file set; no intermediate path-list round trip."""
-    from ..sources.snapshot_source import register
+    from ..sources.snapshot_source import SnapshotReader, register
 
     t = _orders_bloom_fixture(spark, sf_dir, "acid_bloom_demo")
     register(spark)
-    base = spark.read.format("snapshot").option("path", t.path).load()
-    n_all = base.rdd.getNumPartitions()
+    n_all = sum(
+        len(p.files) for p in SnapshotReader({"path": t.path}).partitions()
+    )
     filtered = (
         spark.read.format("snapshot")
         .option("path", t.path)
         .option("where", "tag = 't42'")
         .load()
     )
-    n_pruned = filtered.rdd.getNumPartitions()
+    n_pruned = sum(
+        len(p.files)
+        for p in SnapshotReader(
+            {"path": t.path, "where": "tag = 't42'"}
+        ).partitions()
+    )
     if not n_pruned < n_all:
         raise RuntimeError(
             f"manifest pruning did not reach the plan: {n_all} -> "
-            f"{n_pruned} input partitions for the point lookup — the "
+            f"{n_pruned} planned files for the point lookup — the "
             "DataSource is scanning files the manifest can prove empty"
         )
     return (

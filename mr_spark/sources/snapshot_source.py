@@ -176,27 +176,68 @@ class SnapshotDataSource(DataSource):
         return SnapshotStreamReader(self.options, schema)
 
 
-class _FilePartition(InputPartition):
+# ---- input-split packing (guide §6: split sizing / small-file open cost) ---
+#
+# One Python task per FILE was the dominant cost of every snapshot scan on
+# small tables: each Python-DataSource task pays a fixed worker round-trip
+# (~0.1 s measured on this image) regardless of bytes, so a 32-file fixture
+# scan spent ~4.5 s on overhead for ~5 MB of data. Files now PACK into
+# splits the way Spark's own FilePartition packing works: each file costs
+# max(its size, an open-cost floor), and files accumulate into one split
+# until the target size is reached. At production file sizes (128 MB-1 GB)
+# the byte target keeps ~1 file per split — parallelism at scale is
+# unchanged; only the tiny-file regime collapses its per-task overhead.
+# Both knobs are env-tunable so a cluster deployment can align them with
+# spark.sql.files.maxPartitionBytes / openCostInBytes.
+_PACK_TARGET = int(os.environ.get("SPARK_GRAFT_SCAN_PACK_BYTES", str(128 << 20)))
+_PACK_OPEN_COST = int(os.environ.get("SPARK_GRAFT_SCAN_OPEN_COST", str(8 << 20)))
+
+
+class _FileSetPartition(InputPartition):
+    """A packed scan split: several files of ONE manifest read together
+    by a single executor task. ``files`` is a list of per-file specs
+    ``(file_path, dv_paths, fills)``; schema/colmap/preds are shared
+    (they are manifest-level, identical for every file of a scan)."""
+
     def __init__(
         self,
-        file_path: str,
-        dv_paths: list[str],
+        files: list[tuple],
         schema_json: str,
         colmap: dict | None = None,
         preds: list | None = None,
-        fills: dict | None = None,
     ) -> None:
-        self.file_path = file_path  # "" = empty-table sentinel
-        self.dv_paths = dv_paths
+        self.files = files  # [] = empty-table sentinel
         self.schema_json = schema_json
-        # logical -> physical in-file column names (column mapping)
         self.colmap = colmap or {}
-        # normalized predicate conjuncts (mr_spark/predicates.py,
-        # logical names) re-applied EXACTLY row-level by the executor
         self.preds = preds or []
-        # initial column defaults for THIS file (add_column on a file
-        # that predates the alter): logical col -> fill value
-        self.fills = fills or {}
+
+    @property
+    def file_paths(self) -> list[str]:
+        return [f[0] for f in self.files]
+
+
+def _pack_file_specs(
+    specs: list[tuple], schema_json: str, colmap: dict, preds: list | None
+) -> list[_FileSetPartition]:
+    """Greedy size-based packing of per-file specs into scan splits
+    (driver-side ``os.path.getsize`` — pure metadata, like the manifest
+    reads around it). Order-preserving and deterministic."""
+    parts: list[_FileSetPartition] = []
+    cur: list[tuple] = []
+    cur_cost = 0
+    for spec in specs:
+        try:
+            cost = max(os.path.getsize(spec[0]), _PACK_OPEN_COST)
+        except OSError:
+            cost = _PACK_OPEN_COST
+        if cur and cur_cost + cost > _PACK_TARGET:
+            parts.append(_FileSetPartition(cur, schema_json, colmap, preds))
+            cur, cur_cost = [], 0
+        cur.append(spec)
+        cur_cost += cost
+    if cur:
+        parts.append(_FileSetPartition(cur, schema_json, colmap, preds))
+    return parts
 
 
 def parse_where(expr: str) -> list[list[tuple]]:
@@ -309,7 +350,7 @@ class SnapshotReader(DataSourceReader):
                 "where references the hidden '_row_id' column — pass "
                 "option('with_row_ids', 'true') to expose row ids"
             )
-        parts: list[InputPartition] = []
+        specs: list[tuple] = []
         for b, rels in buckets.items():
             spec = _ST._bucket_spec(m, b)
             # exact pval claims are identity-only (a transformed value
@@ -328,34 +369,32 @@ class SnapshotReader(DataSourceReader):
                     for c, (pre, v) in init_pre.items()
                     if base in pre
                 }
-                parts.append(
-                    _FilePartition(
+                specs.append(
+                    (
                         os.path.join(self.path, rel),
                         [
                             os.path.join(self.path, d)
                             for d in dvs.get(rel, [])
                         ],
-                        eff_json,
-                        cmap,
-                        self._preds,  # logical names; executor maps
                         fills,
                     )
                 )
+        parts = _pack_file_specs(specs, eff_json, cmap, self._preds)
         # an empty table still needs >= 1 partition
-        return parts or [_FilePartition("", [], eff_json, cmap)]
+        return parts or [_FileSetPartition([], eff_json, cmap)]
 
     # ---- execution (executor): pyarrow scan + DV anti-filter ----------
 
-    def read(self, partition: _FilePartition) -> Iterator:
-        yield from _read_file_partition(partition)
+    def read(self, partition: _FileSetPartition) -> Iterator:
+        yield from _read_fileset_partition(partition)
 
 
-def _read_file_partition(partition: _FilePartition) -> Iterator:
-    """ONE executor-side file read under full snapshot semantics
-    (physical names via colmap, NULL-fill for pre-evolution files,
-    positional DV filter, exact row-level ``where`` predicates) —
-    shared by the batch reader and the table-as-stream reader so the
-    semantics cannot drift apart.
+def _read_fileset_partition(partition: _FileSetPartition) -> Iterator:
+    """ONE executor-side scan split (a packed set of files of one
+    manifest) under full snapshot semantics (physical names via colmap,
+    NULL-fill for pre-evolution files, positional DV filter, exact
+    row-level ``where`` predicates) — shared by the batch reader and the
+    table-as-stream reader so the semantics cannot drift apart.
 
     Yields ``pyarrow.RecordBatch`` (the Python DataSource API's Arrow
     fast path) CAST to exactly the arrow schema Spark derives from the
@@ -363,22 +402,25 @@ def _read_file_partition(partition: _FilePartition) -> Iterator:
     materializing Python row objects; the cast guarantees field order,
     names and types (timestamps land as us/UTC) match what the engine
     planned for, independent of the file's physical types."""
-    if not partition.file_path:
+    if not partition.files:
         return
     from pyspark.sql.pandas.types import to_arrow_schema
 
     from ._scan import read_file_table
 
     schema = StructType.fromJson(json.loads(partition.schema_json))
-    tbl = read_file_table(
-        partition.file_path,
-        [f.name for f in schema.fields],
-        partition.colmap,
-        partition.dv_paths,
-        preds=getattr(partition, "preds", None) or [],
-        fills=getattr(partition, "fills", None) or {},
-    )
-    yield from tbl.cast(to_arrow_schema(schema)).to_batches()
+    logical = [f.name for f in schema.fields]
+    arrow_schema = to_arrow_schema(schema)
+    for file_path, dv_paths, fills in partition.files:
+        tbl = read_file_table(
+            file_path,
+            logical,
+            partition.colmap,
+            dv_paths,
+            preds=partition.preds or [],
+            fills=fills or {},
+        )
+        yield from tbl.cast(arrow_schema).to_batches()
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -459,13 +501,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
             if d.get("initial") is not None
         }
         eff_json = _effective_schema(m, self._options).json()
-        return [
-            _FilePartition(
+        specs = [
+            (
                 os.path.join(self.path, rel),
                 [os.path.join(self.path, d) for d in dvs.get(rel, [])],
-                eff_json,
-                m.get("colmap", {}),
-                None,
                 {
                     c: v
                     for c, (pre, v) in init_pre.items()
@@ -475,6 +514,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
             for rels in m["files"].values()
             for rel in rels
         ]
+        return _pack_file_specs(specs, eff_json, m.get("colmap", {}), None)
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         t = _table(self.path)
@@ -520,23 +560,26 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     "commits, or read format('snapshot_cdf') for "
                     "row-level changes"
                 )
-            parts += [
-                _FilePartition(
-                    os.path.join(self.path, rel),
-                    [],  # append-only commit: no DVs on its new files
-                    _effective_schema(mt, self._options).json(),
-                    mt.get("colmap", {}),
-                )
-                for rel in added
-            ]
+            # pack per COMMIT (schema/colmap are per-manifest; a split
+            # never mixes files of two commits)
+            parts += _pack_file_specs(
+                [
+                    # append-only commit: no DVs on its new files
+                    (os.path.join(self.path, rel), [], {})
+                    for rel in added
+                ],
+                _effective_schema(mt, self._options).json(),
+                mt.get("colmap", {}),
+                None,
+            )
         return parts or [
-            _FilePartition("", [], self._declared_schema_json, {})
+            _FileSetPartition([], self._declared_schema_json, {})
         ]
 
     # ---- execution (executor): same path as the batch reader ----------
 
-    def read(self, partition: _FilePartition) -> Iterator:
-        yield from _read_file_partition(partition)
+    def read(self, partition: _FileSetPartition) -> Iterator:
+        yield from _read_fileset_partition(partition)
 
 
 def register(spark) -> None:

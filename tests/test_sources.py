@@ -233,6 +233,30 @@ def test_snapshot_batch_source_reads_dvs_and_evolution(spark, tmp_path):
     assert sorted(map(tuple, out.collect())) == native
 
 
+def test_snapshot_source_packs_small_files_into_splits(spark, tmp_path, monkeypatch):
+    """Split packing (guide §6): tiny files pack into one split (one
+    Python task instead of one per file), every file still read exactly
+    once, and the byte target bounds a split — a target below two file
+    costs degenerates to one file per split (the production-file-size
+    regime, where parallelism must be preserved)."""
+    import mr_spark.sources.snapshot_source as ss
+
+    t = _mk_snap(spark, tmp_path, [(i, f"v{i}") for i in range(40)])
+    r = ss.SnapshotReader({"path": t.path})
+    parts = r.partitions()
+    n_files = sum(len(p.files) for p in parts)
+    assert n_files >= 4  # the fixture really has several files
+    assert len(parts) < n_files  # small files packed together
+    # all files distinct, none dropped
+    flat = [f for p in parts for f in p.file_paths]
+    assert len(set(flat)) == len(flat) == n_files
+    # a target below the per-file open-cost floor → one file per split
+    monkeypatch.setattr(ss, "_PACK_TARGET", 1)
+    parts1 = ss.SnapshotReader({"path": t.path}).partitions()
+    assert len(parts1) == n_files
+    assert all(len(p.files) == 1 for p in parts1)
+
+
 def test_snapshot_source_read_yields_arrow_batches(spark, tmp_path):
     """The executor read path must yield pyarrow RecordBatches cast to
     exactly the declared schema (the Python DataSource Arrow fast path —
@@ -247,7 +271,7 @@ def test_snapshot_source_read_yields_arrow_batches(spark, tmp_path):
     t = _mk_snap(spark, tmp_path, [(i, f"v{i}") for i in range(20)])
     t.delete_keys(spark.createDataFrame([(7,)], "k bigint"), mode="dv")
     reader = SnapshotReader({"path": t.path})
-    parts = [p for p in reader.partitions() if p.file_path]
+    parts = [p for p in reader.partitions() if p.files]
     assert parts
     rows: list[tuple] = []
     for p in parts:
@@ -268,13 +292,15 @@ def test_snapshot_source_read_yields_arrow_batches(spark, tmp_path):
         ]
         # the tuple form (CDF diff input) agrees value-for-value
         assert sorted(rows[-sum(b.num_rows for b in batches):]) == sorted(
-            read_file_rows(
-                p.file_path,
+            row
+            for file_path, dv_paths, fills in p.files
+            for row in read_file_rows(
+                file_path,
                 [f.name for f in declared.fields],
                 p.colmap,
-                p.dv_paths,
+                dv_paths,
                 preds=p.preds,
-                fills=p.fills,
+                fills=fills,
             )
         )
     assert sorted(rows) == sorted(
@@ -289,16 +315,25 @@ def test_snapshot_batch_source_where_option_prunes_partitions(spark, tmp_path):
     (the predicate is re-applied row-level on executors)."""
     from mr_spark.sources.snapshot_source import register
 
+    from mr_spark.sources.snapshot_source import SnapshotReader
+
     t = _mk_snap(spark, tmp_path, [(i, f"v{i}") for i in range(40)])
     register(spark)
-    base = spark.read.format("snapshot").option("path", t.path).load()
+    # fewer FILES survive planning under the predicate (splits pack
+    # several files, so partition counts no longer measure pruning —
+    # planned file counts do)
+    n_all = sum(len(p.files) for p in SnapshotReader({"path": t.path}).partitions())
+    n_pruned = sum(
+        len(p.files)
+        for p in SnapshotReader({"path": t.path, "where": "k = 3"}).partitions()
+    )
+    assert 0 < n_pruned < n_all
     pruned = (
         spark.read.format("snapshot")
         .option("path", t.path)
         .option("where", "k = 3")
         .load()
     )
-    assert pruned.rdd.getNumPartitions() < base.rdd.getNumPartitions()
     assert [(r["k"], r["v"]) for r in pruned.collect()] == [(3, "v3")]
 
 
@@ -328,10 +363,14 @@ def test_snapshot_batch_source_where_extended_grammar(spark, tmp_path):
     assert got_ne == [i for i in range(40) if i % 5 and i != 3]
     assert sorted(r["k"] for r in q("k NOT IN (0, 1) AND k <= 3").collect()) == [2, 3]
     # pruning: IN-list entirely outside every file's range plans the
-    # empty sentinel (1 partition), vs the full table's many
-    base = spark.read.format("snapshot").option("path", t.path).load()
+    # empty sentinel (zero files)
+    from mr_spark.sources.snapshot_source import SnapshotReader
+
+    empty_parts = SnapshotReader(
+        {"path": t.path, "where": "k IN (900, 901)"}
+    ).partitions()
+    assert sum(len(p.files) for p in empty_parts) == 0
     empty = q("k IN (900, 901)")
-    assert empty.rdd.getNumPartitions() < base.rdd.getNumPartitions()
     assert empty.count() == 0
     import pytest
 
@@ -375,22 +414,21 @@ def test_snapshot_batch_source_prunes_value_partitions(spark, tmp_path):
         spark, str(tmp_path / "ptbl"), df, key="k", n_buckets=2,
         partition_by="day",
     )
-    # reader-level: planned splits all live under the matching directory
+    # reader-level: planned files all live under the matching directory
     r = SnapshotReader({"path": t.path, "where": "day = 'd1'"})
-    planned = [p.file_path for p in r.partitions()]
+    planned = [f for p in r.partitions() for f in p.file_paths]
     r_all = SnapshotReader({"path": t.path})
-    assert planned and len(planned) < len(r_all.partitions())
+    n_all = sum(len(p.files) for p in r_all.partitions())
+    assert planned and len(planned) < n_all
     assert all("day=d1" in p for p in planned)
-    # end-to-end through spark.read: correct rows, fewer splits
+    # end-to-end through spark.read: correct rows
     register(spark)
-    base = spark.read.format("snapshot").option("path", t.path).load()
     pruned = (
         spark.read.format("snapshot")
         .option("path", t.path)
         .option("where", "day = 'd1'")
         .load()
     )
-    assert pruned.rdd.getNumPartitions() < base.rdd.getNumPartitions()
     assert sorted(r["k"] for r in pruned.collect()) == [
         i for i in range(30) if i % 3 == 1
     ]
@@ -407,13 +445,13 @@ def test_snapshot_batch_source_bloom_point_lookup(spark, tmp_path):
     rows = [(i, f"t{i % 13}") for i in range(60)]
     t = _mk_snap(spark, tmp_path, rows, n_buckets=2, bloom_cols=["v"])
     r = SnapshotReader({"path": t.path})
-    n_all = len(r.partitions())
+    n_all = sum(len(p.files) for p in r.partitions())
     assert n_all >= 2
     # "t5a" sorts between the stored "t5" and "t6": in-range for every
     # file, absent from all of them
     r2 = SnapshotReader({"path": t.path, "where": "v = 't5a'"})
     parts = r2.partitions()
-    assert len(parts) == 1 and parts[0].file_path == ""  # bloom pruned all
+    assert len(parts) == 1 and parts[0].files == []  # bloom pruned all
     # and the real read path returns empty, not an error
     register(spark)
     out = (
