@@ -5904,6 +5904,14 @@ class SnapshotTable:
                 F.col(key).alias("__k"), F.struct(*cols).alias("__r"), F.lit(1).alias("__s")
             )
         )
+        # ONE exchange for the whole feed (guide §2.4 "two operations
+        # keyed the same way share one exchange"): hash-partitioning on
+        # __k satisfies both the (__k, __r) aggregation's clustering
+        # (subset rule) and the per-key window below, so the plan that
+        # used to shuffle twice — once on (__k, __r) for the diff, again
+        # on __k for the totals window — now shuffles once. No explicit
+        # partition count: AQE coalesces the exchange like any other.
+        tagged = tagged.repartition(F.col("__k"))
         # d = (count in new) − (count in old) per distinct (key, row);
         # d == 0 → unchanged (even if its bucket was rewritten) → dropped
         diff = (
@@ -6090,14 +6098,32 @@ class SnapshotTable:
             for f in added:
                 if f.name in used_phys:
                     cmap[f.name] = f"{f.name}_{uuid.uuid4().hex[:8]}"
-        dup = (
-            post.groupBy(key)
-            .agg(F.count("*").alias("c"))
-            .where(F.col("c") > 1)
-            .limit(1)
-            .count()
+        # ONE job answers the duplicate-post-state certification AND
+        # collects the touched hash buckets (guide §2 fewer actions —
+        # these were two sequential jobs over the same cached feed, each
+        # paying the full per-job fixed cost): per-key post-state counts
+        # aggregate straight to per-bucket maxima, ≤ n_buckets rows
+        # reach the driver. Key values are identical between feed and
+        # post (the key cast above applies to feed; alignment/defaults
+        # never touch the key), so max-per-bucket > 1 ⟺ the old
+        # per-key dup probe.
+        bucket_rows = (
+            feed.groupBy(F.col(key).alias("__k"))
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("_change_type").isin(
+                            "insert", "update_postimage"
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias("__pc")
+            )
+            .groupBy(_bucket_col("__k", n_buckets).alias("__bucket"))
+            .agg(F.max("__pc").alias("__mx"))
+            .collect()
         )
-        if dup:
+        if any(r["__mx"] > 1 for r in bucket_rows):
             raise ValueError(
                 "apply_changes feed has multiple post-state rows for one "
                 "key; keyed CDC apply needs a unique final state per key"
@@ -6117,18 +6143,12 @@ class SnapshotTable:
         self._check_constraints(m, post)
         post = self._true_partition_value(m, post)
         self._check_partition_values(m, post)
-        touched = (
-            feed.select(key)
-            .distinct()
-            .withColumn("__bucket", _bucket_col(key, n_buckets))
-        )
-        # key-only frame → hash-suffix expansion for partitioned tables,
-        # PLUS the post-rows' own composites (an insert may create a
-        # brand-new partition no existing bucket matches)
-        ids = [
-            str(r["__bucket"])
-            for r in touched.select("__bucket").distinct().collect()
-        ]  # ≤ n_buckets rows — bounded driver collect
+        touched = feed.select(key).distinct()
+        # hash-bucket ids came with the certification job above;
+        # hash-suffix expansion for partitioned tables PLUS the
+        # post-rows' own composites (an insert may create a brand-new
+        # partition no existing bucket matches)
+        ids = [str(r["__bucket"]) for r in bucket_rows]
         if m.get("partition_by"):
             ids += [
                 str(r["__bucket"])
@@ -6148,7 +6168,7 @@ class SnapshotTable:
         release = lambda: None  # noqa: E731
         if old_files:
             target = self._read_files(old_files, m)
-            keep = target.join(touched.drop("__bucket"), key, "left_anti")
+            keep = target.join(touched, key, "left_anti")
             if ident_col is not None:
                 # Delta's identity-under-MERGE rule, mirrored from
                 # merge_upsert: an UPDATED key keeps the target's id,

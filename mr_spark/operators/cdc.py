@@ -5542,9 +5542,16 @@ def cdf_replication_rowid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     a, b = src.read(with_row_ids=True), dst.read()
     cols = a.columns
+    # both divergence directions probe in ONE job (guide §2 fewer
+    # actions — these were two sequential limit(1) anti-join jobs): a
+    # union of the two anti-joins is non-empty iff either direction is
+    bad = F.lit(1).alias("__bad")
     if (
-        a.join(b.select(cols), cols, "left_anti").limit(1).count()
-        or b.select(cols).join(a, cols, "left_anti").limit(1).count()
+        a.join(b.select(cols), cols, "left_anti")
+        .select(bad)
+        .unionAll(b.select(cols).join(a, cols, "left_anti").select(bad))
+        .limit(1)
+        .count()
     ):
         raise RuntimeError(
             "row-id replica diverged from the upstream's current state"

@@ -80,11 +80,29 @@ _PANDAS_QUERIES = {
 def test_jvm_queries_have_no_python_in_plan(spark):
     """Discipline guard: every query not explicitly on the Arrow/Python
     path must compile to a pure-JVM plan (no BatchEvalPython /
-    ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas node)."""
+    ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas node).
+
+    The default run covers the LAZILY-BUILT queries only: building a
+    cdc/streaming query's DataFrame runs real fixture commits,
+    certification jobs and stream drains (~3 min of wall-clock in this
+    one test), while their returned plans are trivial aggregations over
+    the snapshot source / memory sink — near-zero guard value for the
+    Python-node markers. The full sweep (every registered query) stays
+    available under MRSPARK_PLANS_FULL=1 for the builder's full runs;
+    the oracle sweep still executes every query end-to-end either way."""
+    import os
+
     markers = ("EvalPython", "InPandas", "PythonMapInArrow")
+    full = bool(os.environ.get("MRSPARK_PLANS_FULL"))
+    eager_modules = (
+        "mr_spark.operators.cdc",
+        "mr_spark.operators.streaming_queries",
+    )
     offenders = []
     for name, fn in ops.queries().items():
         if name in _PANDAS_QUERIES:
+            continue
+        if not full and getattr(fn, "__module__", "") in eager_modules:
             continue
         plan = plans.formatted(fn(spark, SF_DIR))
         if any(m in plan for m in markers):
