@@ -28,6 +28,40 @@ _WAREHOUSE = os.path.join(
 )
 
 _MIN_SHM_FREE = 16 * 1024**3
+# tmpfs is RAM: a shuffle bigger than the remaining space fails hard with
+# ENOSPC instead of degrading like a disk. Scratch for this engine is
+# bounded by the shuffled/spilled working set, which is bounded by a small
+# multiple of the input (every heavy relation here is a projection or
+# explode of one input table); 4x input is a conservative ceiling, so shm
+# is used only when it could absorb the worst case and a larger-SF run
+# falls back to real disk instead of stranding mid-shuffle.
+_SHM_INPUT_FACTOR = 4
+
+
+def _shm_headroom_ok(free_bytes: int, input_bytes: int) -> bool:
+    """True when tmpfs free space covers the worst-case scratch footprint
+    for the configured input (max of the 16 GiB floor and 4x input)."""
+    return free_bytes >= max(_MIN_SHM_FREE, _SHM_INPUT_FACTOR * input_bytes)
+
+
+def _input_bytes() -> int:
+    """Total bytes under $SPARK_GRAFT_SF_DIR (0 if unset/missing) — the
+    driver's data directory is a flat handful of parquet files, so this
+    walk is microseconds."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if not sf_dir:
+        return 0
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(sf_dir):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    return total
 
 
 def scratch_base() -> str:
@@ -40,7 +74,7 @@ def scratch_base() -> str:
     shm = "/dev/shm"
     try:
         st = os.statvfs(shm)
-        if st.f_bavail * st.f_frsize >= _MIN_SHM_FREE:
+        if _shm_headroom_ok(st.f_bavail * st.f_frsize, _input_bytes()):
             base = os.path.join(shm, "mr_spark_scratch")
             os.makedirs(base, exist_ok=True)
             _sweep_stale(base)
@@ -54,20 +88,36 @@ def scratch_base() -> str:
 _SWEPT = False
 
 
+_STALE_AGE_SECS = 24 * 3600
+
+
 def _sweep_stale(base: str) -> None:
     """tmpfs is RAM: a SIGKILLed process never runs its atexit cleanup, so
     reclaim ``*_<pid>`` entries whose pid is gone (once per process; live
-    processes' dirs are left alone)."""
+    processes' dirs are left alone). Entries whose suffix is not a pid
+    (legacy mkdtemp leftovers) fall back to an age sweep — anything older
+    than a day is no live session's scratch."""
     global _SWEPT
     if _SWEPT:
         return
     _SWEPT = True
+    import time
+
+    now = time.time()
     for entry in os.listdir(base):
+        full = os.path.join(base, entry)
         pid_part = entry.rsplit("_", 1)[-1]
-        if not pid_part.isdigit() or int(pid_part) == os.getpid():
+        if pid_part.isdigit():
+            if int(pid_part) != os.getpid() and not os.path.exists(
+                f"/proc/{pid_part}"
+            ):
+                shutil.rmtree(full, ignore_errors=True)
             continue
-        if not os.path.exists(f"/proc/{pid_part}"):
-            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+        try:
+            if now - os.path.getmtime(full) > _STALE_AGE_SECS:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
 
 
 _REGISTERED: set[str] = set()
@@ -78,6 +128,19 @@ def register_scratch(path: str) -> None:
     exit-time cleanup (used by session.get_spark for the per-pid Spark
     local / JVM tmp dirs)."""
     _REGISTERED.add(path)
+
+
+def mkdtemp_scratch(prefix: str) -> str:
+    """``mkdtemp`` under a per-pid parent (``tmp_<pid>/``) so the random-
+    suffixed dir is (a) cleaned at this process's exit and (b) reclaimable
+    by ``_sweep_stale`` after a SIGKILL — a bare mkdtemp at the scratch
+    root has no pid in its name and tmpfs would hold it until reboot."""
+    import tempfile
+
+    parent = os.path.join(scratch_base(), f"tmp_{os.getpid()}")
+    os.makedirs(parent, exist_ok=True)
+    _REGISTERED.add(parent)
+    return tempfile.mkdtemp(prefix=prefix, dir=parent)
 
 
 def demo_path(name: str) -> str:

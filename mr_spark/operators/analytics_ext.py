@@ -363,10 +363,10 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import events_file_stream, run_to_completion, sessionize_stateful
 
-    from ._demo import scratch_base
+    from ._demo import mkdtemp_scratch
 
     src = _os.path.join(sf_dir, "events.parquet")
-    stream_dir = _tempfile.mkdtemp(prefix="mrspark_sessionize_", dir=scratch_base())
+    stream_dir = mkdtemp_scratch("mrspark_sessionize_")
     _shutil.copy(src, _os.path.join(stream_dir, "batch_0.parquet"))
 
     pf = _pq.ParquetFile(src)

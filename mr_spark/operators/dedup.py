@@ -716,26 +716,31 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse score a curation pipeline thresholds on (low novelty = mostly
     boilerplate or copies; Lee et al. 2022 motivate exactly this metric).
 
-    Unlike exact_substring_pairs this is LINEAR, never pair-emitting: each
-    (doc, window) row just picks up its window's corpus doc-frequency via
-    an equi-join on the 8-byte digest and aggregates per doc. Hot
-    boilerplate windows contribute one df row each — no df² blow-up, so no
-    cap is needed. Digests are engine-internal (Spark xxhash64 / DuckDB
-    md5-tail); df is a property of the window TEXT, identical on both.
-    Two shuffles total (df agg + the h join, which AQE plans off the same
-    exchange); windows relation persisted across its two consumers."""
+    Unlike exact_substring_pairs this is LINEAR, never pair-emitting: a
+    window is duplicated iff ≥2 DISTINCT docs carry its digest, and since
+    ``wins`` holds one row per (doc, digest), that is exactly
+    ``min(doc_id) ≠ max(doc_id)`` over the digest's partition — one
+    aggregative window function, no df relation, no join back, and the
+    windows relation has a single consumer so nothing needs persisting
+    (guide §2.4: the df-agg + self-join shape paid two extra exchanges
+    plus a cache materialization for the same answer). Hot boilerplate
+    windows cost one partition's min/max — no df² blow-up. Digests are
+    engine-internal (Spark xxhash64 / DuckDB md5-tail); duplication is a
+    property of the window TEXT, identical on both."""
     docs = load_table(spark, sf_dir, "documents")
-    wins = persist_tracked(_win_digests(docs))  # feeds the df agg AND the join side
-    dfrel = wins.groupBy("h").agg(F.count("*").alias("df"))
-    dup = F.when(F.col("df") >= 2, 1).otherwise(0)
+    wins = _win_digests(docs)
+    wh = Window.partitionBy("h")
+    dup = F.when(
+        F.min("doc_id").over(wh) != F.max("doc_id").over(wh), 1
+    ).otherwise(0)
     return (
-        wins.join(dfrel, "h")
+        wins.select("doc_id", dup.alias("is_dup"))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_windows"),
-            F.sum(dup).cast("bigint").alias("n_dup_windows"),
+            F.sum("is_dup").cast("bigint").alias("n_dup_windows"),
             F.round(
-                F.lit(1.0) - F.sum(dup).cast("double") / F.count("*"), 6
+                F.lit(1.0) - F.sum("is_dup").cast("double") / F.count("*"), 6
             ).alias("novelty"),
         )
     )
@@ -786,21 +791,20 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quantity Lee et al. threshold at 50 tokens to cut spans out.
 
     Scale shape: positions keep (doc_id, i, 8-byte digest) — text never
-    shuffles; doc-frequency is a count-distinct on the digest; the islands
-    windows are PARTITIONED by doc_id (parallel at any corpus size). Like
-    ngram_novelty this is linear — df gates a semi-join, never a pair
-    join."""
+    shuffles; 'occurs in ≥2 docs' is ``min(doc_id) ≠ max(doc_id)`` over
+    the digest's window partition (exactly COUNT(DISTINCT doc_id) ≥ 2,
+    answered by an aggregative window instead of a distinct-agg + join
+    back — guide §2.4: one h-exchange instead of three exchanges plus a
+    persisted positions cache). Like ngram_novelty this is linear —
+    never a pair join."""
     docs = load_table(spark, sf_dir, "documents")
     pos = _win_positions(docs)
-    pos = persist_tracked(pos)  # feeds the df agg AND the dup-position join
-    dfrel = (
-        pos.select("doc_id", "h")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count("*").alias("df"))
-    )
-    dup = pos.join(dfrel.where(F.col("df") >= 2).select("h"), "h").select(
-        "doc_id", "i"
+    wh = Window.partitionBy("h")
+    dup = (
+        pos.withColumn("__mn", F.min("doc_id").over(wh))
+        .withColumn("__mx", F.max("doc_id").over(wh))
+        .where(F.col("__mn") != F.col("__mx"))
+        .select("doc_id", "i")
     )
     w1 = Window.partitionBy("doc_id").orderBy("i")
     runs = (
@@ -903,21 +907,20 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     proving the stitched text removed exactly the covered chars.
 
     Scale: positions shuffle as (doc_id, i, 8-byte digest) — text never
-    shuffles until the final doc_id-partitioned surgery join; df gates
-    a semi-join like ngram_novelty (linear, no pair emission); islands
-    windows partition by doc_id. Same shape as dup_span_stats plus one
-    doc_id exchange for the stitch."""
+    shuffles until the final doc_id-partitioned surgery join; 'occurs
+    in ≥2 docs' is the same aggregative-window test as dup_span_stats
+    (min ≠ max of doc_id over the digest partition ⟺ COUNT(DISTINCT
+    doc_id) ≥ 2 — one h-exchange, no df join, no persisted positions);
+    islands windows partition by doc_id. Same shape as dup_span_stats
+    plus one doc_id exchange for the stitch."""
     docs = load_table(spark, sf_dir, "documents")
     pos = _win_positions(docs)
-    pos = persist_tracked(pos)  # feeds the df agg AND the dup-position join
-    dfrel = (
-        pos.select("doc_id", "h")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count("*").alias("df"))
-    )
-    dup = pos.join(dfrel.where(F.col("df") >= 2).select("h"), "h").select(
-        "doc_id", "i"
+    wh = Window.partitionBy("h")
+    dup = (
+        pos.withColumn("__mn", F.min("doc_id").over(wh))
+        .withColumn("__mx", F.max("doc_id").over(wh))
+        .where(F.col("__mn") != F.col("__mx"))
+        .select("doc_id", "i")
     )
     w1 = Window.partitionBy("doc_id").orderBy("i")
     lag = F.lag("i").over(w1)

@@ -223,10 +223,10 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import events_file_stream, run_to_completion, stream_dedup
 
-    from ._demo import scratch_base
+    from ._demo import mkdtemp_scratch
 
     src = _os.path.join(sf_dir, "events.parquet")
-    stream_dir = _tempfile.mkdtemp(prefix="mrspark_dedup_", dir=scratch_base())
+    stream_dir = mkdtemp_scratch("mrspark_dedup_")
     for i in range(2):
         _shutil.copy(src, _os.path.join(stream_dir, f"batch_{i}.parquet"))
         _os.utime(
@@ -445,10 +445,15 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side(event_type: str):
         # two replay files per micro-batch: per-trigger fixed cost
         # (offset log, planning, state-store commit — measured ~850 ms
-        # per trigger against ~600 ms of useful addBatch work) halves,
-        # while the watermark still advances between data batches and
-        # the FINAL combined watermark — the only input to the eviction
-        # proofs above — is unchanged, so the emitted set is identical
+        # per trigger against ~600 ms of useful addBatch work) halves.
+        # OUTPUT-IDENTITY INVARIANT (do not weaken): this is safe only
+        # because _ordered_events_replay writes files in strict
+        # event-time order, so no row is ever late — batching can never
+        # change which rows sit in state when their partner arrives or
+        # when the watermark evicts them; the final combined watermark
+        # (the only input to the eviction proofs above) is unchanged
+        # too. If the replay file layout ever stops being time-ordered,
+        # the emitted set becomes trigger-size-dependent.
         return (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 2)
@@ -596,10 +601,15 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side(event_type: str):
         # two replay files per micro-batch: per-trigger fixed cost
         # (offset log, planning, state-store commit — measured ~850 ms
-        # per trigger against ~600 ms of useful addBatch work) halves,
-        # while the watermark still advances between data batches and
-        # the FINAL combined watermark — the only input to the eviction
-        # proofs above — is unchanged, so the emitted set is identical
+        # per trigger against ~600 ms of useful addBatch work) halves.
+        # OUTPUT-IDENTITY INVARIANT (do not weaken): this is safe only
+        # because _ordered_events_replay writes files in strict
+        # event-time order, so no row is ever late — batching can never
+        # change which rows sit in state when their partner arrives or
+        # when the watermark evicts them; the final combined watermark
+        # (the only input to the eviction proofs above) is unchanged
+        # too. If the replay file layout ever stops being time-ordered,
+        # the emitted set becomes trigger-size-dependent.
         return (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 2)

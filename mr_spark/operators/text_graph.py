@@ -187,9 +187,13 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputed the full tokenize→bigram→aggregate subtree three times,
     # since Spark has no cross-action CSE
     e2 = e2.persist()
-    nodes = [r["src"] for r in e2.select("src").distinct().collect()]
-    n = len(nodes)  # scalar vocab size — safe at any scale
+    # scalar count FIRST (safe at any scale); the full node list is
+    # collected only once the gate proves it driver-sized — collecting
+    # before the gate would materialize an unbounded vocabulary on the
+    # driver exactly when the distributed path exists to avoid that
+    n = e2.select("src").distinct().count()
     if n <= _TEXTRANK_COLLECT_MAX:
+        nodes = [r["src"] for r in e2.select("src").distinct().collect()]
         return _textrank_broadcast(spark, e2, nodes, n)
     # the distributed path composes ONE lazy 5-join plan: the e2 subtree
     # repeats per iteration but Spark reuses its exchange within the job

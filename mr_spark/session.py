@@ -177,7 +177,12 @@ def get_spark(app_name: str = "mr_spark", *, cpus: int | None = None,
     # shuffle write/writeback stall lands in query wall-clock. On a real
     # cluster spark.local.dir is provisioned on local NVMe for the same
     # reason; $SPARK_GRAFT_SCRATCH_DIR overrides, and a machine without
-    # /dev/shm headroom keeps Spark's defaults. Static confs — they only
+    # /dev/shm headroom keeps Spark's defaults. tmpfs CANNOT degrade like
+    # a disk — filling it mid-shuffle is a hard ENOSPC task failure — so
+    # scratch_base() sizes the headroom requirement to the configured
+    # input (4x $SPARK_GRAFT_SF_DIR bytes, 16 GiB floor) and larger-SF
+    # runs fall back to real disk; spill-heavy workloads should set
+    # $SPARK_GRAFT_SCRATCH_DIR to a fast disk. Static confs — they only
     # apply when this factory builds the JVM (bench/tests); an
     # externally-built session keeps its own dirs.
     from .operators._demo import register_scratch, scratch_base
