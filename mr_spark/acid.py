@@ -3674,21 +3674,6 @@ class SnapshotTable:
         if batch_id is not None and recorded is not None and recorded >= batch_id:
             return base  # replayed micro-batch: already committed
         key, n_buckets = m["key"], m["n_buckets"]
-        # MERGE's contract is "source row REPLACES the target row with its
-        # key" — two source rows for one key have no defined winner. Delta
-        # raises here too ("multiple source rows matched").
-        dup = (
-            source.groupBy(key)
-            .agg(F.count("*").alias("c"))
-            .where(F.col("c") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
-            raise ValueError(
-                "merge_upsert source has multiple rows for the same key; "
-                "deduplicate the source first"
-            )
         from pyspark.sql.types import StructType
 
         # type alignment BEFORE __bucket (lossless upcasts; mismatches
@@ -3701,12 +3686,34 @@ class SnapshotTable:
         source = self._true_partition_value(m, source)
         self._check_partition_values(m, source)
         src = source.withColumn("__bucket", self._bucket_expr(m))
+        # ONE job answers the duplicate-source-key certification (MERGE's
+        # contract: "source row REPLACES the target row with its key" —
+        # two source rows for one key have no defined winner; Delta
+        # raises too) AND collects the touched buckets (guide §2 fewer
+        # actions — these were two sequential full-source jobs, each
+        # paying the per-job fixed cost): per-key counts carry their
+        # bucket set (a key's rows can span buckets only via differing
+        # partition values — collect_set keeps the cert exact there),
+        # then aggregate to per-bucket maxima; ≤ n_buckets (× touched
+        # partitions) rows reach the driver.
+        bucket_rows = (
+            src.groupBy(key)
+            .agg(
+                F.count("*").alias("__c"),
+                F.collect_set("__bucket").alias("__bs"),
+            )
+            .select(F.explode("__bs").alias("__bucket"), "__c")
+            .groupBy("__bucket")
+            .agg(F.max("__c").alias("__mx"))
+            .collect()
+        )
+        if any(r["__mx"] > 1 for r in bucket_rows):
+            raise ValueError(
+                "merge_upsert source has multiple rows for the same key; "
+                "deduplicate the source first"
+            )
         affected = self._affected_buckets(
-            m,
-            [
-                str(r["__bucket"])
-                for r in src.select("__bucket").distinct().collect()
-            ],  # ≤ n_buckets (× touched partitions) rows — bounded collect
+            m, [str(r["__bucket"]) for r in bucket_rows]
         )
         old_files = [
             os.path.join(self.path, rel)
@@ -4018,19 +4025,6 @@ class SnapshotTable:
         # value have no defined winner for the matched clauses (Delta
         # raises too); on the non-key path the TARGET side may hold
         # multiple matches per source row — each takes the action
-        dup = (
-            source.groupBy(join_key)
-            .agg(F.count("*").alias("c"))
-            .where(F.col("c") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
-            raise ValueError(
-                "merge source has multiple rows for the same "
-                f"{'ON column' if full_closure else 'key'}; "
-                "deduplicate the source first"
-            )
         # same pre-bucketing type alignment as merge_upsert (unknown
         # columns fall through to this method's own refusal below)
         source, _, _ = self._align_source_types(m, source)
@@ -4039,16 +4033,47 @@ class SnapshotTable:
         if has_by_source or full_closure:
             # "no source row matches" / matching on an un-hashed column
             # must examine every target row — the documented full
-            # closure (Delta's cost for these shapes, stated)
+            # closure (Delta's cost for these shapes, stated); no bucket
+            # collect exists to fold with, so the dup cert stays its own
+            # (single) job
+            dup = (
+                source.groupBy(join_key)
+                .agg(F.count("*").alias("c"))
+                .where(F.col("c") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "merge source has multiple rows for the same "
+                    f"{'ON column' if full_closure else 'key'}; "
+                    "deduplicate the source first"
+                )
             affected = sorted(m["files"])
         else:
+            # key-path: dup cert + touched-bucket collect share ONE job,
+            # the merge_upsert fold (guide §2 fewer actions); join_key ==
+            # key here, and collect_set keeps the cert exact when a key's
+            # rows span buckets via differing partition values
             src = source.withColumn("__bucket", self._bucket_expr(m))
+            bucket_rows = (
+                src.groupBy(join_key)
+                .agg(
+                    F.count("*").alias("__c"),
+                    F.collect_set("__bucket").alias("__bs"),
+                )
+                .select(F.explode("__bs").alias("__bucket"), "__c")
+                .groupBy("__bucket")
+                .agg(F.max("__c").alias("__mx"))
+                .collect()
+            )
+            if any(r["__mx"] > 1 for r in bucket_rows):
+                raise ValueError(
+                    "merge source has multiple rows for the same key; "
+                    "deduplicate the source first"
+                )
             affected = self._affected_buckets(
-                m,
-                [
-                    str(r["__bucket"])
-                    for r in src.select("__bucket").distinct().collect()
-                ],  # ≤ n_buckets (× touched partitions) — bounded collect
+                m, [str(r["__bucket"]) for r in bucket_rows]
             )
         old_files = [
             os.path.join(self.path, rel)
@@ -5904,14 +5929,14 @@ class SnapshotTable:
                 F.col(key).alias("__k"), F.struct(*cols).alias("__r"), F.lit(1).alias("__s")
             )
         )
-        # ONE exchange for the whole feed (guide §2.4 "two operations
-        # keyed the same way share one exchange"): hash-partitioning on
-        # __k satisfies both the (__k, __r) aggregation's clustering
-        # (subset rule) and the per-key window below, so the plan that
-        # used to shuffle twice — once on (__k, __r) for the diff, again
-        # on __k for the totals window — now shuffles once. No explicit
-        # partition count: AQE coalesces the exchange like any other.
-        tagged = tagged.repartition(F.col("__k"))
+        # NOTE (measured, guide §1): sharing one __k exchange between the
+        # diff agg and the totals window (repartition(__k) before the
+        # groupBy) is a LOSS here — it moves the exchange below the
+        # aggregation, so the full tagged feed shuffles raw instead of
+        # map-side partially aggregated, while the window exchange it
+        # saves only ever carries the d≠0 rows (the tiny changed set).
+        # apply_changes measured 3.0 s → 9.9 s with the shared exchange;
+        # keep the two-exchange shape.
         # d = (count in new) − (count in old) per distinct (key, row);
         # d == 0 → unchanged (even if its bucket was rewritten) → dropped
         diff = (

@@ -945,8 +945,35 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("s", "e"))).alias("regions"),
         F.count("*").cast("bigint").alias("n_spans"),
     )
-    # the surgery: fold the sorted regions, keeping the text BETWEEN
-    # them, then the tail after the last region — all JVM-side
+    # the surgery: slice out the text BETWEEN the sorted regions, then
+    # the tail after the last one, and concatenate ONCE — all JVM-side.
+    # (This replaced an F.aggregate fold whose acc = concat(acc, frag)
+    # re-copied the accumulated string per region — O(n_regions × len)
+    # bytes; the transform builds each fragment directly from the text
+    # and concat_ws assembles them in one pass, O(len). Fragment j keeps
+    # [prev.e+1, s_j) — identical to the fold because islands are
+    # disjoint and ascending by construction, and the greatest(…, 0)
+    # clamp matches the fold's.)
+    regs = F.col("regions")
+
+    def nxt(j):
+        # 1-based slice start: char after the previous region (j is the
+        # transform's 0-based index; greatest() keeps element_at's index
+        # ≥ 1 on the never-taken branch)
+        return F.when(j == 0, F.lit(1)).otherwise(
+            F.element_at(regs, F.greatest(j, F.lit(1))).getField("e") + 1
+        )
+
+    frags = F.transform(
+        regs,
+        lambda r, j: F.col("text").substr(
+            nxt(j), F.greatest(r.getField("s") - nxt(j), F.lit(0))
+        ),
+    )
+    last_e = F.element_at(regs, -1).getField("e")
+    tail = F.col("text").substr(
+        last_e + 1, F.greatest(F.length("text") - last_e, F.lit(0))
+    )
     stitched = (
         docs.join(regions, "doc_id", "left")
         .select(
@@ -954,32 +981,7 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").alias("len"),
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
             F.when(F.col("regions").isNull(), F.col("text"))
-            .otherwise(
-                F.aggregate(
-                    "regions",
-                    F.struct(
-                        F.lit(1).alias("nxt"), F.lit("").alias("acc")
-                    ),
-                    lambda a, r: F.struct(
-                        (r.e + 1).alias("nxt"),
-                        F.concat(
-                            a.acc,
-                            F.col("text").substr(
-                                a.nxt, F.greatest(r.s - a.nxt, F.lit(0))
-                            ),
-                        ).alias("acc"),
-                    ),
-                    lambda a: F.concat(
-                        a.acc,
-                        F.col("text").substr(
-                            a.nxt,
-                            F.greatest(
-                                F.length("text") - a.nxt + 1, F.lit(0)
-                            ),
-                        ),
-                    ),
-                )
-            )
+            .otherwise(F.concat(F.concat_ws("", frags), tail))
             .alias("cleaned"),
         )
     )

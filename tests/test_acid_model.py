@@ -127,6 +127,7 @@ def _view_of(model: list) -> dict:
     return out
 
 
+@pytest.mark.slow  # redundant with the driver's oracle gate; run with -m ""
 @settings(
     max_examples=12,  # 6 before r7, 10 before the r8 spec-evolution kind
     deadline=None,

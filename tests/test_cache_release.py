@@ -8,12 +8,15 @@ flush their outer query's caches mid-build — pinned here too."""
 
 from __future__ import annotations
 
+import pytest
+
 from mr_spark import operators as ops
 from mr_spark import session as S
 
 from conftest import SF_DIR
 
 
+@pytest.mark.slow  # cache-lifecycle stress; run with -m ""
 def test_caches_flushed_on_next_top_level_query(spark):
     qs = ops.queries()
     qs["ngram_jaccard_pairs"](spark, SF_DIR).count()

@@ -144,6 +144,7 @@ def test_defaults_cdf_feed_shows_fill_in_preimages(spark, tmp_path):
     assert ch[("update_postimage", 1)] == "gold"
 
 
+@pytest.mark.slow  # cross-source default parity stress; run with -m ""
 def test_defaults_v2_sources_agree(spark, tmp_path):
     from mr_spark.sources.snapshot_source import register
 

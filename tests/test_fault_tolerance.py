@@ -13,6 +13,8 @@ from __future__ import annotations
 import subprocess
 import sys
 
+import pytest
+
 CHAOS_JOB = r"""
 import sys
 sys.path.insert(0, "/root/repo")
@@ -24,6 +26,8 @@ spark = (
     .appName("chaos").config("spark.ui.enabled", "false").getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
+
+import pytest
 
 from mr_spark.engine import get_app, run_mapreduce, run_sequential
 from mr_spark.engine.sequential import to_text_lines
@@ -52,6 +56,7 @@ print("CHAOS_OK", len(got))
 """
 
 
+@pytest.mark.slow  # subprocess chaos run; run with -m ""
 def test_output_survives_task_crashes():
     res = subprocess.run(
         [sys.executable, "-c", CHAOS_JOB],
@@ -102,6 +107,7 @@ print("CHAOS_BATCHED_OK", len(got))
 """
 
 
+@pytest.mark.slow  # subprocess chaos run; run with -m ""
 def test_batched_output_survives_task_crashes():
     res = subprocess.run(
         [sys.executable, "-c", CHAOS_BATCHED_JOB],
@@ -159,6 +165,7 @@ print("JOBCOUNT_OK", n_invocations, len(corpus))
 """
 
 
+@pytest.mark.slow  # subprocess chaos run; run with -m ""
 def test_jobcount_side_effects_observe_retries():
     """The reference's jobcount app counts map INVOCATIONS via side-effect
     marker files (app-jobcount/src/lib.rs:18-73) — untranslatable as a
