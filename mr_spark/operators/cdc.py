@@ -308,11 +308,26 @@ def snapshot_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     from ..sources.snapshot_sink import SnapshotStreamWriter
 
+    schema = t.read().schema
     w = SnapshotStreamWriter(
         {"path": t.path, "app_id": "orders_stream"},
-        t.read().schema,
+        schema,
     )
-    msg = w.write(iter([(1, 1, 1.0, "1-URGENT")]))
+    # the replay probe feeds the writer's Arrow contract directly (the
+    # engine hands write() RecordBatches)
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    msg = w.write(
+        iter(
+            [
+                pa.record_batch(
+                    [[1], [1], [1.0], ["1-URGENT"]],
+                    schema=to_arrow_schema(schema),
+                )
+            ]
+        )
+    )
     w.commit([msg], 1)  # replay of epoch 1: must be a no-op
     if t.latest_version() != 3:
         raise RuntimeError(
@@ -4134,11 +4149,16 @@ def snapshot_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     # changes() API on the v2 delete slice — two paths, one history
     from ..sql_dml import execute_dml
 
-    n_tvf = execute_dml(
+    # one job answers both sides of the agreement cert (guide §2 fewer
+    # actions): the TVF count and the Python-API count cross-join into a
+    # single row instead of two sequential scalar jobs
+    tvf_cnt = execute_dml(
         spark,
         "SELECT COUNT(*) AS n FROM table_changes('mrspark_sqldml', 2, 2)",
-    ).first()["n"]
-    if n_tvf != t.changes(1, 2).count() or n_tvf == 0:
+    )
+    api_cnt = t.changes(1, 2).agg(F.count("*").alias("m"))
+    r = tvf_cnt.crossJoin(api_cnt).first()
+    if r["n"] != r["m"] or r["n"] == 0:
         raise RuntimeError(
             "table_changes('v', 2, 2) disagrees with changes(1, 2) — "
             "the TVF rewrite bound the wrong feed"

@@ -1,18 +1,19 @@
 """Batch WRITE path for snapshot tables through the standard Spark
 writer API — ``df.write.format("snapshot").mode("append").option("path",
-tbl).save()`` (Spark 4 Python ``DataSourceWriter``).
+tbl).save()`` (Spark 4 Python ``DataSourceArrowWriter``).
 
 The V2 writer protocol maps ONE-TO-ONE onto the snapshot commit
 protocol, which is what makes this correct under failure:
 
 * ``write()`` runs once per input partition on executors: it hashes each
-  row's key into its BUCKET (a pure-Python port of Spark's
-  Murmur3_x86_32 — parity with ``F.hash`` is pinned in
-  tests/test_sources.py, because a mismatched hash would scatter rows
-  into wrong buckets and silently break every bucket-pruned MERGE that
-  follows), buffers rows per bucket, writes them as parquet into a
-  task-private staging dir under PHYSICAL column names, and returns the
-  staged file list as its commit message;
+  row's key into its BUCKET (a vectorized numpy port of Spark's
+  Murmur3_x86_32 — parity with the scalar port and with ``F.hash`` is
+  pinned in tests/test_sources.py, because a mismatched hash would
+  scatter rows into wrong buckets and silently break every bucket-pruned
+  MERGE that follows) over whole Arrow record batches — no Python row
+  objects — splits them per bucket with pyarrow filters, writes parquet
+  into a task-private staging dir under PHYSICAL column names, and
+  returns the staged file list as its commit message;
 * ``commit()`` runs once on the driver ONLY IF every task succeeded:
   it publishes the staged files into data/, collects footer stats (+
   blooms) with the same pure-pyarrow reader the table uses, folds the
@@ -39,12 +40,11 @@ expressions need a SparkSession to evaluate — use
 (expression evaluation / distributed ranked allocation are
 session-bound); bucket keys must be int/bigint/string (the
 types the hash port covers). Timestamp columns ARE supported
-(VERDICT r5 #4): PySpark's arrow-to-rows converter hands the writer
-naive datetimes in the worker's SYSTEM zone (``astimezone().replace
-(tzinfo=None)`` — pyspark/sql/conversion.py), so ``write()`` applies
-the exact inverse (``astimezone(utc)``) and stores tz-aware arrow
-columns — the parquet instants match every other write path's, under
-any session timezone. Commit re-checks
+(VERDICT r5 #4): the Arrow writer protocol hands ``write()`` TZ-AWARE
+instants (true epoch micros under any session timezone — the session
+zone is display metadata on the batch), so the cast to the stored
+``timestamp[us, UTC]`` form is exact, with none of the old row path's
+naive-datetime DST ambiguity. Commit re-checks
 the table identity (schema/colmap/n_buckets/key/constraints) captured
 at planning and aborts on any concurrent change — staged rows were
 bucketed and validated against the old state. A sink commit that lands
@@ -60,8 +60,10 @@ import shutil
 import uuid
 
 from pyspark.sql.datasource import (
-    DataSourceStreamWriter,
-    DataSourceWriter,
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    DataSourceStreamWriter,  # noqa: F401 — re-exported for compat
+    DataSourceWriter,  # noqa: F401 — re-exported for compat
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -149,6 +151,140 @@ def bucket_of(value, dtype, n_buckets: int) -> int:
     return spark_hash(value, dtype) % n_buckets
 
 
+# ---- vectorized twins (guide §4: the write path's per-row Python loop —
+# murmur3 + canonical partition strings per row — restated over numpy /
+# pyarrow so whole Arrow batches bucket without touching Python rows).
+# Parity with the scalar port (and therefore with F.hash) is pinned in
+# tests/test_sources.py::test_spark_hash_np_matches_scalar. --------------
+
+
+def _mix_k1_np(k1):
+    import numpy as np
+
+    k1 = k1 * np.uint32(0xCC9E2D51)
+    k1 = (k1 << np.uint32(15)) | (k1 >> np.uint32(17))
+    return k1 * np.uint32(0x1B873593)
+
+
+def _mix_h1_np(h1, k1):
+    import numpy as np
+
+    h1 = h1 ^ k1
+    h1 = (h1 << np.uint32(13)) | (h1 >> np.uint32(19))
+    return h1 * np.uint32(5) + np.uint32(0xE6546B64)
+
+
+def _fmix_np(h1, length):
+    import numpy as np
+
+    h1 = h1 ^ np.uint32(length)
+    h1 = h1 ^ (h1 >> np.uint32(16))
+    h1 = h1 * np.uint32(0x85EBCA6B)
+    h1 = h1 ^ (h1 >> np.uint32(13))
+    h1 = h1 * np.uint32(0xC2B2AE35)
+    return h1 ^ (h1 >> np.uint32(16))
+
+
+def spark_hash_np(arr, dtype, seed: int = 42):
+    """Vectorized :func:`spark_hash` over a pyarrow Array / ChunkedArray:
+    returns an int64 numpy array of the signed-32-bit hashes, with NULLs
+    hashing to the seed (the scalar port's rule). Long/Integer columns run
+    fully vectorized in uint32 wrap-around arithmetic; String columns fall
+    back to the scalar port per value (variable-length word walk)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    null_mask = np.asarray(arr.is_null())
+    if isinstance(dtype, (LongType, IntegerType)):
+        # NULL slots read 0 from the buffer view; overwritten below
+        vals = np.asarray(arr.fill_null(0))
+        s = np.uint32(seed)
+        if isinstance(dtype, LongType):
+            v = vals.astype(np.int64).view(np.uint64)
+            h1 = _mix_h1_np(s, _mix_k1_np((v & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
+            h1 = _mix_h1_np(h1, _mix_k1_np((v >> np.uint64(32)).astype(np.uint32)))
+            out = _fmix_np(h1, 8)
+        else:
+            h1 = _mix_h1_np(s, _mix_k1_np(vals.astype(np.int32).view(np.uint32)))
+            out = _fmix_np(h1, 4)
+        out = out.astype(np.int32).astype(np.int64)
+    elif isinstance(dtype, StringType):
+        out = np.fromiter(
+            (
+                seed if v is None else spark_hash(v, dtype, seed)
+                for v in arr.to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(arr),
+        )
+    else:
+        raise NotImplementedError(
+            f"snapshot sink supports int/bigint/string bucket keys, not "
+            f"{dtype.simpleString()}"
+        )
+    if null_mask.any():
+        out[null_mask] = _signed32(seed)
+    return out
+
+
+def canonical_pvals(arr, dtype, transform=("identity",)) -> list:
+    """Vectorized :func:`canonical_partition_value` over a pyarrow Array:
+    one canonical string per row, raising on NULLs and on '|'/'/' exactly
+    like the scalar form (same write-time rule as
+    acid._check_partition_values)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError(
+            "partition column has NULL values — unsupported as partition "
+            "values (same rule as SnapshotTable writes)"
+        )
+    kind = transform[0]
+    if kind in ("days", "months", "years", "hours"):
+        if pa.types.is_date(arr.type):
+            if kind == "hours":
+                raise NotImplementedError("hours() over a date column")
+            s = pc.strftime(arr, "%Y-%m-%d")
+        else:
+            # tz-aware instants; render the UTC wall form like the scalar
+            # path's astimezone(utc).strftime
+            s = pc.strftime(arr.cast(pa.timestamp("us", tz="UTC")), "%Y-%m-%d %H")
+        widths = {"days": 10, "months": 7, "years": 4, "hours": 13}
+        return pc.utf8_slice_codeunits(s, 0, widths[kind]).to_pylist()
+    if kind == "bucket":
+        h = spark_hash_np(arr, dtype) % transform[1]
+        return [str(int(x)) for x in h]
+    if isinstance(dtype, (LongType, IntegerType)):
+        s = arr.cast(pa.string())
+    elif isinstance(dtype, StringType):
+        s = arr
+    elif isinstance(dtype, DateType):
+        s = pc.strftime(arr, "%Y-%m-%d")
+    else:  # unreachable: planner refuses other types
+        raise NotImplementedError(dtype.simpleString())
+    if kind == "truncate":
+        s = pc.utf8_slice_codeunits(s, 0, transform[1])
+    vals = s.to_pylist()
+    bad = pc.any(
+        pc.or_(
+            pc.match_substring(s, "|"), pc.match_substring(s, "/")
+        )
+    ).as_py()
+    if bad:
+        offender = next(v for v in vals if "|" in v or "/" in v)
+        raise ValueError(
+            f"partition value {offender!r} contains '|' or '/' — "
+            "unsupported as a partition value (same rule as "
+            "SnapshotTable writes)"
+        )
+    return vals
+
+
 def canonical_partition_value(value, dtype, transform=("identity",)) -> str:
     """The partition value's canonical TRANSFORMED string — must
     byte-match acid._pval_expr_of's Spark expression, because composite
@@ -223,17 +359,12 @@ def _arrow_type(dt):
         return pa.bool_()
     if isinstance(dt, TimestampType):
         # Timestamps are stored as UTC-adjusted parquet instants, like
-        # every other write path. PySpark's arrow-to-rows converter
-        # (pyspark/sql/conversion.py, TimestampType:
-        # ``value.astimezone().replace(tzinfo=None)``) hands write()
-        # naive datetimes in the PYTHON WORKER'S SYSTEM zone — so the
-        # exact inverse (interpret as system-local, convert to UTC) is
-        # available right where the rows arrive, no session-zone
-        # plumbing needed (VERDICT r5 #4 asked to capture the session
-        # zone driver-side; reading the converter showed even that is
-        # unnecessary — the round trip is worker-zone-local and exact,
-        # up to DST-ambiguous wall times in a non-UTC worker zone,
-        # where fold=0 is taken).
+        # every other write path. The Arrow writer protocol delivers
+        # tz-aware instants (epoch micros; the session zone is only
+        # display metadata on the batch), so casting to this type is
+        # exact under any session timezone — no worker-zone inverse
+        # needed (the old row path's naive-datetime round trip and its
+        # DST-ambiguity caveat are gone).
         return pa.timestamp("us", tz="UTC")
     if isinstance(dt, DateType):
         return pa.date32()
@@ -248,7 +379,7 @@ class _SinkCommit(WriterCommitMessage):
         self.staging_dir = staging_dir
 
 
-class SnapshotWriter(DataSourceWriter):
+class SnapshotWriter(DataSourceArrowWriter):
     def __init__(self, options, schema: StructType, overwrite: bool) -> None:
         if overwrite:
             raise NotImplementedError(
@@ -417,84 +548,79 @@ class SnapshotWriter(DataSourceWriter):
     # ---- executor side ---------------------------------------------------
 
     def write(self, iterator) -> _SinkCommit:
+        """Arrow-native bucketing (guide §4 — the writer twin of the
+        source's ``read_file_table``): whole ``RecordBatch``es bucket via
+        the vectorized murmur3 port and pyarrow filters; no Python row
+        objects, no per-value converters. Timestamp columns arrive as
+        TZ-AWARE Arrow instants under ANY session timezone (the Arrow
+        writer protocol serializes the true epoch micros; the session
+        zone is only display metadata), so the cast to the stored
+        ``timestamp[us, UTC]`` form is exact — strictly safer than the
+        old row path's naive-datetime ``astimezone`` inverse, which had
+        a DST-ambiguity caveat in non-UTC worker zones."""
+        import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         names = [f.name for f in self.schema.fields]
-        types = [f.dataType for f in self.schema.fields]
-        key_idx = names.index(self.key)
-        key_type = types[key_idx]
-        # timestamp values arrive as naive datetimes in THIS worker's
-        # system zone (see _arrow_type); astimezone(utc) on a naive value
-        # interprets it as system-local — the exact inverse of the
-        # conversion that produced it — yielding the true instant
-        ts_idx = [i for i, t in enumerate(types) if isinstance(t, TimestampType)]
-        if ts_idx:
-            from datetime import timezone
-
-            def _utc(v):
-                if v is None:
-                    return None
-                if hasattr(v, "to_pydatetime"):
-                    # pandas Timestamp (a datetime subclass) refuses
-                    # astimezone() on naive values — go via stdlib, whose
-                    # naive astimezone interprets system-local (the zone
-                    # the converter stripped)
-                    v = v.to_pydatetime()
-                return v.astimezone(timezone.utc)
-
-        p_idx = p_type = None
-        if self.partition_by:
-            p_idx = names.index(self.partition_by)
-            p_type = types[p_idx]
-        buckets: dict[str, list[tuple]] = {}
-        for row in iterator:
-            vals = tuple(row)
-            if ts_idx:
-                vals = tuple(
-                    _utc(v) if i in ts_idx else v for i, v in enumerate(vals)
-                )
-            hb = bucket_of(vals[key_idx], key_type, self.n_buckets)
-            # composite "<partition value>|<hash>" id for partitioned
-            # tables — the same id acid._bucket_expr computes (including
-            # the evolved-spec "s<i>." marker), so every bucket-keyed
-            # mechanism (pruning, CoW, CDF diffs) sees sink rows
-            # identically to SnapshotTable.append's
-            hs = f"s{self.default_spec_id}.{hb}" if self.default_spec_id else str(hb)
-            b = (
-                f"{canonical_partition_value(vals[p_idx], p_type, self.p_transform)}|{hs}"
-                if p_idx is not None
-                else hs
-            )
-            buckets.setdefault(b, []).append(vals)
-        staging = os.path.join(
-            self.path, f"_staging_sink_{uuid.uuid4().hex}"
-        )
-        if buckets:
-            os.makedirs(staging, exist_ok=True)
+        types = {f.name: f.dataType for f in self.schema.fields}
         arrow_schema = pa.schema(
-            [
-                (self.colmap.get(n, n), _arrow_type(t))
-                for n, t in zip(names, types)
-            ]
+            [(self.colmap.get(n, n), _arrow_type(types[n])) for n in names]
         )
-        staged: list[tuple[str, str]] = []
-        for b, rows in sorted(buckets.items()):
-            cols = list(zip(*rows))
-            tbl = pa.Table.from_arrays(
-                [
-                    pa.array(list(col), type=arrow_schema.field(i).type)
-                    for i, col in enumerate(cols)
-                ],
-                schema=arrow_schema,
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _SinkCommit([], "")
+        tbl = pa.Table.from_batches(batches)
+        # physical names + declared storage types (tz-aware micros UTC
+        # for timestamps — instant-preserving cast, see docstring)
+        tbl = tbl.select([tbl.schema.get_field_index(n) for n in names])
+        tbl = tbl.rename_columns(
+            [self.colmap.get(n, n) for n in names]
+        ).cast(arrow_schema)
+        hb = (
+            spark_hash_np(
+                tbl.column(self.colmap.get(self.key, self.key)),
+                types[self.key],
             )
+            % self.n_buckets
+        )
+        # composite "<partition value>|<hash>" id for partitioned tables —
+        # the same id acid._bucket_expr computes (including the
+        # evolved-spec "s<i>." marker), so every bucket-keyed mechanism
+        # (pruning, CoW, CDF diffs) sees sink rows identically to
+        # SnapshotTable.append's
+        if self.default_spec_id:
+            hs = np.char.add(
+                f"s{self.default_spec_id}.", hb.astype("U11")
+            )
+        else:
+            hs = hb
+        if self.partition_by is not None:
+            pvals = canonical_pvals(
+                tbl.column(
+                    self.colmap.get(self.partition_by, self.partition_by)
+                ),
+                types[self.partition_by],
+                self.p_transform,
+            )
+            ids = np.array(
+                [f"{p}|{h}" for p, h in zip(pvals, hs)], dtype=object
+            )
+        else:
+            ids = hs
+        uniq, inverse = np.unique(ids, return_inverse=True)
+        staging = os.path.join(self.path, f"_staging_sink_{uuid.uuid4().hex}")
+        os.makedirs(staging, exist_ok=True)
+        staged: list[tuple[str, str]] = []
+        for ui, u in enumerate(uniq):
+            sub = tbl.filter(pa.array(inverse == ui))
             # uuid-only staged names: composite bucket ids may contain
             # characters unfit for filenames; the (bucket, path) pairing
             # in the commit message carries the id
             fp = os.path.join(staging, f"{uuid.uuid4().hex}.parquet")
-            pq.write_table(tbl, fp)
-            staged.append((b, fp))
-        return _SinkCommit(staged, staging if buckets else "")
+            pq.write_table(sub, fp)
+            staged.append((str(u), fp))
+        return _SinkCommit(staged, staging)
 
     # ---- driver side -----------------------------------------------------
 
@@ -591,7 +717,7 @@ class SnapshotWriter(DataSourceWriter):
                 shutil.rmtree(msg.staging_dir)
 
 
-class SnapshotStreamWriter(DataSourceStreamWriter):
+class SnapshotStreamWriter(DataSourceStreamArrowWriter):
     """``df.writeStream.format("snapshot")`` — the STREAMING write path
     (Spark 4 Python ``DataSourceStreamWriter``), composing the V2 sink's
     executor-side bucketing with the table's per-writer transaction map

@@ -586,6 +586,86 @@ def test_spark_hash_parity_murmur3(spark):
         assert spark_hash(r["s"], StringType()) == r["h"], repr(r["s"])
 
 
+def test_spark_hash_np_matches_scalar():
+    """The VECTORIZED murmur3 (the Arrow write path's bucketing) must
+    equal the scalar port element-for-element — longs/ints fully
+    vectorized incl. NULLs (seed) and sign edges; strings via the
+    per-value fallback."""
+    import random
+
+    import pyarrow as pa
+    from pyspark.sql.types import IntegerType, LongType, StringType
+
+    from mr_spark.sources.snapshot_sink import spark_hash, spark_hash_np
+
+    rng = random.Random(11)
+    longs = [0, 1, -1, 2**63 - 1, -(2**63), None] + [
+        rng.randint(-(2**63), 2**63 - 1) for _ in range(500)
+    ]
+    got = spark_hash_np(pa.array(longs, pa.int64()), LongType())
+    assert [int(x) for x in got] == [
+        spark_hash(v, LongType()) for v in longs
+    ]
+    ints = [0, -1, 2**31 - 1, -(2**31), None] + [
+        rng.randint(-(2**31), 2**31 - 1) for _ in range(500)
+    ]
+    got = spark_hash_np(pa.array(ints, pa.int32()), IntegerType())
+    assert [int(x) for x in got] == [
+        spark_hash(v, IntegerType()) for v in ints
+    ]
+    strs = ["", "a", "ünïcødé ✓", None, "abcd", "x" * 40]
+    got = spark_hash_np(pa.array(strs, pa.string()), StringType())
+    assert [int(x) for x in got] == [
+        spark_hash(v, StringType()) for v in strs
+    ]
+
+
+def test_canonical_pvals_match_scalar():
+    """The vectorized canonical partition strings must equal the scalar
+    form for every supported (type, transform) pair, including the
+    refusals (NULL, '|'/'/')."""
+    import datetime
+
+    import pyarrow as pa
+    import pytest as _pytest
+    from pyspark.sql.types import DateType, LongType, StringType
+
+    from mr_spark.sources.snapshot_sink import (
+        canonical_partition_value,
+        canonical_pvals,
+    )
+
+    longs = [0, -5, 123456789]
+    assert canonical_pvals(pa.array(longs, pa.int64()), LongType()) == [
+        canonical_partition_value(v, LongType()) for v in longs
+    ]
+    strs = ["a", "hello world", "éé"]
+    for tr in (("identity",), ("truncate", 3), ("bucket", 7)):
+        assert canonical_pvals(
+            pa.array(strs, pa.string()), StringType(), tr
+        ) == [canonical_partition_value(v, StringType(), tr) for v in strs]
+    dates = [datetime.date(2024, 6, 1), datetime.date(1999, 12, 31)]
+    for tr in (("identity",), ("days",), ("months",), ("years",)):
+        assert canonical_pvals(
+            pa.array(dates, pa.date32()), DateType(), tr
+        ) == [canonical_partition_value(v, DateType(), tr) for v in dates]
+    utc = datetime.timezone.utc
+    tss = [
+        datetime.datetime(2024, 6, 1, 23, 45, 12, tzinfo=utc),
+        datetime.datetime(2001, 1, 1, 0, 0, 0, tzinfo=utc),
+    ]
+    from pyspark.sql.types import TimestampType
+
+    for tr in (("days",), ("months",), ("years",), ("hours",)):
+        assert canonical_pvals(
+            pa.array(tss, pa.timestamp("us", tz="UTC")), TimestampType(), tr
+        ) == [canonical_partition_value(v, TimestampType(), tr) for v in tss]
+    with _pytest.raises(ValueError, match="NULL"):
+        canonical_pvals(pa.array(["a", None]), StringType())
+    with _pytest.raises(ValueError, match="'\\|' or '/'"):
+        canonical_pvals(pa.array(["a|b"]), StringType())
+
+
 def test_snapshot_sink_appends_with_consistent_buckets(spark, tmp_path):
     """df.write.format('snapshot') lands rows in the SAME buckets
     Spark-side hashing would — certified by merging one sink-written key
@@ -795,7 +875,18 @@ def test_snapshot_stream_sink_exactly_once(spark, tmp_path):
         {"path": t.path, "app_id": "s1"},
         spark.createDataFrame([], "k bigint, v string").schema,
     )
-    msg = w.write(iter([(100, "s100"), (101, "s101")]))
+    import pyarrow as pa
+
+    msg = w.write(
+        iter(
+            [
+                pa.record_batch(
+                    {"k": pa.array([100, 101], pa.int64()),
+                     "v": pa.array(["s100", "s101"])}
+                )
+            ]
+        )
+    )
     w.commit([msg], last_epoch)
     assert t.latest_version() == v  # no new commit
     assert _rows_kv(t.read()) == exp  # no duplicates
