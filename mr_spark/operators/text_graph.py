@@ -187,14 +187,21 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputed the full tokenize→bigram→aggregate subtree three times,
     # since Spark has no cross-action CSE
     e2 = e2.persist()
-    # scalar count FIRST (safe at any scale); the full node list is
-    # collected only once the gate proves it driver-sized — collecting
-    # before the gate would materialize an unbounded vocabulary on the
-    # driver exactly when the distributed path exists to avoid that
+    # ONE bounded action decides the strategy AND fetches the node list:
+    # limit(MAX+1) caps the driver materialization at the gate size
+    # (collecting an unbounded vocabulary before the gate is exactly what
+    # the distributed path exists to avoid), and getting MAX+1 rows back
+    # proves the vocabulary exceeds the gate without revealing its size —
+    # the distributed path recomputes the exact n it needs
+    probe = (
+        e2.select("src").distinct().limit(_TEXTRANK_COLLECT_MAX + 1).collect()
+    )
+    if len(probe) <= _TEXTRANK_COLLECT_MAX:
+        nodes = [r["src"] for r in probe]
+        return _textrank_broadcast(spark, e2, nodes, len(nodes))
+    # big-vocab path only: the exact scalar n (cheap off the cached e2;
+    # never an unbounded collect)
     n = e2.select("src").distinct().count()
-    if n <= _TEXTRANK_COLLECT_MAX:
-        nodes = [r["src"] for r in e2.select("src").distinct().collect()]
-        return _textrank_broadcast(spark, e2, nodes, n)
     # the distributed path composes ONE lazy 5-join plan: the e2 subtree
     # repeats per iteration but Spark reuses its exchange within the job
     # (ReusedExchange), so a cache would only leak blocks the lazily
