@@ -660,15 +660,22 @@ def _win_positions(docs: DataFrame) -> DataFrame:
 
 def _substring_pairs(docs: DataFrame) -> DataFrame:
     """Windows → per-doc distinct digests → df cap → inverted-index
-    self-join. Split out so tests can drive it on constructed corpora."""
-    wins = persist_tracked(_win_digests(docs))  # feeds df agg + both join sides
-    hot = (
-        wins.groupBy("h")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") > _SUBSTR_DF_CAP)
-        .select("h")
-    )
-    wins = wins.join(hot, "h", "left_anti")
+    self-join. Split out so tests can drive it on constructed corpora.
+
+    The df cap is an aggregative window, not a df-agg + anti-join back
+    (guide §2.4, same rewrite as ngram_novelty's df-gate): ``wins`` holds
+    one row per (doc, digest), so the digest's window COUNT IS its doc
+    frequency, and ``count ≤ cap`` keeps exactly the rows the left_anti
+    against the hot set kept. The capped relation is persisted already
+    h-partitioned, so BOTH self-join sides read it with no further
+    exchange."""
+    wins = _win_digests(docs)
+    wh = Window.partitionBy("h")
+    wins = persist_tracked(
+        wins.withColumn("__df", F.count("*").over(wh))
+        .where(F.col("__df") <= _SUBSTR_DF_CAP)
+        .drop("__df")
+    )  # feeds both self-join sides
     a, b = wins.alias("a"), wins.alias("b")
     return (
         a.join(
